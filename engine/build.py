@@ -1,0 +1,269 @@
+"""SPIMI index build pipeline — the ``StrucmotifUpdate ADD`` analog, Ray-Data-first.
+
+Reference lifecycle (UPD/StrucmotifUpdate.java:114-387 + DefaultInvertedIndex
+.java:120-268): plan -> partition -> parallel tokenize with per-thread spill
+files -> merge-commit per partition with atomic swap. Re-architected as:
+
+    read_parquet (pruned columns)
+      -> [transcripts] deterministic docID assignment  (engine.docids)
+      -> docmap + global stats pass                    (N, avgdl)
+      -> map_batches(tokenize)  — stateless, zero-copy Arrow, partial tf agg
+      -> map_batches(route)     — term-hash bucket + head-term salting
+      -> groupby(part).map_groups(write segment part)  — THE shuffle
+      -> manifests + stats.json                        (engine.state)
+
+Skew: Zipf head terms would make single ``groupby(term)`` groups hold a large
+fraction of all postings (the reference's "ribosome" problem, Partition.java:
+27-28). We (a) group by term-hash *bucket* (many terms per group, bounding the
+number of groups), and (b) split detected hot terms across ``n_salts``
+sub-parts keyed by ``doc_id % n_salts`` so no single reducer owns a head term.
+Hot-term detection uses a deterministic sample prefix; misdetection only
+affects partitioning balance, never correctness.
+
+Resume: parts with committed manifests are skipped (rows routed to them are
+filtered out before the shuffle); ``state.recover`` purges orphans first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from . import state
+from .docids import add_doc_ids, conv_base_offsets
+from .schema import TRANSCRIPT_SCHEMA
+from .segments import encode_bucket, term_bucket_array
+from .tokenize import doc_length_batch, tokenize_batch
+
+DEFAULT_N_BUCKETS = 32
+DEFAULT_N_SALTS = 8
+DEFAULT_HOT_FRACTION = 0.02  # term is "hot" if df > 2% of sampled docs
+DEFAULT_SAMPLE_DOCS = 20_000
+
+
+def detect_hot_terms(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    sample_docs: int,
+    hot_fraction: float,
+) -> list[str]:
+    """Deterministic sample prefix -> terms whose sample df exceeds the cut."""
+    sample = ds.limit(sample_docs).map_batches(
+        lambda b: tokenize_batch(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    refs = sample.to_arrow_refs()
+    tables = [ray.get(r) for r in refs]
+    if not tables:
+        return []
+    tbl = pa.concat_tables(tables)
+    if tbl.num_rows == 0:
+        return []
+    n_docs = len(pc.unique(tbl["doc_id"]))
+    g = tbl.group_by(["term"], use_threads=False).aggregate([("doc_id", "count")])
+    dfs = g["doc_id_count"].to_numpy(zero_copy_only=False)
+    mask = dfs >= max(2.0, hot_fraction * n_docs)
+    return sorted(np.asarray(g["term"].to_pylist(), dtype=object)[mask].tolist())
+
+
+class _Router:
+    """Adds ``part`` (+ ``salt``) routing columns. Stateless, broadcast hot set."""
+
+    def __init__(self, hot_ref, n_buckets: int, n_salts: int):
+        self.hot_ref = hot_ref
+        self.n_buckets = n_buckets
+        self.n_salts = n_salts
+        self._hot_arr = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._hot_arr is None:
+            self._hot_arr = pa.array(ray.get(self.hot_ref), pa.string())
+        bucket = term_bucket_array(batch["term"], self.n_buckets)
+        if len(self._hot_arr) and self.n_salts > 1:
+            hot = pc.is_in(batch["term"], value_set=self._hot_arr).to_numpy(zero_copy_only=False)
+            doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+            salt = np.where(hot, doc % self.n_salts, 0).astype(np.int32)
+        else:
+            salt = np.zeros(len(bucket), dtype=np.int32)
+        part = bucket + salt * self.n_buckets
+        return batch.append_column("salt", pa.array(salt, pa.int32())).append_column(
+            "part", pa.array(part, pa.int32())
+        )
+
+
+class _SegmentWriter:
+    """map_groups callable: one part's rows -> encoded segment file + manifest."""
+
+    def __init__(self, index_dir: str, avgdl: float):
+        self.index_dir = index_dir
+        self.avgdl = avgdl
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        seg = encode_bucket(group, self.avgdl)
+        path = state.segment_path(self.index_dir, part)
+        tmp = path + ".tmp"
+        pq.write_table(seg, tmp, row_group_size=16384)
+        os.replace(tmp, path)
+        state.write_part_manifest(
+            self.index_dir,
+            part,
+            {
+                "n_terms": seg.num_rows,
+                "n_postings": int(pc.sum(seg["df"]).as_py() or 0),
+                "n_tokens": int(pc.sum(seg["cf"]).as_py() or 0),
+            },
+        )
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "n_terms": pa.array([seg.num_rows], pa.int64()),
+                "n_postings": pa.array([int(pc.sum(seg["df"]).as_py() or 0)], pa.int64()),
+            }
+        )
+
+
+def build_index(
+    source,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str | None = None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    n_salts: int = DEFAULT_N_SALTS,
+    hot_fraction: float = DEFAULT_HOT_FRACTION,
+    sample_docs: int = DEFAULT_SAMPLE_DOCS,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume) the inverted index. Returns a build report dict.
+
+    ``source``: a ray.data.Dataset, a parquet file, or a directory of shards.
+    ``id_col=None`` means transcripts mode: dense docIDs are derived from
+    ``(conv_id, turn_idx)`` (the stable-ordering invariant).
+    """
+    t0 = time.perf_counter()
+    os.makedirs(index_dir, exist_ok=True)
+    if resume:
+        state.recover(index_dir)
+    else:
+        for name in os.listdir(index_dir):
+            if name.startswith("segment-") or name in ("stats.json",):
+                os.remove(os.path.join(index_dir, name))
+
+    if isinstance(source, str):
+        paths = source
+        ds = ray.data.read_parquet(paths)
+        lineage_inputs = [source]
+    else:
+        ds = source
+        lineage_inputs = ["<dataset>"]
+
+    names = ds.schema().names
+    transcripts = id_col is None and "conv_id" in names and "doc_id" not in names
+
+    # --- docID assignment + docmap + global stats ---------------------------
+    if transcripts:
+        ds = ds.select_columns(["conv_id", "turn_idx", "text"])
+        convs, base = conv_base_offsets(ds)
+        ds = add_doc_ids(ds, convs, base)
+        id_col = "doc_id"
+
+        def docmap_fn(b: pa.Table) -> pa.Table:
+            dl = doc_length_batch(b, id_col="doc_id", text_col=text_col)
+            return pa.table(
+                {
+                    "doc_id": dl["doc_id"],
+                    "conv_id": b["conv_id"],
+                    "turn_idx": b["turn_idx"],
+                    "dl": dl["dl"],
+                }
+            )
+
+    else:
+        ds = ds.select_columns([id_col, text_col])
+
+        def docmap_fn(b: pa.Table) -> pa.Table:
+            return doc_length_batch(b, id_col=id_col, text_col=text_col)
+
+    # docmap pass is itself checkpointed: a _SUCCESS marker makes it resumable
+    docmap_dir = os.path.join(index_dir, "docmap")
+    docmap_marker = os.path.join(docmap_dir, "_SUCCESS.json")
+    if not (resume and os.path.exists(docmap_marker)):
+        if os.path.isdir(docmap_dir):
+            shutil.rmtree(docmap_dir)
+        ds.map_batches(docmap_fn, batch_format="pyarrow").write_parquet(docmap_dir)
+        dm = pq.read_table(docmap_dir, columns=["dl"])
+        state.atomic_write_bytes(
+            json.dumps(
+                {"n_docs": dm.num_rows, "avgdl": float(pc.mean(dm["dl"]).as_py() or 0.0)}
+            ).encode(),
+            docmap_marker,
+        )
+    with open(docmap_marker) as f:
+        dm_info = json.load(f)
+    n_docs, avgdl = int(dm_info["n_docs"]), float(dm_info["avgdl"])
+    t_docmap = time.perf_counter()
+
+    # --- hot-term detection (deterministic sample) --------------------------
+    hot_terms = detect_hot_terms(ds, id_col, text_col, min(sample_docs, n_docs), hot_fraction)
+    hot_ref = ray.put(hot_terms)
+    t_hot = time.perf_counter()
+
+    # --- tokenize -> route -> shuffle -> encode segments --------------------
+    done = set(state.committed_parts(index_dir)) if resume else set()
+    tokenized = ds.map_batches(
+        lambda b: tokenize_batch(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    ).map_batches(_Router(hot_ref, n_buckets, n_salts), batch_format="pyarrow")
+    if done:
+        done_arr = pa.array(sorted(done), pa.int32())
+        tokenized = tokenized.map_batches(
+            lambda b: b.filter(pc.invert(pc.is_in(b["part"], value_set=done_arr))),
+            batch_format="pyarrow",
+        )
+    writer = _SegmentWriter(index_dir, avgdl)
+
+    def write_segment(group: pa.Table) -> pa.Table:
+        return writer(group)
+
+    manifest_rows = (
+        tokenized.groupby("part")
+        .map_groups(write_segment, batch_format="pyarrow")
+        .to_pandas()
+    )
+    t_segments = time.perf_counter()
+
+    # --- finalize stats.json (manifest-last global commit) ------------------
+    parts = state.committed_parts(index_dir)
+    stats = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "n_buckets": n_buckets,
+        "n_salts": n_salts,
+        "hot_terms": hot_terms,
+        "n_parts": len(parts),
+        # term RUNS, not distinct terms: a hot term contributes one run per salt
+        "n_term_runs": int(sum(p["n_terms"] for p in parts.values())),
+        "n_postings": int(sum(p["n_postings"] for p in parts.values())),
+        "inputs": lineage_inputs,
+        "transcripts_mode": transcripts,
+        "timings_sec": {
+            "docmap": round(t_docmap - t0, 3),
+            "hot_detect": round(t_hot - t_docmap, 3),
+            "segments": round(t_segments - t_hot, 3),
+            "total": round(time.perf_counter() - t0, 3),
+        },
+    }
+    state.write_stats(index_dir, stats)
+    stats["parts_written_this_run"] = int(len(manifest_rows))
+    return stats

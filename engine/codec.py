@@ -1,0 +1,108 @@
+"""Posting-list compression: delta + LEB128 varint, numpy-vectorized.
+
+The reference serializes posting buckets with Colfer, whose arrays are
+LEB128-style varints (/root/reference/strucmotif-search-core/src/main/java/
+org/rcsb/strucmotif/io/codec/ColferCodec.java:118-133) and rejects gzip on top
+(32x slower reads, strucmotif-search-benchmark/.../io/InvertedIndexRunner.java:71-84).
+We keep the same wire idea — unsigned LEB128 — but require sorted docIDs so we
+can delta-encode (the reference's buckets are HashMap-ordered and cannot).
+
+All encode/decode paths are vectorized numpy (no per-value Python loop): encode
+iterates at most 10 times over *byte positions*, decode reconstructs values with
+``np.bitwise_or.at`` over a flat byte array. This codec runs inside
+``map_groups`` on the build side and inside query actors on the read side, so
+it must be fast on million-entry lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64_7 = np.uint64(7)
+_U64_127 = np.uint64(0x7F)
+
+
+def varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """LEB128 byte length per value (int64 array). Vectorized."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(a.size, dtype=np.int64)
+    v = a >> _U64_7
+    while v.any():
+        nbytes += v > 0
+        v >>= _U64_7
+    return nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array as concatenated unsigned LEB128 varints."""
+    a = np.ascontiguousarray(values, dtype=np.uint64)
+    n = a.size
+    if n == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length / 7), min 1
+    nbytes = np.ones(n, dtype=np.int64)
+    v = a >> _U64_7
+    while v.any():
+        nbytes += v > 0
+        v >>= _U64_7
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    vals = a.copy()
+    pos = starts.copy()
+    remaining = nbytes.copy()
+    for _ in range(10):  # uint64 -> max 10 LEB128 bytes
+        active = remaining > 0
+        if not active.any():
+            break
+        b = (vals[active] & _U64_127).astype(np.uint8)
+        b |= (remaining[active] > 1).astype(np.uint8) << 7  # continuation bit
+        out[pos[active]] = b
+        vals[active] >>= _U64_7
+        pos[active] += 1
+        remaining[active] -= 1
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode concatenated unsigned LEB128 varints into a uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    if not is_last[-1]:
+        raise ValueError("truncated varint stream")
+    # value index for every byte
+    idx = np.zeros(b.size, dtype=np.int64)
+    np.cumsum(is_last[:-1], out=idx[1:])
+    n = int(is_last.sum())
+    # byte offset within its value -> shift amount
+    value_starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    offset = np.arange(b.size, dtype=np.int64) - value_starts[idx]
+    if offset.max() >= 10:
+        raise ValueError("varint longer than 10 bytes")
+    out = np.zeros(n, dtype=np.uint64)
+    contrib = (b & 0x7F).astype(np.uint64) << (offset.astype(np.uint64) * _U64_7)
+    np.bitwise_or.at(out, idx, contrib)
+    return out
+
+
+def delta_encode(sorted_ids: np.ndarray) -> bytes:
+    """Delta + varint encode a strictly-increasing int64 array (docIDs)."""
+    a = np.ascontiguousarray(sorted_ids, dtype=np.int64)
+    if a.size == 0:
+        return b""
+    if a.size > 1 and not (a[1:] > a[:-1]).all():
+        raise ValueError("doc_ids must be strictly increasing for delta encoding")
+    if a[0] < 0:
+        raise ValueError("doc_ids must be non-negative")
+    deltas = np.empty(a.size, dtype=np.uint64)
+    deltas[0] = np.uint64(a[0])
+    np.subtract(a[1:], a[:-1], out=deltas[1:], casting="unsafe")
+    return varint_encode(deltas)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`delta_encode`; returns int64 docIDs."""
+    deltas = varint_decode(buf)
+    return np.cumsum(deltas.astype(np.int64))

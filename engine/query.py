@@ -1,0 +1,169 @@
+"""BM25 top-k query path — DefaultTargetAssembler/DefaultStrucmotifRuntime analog.
+
+Reference query anatomy (CORE/core/DefaultTargetAssembler.java:79-112 +
+DefaultStrucmotifRuntime.java:98-154): rarest-descriptor-first posting fetch,
+shrinking candidate set, early exit, then exact scoring of survivors, limit(k).
+Ours: per-query exact BM25 over decoded postings with
+
+- deterministic accumulation: DISTINCT query terms processed in ascending
+  unicode order, float64 adds -> bit-identical scores to ``engine.oracle``
+  at any parallelism (the analog of the reference's exact-count golden gates);
+- deterministic ranking: descending score, ascending doc_id on ties
+  (better than the reference, which emits hits in parallel-stream order —
+  DefaultStrucmotifRuntime.java:138-154 — and sorts downstream);
+- rarest-first term processing available for the pruned path (O1 analog:
+  ResiduePairOccurrence informativeness ordering);
+- a stateful actor-pool entry point (``Bm25Queryer`` via ``map_batches``) for
+  batch evaluation: index loaded once per actor in ``__init__`` (T3 analog:
+  the mmap'd ffindex bundle held by the inverted-index reader).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schema import BM25_B, BM25_K1
+from .segments import SegmentReader
+from .tokenize import tokenize_text
+
+
+class Bm25Index:
+    """Query-side handle: segment reader + docmap lengths + global stats."""
+
+    def __init__(self, index_dir: str):
+        self.reader = SegmentReader(index_dir)
+        self.n_docs = int(self.reader.stats["n_docs"])
+        self.avgdl = float(self.reader.stats["avgdl"])
+        dm = pq.read_table(os.path.join(index_dir, "docmap"), columns=["doc_id", "dl"])
+        order = np.argsort(dm["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
+        self._dm_ids = dm["doc_id"].to_numpy(zero_copy_only=False)[order]
+        self._dm_dl = dm["dl"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+
+    def dl(self, doc_ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self._dm_ids, doc_ids)
+        return self._dm_dl[pos]
+
+    def idf(self, term: str) -> float:
+        df = self.reader.df(term)
+        if df == 0:
+            return 0.0
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def score_all(self, query_text: str) -> tuple[np.ndarray, np.ndarray]:
+        """All matching docs -> exact BM25 (sorted by doc_id).
+
+        Accumulation order matches the oracle exactly: ascending term, one
+        vectorized float64 add per term at unique positions.
+        """
+        terms = sorted(set(tokenize_text(query_text)))
+        postings = []
+        for t in terms:
+            doc, tf = self.reader.postings(t)
+            if len(doc):
+                postings.append((t, doc, tf))
+        if not postings:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        candidates = np.unique(np.concatenate([d for _, d, _ in postings]))
+        acc = np.zeros(len(candidates), dtype=np.float64)
+        for t, doc, tf in postings:  # ascending term order: fixed float sum order
+            df = len(doc)
+            idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            dl = self.dl(doc)
+            tff = tf.astype(np.float64)
+            contrib = idf * tff * (BM25_K1 + 1.0) / (
+                tff + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)
+            )
+            acc[np.searchsorted(candidates, doc)] += contrib
+        return candidates, acc
+
+    def topk(self, query_text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (doc_ids, scores): descending score, ascending doc_id ties."""
+        doc, score = self.score_all(query_text)
+        if len(doc) == 0:
+            return doc, score
+        if len(doc) > k:
+            # argpartition prune before the exact ordering sort; keep every doc
+            # tied with the kth score so the final tie-break stays exact
+            kth = score[np.argpartition(-score, k - 1)[k - 1]]
+            keep = np.flatnonzero(score >= kth)
+            doc, score = doc[keep], score[keep]
+        order = np.lexsort((doc, -score))[:k]
+        return doc[order], score[order]
+
+    def topk_table(self, query_id: str, query_text: str, k: int) -> pa.Table:
+        doc, score = self.topk(query_text, k)
+        n = len(doc)
+        return pa.table(
+            {
+                "query_id": pa.array([query_id] * n, pa.string()),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int32)),
+                "doc_id": pa.array(doc, pa.int64()),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+
+
+class Bm25Queryer:
+    """Actor-pool batch evaluator: ``queries_ds.map_batches(Bm25Queryer, ...)``.
+
+    One index load per actor (T1/T3 analog: in-memory structure cache +
+    mmap'd index held across queries), one row per (query, rank) out.
+    Input batch columns: query_id:string, text:string, k:int.
+    """
+
+    def __init__(self, index_dir: str):
+        self.index = Bm25Index(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for qid, text, k in zip(
+            batch["query_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["k"].to_pylist(),
+        ):
+            out.append(self.index.topk_table(qid, text, int(k)))
+        return pa.concat_tables(out) if out else self.index.topk_table("", "", 0)
+
+
+def batch_topk(
+    queries: list[dict],
+    index_dir: str,
+    *,
+    concurrency: int = 4,
+) -> pa.Table:
+    """Evaluate a query set through the actor pool; returns the hits table.
+
+    ``queries``: [{"query_id": ..., "text": ..., "k": ...}, ...]
+    """
+    import ray
+    import ray.data
+
+    qds = ray.data.from_items(queries)
+    out = qds.map_batches(
+        Bm25Queryer,
+        fn_constructor_args=(index_dir,),
+        batch_format="pyarrow",
+        batch_size=max(1, len(queries) // max(1, concurrency)),
+        concurrency=min(concurrency, max(1, len(queries))),
+        num_cpus=1,
+    )
+    tables = [ray.get(r) for r in out.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int32()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    res = pa.concat_tables(tables)
+    import pyarrow.compute as pc
+
+    return res.take(pc.sort_indices(res, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]))

@@ -1,0 +1,108 @@
+"""Tokenizer stage — the "word extraction" analog.
+
+The reference decomposes each structure into residue-pair descriptor words
+(/root/reference/strucmotif-search-core/src/main/java/org/rcsb/strucmotif/
+domain/structure/ResidueGraph.java:138-146,226-338): document -> bag of terms
+with per-doc occurrence payloads. Here: turn/document text -> exploded
+``(term, doc_id, tf, dl)`` rows, fully vectorized over Arrow batches
+(pyarrow.compute string kernels + Acero group_by; no Python loop over rows).
+
+The within-batch tf aggregation doubles as the SPIMI *partial* aggregation
+(StrucmotifUpdate.java:336-373 analog): the downstream ``groupby(term)``
+shuffle moves one row per (term, doc) instead of one per token occurrence.
+
+Tokenizer contract (shared verbatim with the DuckDB oracle SQL in
+``__ray_entry__.oracle_sql``): lowercase, split on runs of non-[a-z0-9],
+drop empty tokens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .schema import TOKEN_SPLIT_REGEX
+
+
+def _explode_tokens(text: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """text column -> (flat_tokens, parent_row_index, tokens_per_row).
+
+    Empty tokens (regex split artifacts) are dropped; ``tokens_per_row`` counts
+    only the surviving tokens (= BM25 document length ``dl``).
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+    lowered = pc.utf8_lower(text)
+    toks = pc.split_pattern_regex(lowered, TOKEN_SPLIT_REGEX)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "")
+    # null texts produce no tokens at all (list_flatten skips nulls)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    flat = flat.filter(keep)
+    parent = parent[keep_np]
+    dl = np.bincount(parent, minlength=n).astype(np.int32)
+    return flat, parent, dl
+
+
+def tokenize_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """One Arrow batch of docs -> exploded (term, doc_id, tf, dl) table.
+
+    ``id_col`` must be int64 and unique within the corpus (dense docIDs from
+    ``engine.docids`` for transcripts; the native ``doc_id`` for documents).
+    """
+    flat, parent, dl = _explode_tokens(batch[text_col])
+    if len(flat) == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int32()),
+                "dl": pa.array([], pa.int32()),
+            }
+        )
+    doc_ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
+    doc_ids_np = doc_ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    exploded = pa.table(
+        {
+            "term": flat,
+            "doc_id": pa.array(doc_ids_np[parent], pa.int64()),
+            "dl": pa.array(dl[parent], pa.int32()),
+        }
+    )
+    # partial aggregation: tf per (doc, term) within this batch (SPIMI partial)
+    grouped = exploded.group_by(["term", "doc_id"], use_threads=False).aggregate(
+        [("term", "count"), ("dl", "min")]
+    )
+    return pa.table(
+        {
+            "term": grouped["term"],
+            "doc_id": grouped["doc_id"],
+            "tf": grouped["term_count"].cast(pa.int32()),
+            "dl": grouped["dl_min"],
+        }
+    )
+
+
+def doc_length_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """One batch -> (doc_id, dl) token counts (docmap / BM25 ``dl``)."""
+    _, _, dl = _explode_tokens(batch[text_col])
+    return pa.table(
+        {
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "dl": pa.array(dl, pa.int32()),
+        }
+    )
+
+
+def tokenize_text(text: str) -> list[str]:
+    """Single-string tokenizer (query side + oracle). Same contract."""
+    import re
+
+    return [t for t in re.split(TOKEN_SPLIT_REGEX, text.lower()) if t]

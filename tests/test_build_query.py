@@ -1,0 +1,110 @@
+"""Golden integration tests: distributed engine vs pure-Python oracle.
+
+The StructureIntegrationTest analog ("exactly 788 hits", :151-204): the engine
+must produce rank-identical top-k docIDs AND bit/1e-9-identical BM25 scores on
+the fixed query set over the deterministic tiny corpus.
+"""
+
+import glob
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from engine.oracle import build_oracle_index, topk as oracle_topk
+from engine.queries import QUERY_SET
+from engine.query import Bm25Index, batch_topk
+from engine.segments import SegmentReader, decode_posting
+
+
+@pytest.fixture(scope="module")
+def oracle(tiny_corpus, tiny_index):
+    corpus = pq.read_table(tiny_corpus)
+    dm = pq.read_table(tiny_index + "/docmap")
+    key_to_doc = {
+        (c, t): d
+        for c, t, d in zip(
+            dm["conv_id"].to_pylist(), dm["turn_idx"].to_pylist(), dm["doc_id"].to_pylist()
+        )
+    }
+    doc_ids = [
+        key_to_doc[(c, t)]
+        for c, t in zip(corpus["conv_id"].to_pylist(), corpus["turn_idx"].to_pylist())
+    ]
+    return build_oracle_index(doc_ids, corpus["text"].to_pylist())
+
+
+def test_docid_stable_ordering(tiny_corpus, tiny_index):
+    """docIDs dense + ascending in (conv_id, turn_idx) order (FIXTURES §5.2)."""
+    dm = pq.read_table(tiny_index + "/docmap").to_pylist()
+    dm.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
+    ids = [r["doc_id"] for r in dm]
+    assert ids == list(range(len(ids)))
+
+
+def test_postings_sorted_and_roundtrip(tiny_index):
+    """Every posting strictly increasing (FIXTURES §5.3) + df consistency."""
+    reader = SegmentReader(tiny_index)
+    checked = 0
+    for path in sorted(glob.glob(tiny_index + "/segment-*.parquet")):
+        seg = pq.read_table(path)
+        for i in range(seg.num_rows):
+            doc, tf = decode_posting(
+                seg["doc_ids_enc"][i].as_py(), seg["tfs_enc"][i].as_py()
+            )
+            assert len(doc) == seg["df"][i].as_py()
+            assert int(tf.sum()) == seg["cf"][i].as_py()
+            if len(doc) > 1:
+                assert (np.diff(doc) > 0).all()
+            assert (tf >= 1).all()
+            checked += 1
+    assert checked > 100
+
+
+def test_df_matches_oracle(tiny_index, oracle):
+    reader = SegmentReader(tiny_index)
+    vocab = reader.vocab_df()
+    got = dict(zip(vocab["term"].to_pylist(), vocab["df"].to_pylist()))
+    want = oracle.df
+    assert got == want
+
+
+def test_stats_match_oracle(tiny_index, oracle):
+    idx = Bm25Index(tiny_index)
+    assert idx.n_docs == oracle.n_docs
+    assert idx.avgdl == pytest.approx(oracle.avgdl, rel=1e-12)
+
+
+def test_rank_identity_all_queries(tiny_index, oracle):
+    idx = Bm25Index(tiny_index)
+    for q in QUERY_SET:
+        doc, score = idx.topk(q["text"], q["k"])
+        want = oracle_topk(oracle, q["text"], q["k"])
+        assert doc.tolist() == [d for d, _ in want], q["query_id"]
+        # bit-identical float64 scores (same summation order)
+        assert score.tolist() == [s for _, s in want], q["query_id"]
+
+
+def test_tie_break_is_doc_ascending(tiny_index, oracle):
+    idx = Bm25Index(tiny_index)
+    doc, score = idx.topk("w00002", 25)
+    for i in range(1, len(doc)):
+        assert (score[i - 1], -doc[i - 1]) >= (score[i], -doc[i])
+
+
+def test_batch_topk_actor_pool(ray_session, tiny_index, oracle):
+    res = batch_topk(QUERY_SET, tiny_index, concurrency=2)
+    by_q = {}
+    for r in res.to_pylist():
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for q in QUERY_SET:
+        want = oracle_topk(oracle, q["text"], q["k"])
+        got = by_q.get(q["query_id"], [])
+        assert [d for d, _ in got] == [d for d, _ in want], q["query_id"]
+        assert [s for _, s in got] == [s for _, s in want], q["query_id"]
+
+
+def test_absent_term_empty(tiny_index):
+    idx = Bm25Index(tiny_index)
+    doc, score = idx.topk("qqqabsenttermqqq", 10)
+    assert len(doc) == 0

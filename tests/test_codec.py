@@ -1,0 +1,75 @@
+"""Codec unit tests — varint boundary cases per FIXTURES.md §5.4
+(analog of the reference's io/DefaultInvertedIndexTest bucket round-trips)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from engine.codec import (
+    delta_decode,
+    delta_encode,
+    varint_decode,
+    varint_encode,
+    varint_nbytes,
+)
+
+
+def test_empty():
+    assert varint_encode(np.array([], dtype=np.uint64)) == b""
+    assert len(varint_decode(b"")) == 0
+    assert delta_encode(np.array([], dtype=np.int64)) == b""
+    assert len(delta_decode(b"")) == 0
+
+
+def test_singleton_and_boundaries():
+    for v in [0, 1, 127, 128, 2**14 - 1, 2**14, 2**21 - 1, 2**21, 2**63, 2**64 - 1]:
+        a = np.array([v], dtype=np.uint64)
+        enc = varint_encode(a)
+        assert len(enc) == varint_nbytes(a)[0]
+        assert varint_decode(enc)[0] == v
+
+
+def test_known_leb128_bytes():
+    # 300 = LEB128 [0xAC, 0x02]
+    assert varint_encode(np.array([300], dtype=np.uint64)) == bytes([0xAC, 0x02])
+    assert varint_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varint_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varint_encode(np.array([128], dtype=np.uint64)) == bytes([0x80, 0x01])
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip_property(vals):
+    a = np.array(vals, dtype=np.uint64)
+    assert (varint_decode(varint_encode(a)) == a).all()
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=500, unique=True)
+)
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip_property(ids):
+    a = np.sort(np.array(ids, dtype=np.int64))
+    assert (delta_decode(delta_encode(a)) == a).all()
+
+
+def test_long_list_past_2_21():
+    # >2^21-long list crosses every varint length boundary (FIXTURES §5.4)
+    rng = np.random.default_rng(7)
+    ids = np.unique(rng.integers(0, 2**40, size=2**21 + 1000)).astype(np.int64)
+    assert (delta_decode(delta_encode(ids)) == ids).all()
+
+
+def test_delta_rejects_unsorted_and_negative():
+    with pytest.raises(ValueError):
+        delta_encode(np.array([3, 2], dtype=np.int64))
+    with pytest.raises(ValueError):
+        delta_encode(np.array([2, 2], dtype=np.int64))  # strictly increasing
+    with pytest.raises(ValueError):
+        delta_encode(np.array([-1, 2], dtype=np.int64))
+
+
+def test_truncated_stream_raises():
+    with pytest.raises(ValueError):
+        varint_decode(bytes([0x80]))  # continuation bit with no next byte

@@ -1,0 +1,64 @@
+"""Tokenizer unit tests (ResidueGraphTest analog: exact word extraction)."""
+
+import pyarrow as pa
+
+from engine.tokenize import doc_length_batch, tokenize_batch, tokenize_text
+
+
+def test_tokenize_text_contract():
+    assert tokenize_text("Hello, World!") == ["hello", "world"]
+    assert tokenize_text("") == []
+    assert tokenize_text("  --  ") == []
+    assert tokenize_text("a1-b2_c3") == ["a1", "b2", "c3"]
+    assert tokenize_text("CamelCase X") == ["camelcase", "x"]
+
+
+def test_tokenize_batch_tf_dl():
+    t = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30], pa.int64()),
+            "text": ["a b a", "", "B b c!"],
+        }
+    )
+    out = tokenize_batch(t)
+    rows = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"]) for r in out.to_pylist()
+    }
+    assert rows[(10, "a")] == (2, 3)
+    assert rows[(10, "b")] == (1, 3)
+    assert rows[(30, "b")] == (2, 3)
+    assert rows[(30, "c")] == (1, 3)
+    assert not any(d == 20 for d, _ in rows)  # empty doc emits no terms
+
+
+def test_tokenize_never_mutates_text():
+    # per-turn text equality invariant (FIXTURES §5.1)
+    texts = ["Keep Me EXACTLY", "unchanged\ttext"]
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": texts})
+    tokenize_batch(t)
+    assert t["text"].to_pylist() == texts
+
+
+def test_doc_length_batch():
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["x y z", ""]})
+    out = doc_length_batch(t)
+    assert out.to_pylist() == [
+        {"doc_id": 1, "dl": 3},
+        {"doc_id": 2, "dl": 0},
+    ]
+
+
+def test_batch_matches_scalar_tokenizer():
+    texts = ["The quick-brown fox", "fox FOX fox", "", "123 abc 123"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    out = tokenize_batch(t).to_pylist()
+    for i, text in enumerate(texts):
+        toks = tokenize_text(text)
+        got = {r["term"]: r["tf"] for r in out if r["doc_id"] == i}
+        want = {}
+        for tok in toks:
+            want[tok] = want.get(tok, 0) + 1
+        assert got == want
+        for r in out:
+            if r["doc_id"] == i:
+                assert r["dl"] == len(toks)
