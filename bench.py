@@ -1,0 +1,163 @@
+"""Headline benchmark: index-build throughput (turns/sec) + BM25 query latency.
+
+Runs the flagship pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
+   "build_turns_per_sec": ..., "query_p95_ms": ...}
+
+--scaling: run the same build twice in FRESH processes at num_cpus=8 and 32
+(the sandbox proxy for N vs 4N cluster nodes) and report both throughputs +
+scaling efficiency.
+
+The transcript corpus is synthesized deterministically (seed=42) into /tmp and
+reused across runs; generation is untimed. One untimed warm read precedes the
+timed build so page-cache state is comparable across parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "60000"))  # ~ 1.3M turns
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from engine.build import build_index
+    from engine.queries import QUERY_SET
+    from engine.query import Bm25Index, batch_topk
+    from engine.synth import write_corpus
+
+    results: dict[str, float] = {}
+
+    # --- corpus (untimed, cached across runs) ----------------------------
+    corpus = write_corpus(f"/tmp/graft_bench/corpus_{BENCH_CONVS}", n_convs=BENCH_CONVS, seed=42, n_shards=64)
+    n_turns = sum(pq.read_metadata(os.path.join(corpus, f)).num_rows
+                  for f in os.listdir(corpus) if f.endswith(".parquet"))
+    # warm page cache (untimed)
+    for f in os.listdir(corpus):
+        if f.endswith(".parquet"):
+            with open(os.path.join(corpus, f), "rb") as fh:
+                fh.read()
+
+    # --- timed: full index build -----------------------------------------
+    idx_dir = f"/tmp/graft_bench/index_{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(corpus, idx_dir, n_buckets=max(NUM_CPUS, 16), n_salts=8, resume=False)
+    t_build = time.perf_counter() - t0
+    results["index_build"] = round(t_build, 3)
+    build_tps = n_turns / t_build
+
+    # --- timed: batch query eval over the fixed set (actor pool) ---------
+    t0 = time.perf_counter()
+    batch_topk(QUERY_SET, idx_dir, concurrency=min(4, NUM_CPUS))
+    results["bm25_batch_queries"] = round(time.perf_counter() - t0, 3)
+
+    # --- timed: per-query latency (warm single-process index) ------------
+    bm = Bm25Index(idx_dir)
+    for q in QUERY_SET:  # warm segment cache
+        bm.topk(q["text"], q["k"])
+    lat = []
+    for _ in range(5):
+        for q in QUERY_SET:
+            t0 = time.perf_counter()
+            bm.topk(q["text"], q["k"])
+            lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+    p95 = lat[int(0.95 * len(lat)) - 1]
+
+    # --- timed: representative training-data ops over sf tables ----------
+    import ray.data
+
+    from engine.ops.dedup import minhash_lsh_pairs
+    from engine.ops.relational import q1_pricing_summary
+
+    t0 = time.perf_counter()
+    q1_pricing_summary(SF_DIR).to_pandas()
+    results["q1_pricing_summary"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    minhash_lsh_pairs(docs, concurrency=min(4, NUM_CPUS))
+    results["minhash_dedup"] = round(time.perf_counter() - t0, 3)
+
+    headline = results["index_build"]
+    out = {
+        "metric": "index_build_sec_plus_query",
+        "value": headline,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_turns": n_turns,
+        "build_turns_per_sec": round(build_tps, 1),
+        "query_p95_ms": round(p95, 2),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tps_lo, tps_hi = lo["build_turns_per_sec"], hi["build_turns_per_sec"]
+    eff = (tps_hi / tps_lo) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "turns_per_sec_8": tps_lo,
+                "turns_per_sec_32": tps_hi,
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "n_turns": hi["n_turns"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

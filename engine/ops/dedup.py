@@ -1,0 +1,481 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+Design per the ray guide's aggregation-at-scale pattern: hash/shingle/signature
+computation is a vectorized ``map_batches`` stage; candidate-pair generation is
+a hash-partitioned SELF-JOIN on the blocking key (``Dataset.join`` — shingle
+hash / LSH bucket / simhash chunk) rather than per-group Python (a
+``map_groups`` over millions of tiny groups pays per-group overhead; a join +
+vectorized Count aggregate does not); verification is vectorized integer/float
+math inside ``map_batches``.
+
+The reference's only dedup is exact idempotent-ADD skip
+(UPD/StrucmotifUpdate.java:229-233 anti-join vs known.list) and HashSet dedup
+of expanded descriptors (ResiduePairOccurrence.java:178,219); the near-dup
+family here is the training-data extension mandated by the brief.
+
+Threshold semantics use INTEGER cross-multiplication (e.g. jaccard >= p/q  <=>
+q*common >= p*(union)) so engine and DuckDB oracle agree exactly even at
+boundary values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..tokenize import _explode_tokens
+
+MERSENNE = (1 << 61) - 1
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the lowest-id row per distinct text.
+
+    hash-partition (groupby text hash) + per-group first — collisions handled
+    by grouping on the true text within each hash group. Returns
+    (doc_id, n_copies) for every KEPT doc.
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(batch.select([text_col]))[text_col].hash(seed=42)
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                text_col: batch[text_col],
+                "text_hash": pa.array(h.to_numpy().astype(np.int64)),
+            }
+        )
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            group.groupby(text_col, sort=False)["doc_id"]
+            .agg(["min", "size"])
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame({"doc_id": agg["min"], "n_copies": agg["size"].astype(np.int64)})
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .map_groups(keep_first, batch_format="pandas")
+        .select_columns(["doc_id", "n_copies"])
+    )
+
+
+# --------------------------------------------------------------------------
+# shingles (shared by Jaccard + MinHash)
+# --------------------------------------------------------------------------
+
+def _shingle_table(batch: pa.Table, k: int, id_col: str, text_col: str) -> pa.Table:
+    """Exploded (doc_id, shingle) DISTINCT word k-gram rows, vectorized."""
+    flat, parent, dl = _explode_tokens(batch[text_col])
+    doc_ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n_tok = len(flat)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "shingle": pa.array([], pa.string())}
+    )
+    if n_tok < k:
+        return empty
+    # k-gram start positions: all i where tokens i..i+k-1 share a parent
+    valid = np.ones(n_tok - k + 1, dtype=bool)
+    for j in range(1, k):
+        valid &= parent[j : n_tok - k + 1 + j] == parent[: n_tok - k + 1]
+    starts = np.flatnonzero(valid)
+    if len(starts) == 0:
+        return empty
+    cols = [flat.take(pa.array(starts + j)) for j in range(k)]
+    shingle = cols[0]
+    for c in cols[1:]:
+        shingle = pc.binary_join_element_wise(shingle, c, " ")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids[parent[starts]], pa.int64()),
+            "shingle": shingle,
+        }
+    )
+    # DISTINCT within batch (docs never span batches, so this is global)
+    return tbl.group_by(["doc_id", "shingle"], use_threads=False).aggregate([])
+
+
+def _shingle_hash_table(batch: pa.Table, k: int, id_col: str, text_col: str) -> pa.Table:
+    """(doc_id, sh) with sh = 64-bit hash of the distinct shingle string."""
+    import polars as pl
+
+    sh = _shingle_table(batch, k, id_col, text_col)
+    if sh.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "sh": pa.array([], pa.int64())})
+    h = pl.from_arrow(sh.select(["shingle"]))["shingle"].hash(seed=7).to_numpy().astype(np.int64)
+    return pa.table({"doc_id": sh["doc_id"], "sh": pa.array(h)})
+
+
+def ngram_jaccard_pairs(
+    ds,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+):
+    """EXACT all-pairs Jaccard >= threshold_num/threshold_den over distinct
+    word k-gram shingle sets.
+
+    shingle-hash explode -> hash-partitioned SELF-JOIN on shingle ->
+    Count per (doc_a, doc_b) = intersection size -> integer threshold test
+    with per-doc set sizes (broadcast). Returns
+    (doc_a, doc_b, common, n_a, n_b) — all int64, doc_a < doc_b.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    shingles = ds.map_batches(
+        lambda b: _shingle_hash_table(b, k, id_col, text_col), batch_format="pyarrow"
+    )
+    sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_shingles")).to_pandas()
+    sizes = sizes.sort_values("doc_id")
+    size_ref = ray.put(
+        (sizes["doc_id"].to_numpy().astype(np.int64), sizes["n_shingles"].to_numpy().astype(np.int64))
+    )
+
+    joined = shingles.join(
+        shingles,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("sh",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def ordered_pairs(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_id_b"].to_numpy(zero_copy_only=False)
+        m = a < b
+        return pa.table({"doc_a": pa.array(a[m], pa.int64()), "doc_b": pa.array(b[m], pa.int64())})
+
+    common = (
+        joined.map_batches(ordered_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="common"))
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids, sz = ray.get(size_ref)
+        da = batch["doc_a"].to_numpy(zero_copy_only=False)
+        db = batch["doc_b"].to_numpy(zero_copy_only=False)
+        cm = batch["common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = sz[np.searchsorted(ids, da)]
+        nb = sz[np.searchsorted(ids, db)]
+        union = na + nb - cm
+        keep = cm * threshold_den >= threshold_num * union  # integer-exact
+        return pa.table(
+            {
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "common": pa.array(cm[keep], pa.int64()),
+                "n_a": pa.array(na[keep], pa.int64()),
+                "n_b": pa.array(nb[keep], pa.int64()),
+            }
+        )
+
+    return common.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+class MinHasher:
+    """Actor-pool stage: doc -> MinHash signature over word-k-gram shingles.
+
+    Permutation parameters generated once per actor in ``__init__`` from a
+    fixed seed (stateful-stage pattern; deterministic across actors)."""
+
+    def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 42,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = _shingle_hash_table(batch, self.k, self.id_col, self.text_col)
+        all_ids = batch[self.id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(all_ids)
+        sigs = np.full((n, self.num_perm), MERSENNE, dtype=np.uint64)
+        if sh.num_rows:
+            h = sh["sh"].to_numpy(zero_copy_only=False).astype(np.uint64) % MERSENNE
+            doc = sh["doc_id"].to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(doc, return_inverse=True)
+            id_order = np.argsort(all_ids, kind="stable")
+            rowpos = id_order[np.searchsorted(all_ids, uniq, sorter=id_order)]
+            for p in range(self.num_perm):
+                hp = (self.a[p] * h + self.b[p]) % MERSENNE
+                m = np.full(len(uniq), MERSENNE, dtype=np.uint64)
+                np.minimum.at(m, inv, hp)
+                sigs[rowpos, p] = np.minimum(sigs[rowpos, p], m)
+        return pa.table(
+            {
+                "doc_id": pa.array(all_ids, pa.int64()),
+                "sig": pa.array(list(sigs.astype(np.int64))),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int = 4,
+    num_partitions: int = 8,
+):
+    """Near-dup pairs via MinHash banding; candidates verified with EXACT
+    Jaccard over shingle sets, so precision is exact and only recall is
+    probabilistic. Returns (doc_a, doc_b, common, n_a, n_b) like
+    ``ngram_jaccard_pairs`` (integer-exact threshold).
+
+    Pipeline: signatures (actor pool) -> (band, band_hash, doc) explode ->
+    hash-partitioned self-join on the bucket key -> distinct candidate pairs
+    -> vectorized exact verification against broadcast shingle sets.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    rows_per_band = num_perm // bands
+    sig_ds = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "k": k, "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sig = np.stack(batch["sig"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        outs = []
+        for b in range(bands):
+            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            bh = pl.from_numpy(chunk).hash_rows(seed=b).to_numpy().astype(np.int64)
+            outs.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(doc), b, dtype=np.int32)),
+                        "band_hash": pa.array(bh),
+                        "doc_id": pa.array(doc, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    band_ds = sig_ds.map_batches(to_bands, batch_format="pyarrow")
+    joined = band_ds.join(
+        band_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("band", "band_hash"),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def ordered_pairs(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_id_b"].to_numpy(zero_copy_only=False)
+        m = a < b
+        return pa.table({"doc_a": pa.array(a[m], pa.int64()), "doc_b": pa.array(b[m], pa.int64())})
+
+    cand = (
+        joined.map_batches(ordered_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="n_bands_hit"))  # distinct pairs
+        .to_pandas()
+    )
+    if cand.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "common": pd.Series([], dtype=np.int64),
+                "n_a": pd.Series([], dtype=np.int64),
+                "n_b": pd.Series([], dtype=np.int64),
+            }
+        )
+
+    # exact verification: shingle sets of candidate docs only (broadcast)
+    need = np.unique(np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()]))
+    need_ref = ray.put(need)
+
+    def shingles_of_needed(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[id_col].cast(pa.int64()), value_set=pa.array(ray.get(need_ref)))
+        return _shingle_hash_table(batch.filter(mask), k, id_col, text_col)
+
+    sh = ds.map_batches(shingles_of_needed, batch_format="pyarrow").to_pandas()
+    sets = {int(d): set(g["sh"]) for d, g in sh.groupby("doc_id", sort=False)}
+    rows = []
+    for a, b in zip(cand["doc_a"], cand["doc_b"]):
+        sa, sb = sets.get(int(a), set()), sets.get(int(b), set())
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        if inter * threshold_den >= threshold_num * union and union:
+            rows.append((int(a), int(b), inter, len(sa), len(sb)))
+    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "common", "n_a", "n_b"]).astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """64-bit SimHash over occurrence-weighted token hashes, vectorized."""
+    import polars as pl
+
+    flat, parent, _ = _explode_tokens(batch[text_col])
+    ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    n = batch.num_rows
+    fp = np.zeros(n, dtype=np.uint64)
+    if len(flat):
+        h = pl.from_arrow(pa.table({"t": flat}))["t"].hash(seed=11).to_numpy().astype(np.uint64)
+        acc = np.zeros((n, 64), dtype=np.int64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        np.add.at(acc, parent, bits * 2 - 1)
+        fp = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "simhash": pa.array(fp.astype(np.int64)),
+        }
+    )
+
+
+def simhash_pairs(
+    ds,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+):
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Banding over 4x16-bit chunks (pigeonhole: any pair within distance 3
+    agrees on >= 1 chunk) -> self-join on (chunk, chunk_val) -> vectorized
+    popcount verify -> distinct pairs. Returns (doc_a, doc_b, hamming)."""
+    from ray.data.aggregate import Min
+
+    fps = ds.map_batches(
+        lambda b: simhash_batch(b, id_col, text_col), batch_format="pyarrow"
+    )
+
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        fp = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        outs = []
+        for c in range(4):
+            val = ((fp >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            outs.append(
+                pa.table(
+                    {
+                        "chunk": pa.array(np.full(len(doc), c, dtype=np.int32)),
+                        "chunk_val": pa.array(val),
+                        "doc_id": pa.array(doc, pa.int64()),
+                        "simhash": batch["simhash"],
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    chunk_ds = fps.map_batches(to_chunks, batch_format="pyarrow")
+    joined = chunk_ds.join(
+        chunk_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("chunk", "chunk_val"),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_id_b"].to_numpy(zero_copy_only=False)
+        fa = batch["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        fb = batch["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = a < b
+        ham = _popcount64(fa[m] ^ fb[m])
+        ok = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(a[m][ok], pa.int64()),
+                "doc_b": pa.array(b[m][ok], pa.int64()),
+                "hamming": pa.array(ham[ok], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(verify, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))  # dedup multi-chunk hits
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Pairs with cosine similarity >= threshold (float64 math).
+
+    Scale path: each batch computes sims against the BROADCAST full matrix
+    (ray.put once) — O(n*b) per batch, no shuffle; at larger n switch to the
+    IVF partitioner in ``similarity.py``. Emits doc_a < doc_b once.
+    """
+    import ray
+
+    full = ds.to_pandas()
+    ids = full[id_col].to_numpy().astype(np.int64)
+    mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, mat))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        bmat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
+        sims = bmat @ all_mat.T
+        bi, aj = np.nonzero((sims >= threshold) & (bids[:, None] < all_ids[None, :]))
+        return pa.table(
+            {
+                "doc_a": pa.array(bids[bi], pa.int64()),
+                "doc_b": pa.array(all_ids[aj], pa.int64()),
+                "cosine": pa.array(sims[bi, aj], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow").sort(["doc_a", "doc_b"])

@@ -1,0 +1,265 @@
+"""Relational pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's general operator surface — pruned reads, vectorized
+filters, partial-then-final aggregation, broadcast joins, hash-partitioned
+large-large joins (``Dataset.join``), sorts/limits, anti-joins, event-time
+windows — each with an exact DuckDB-SQL oracle in ``__ray_entry__``.
+
+Scale idioms used (and why):
+- partial aggregation inside ``map_batches`` before every ``groupby`` so the
+  shuffle moves one row per (key, batch), not per input row;
+- dimension tables (nation, customer) broadcast once via ``ray.put``, joined
+  with vectorized ``searchsorted``/``is_in`` inside batches — no shuffle;
+- fact-fact joins (lineitem x orders) pre-aggregated on the join key first,
+  then hash-partition joined.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"):
+    """TPC-H Q1-style pricing summary (filter -> partial agg -> groupby -> sort)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+    cutoff_ts = pa.scalar(np.datetime64(cutoff, "us"), pa.timestamp("us"))
+
+    # Money is aggregated in INTEGER fixed-point (cents / 1e-4 / 1e-6 units) so
+    # sums are exact and order-independent — float64 sums would differ between
+    # engines by summation order. Contract shared with the oracle SQL.
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff_ts))
+        qty_c = np.round(b["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        price_c = np.round(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.round(b["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        tax_c = np.round(b["l_tax"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_price_c4 = price_c * (100 - disc_c)
+        charge_c6 = disc_price_c4 * (100 + tax_c)
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_c": pa.array(qty_c),
+                "price_c": pa.array(price_c),
+                "disc_price_c4": pa.array(disc_price_c4),
+                "charge_c6": pa.array(charge_c6),
+                "disc_c": pa.array(disc_c),
+            }
+        )
+        return t.group_by(["l_returnflag", "l_linestatus"], use_threads=False).aggregate(
+            [
+                ("qty_c", "sum"),
+                ("price_c", "sum"),
+                ("disc_price_c4", "sum"),
+                ("charge_c6", "sum"),
+                ("disc_c", "sum"),
+                ("qty_c", "count"),
+            ]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c_sum", alias_name="sum_qty_c"),
+            Sum("price_c_sum", alias_name="sum_base_price_c"),
+            Sum("disc_price_c4_sum", alias_name="sum_disc_price_c4"),
+            Sum("charge_c6_sum", alias_name="sum_charge_c6"),
+            Sum("disc_c_sum", alias_name="sum_discount_c"),
+            Sum("qty_c_count", alias_name="count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+
+
+def revenue_by_nation(sf_dir: str):
+    """lineitem -> pre-agg per order -> hash join orders -> broadcast customer
+    + nation dims -> revenue per nation name."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        # integer fixed-point revenue (1e-4 units): exact, order-independent
+        price_c = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": pa.array(price_c * (100 - disc_c))})
+        return t.group_by(["l_orderkey"], use_threads=False).aggregate([("rev", "sum")])
+
+    order_rev = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = order_rev.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    c_sorted = cust.sort_values("c_custkey")
+    n_sorted = nation.sort_values("n_nationkey")
+    dim_ref = ray.put(
+        (
+            c_sorted["c_custkey"].to_numpy(),
+            c_sorted["c_nationkey"].to_numpy(),
+            n_sorted["n_nationkey"].to_numpy(),
+            n_sorted["n_name"].to_numpy(),
+        )
+    )
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        ck, cn, nk, nname = ray.get(dim_ref)
+        custkey = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        nationkey = cn[np.searchsorted(ck, custkey)]
+        name = nname[np.searchsorted(nk, nationkey)]
+        t = pa.table({"n_name": pa.array(name, pa.string()), "revenue": batch["revenue"]})
+        return t.group_by(["n_name"], use_threads=False).aggregate([("revenue", "sum")])
+
+    return (
+        joined.map_batches(add_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_sum", alias_name="revenue_c4"))
+        .sort("n_name")
+    )
+
+
+def top_orders(sf_dir: str, k: int = 20):
+    """sort desc + deterministic tie-break + limit."""
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti-join: broadcast the distinct o_custkey set, filter inside batches."""
+    custkeys = (
+        _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    )
+    key_ref = ray.put(pa.array(sorted(custkeys), pa.int64()))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(key_ref)
+        mask = pc.invert(pc.is_in(batch["c_custkey"].cast(pa.int64()), value_set=keys))
+        return batch.filter(mask)
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+        .map_batches(anti, batch_format="pyarrow")
+        .sort("c_custkey")
+    )
+
+
+def customer_order_counts(sf_dir: str):
+    """Left join with zero-fill: orders per customer (small agg broadcast into
+    the customer scan — no shuffle join)."""
+    counts = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+        .sort_values("o_custkey")
+    )
+    ref = ray.put((counts["o_custkey"].to_numpy(), counts["n_orders"].to_numpy().astype(np.int64)))
+
+    def join(batch: pa.Table) -> pa.Table:
+        keys, n = ray.get(ref)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        pos_c = np.clip(pos, 0, len(keys) - 1)
+        hit = (pos < len(keys)) & (keys[pos_c] == ck)
+        n_orders = np.where(hit, n[pos_c], 0)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "n_orders": pa.array(n_orders, pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(join, batch_format="pyarrow")
+        .sort("c_custkey")
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Event-time tumbling window: count + sum(value) per (event_type, hour)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table({"event_type": batch["event_type"], "hour": hour, "value": batch["value"]})
+        return t.group_by(["event_type", "hour"], use_threads=False).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("value_sum", alias_name="total_value"),
+            Sum("value_count", alias_name="n_events"),
+        )
+        .sort(["event_type", "hour"])
+    )
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: a new session starts when the gap to the
+    previous event exceeds ``gap_minutes``. Per-user windowing inside
+    ``groupby(user_id).map_groups`` over ts-sorted groups (the ray-guide
+    streaming-shaped pattern); ordering tie-break: (ts, event_id)."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        prev = g["ts"].shift(1)
+        brk = (prev.isna()) | ((g["ts"] - prev) > gap)
+        sid = brk.cumsum().astype(np.int64) - 1
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"),
+        )
+        out["session_id"] = out.index.astype(np.int64)
+        return out.reset_index(drop=True)[
+            ["user_id", "session_id", "session_start", "session_end", "n_events"]
+        ]
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .sort(["user_id", "session_id"])
+    )
+
+
+def events_type_stats(sf_dir: str):
+    """Global per-type stats incl. mean — Count/Sum/Mean aggregate surface."""
+    return (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value", alias_name="total_value"),
+            Mean("value", alias_name="avg_value"),
+        )
+        .sort("event_type")
+    )

@@ -81,22 +81,74 @@ class Bm25Index:
             acc[np.searchsorted(candidates, doc)] += contrib
         return candidates, acc
 
-    def topk(self, query_text: str, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k (doc_ids, scores): descending score, ascending doc_id ties."""
+    def topk(
+        self, query_text: str, k: int, rank_round: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (doc_ids, scores): descending score, ascending doc_id ties.
+
+        ``rank_round``: rank on scores rounded to N decimals instead of exact
+        float64 — used for cross-engine (DuckDB-oracle) deterministic ranking,
+        where float summation order differs between engines."""
         doc, score = self.score_all(query_text)
         if len(doc) == 0:
             return doc, score
+        key = np.round(score, rank_round) if rank_round is not None else score
         if len(doc) > k:
             # argpartition prune before the exact ordering sort; keep every doc
-            # tied with the kth score so the final tie-break stays exact
-            kth = score[np.argpartition(-score, k - 1)[k - 1]]
-            keep = np.flatnonzero(score >= kth)
-            doc, score = doc[keep], score[keep]
-        order = np.lexsort((doc, -score))[:k]
+            # tied with the kth key so the final tie-break stays exact
+            kth = key[np.argpartition(-key, k - 1)[k - 1]]
+            keep = np.flatnonzero(key >= kth)
+            doc, score, key = doc[keep], score[keep], key[keep]
+        order = np.lexsort((doc, -key))[:k]
         return doc[order], score[order]
 
-    def topk_table(self, query_id: str, query_text: str, k: int) -> pa.Table:
-        doc, score = self.topk(query_text, k)
+    def conjunctive_topk(
+        self, query_text: str, k: int, rank_round: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """AND-semantics top-k: only docs containing ALL query terms.
+
+        The DefaultTargetAssembler iterative-intersection analog (J2,
+        :79-112): terms processed rarest-first (O1 informativeness ordering),
+        candidate set shrinks via sorted intersection, EARLY EXIT the moment it
+        empties (:108-111); survivors then scored exactly like ``topk``."""
+        terms = sorted(set(tokenize_text(query_text)))
+        if not terms:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        by_rarity = sorted(terms, key=lambda t: (self.reader.df(t), t))
+        candidates: np.ndarray | None = None
+        for t in by_rarity:
+            doc, _ = self.reader.postings(t)
+            if len(doc) == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            candidates = doc if candidates is None else candidates[np.isin(candidates, doc, assume_unique=True)]
+            if len(candidates) == 0:  # early exit: no doc can match
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        # exact scoring of survivors, ascending-term accumulation as in topk
+        acc = np.zeros(len(candidates), dtype=np.float64)
+        for t in terms:
+            doc, tf = self.reader.postings(t)
+            df = len(doc)
+            idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            sel = np.searchsorted(doc, candidates)
+            tff = tf[sel].astype(np.float64)
+            dl = self.dl(candidates)
+            acc += idf * tff * (BM25_K1 + 1.0) / (
+                tff + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)
+            )
+        key = np.round(acc, rank_round) if rank_round is not None else acc
+        order = np.lexsort((candidates, -key))[:k]
+        return candidates[order], acc[order]
+
+    def topk_table(
+        self,
+        query_id: str,
+        query_text: str,
+        k: int,
+        rank_round: int | None = None,
+        conjunctive: bool = False,
+    ) -> pa.Table:
+        fn = self.conjunctive_topk if conjunctive else self.topk
+        doc, score = fn(query_text, k, rank_round=rank_round)
         n = len(doc)
         return pa.table(
             {
@@ -116,8 +168,10 @@ class Bm25Queryer:
     Input batch columns: query_id:string, text:string, k:int.
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, rank_round: int | None = None, conjunctive: bool = False):
         self.index = Bm25Index(index_dir)
+        self.rank_round = rank_round
+        self.conjunctive = conjunctive
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -126,7 +180,11 @@ class Bm25Queryer:
             batch["text"].to_pylist(),
             batch["k"].to_pylist(),
         ):
-            out.append(self.index.topk_table(qid, text, int(k)))
+            out.append(
+                self.index.topk_table(
+                    qid, text, int(k), rank_round=self.rank_round, conjunctive=self.conjunctive
+                )
+            )
         return pa.concat_tables(out) if out else self.index.topk_table("", "", 0)
 
 
@@ -135,6 +193,8 @@ def batch_topk(
     index_dir: str,
     *,
     concurrency: int = 4,
+    rank_round: int | None = None,
+    conjunctive: bool = False,
 ) -> pa.Table:
     """Evaluate a query set through the actor pool; returns the hits table.
 
@@ -146,7 +206,7 @@ def batch_topk(
     qds = ray.data.from_items(queries)
     out = qds.map_batches(
         Bm25Queryer,
-        fn_constructor_args=(index_dir,),
+        fn_constructor_args=(index_dir, rank_round, conjunctive),
         batch_format="pyarrow",
         batch_size=max(1, len(queries) // max(1, concurrency)),
         concurrency=min(concurrency, max(1, len(queries))),

@@ -225,17 +225,24 @@ class SegmentReader:
         return last, bmax
 
     def vocab_df(self) -> "pa.Table":
-        """(term, df) over the whole index — metadata-only columnar read."""
+        """(term, df, cf) over the whole index — metadata-only columnar read
+        (the payload binary columns are never touched)."""
         import glob
 
         tables = []
         for path in sorted(glob.glob(os.path.join(self.index_dir, "segment-*.parquet"))):
-            tables.append(pq.read_table(path, columns=["term", "df"]))
+            tables.append(pq.read_table(path, columns=["term", "df", "cf"]))
         if not tables:
-            return pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "cf": pa.array([], pa.int64()),
+                }
+            )
         allt = pa.concat_tables(tables)
-        g = allt.group_by(["term"], use_threads=False).aggregate([("df", "sum")])
-        return pa.table({"term": g["term"], "df": g["df_sum"]})
+        g = allt.group_by(["term"], use_threads=False).aggregate([("df", "sum"), ("cf", "sum")])
+        return pa.table({"term": g["term"], "df": g["df_sum"], "cf": g["cf_sum"]})
 
 
 def term_bucket(term: str, n_buckets: int) -> int:
