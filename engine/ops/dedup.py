@@ -143,9 +143,14 @@ def ngram_jaccard_pairs(
     import ray
     from ray.data.aggregate import Count
 
+    # Materialized: consumed 3x (sizes agg + both join sides). The exploded
+    # (doc_id, sh) table is fixed-width int64 pairs — a small multiple of the
+    # token count, spills to disk if large. Without this, the lazy upstream is
+    # recomputed per consumer and the join's aggregator actors can deadlock
+    # against upstream stages on a small CPU budget.
     shingles = ds.map_batches(
         lambda b: _shingle_hash_table(b, k, id_col, text_col), batch_format="pyarrow"
-    )
+    ).materialize()
     sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_shingles")).to_pandas()
     sizes = sizes.sort_values("doc_id")
     size_ref = ray.put(
@@ -268,7 +273,10 @@ def minhash_lsh_pairs(
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "k": k, "id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        # (1, n) autoscaling pool: a fixed pool of size == the CPU budget pins
+        # every slot and deadlocks the streaming executor against the
+        # downstream to_bands task stage (observed at num_cpus=4).
+        concurrency=(1, concurrency),
         num_cpus=1,
     )
 
@@ -292,7 +300,13 @@ def minhash_lsh_pairs(
             )
         return pa.concat_tables(outs)
 
-    band_ds = sig_ds.map_batches(to_bands, batch_format="pyarrow")
+    # Materialized before the self-join: (band, band_hash, doc_id) is 20
+    # bytes/row × bands — tiny vs the corpus. Critically, this runs the
+    # MinHasher actor pool ONCE and releases its CPUs before the join spawns
+    # its num_partitions aggregator actors; a lazy self-join would schedule
+    # the actor pool on BOTH sides concurrently with the aggregators and
+    # deadlock when pool×2 + num_partitions exceeds the CPU budget.
+    band_ds = sig_ds.map_batches(to_bands, batch_format="pyarrow").materialize()
     joined = band_ds.join(
         band_ds,
         join_type="inner",
@@ -410,7 +424,9 @@ def simhash_pairs(
             )
         return pa.concat_tables(outs)
 
-    chunk_ds = fps.map_batches(to_chunks, batch_format="pyarrow")
+    # Materialized: self-joined (both sides) — avoids recomputing the simhash
+    # stage twice and CPU deadlock vs the join's aggregator actors.
+    chunk_ds = fps.map_batches(to_chunks, batch_format="pyarrow").materialize()
     joined = chunk_ds.join(
         chunk_ds,
         join_type="inner",

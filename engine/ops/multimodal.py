@@ -101,6 +101,8 @@ def featurize(ds, dim: int = 32, concurrency: int = 2, batch_size: int = 64):
         fn_constructor_kwargs={"dim": dim, "decode": "fake"},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        # (1, n) autoscaling: fixed pools == CPU budget deadlock vs downstream
+        # task stages; see engine/ops/dedup.py.
+        concurrency=(1, concurrency),
         num_cpus=1,
     )

@@ -209,7 +209,10 @@ def batch_topk(
         fn_constructor_args=(index_dir, rank_round, conjunctive),
         batch_format="pyarrow",
         batch_size=max(1, len(queries) // max(1, concurrency)),
-        concurrency=min(concurrency, max(1, len(queries))),
+        # Autoscaling (1, n) pool: a FIXED pool sized == cluster CPUs deadlocks
+        # the streaming executor against downstream task stages (actors pin
+        # every CPU slot); (1, n) always leaves the executor room to schedule.
+        concurrency=(1, min(concurrency, max(1, len(queries)))),
         num_cpus=1,
     )
     tables = [ray.get(r) for r in out.to_arrow_refs()]
