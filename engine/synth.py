@@ -57,13 +57,20 @@ def generate_transcripts(n_convs: int, seed: int = 42) -> pa.Table:
     # out-of-vocab tail mass is folded back with modulo so the head stays
     # Zipf-shaped instead of piling onto one clipped bucket
     tok_ids = (rng.zipf(ZIPF_S, total_tokens) - 1) % VOCAB_SIZE
-    vocab = np.array([f"w{i:05d}" for i in range(VOCAB_SIZE)])
-    flat_words = vocab[tok_ids]
+    # dictionary-encode instead of materializing a numpy unicode array:
+    # pa.array() on a large U-dtype array returns a ChunkedArray (which
+    # ListArray.from_arrays rejects) and costs 4 bytes/char; the dictionary
+    # cast builds the flat utf8 buffer once in C.
+    vocab_arr = pa.array([f"w{i:05d}" for i in range(VOCAB_SIZE)], pa.string())
+    flat_arr = pa.DictionaryArray.from_arrays(
+        pa.array(tok_ids.astype(np.int32)), vocab_arr
+    ).cast(pa.string())
+    if isinstance(flat_arr, pa.ChunkedArray):
+        flat_arr = flat_arr.combine_chunks()
 
     # per-turn text via Arrow list offsets + binary_join (vectorized)
     offsets = np.zeros(n_turns + 1, dtype=np.int32)
     np.cumsum(toks_per_turn, out=offsets[1:])
-    flat_arr = pa.array(flat_words, pa.string())
     word_lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat_arr)
     text = pc.binary_join(word_lists, " ")
 

@@ -1,0 +1,141 @@
+"""Unit tests for the training-data ops layer (dedup / similarity / textstats
+/ multimodal) over small crafted inputs.
+
+Run under the session fixture's 4-CPU budget on purpose: the dedup pipelines
+deadlocked at exactly this budget before the materialize + autoscaling-pool
+fixes (engine/ops/dedup.py), so completion here is itself a regression gate.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(texts):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    )
+
+
+@pytest.fixture(scope="module")
+def crafted_docs(ray_session):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        base,                                   # 0
+        base,                                   # 1 exact dup of 0
+        base + " extra",                        # 2 near dup of 0 (high jaccard)
+        "one two three four five six seven",    # 3 unrelated
+        base.replace("gamma", "zzz"),           # 4 near dup, lower jaccard
+        "",                                     # 5 empty
+        base,                                   # 6 exact dup of 0
+    ]
+    return _docs_ds(texts)
+
+
+def test_exact_dedup(crafted_docs):
+    from engine.ops.dedup import exact_dedup
+
+    out = exact_dedup(crafted_docs).to_pandas().sort_values("doc_id", ignore_index=True)
+    kept = dict(zip(out["doc_id"], out["n_copies"]))
+    assert kept[0] == 3          # docs 0, 1, 6 collapse to lowest id 0
+    assert 1 not in kept and 6 not in kept
+    assert kept[2] == 1 and kept[3] == 1 and kept[4] == 1 and kept[5] == 1
+
+
+def test_jaccard_and_minhash_agree(crafted_docs):
+    from engine.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(crafted_docs, threshold_num=4, threshold_den=5).to_pandas()
+    mh = minhash_lsh_pairs(crafted_docs, threshold_num=4, threshold_den=5)
+    # MinHash verifies candidates with exact Jaccard -> subset of exact pairs;
+    # on identical docs recall is guaranteed (identical signatures)
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    mh_pairs = set(zip(mh["doc_a"], mh["doc_b"]))
+    assert mh_pairs <= exact_pairs
+    assert {(0, 1), (0, 6), (1, 6)} <= mh_pairs  # exact dups always found
+    # doc 3 (unrelated) never pairs
+    assert all(3 not in p for p in exact_pairs)
+
+
+def test_simhash_identical_docs_distance_zero(crafted_docs):
+    from engine.ops.dedup import simhash_pairs
+
+    out = simhash_pairs(crafted_docs, max_hamming=3).to_pandas()
+    got = {(a, b): h for a, b, h in zip(out["doc_a"], out["doc_b"], out["hamming"])}
+    assert got[(0, 1)] == 0 and got[(0, 6)] == 0 and got[(1, 6)] == 0
+    assert all(3 not in p for p in got)
+
+
+def test_embedding_dup_pairs(ray_session):
+    import ray.data
+
+    from engine.ops.dedup import embedding_dup_pairs
+
+    vecs = np.array(
+        [[1.0, 0.0], [0.999, 0.01], [0.0, 1.0], [-1.0, 0.0]], dtype=np.float64
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(range(4), pa.int64()), "embedding": pa.array(list(vecs))})
+    )
+    out = embedding_dup_pairs(ds, threshold=0.95).to_pandas()
+    assert list(zip(out["doc_a"], out["doc_b"])) == [(0, 1)]
+
+
+def test_brute_vs_ivf_topk_consistency(ray_session):
+    """IVF with nprobe == n_centroids probes everything -> identical to brute."""
+    import ray.data
+
+    from engine.ops.similarity import IvfIndex, brute_topk
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(200, 16))
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(range(200), pa.int64()), "embedding": pa.array(list(mat))})
+    )
+    queries = rng.normal(size=(3, 16))
+    brute = brute_topk(ds, queries, np.arange(3), k=5).to_pandas()
+
+    ivf = IvfIndex(n_centroids=4, n_iter=5, seed=42)
+    ivf.fit_assign(ds)
+    for qi in range(3):
+        ids, sims = ivf.topk(queries[qi], k=5, nprobe=4)
+        b = brute[brute["query_id"] == qi].sort_values("rank")
+        assert list(ids) == list(b["vec_id"])
+        np.testing.assert_allclose(sims, b["cosine"].to_numpy(), rtol=1e-9)
+
+
+def test_textstats_batches():
+    from engine.ops.textstats import fingerprint_batch, lang_id_batch, quality_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["The quick brown fox and the lazy dog.", "el perro y el gato y la casa", ""]),
+        }
+    )
+    q = quality_batch(batch)
+    assert q.num_rows == 3
+    assert q["n_tokens"][2].as_py() == 0
+    lang = lang_id_batch(batch)
+    assert lang["pred_lang"][0].as_py() == "en"
+    fp1 = fingerprint_batch(batch)
+    fp2 = fingerprint_batch(batch)
+    assert fp1.equals(fp2)  # deterministic
+
+
+def test_multimodal_featurize_plumbing(ray_session):
+    import ray.data
+
+    from engine.ops.multimodal import featurize, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(50, seed=1))
+    out = featurize(ds, dim=8, concurrency=2, batch_size=16).to_pandas()
+    assert len(out) == 50
+    assert all(len(f) == 8 for f in out["feature"])
+    # deterministic across runs
+    out2 = featurize(ray.data.from_arrow(synth_media_table(50, seed=1)), dim=8).to_pandas()
+    a = np.stack(out.sort_values("media_id")["feature"].to_numpy())
+    b = np.stack(out2.sort_values("media_id")["feature"].to_numpy())
+    np.testing.assert_array_equal(a, b)

@@ -1,0 +1,142 @@
+"""Lifecycle tests: checkpoint / kill-and-resume / recover.
+
+Transplant of the reference's update-lifecycle suite
+(strucmotif-search-update/.../UpdateIntegrationTest.java:100-171: ADD is
+idempotent; state, doc-store and index stay consistent across
+re-initialization) onto the manifest-last commit protocol of engine.state:
+a part is committed iff its manifest exists; resume skips committed parts;
+recover purges orphan payloads and stale tmp files
+(StrucmotifUpdate.java:532-546 RECOVER analog).
+"""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from engine import state
+
+
+def _topk_frame(index_dir):
+    from engine.queries import QUERY_SET
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(index_dir)
+    out = []
+    for q in QUERY_SET:
+        for rank, (doc, score) in enumerate(zip(*bm.topk(q["text"], q["k"]))):
+            out.append((q["query_id"], rank, int(doc), round(float(score), 10)))
+    return out
+
+
+def test_recover_deletes_orphans_and_tmp(tmp_path):
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    # committed part: payload + manifest
+    with open(state.segment_path(idx, 3), "wb") as f:
+        f.write(b"payload")
+    state.write_part_manifest(idx, 3, {"n_terms": 1})
+    # orphan payload (no manifest) and stale tmp
+    with open(state.segment_path(idx, 7), "wb") as f:
+        f.write(b"orphan")
+    with open(os.path.join(idx, "segment-00009.parquet.tmp"), "wb") as f:
+        f.write(b"partial")
+
+    deleted = state.recover(idx)
+
+    assert sorted(os.path.basename(p) for p in deleted) == [
+        "segment-00007.parquet",
+        "segment-00009.parquet.tmp",
+    ]
+    assert list(state.committed_parts(idx)) == [3]
+    assert os.path.exists(state.segment_path(idx, 3))
+
+
+def test_manifest_checksum_gates_commit(tmp_path):
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    with open(state.segment_path(idx, 0), "wb") as f:
+        f.write(b"good bytes")
+    state.write_part_manifest(idx, 0, {})
+    assert list(state.committed_parts(idx, verify_checksum=True)) == [0]
+    # corrupt the payload after commit -> checksum validation rejects it
+    with open(state.segment_path(idx, 0), "wb") as f:
+        f.write(b"bad bytes!")
+    assert list(state.committed_parts(idx, verify_checksum=True)) == []
+    assert list(state.committed_parts(idx)) == [0]  # non-verifying still lists
+
+
+def test_resume_is_noop_on_complete_index(ray_session, tiny_corpus, tiny_index, tmp_path):
+    from engine.build import build_index
+
+    idx = str(tmp_path / "complete")
+    shutil.copytree(tiny_index, idx)
+    mtimes = {
+        n: os.path.getmtime(os.path.join(idx, n))
+        for n in os.listdir(idx)
+        if n.endswith(".parquet")
+    }
+
+    report = build_index(tiny_corpus, idx, n_buckets=8, n_salts=4, hot_fraction=0.05, resume=True)
+
+    assert report["parts_written_this_run"] == 0
+    for n, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(idx, n)) == mt, f"{n} was rewritten"
+    assert _topk_frame(idx) == _topk_frame(tiny_index)
+
+
+def test_kill_and_resume_rank_identical(ray_session, tiny_corpus, tiny_index, tmp_path):
+    """Simulate a killed build: some parts never committed, one orphan payload,
+    one stale tmp. Resume must (a) purge the junk, (b) rebuild ONLY the missing
+    parts, (c) produce rank-identical top-k vs the uninterrupted build."""
+    from engine.build import build_index
+
+    idx = str(tmp_path / "killed")
+    shutil.copytree(tiny_index, idx)
+
+    parts = sorted(state.committed_parts(idx))
+    assert len(parts) >= 4, "fixture index too small for the scenario"
+    lost = parts[:2]
+    for p in lost:  # uncommitted: neither payload nor manifest survived
+        os.remove(state.segment_path(idx, p))
+        os.remove(state.manifest_path(idx, p))
+    orphan = parts[2]  # payload written, manifest never committed (mid-crash)
+    os.remove(state.manifest_path(idx, orphan))
+    with open(state.segment_path(idx, 99) + ".tmp", "wb") as f:
+        f.write(b"mid-write")
+    survivors = [p for p in parts if p not in lost and p != orphan]
+    surv_mtimes = {p: os.path.getmtime(state.segment_path(idx, p)) for p in survivors}
+
+    report = build_index(tiny_corpus, idx, n_buckets=8, n_salts=4, hot_fraction=0.05, resume=True)
+
+    assert not os.path.exists(state.segment_path(idx, 99) + ".tmp")
+    assert report["parts_written_this_run"] == len(lost) + 1  # lost + orphan
+    for p in survivors:
+        assert os.path.getmtime(state.segment_path(idx, p)) == surv_mtimes[p]
+    assert sorted(state.committed_parts(idx)) == parts
+    assert _topk_frame(idx) == _topk_frame(tiny_index)
+
+
+def test_docmap_checkpoint_reused(ray_session, tiny_corpus, tiny_index, tmp_path):
+    idx = str(tmp_path / "dmck")
+    shutil.copytree(tiny_index, idx)
+    marker = os.path.join(idx, "docmap", "_SUCCESS.json")
+    mt = os.path.getmtime(marker)
+    from engine.build import build_index
+
+    build_index(tiny_corpus, idx, n_buckets=8, n_salts=4, hot_fraction=0.05, resume=True)
+    assert os.path.getmtime(marker) == mt  # docmap pass skipped on resume
+
+
+def test_lineage_manifest_contents(tiny_index):
+    parts = state.committed_parts(tiny_index, verify_checksum=True)
+    assert parts, "no committed parts"
+    for p, info in parts.items():
+        assert info["status"] == "committed"
+        assert info["part"] == p
+        assert info["n_terms"] >= 0 and info["n_postings"] >= 0
+    stats = state.read_stats(tiny_index)
+    assert stats["n_postings"] == sum(i["n_postings"] for i in parts.values())
+    assert stats["n_term_runs"] == sum(i["n_terms"] for i in parts.values())
