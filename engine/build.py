@@ -102,14 +102,15 @@ class _Router:
 
 
 class _SegmentWriter:
-    """map_groups callable: one part's rows -> encoded segment file + manifest."""
+    """Callable: one part's rows -> encoded segment file + manifest."""
 
     def __init__(self, index_dir: str, avgdl: float):
         self.index_dir = index_dir
         self.avgdl = avgdl
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        part = int(group["part"][0].as_py())
+    def __call__(self, group: pa.Table, part: int | None = None) -> pa.Table:
+        if part is None:
+            part = int(group["part"][0].as_py())
         seg = encode_bucket(group, self.avgdl)
         path = state.segment_path(self.index_dir, part)
         tmp = path + ".tmp"
@@ -220,6 +221,14 @@ def build_index(
     t_hot = time.perf_counter()
 
     # --- tokenize -> route -> shuffle -> encode segments --------------------
+    # The shuffle is ``groupby(part)`` over the object store (sort-based
+    # exchange on the int32 part key). Alternatives measured on this corpus:
+    # a hash-shuffle strategy (1.5x slower) and an external hive-partitioned
+    # parquet spill with per-part encode tasks (3-4x slower and disk-bound:
+    # write-blocks x parts small files turn the encode stage into an IOPS
+    # storm). The object-store exchange is also the design that scales on a
+    # real cluster: partial tf-aggregation happens map-side in tokenize_batch,
+    # hot terms are pre-salted, and each reducer owns whole parts.
     done = set(state.committed_parts(index_dir)) if resume else set()
     tokenized = ds.map_batches(
         lambda b: tokenize_batch(b, id_col=id_col, text_col=text_col),
@@ -231,6 +240,13 @@ def build_index(
             lambda b: b.filter(pc.invert(pc.is_in(b["part"], value_set=done_arr))),
             batch_format="pyarrow",
         )
+    # Coalesce to ~2 blocks/CPU before the exchange: the sort shuffle
+    # schedules O(map_blocks + reduce_blocks) tasks, and hundreds of tiny
+    # blocks make it latency- instead of bandwidth-bound.
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    tokenized = tokenized.repartition(max(8, 2 * n_cpus))
+    t_spill = time.perf_counter()
+
     writer = _SegmentWriter(index_dir, avgdl)
 
     def write_segment(group: pa.Table) -> pa.Table:

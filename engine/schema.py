@@ -90,3 +90,6 @@ BLOCK_SIZE = 128
 #: tokenizer contract (shared verbatim with the DuckDB oracle SQL):
 #: lowercase, split on runs of non-[a-z0-9], drop empties.
 TOKEN_SPLIT_REGEX = r"[^a-z0-9]+"
+#: match form of the same contract: one match per surviving token, so
+#: ``pc.count_substring_regex`` yields dl without materializing the split.
+TOKEN_MATCH_REGEX = r"[a-z0-9]+"

@@ -164,6 +164,16 @@ class SegmentReader:
         self._tables: dict[int, pa.Table] = {}
         self._term_rows: dict[int, dict[str, list[int]]] = {}
         self._df_cache: dict[str, int] = {}
+        # LRU of decoded postings, bounded by total decoded entries. Query
+        # actors are long-lived (T3 analog: the reader holds the mmap'd
+        # bundle); head terms dominate real workloads (Zipf), so caching the
+        # decoded arrays — not just the blob — removes the varint+merge cost
+        # from the hot path. ~16 bytes/entry -> default cap ~128 MB.
+        from collections import OrderedDict
+
+        self._post_cache: "OrderedDict[str, tuple[np.ndarray, np.ndarray]]" = OrderedDict()
+        self._post_cache_entries = 0
+        self.post_cache_max_entries = 8_000_000
 
     def parts_of(self, term: str) -> list[int]:
         """Candidate part files for a term: 1 for cold, n_salts for hot."""
@@ -200,20 +210,68 @@ class SegmentReader:
         return self._df_cache[term]
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """(sorted docIDs, tfs); salted runs merged by concat + argsort."""
+        """(sorted docIDs, tfs); salted runs merged by concat + argsort.
+
+        Decoded results are LRU-cached (bounded by entry count)."""
+        hit = self._post_cache.get(term)
+        if hit is not None:
+            self._post_cache.move_to_end(term)
+            return hit
         runs = self._runs(term)
         if not runs:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
-        parts = [
-            decode_posting(tbl["doc_ids_enc"][i].as_py(), tbl["tfs_enc"][i].as_py())
-            for tbl, i in runs
-        ]
-        if len(parts) == 1:
-            return parts[0]
-        doc = np.concatenate([p[0] for p in parts])
-        tf = np.concatenate([p[1] for p in parts])
-        order = np.argsort(doc, kind="stable")
-        return doc[order], tf[order]
+            out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        else:
+            parts = [
+                decode_posting(tbl["doc_ids_enc"][i].as_py(), tbl["tfs_enc"][i].as_py())
+                for tbl, i in runs
+            ]
+            if len(parts) == 1:
+                out = parts[0]
+            else:
+                doc = np.concatenate([p[0] for p in parts])
+                tf = np.concatenate([p[1] for p in parts])
+                order = np.argsort(doc, kind="stable")
+                out = (doc[order], tf[order])
+        self._post_cache[term] = out
+        self._post_cache_entries += len(out[0])
+        while self._post_cache_entries > self.post_cache_max_entries and len(self._post_cache) > 1:
+            _, (evicted, _tf) = self._post_cache.popitem(last=False)
+            self._post_cache_entries -= len(evicted)
+        return out
+
+    def run_blocks(self, term: str) -> list[dict]:
+        """Per-run block-level access for block-max pruned scoring.
+
+        Each run dict: ``doc_blob``/``tf_blob`` (bytes), ``last_doc``/``bmax``
+        (np arrays, one entry per 128-doc block), ``doc_off``/``tf_off``
+        (byte offset of each block inside the run blob), ``df``.
+        Blocks are decodable independently: doc deltas within a run cumsum
+        from the PREVIOUS block's ``last_doc`` (run start cumsums from 0
+        because the first delta is stored absolute)."""
+        out = []
+        for tbl, i in self._runs(term):
+            out.append(
+                {
+                    "doc_blob": tbl["doc_ids_enc"][i].as_py(),
+                    "tf_blob": tbl["tfs_enc"][i].as_py(),
+                    "last_doc": np.asarray(tbl["block_last_doc"][i].as_py(), dtype=np.int64),
+                    "bmax": np.asarray(tbl["block_max_impact"][i].as_py(), dtype=np.float64),
+                    "doc_off": np.asarray(tbl["block_doc_off"][i].as_py(), dtype=np.int64),
+                    "tf_off": np.asarray(tbl["block_tf_off"][i].as_py(), dtype=np.int64),
+                    "df": int(tbl["df"][i].as_py()),
+                }
+            )
+        return out
+
+    def max_impact(self, term: str) -> float:
+        """Upper bound of the BM25 tf-part over the whole posting (block-max
+        roll-up; includes the encode-side strict round-up guard)."""
+        runs = self._runs(term)
+        if not runs:
+            return 0.0
+        return max(
+            float(max(tbl["block_max_impact"][i].as_py(), default=0.0)) for tbl, i in runs
+        )
 
     def block_meta(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Concatenated (block_last_doc, block_max_impact) over runs."""
