@@ -190,6 +190,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _round_scores(res, "score", "score_r", SCORE_ROUND)
         return _i64(res, ["rank"])
 
+    def bm25_topk_incremental(sf_dir):
+        """Half-build + incremental ADD of the other half, then the same
+        queries — the UpdateIntegrationTest 'ADD keeps results consistent'
+        gate, checked against the SAME full-corpus SQL oracle as bm25_topk."""
+        import ray.data
+
+        from engine.build import build_index
+        from engine.query import batch_topk
+        from engine.update import add_documents
+
+        idx = _cache(sf_dir, "documents_index_incr")
+        stats_path = os.path.join(idx, "stats.json")
+        import json as _json
+
+        need_build = True
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                need_build = _json.load(f).get("generation", 0) < 1
+        if need_build:
+            import shutil
+
+            shutil.rmtree(idx, ignore_errors=True)
+            docs = ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            )
+            ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"]
+            median = int(ids.median())
+            import pyarrow.compute as pc
+
+            first = docs.filter(expr=f"doc_id <= {median}")
+            rest = docs.filter(expr=f"doc_id > {median}")
+            build_index(first, idx, id_col="doc_id", n_buckets=8, n_salts=4, hot_fraction=0.05)
+            add_documents(idx, rest, id_col="doc_id")
+        res = batch_topk(_doc_query_items(), idx, concurrency=2, rank_round=RANK_ROUND)
+        res = _round_scores(res, "score", "score_r", SCORE_ROUND)
+        return _i64(res, ["rank"])
+
+    def percolate_conjunctive(sf_dir):
+        """Percolation (detect-motifs analog): every (doc, stored query) pair
+        where the doc contains ALL query terms, BM25-scored with corpus
+        stats — oracle is the conjunctive BM25 SQL without the top-k cut."""
+        import ray.data
+
+        from engine.percolate import percolate_dataset
+
+        idx = _documents_index(sf_dir)
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        queries = [{"query_id": q, "text": t} for q, t, _ in DOC_QUERIES]
+        out = percolate_dataset(docs, idx, queries, mode="all", concurrency=2)
+        tbl = _collect(out)
+        tbl = _round_scores(tbl, "score", "score_r", SCORE_ROUND)
+        return tbl.sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
+
     # ---- dedup ----------------------------------------------------------
     def dedup_exact(sf_dir):
         from engine.ops.dedup import exact_dedup
@@ -372,6 +425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": corpus_stats,
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
+        "bm25_topk_incremental": bm25_topk_incremental,
+        "percolate_conjunctive": percolate_conjunctive,
         "dedup_exact": dedup_exact,
         "ngram_jaccard": ngram_jaccard,
         "dedup_minhash": dedup_minhash,
@@ -447,6 +502,43 @@ FROM ranked WHERE rank <= k
 """
 
 
+def _percolate_sql() -> str:
+    """Conjunctive BM25 without the top-k cut: every (doc, query) pair where
+    the doc holds ALL query terms, scored with full-corpus stats."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}')"
+        for qid, text, _k in DOC_QUERIES
+        for t in sorted(set(text.lower().split()))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES
+      {vals}),
+qsize AS (SELECT query_id, count(*) AS nt FROM q GROUP BY query_id),
+scores AS (
+  SELECT q.query_id, tf.doc_id, count(*) AS matched,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT scores.query_id, scores.doc_id, round(scores.score, {SCORE_ROUND}) AS score_r
+FROM scores JOIN qsize USING (query_id)
+WHERE scores.matched = qsize.nt
+"""
+
+
 _SHINGLE_CTE = f"""
 toks AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),
 pos AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM toks),
@@ -486,6 +578,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(conjunctive=False),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
+        # incremental half-build + ADD must equal the full-corpus build
+        "bm25_topk_incremental": _bm25_sql(conjunctive=False),
+        "percolate_conjunctive": _percolate_sql(),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text

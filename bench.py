@@ -59,7 +59,22 @@ def run_bench() -> dict:
     results: dict[str, float] = {}
 
     # --- corpus (untimed, cached across runs) ----------------------------
-    corpus = write_corpus(f"/tmp/graft_bench/corpus_{BENCH_CONVS}", n_convs=BENCH_CONVS, seed=42, n_shards=64)
+    # generated in a SUBPROCESS: building a multi-GB corpus in this process
+    # leaves the benchmark with a fragmented multi-GB heap and measurably
+    # (up to 3x) slower builds; the subprocess exits and the cached corpus is
+    # re-opened from disk
+    corpus = f"/tmp/graft_bench/corpus_{BENCH_CONVS}"
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            f"import sys; sys.path.insert(0, {REPO!r}); "
+            f"from engine.synth import write_corpus; "
+            f"write_corpus({corpus!r}, n_convs={BENCH_CONVS}, seed=42, n_shards=64)",
+        ],
+        check=True,
+    )
+    _ = write_corpus  # kept imported: same generator is the library surface
     n_turns = sum(pq.read_metadata(os.path.join(corpus, f)).num_rows
                   for f in os.listdir(corpus) if f.endswith(".parquet"))
     # warm page cache (untimed)
@@ -79,7 +94,9 @@ def run_bench() -> dict:
     idx_dir = f"/tmp/graft_bench/index_{NUM_CPUS}"
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    build_index(corpus, idx_dir, n_buckets=max(NUM_CPUS, 16), n_salts=8, resume=False)
+    # n_buckets is a property of the JOB, not the cluster: it must be equal
+    # across scaling levels or the two legs build different indexes
+    build_index(corpus, idx_dir, n_buckets=32, n_salts=8, resume=False)
     t_build = time.perf_counter() - t0
     results["index_build"] = round(t_build, 3)
     build_tps = n_turns / t_build

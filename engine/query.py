@@ -39,6 +39,12 @@ class Bm25Index:
         self.reader = SegmentReader(index_dir)
         self.n_docs = int(self.reader.stats["n_docs"])
         self.avgdl = float(self.reader.stats["avgdl"])
+        # block-max bounds were encoded against bounds_avgdl (= build-time
+        # avgdl; incremental updates drift the live avgdl without re-encoding).
+        # impact_new/impact_old <= max(1, avgdl_new/avgdl_old), so scaling the
+        # stored bounds keeps pruning safe and exact (engine/update.py).
+        bounds_avgdl = float(self.reader.stats.get("bounds_avgdl", self.avgdl))
+        self._bound_scale = max(1.0, self.avgdl / bounds_avgdl) if bounds_avgdl else 1.0
         dm = pq.read_table(os.path.join(index_dir, "docmap"), columns=["doc_id", "dl"])
         order = np.argsort(dm["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
         self._dm_ids = dm["doc_id"].to_numpy(zero_copy_only=False)[order]
@@ -191,9 +197,10 @@ class Bm25Index:
         n_seen = 0
         kth = -math.inf
         dirty = 0
+        scale = self._bound_scale
         for bmax, ri, b in order:
-            if n_seen >= k and idf * bmax <= kth:
-                break  # strict guard: every remaining doc scores < idf*bmax <= kth
+            if n_seen >= k and idf * bmax * scale <= kth:
+                break  # strict guard: every remaining doc scores < idf*bmax*scale <= kth
             docs, tfs = self._block_docs_tfs(runs[ri], b)
             sc = self._contrib(idf, tfs, self.dl(docs))
             docs_acc.append(docs)
@@ -218,7 +225,10 @@ class Bm25Index:
         the kth candidate score, so candidates come from essential-term
         postings and head terms contribute via sorted point-lookups. Returns
         None to signal fallback to exhaustive scoring."""
-        ub = {t: self.idf(t) * self.reader.max_impact(t) for t in terms}
+        ub = {
+            t: self.idf(t) * self.reader.max_impact(t) * self._bound_scale
+            for t in terms
+        }
         by_ub = sorted(terms, key=lambda t: (ub[t], t))  # ascending bound
         cum = np.cumsum([ub[t] for t in by_ub])
         # grow the essential suffix until candidates >= k and the non-essential

@@ -1,0 +1,216 @@
+"""Incremental ADD/REMOVE/COMPACT + percolation tests.
+
+UpdateIntegrationTest analog (strucmotif-search-update, :100-171): ADD is
+idempotent; ADD/REMOVE keep (docmap, segments, stats) consistent; queries over
+an incrementally-updated index match a from-scratch rebuild.
+"""
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from engine import state
+
+
+@pytest.fixture()
+def upd_index(ray_session, tiny_corpus, tiny_index, tmp_path):
+    idx = str(tmp_path / "upd")
+    shutil.copytree(tiny_index, idx)
+    return idx
+
+
+def _new_convs_table(n_convs=5, turns=3, prefix="zzzz-conv"):
+    # conv_ids sort AFTER every base conv ("conv-...") so incremental docIDs
+    # coincide with a from-scratch rebuild's sorted assignment
+    rows = {"conv_id": [], "turn_idx": [], "text": []}
+    for c in range(n_convs):
+        for t in range(turns):
+            rows["conv_id"].append(f"{prefix}-{c:04d}")
+            rows["turn_idx"].append(t)
+            rows["text"].append(f"w00000 w00777 zqnewmarker{c} added turn {t}")
+    return pa.table(
+        {
+            "conv_id": pa.array(rows["conv_id"], pa.string()),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "text": pa.array(rows["text"], pa.string()),
+        }
+    )
+
+
+def test_add_matches_fresh_rebuild(upd_index, tiny_corpus, tmp_path):
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.update import add_documents
+
+    new = _new_convs_table()
+    rep = add_documents(upd_index, ray.data.from_arrow(new))
+    assert rep["added"] == new.num_rows
+
+    # fresh rebuild over base corpus + the same new docs
+    import os
+
+    import pyarrow.parquet as pq
+
+    combo = str(tmp_path / "combo_corpus")
+    os.makedirs(combo)
+    for f in os.listdir(tiny_corpus):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(tiny_corpus, f), combo)
+    full = pa.table(
+        {
+            "conv_id": new["conv_id"],
+            "turn_idx": new["turn_idx"],
+            "role": pa.array(["user"] * new.num_rows),
+            "text": new["text"],
+            "tool": pa.array([""] * new.num_rows),
+            "ts": pa.array([0] * new.num_rows, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(full, os.path.join(combo, "part-zzz.parquet"))
+    fresh = str(tmp_path / "fresh")
+    build_index(combo, fresh, n_buckets=8, n_salts=4, hot_fraction=0.05, resume=False)
+
+    bm_u, bm_f = Bm25Index(upd_index), Bm25Index(fresh)
+    assert bm_u.n_docs == bm_f.n_docs
+    assert bm_u.avgdl == pytest.approx(bm_f.avgdl, rel=1e-12)
+    for text, k in [("zqnewmarker2", 5), ("w00777", 10), ("w00000", 10), ("zqmarker0", 10)]:
+        d1, s1 = bm_u.topk(text, k)
+        d2, s2 = bm_f.topk(text, k)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-12)
+
+
+def test_add_is_idempotent(upd_index):
+    import ray.data
+
+    from engine.update import add_documents
+
+    new = _new_convs_table()
+    r1 = add_documents(upd_index, ray.data.from_arrow(new))
+    n_postings_1 = state.read_stats(upd_index)["n_postings"]
+    r2 = add_documents(upd_index, ray.data.from_arrow(new))  # same docs again
+    assert r1["added"] == new.num_rows and r2["added"] == 0
+    assert state.read_stats(upd_index)["n_postings"] == n_postings_1
+
+
+def test_remove_then_query(upd_index):
+    from engine.query import Bm25Index
+    from engine.update import remove_documents
+
+    bm0 = Bm25Index(upd_index)
+    d0, _ = bm0.topk("zqmarker0", 5)
+    assert len(d0) > 0
+    # resolve a victim conv and remove it
+    import pyarrow.parquet as pq
+    import os
+
+    dm = pq.read_table(os.path.join(upd_index, "docmap"))
+    victim_conv = dm.filter(
+        pa.compute.is_in(dm["doc_id"], value_set=pa.array([int(d0[0])], pa.int64()))
+    )["conv_id"][0].as_py()
+    rep = remove_documents(upd_index, conv_ids=[victim_conv])
+    assert rep["removed"] >= 1
+
+    bm1 = Bm25Index(upd_index)
+    d1, s1 = bm1.topk("zqmarker0", 5)
+    assert int(d0[0]) not in set(int(x) for x in d1)
+    assert bm1.n_docs == bm0.n_docs - rep["removed"]
+    # pruned still identical to exhaustive after the update (bounds scale)
+    d2, s2 = bm1._topk_exhaustive("zqmarker0", 5, None)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_compact_preserves_results(upd_index):
+    import ray.data
+
+    from engine.query import Bm25Index
+    from engine.queries import QUERY_SET
+    from engine.update import add_documents, compact_index, remove_documents
+
+    add_documents(upd_index, ray.data.from_arrow(_new_convs_table()))
+    remove_documents(upd_index, conv_ids=["zzzz-conv-0001"])
+    before = Bm25Index(upd_index)
+    snaps = {q["query_id"]: before.topk(q["text"], q["k"]) for q in QUERY_SET}
+
+    rep = compact_index(upd_index)
+    stats = state.read_stats(upd_index)
+    assert stats["generation"] == 0
+    assert stats["bounds_avgdl"] == pytest.approx(stats["avgdl"])
+
+    after = Bm25Index(upd_index)
+    assert after._bound_scale == 1.0
+    for q in QUERY_SET:
+        d0, s0 = snaps[q["query_id"]]
+        d1, s1 = after.topk(q["text"], q["k"])
+        np.testing.assert_array_equal(d0, d1)
+        np.testing.assert_allclose(s0, s1, rtol=1e-12)
+
+
+def test_percolate_matches_topk_scores(ray_session, tiny_index):
+    """A percolated (query, doc) score must equal the score topk assigns that
+    doc — the detect-motifs 'reuses path 3.2' contract."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.percolate import Percolator
+    from engine.query import Bm25Index
+    from engine.queries import QUERY_SET
+
+    bm = Bm25Index(tiny_index)
+    # reconstruct one doc's text from the corpus via docmap
+    dm = pq.read_table(os.path.join(tiny_index, "docmap"))
+    doc_ids, _ = bm.topk("zqmarker0", 1)
+    row = dm.filter(pa.compute.equal(dm["doc_id"], int(doc_ids[0])))
+    conv, turn = row["conv_id"][0].as_py(), row["turn_idx"][0].as_py()
+
+    # find the text in the tiny corpus
+    import glob
+
+    text = None
+    for f in glob.glob(os.path.join(os.path.dirname(tiny_index), "..", "**", "*.parquet"), recursive=True):
+        pass  # corpus path is carried by the fixture instead
+    from engine.synth import generate_transcripts
+
+    corpus_tbl = generate_transcripts(100, 42)
+    m = pa.compute.and_(
+        pa.compute.equal(corpus_tbl["conv_id"], conv),
+        pa.compute.equal(corpus_tbl["turn_idx"], turn),
+    )
+    text = corpus_tbl.filter(m)["text"][0].as_py()
+
+    perc = Percolator(tiny_index, QUERY_SET, mode="any")
+    hits = dict(perc.percolate(text))
+    assert "Q01_rare_marker" in hits
+    d, s = bm.topk("zqmarker0", 50)
+    expected = float(s[list(map(int, d)).index(int(doc_ids[0]))])
+    assert hits["Q01_rare_marker"] == pytest.approx(expected, rel=1e-12)
+
+
+def test_percolate_dataset_conjunctive(ray_session, tiny_index):
+    import ray.data
+
+    from engine.percolate import percolate_dataset
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "zqmarker1 zqmarker2 both present",
+                        "zqmarker1 only one",
+                        "nothing relevant here",
+                    ]
+                ),
+            }
+        )
+    )
+    queries = [{"query_id": "PAIR", "text": "zqmarker1 zqmarker2"}]
+    out = percolate_dataset(docs, tiny_index, queries, mode="all", concurrency=2).to_pandas()
+    assert list(out["doc_id"]) == [1]
