@@ -89,6 +89,21 @@ class Bm25Index:
             # single-term fast path: the posting IS the sorted candidate set
             candidates = postings[0][1]
             positions = [np.arange(len(candidates))]
+        elif self._dense:
+            # dense-docID fast path: scatter contributions into an n_docs-long
+            # accumulator — no unique()/sort over the multi-million-doc union
+            # (the dominant multi-term cost). Per-doc float adds still happen
+            # in ascending term order, so scores stay bit-identical.
+            acc_full = np.zeros(self.n_docs, dtype=np.float64)
+            for t, doc, tf in postings:  # ascending term order
+                df = len(doc)
+                idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+                tff = tf.astype(np.float64)
+                acc_full[doc] += idf * tff * (BM25_K1 + 1.0) / (
+                    tff + BM25_K1 * (1.0 - BM25_B + BM25_B * self._dm_dl[doc] / self.avgdl)
+                )
+            candidates = np.flatnonzero(acc_full)  # ascending docIDs
+            return candidates, acc_full[candidates]
         else:
             # one unique() over the concatenation yields candidates AND every
             # term's accumulate positions — replaces T per-term searchsorted
@@ -187,11 +202,24 @@ class Bm25Index:
         :108-111 applied to scoring)."""
         idf = self.idf(term)
         runs = self.reader.run_blocks(term)
-        order = []  # (bmax, run_idx, block_idx)
-        for ri, run in enumerate(runs):
-            for b in range(len(run["bmax"])):
-                order.append((run["bmax"][b], ri, b))
-        order.sort(key=lambda x: -x[0])
+        cached = getattr(self, "_block_order_cache", None)
+        if cached is None:
+            cached = self._block_order_cache = {}
+        order = cached.get(term)
+        if order is None:
+            # vectorized (bmax desc) ordering over all runs' blocks, cached —
+            # a head term has ~10^4 blocks and this is per-query otherwise
+            bmax_all = np.concatenate([r["bmax"] for r in runs]) if runs else np.empty(0)
+            ri_all = np.concatenate(
+                [np.full(len(r["bmax"]), i, dtype=np.int32) for i, r in enumerate(runs)]
+            ) if runs else np.empty(0, dtype=np.int32)
+            bi_all = np.concatenate(
+                [np.arange(len(r["bmax"]), dtype=np.int32) for r in runs]
+            ) if runs else np.empty(0, dtype=np.int32)
+            desc = np.argsort(-bmax_all, kind="stable")
+            order = cached[term] = list(
+                zip(bmax_all[desc].tolist(), ri_all[desc].tolist(), bi_all[desc].tolist())
+            )
         docs_acc: list[np.ndarray] = []
         scores_acc: list[np.ndarray] = []
         n_seen = 0
@@ -397,3 +425,11 @@ def batch_topk(
     import pyarrow.compute as pc
 
     return res.take(pc.sort_indices(res, sort_keys=[("query_id", "ascending"), ("rank", "ascending")]))
+
+
+def write_hits_csv(hits: pa.Table, path: str) -> None:
+    """Stream hits to CSV with a header — the result-sink analog
+    (AbstractSearchContext.java:62-77: CSV writer over the hit stream)."""
+    import pyarrow.csv as pacsv
+
+    pacsv.write_csv(hits, path)

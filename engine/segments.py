@@ -173,7 +173,13 @@ class SegmentReader:
 
         self._post_cache: "OrderedDict[str, tuple[np.ndarray, np.ndarray]]" = OrderedDict()
         self._post_cache_entries = 0
-        self.post_cache_max_entries = 8_000_000
+        # ~16 B/entry -> 64M entries ~ 1 GiB/actor; must exceed the working
+        # set of hot+query terms or the cache thrashes (measured: an 8M cap
+        # at a 3.3M-doc corpus re-decoded every head term per query)
+        self.post_cache_max_entries = int(
+            os.environ.get("GRAFT_POSTINGS_CACHE_ENTRIES", 64_000_000)
+        )
+        self._blocks_cache: dict[str, list[dict]] = {}
 
     def parts_of(self, term: str) -> list[int]:
         """Candidate part files for a term: 1 for cold, n_salts for hot."""
@@ -247,7 +253,12 @@ class SegmentReader:
         (byte offset of each block inside the run blob), ``df``.
         Blocks are decodable independently: doc deltas within a run cumsum
         from the PREVIOUS block's ``last_doc`` (run start cumsums from 0
-        because the first delta is stored absolute)."""
+        because the first delta is stored absolute). Metadata arrays are
+        cached per term — converting ~10^4 block entries out of Arrow per
+        query costs more than the pruned scoring itself."""
+        hit = self._blocks_cache.get(term)
+        if hit is not None:
+            return hit
         out = []
         for tbl, i in self._runs(term):
             out.append(
@@ -261,6 +272,7 @@ class SegmentReader:
                     "df": int(tbl["df"][i].as_py()),
                 }
             )
+        self._blocks_cache[term] = out
         return out
 
     def max_impact(self, term: str) -> float:
