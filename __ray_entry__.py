@@ -190,6 +190,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _round_scores(res, "score", "score_r", SCORE_ROUND)
         return _i64(res, ["rank"])
 
+    def bm25_topk_filtered(sf_dir):
+        """Whitelist (semi-join) search-space filter: only doc_id % 3 == 0 —
+        the allowedStructures filter (DefaultTargetAssembler.java:66-74)."""
+        import pyarrow.parquet as pq
+
+        from engine.query import Bm25Index
+
+        idx = _documents_index(sf_dir)
+        bm = Bm25Index(idx)
+        ids = (
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])["doc_id"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        allowed = ids[ids % 3 == 0]
+        tables = [
+            bm.topk_table(qid, text, k, rank_round=RANK_ROUND, allowed=allowed)
+            for qid, text, k in DOC_QUERIES
+        ]
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        res = _round_scores(res, "score", "score_r", SCORE_ROUND)
+        return _i64(res, ["rank"])
+
     def bm25_topk_incremental(sf_dir):
         """Half-build + incremental ADD of the other half, then the same
         queries — the UpdateIntegrationTest 'ADD keeps results consistent'
@@ -425,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": corpus_stats,
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
+        "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_incremental": bm25_topk_incremental,
         "percolate_conjunctive": percolate_conjunctive,
         "dedup_exact": dedup_exact,
@@ -455,7 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL
 # ===========================================================================
 
-def _bm25_sql(conjunctive: bool) -> str:
+def _bm25_sql(conjunctive: bool, doc_filter: str | None = None) -> str:
     vals = ",\n      ".join(
         f"('{qid}', '{t}', {k})"
         for qid, text, k in DOC_QUERIES
@@ -464,7 +488,7 @@ def _bm25_sql(conjunctive: bool) -> str:
     conj_filter = (
         "JOIN qsize USING (query_id) WHERE scores.matched = qsize.nt"
         if conjunctive
-        else ""
+        else (f"WHERE {doc_filter}" if doc_filter else "")
     )
     return f"""
 WITH toks AS (
@@ -578,6 +602,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(conjunctive=False),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
+        "bm25_topk_filtered": _bm25_sql(conjunctive=False, doc_filter="scores.doc_id % 3 = 0"),
         # incremental half-build + ADD must equal the full-corpus build
         "bm25_topk_incremental": _bm25_sql(conjunctive=False),
         "percolate_conjunctive": _percolate_sql(),

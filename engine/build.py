@@ -9,7 +9,8 @@ files -> merge-commit per partition with atomic swap. Re-architected as:
       -> docmap + global stats pass                    (N, avgdl)
       -> map_batches(tokenize)  — stateless, zero-copy Arrow, partial tf agg
       -> map_batches(route)     — term-hash bucket + head-term salting
-      -> groupby(part).map_groups(write segment part)  — THE shuffle
+      -> two-stage object-store exchange (split num_returns=parts -> per-part
+         concat+encode tasks)   — THE shuffle; see the inline rationale
       -> manifests + stats.json                        (engine.state)
 
 Skew: Zipf head terms would make single ``groupby(term)`` groups hold a large
@@ -220,43 +221,69 @@ def build_index(
     hot_ref = ray.put(hot_terms)
     t_hot = time.perf_counter()
 
-    # --- tokenize -> route -> shuffle -> encode segments --------------------
-    # The shuffle is ``groupby(part)`` over the object store (sort-based
-    # exchange on the int32 part key). Alternatives measured on this corpus:
-    # a hash-shuffle strategy (1.5x slower) and an external hive-partitioned
-    # parquet spill with per-part encode tasks (3-4x slower and disk-bound:
-    # write-blocks x parts small files turn the encode stage into an IOPS
-    # storm). The object-store exchange is also the design that scales on a
-    # real cluster: partial tf-aggregation happens map-side in tokenize_batch,
-    # hot terms are pre-salted, and each reducer owns whole parts.
+    # --- tokenize -> route -> exchange -> encode segments -------------------
+    # The exchange is a two-stage object-store shuffle built from raw Ray
+    # tasks: map tasks SPLIT their routed block into one sub-table per part
+    # (``num_returns=n_parts``), reduce tasks concat one part's sub-tables and
+    # encode the segment. This is the one place the Dataset API is genuinely
+    # the wrong tool: the key has only n_buckets*n_salts distinct values, so
+    # ``groupby(part)``'s sort-based exchange pays a sample+sort+range-merge
+    # with a ~25s floor that is CPU-count-INDEPENDENT (it killed scaling
+    # efficiency at every pair measured), a hash-shuffle strategy was 1.5x
+    # slower, and a hive-partitioned parquet spill was 3-4x slower (disk
+    # IOPS). The split/concat exchange is the in-memory form of the
+    # reference's per-thread spill files + per-prefix merge
+    # (UPD/Context.java:60-73, DefaultInvertedIndex.java:120-268).
+    # Partitioning assumption: one part's rows fit one worker's heap — the
+    # same assumption groupby().map_groups makes; n_buckets controls it.
     done = set(state.committed_parts(index_dir)) if resume else set()
+    n_parts_total = n_buckets * n_salts
     tokenized = ds.map_batches(
         lambda b: tokenize_batch(b, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
     ).map_batches(_Router(hot_ref, n_buckets, n_salts), batch_format="pyarrow")
-    if done:
-        done_arr = pa.array(sorted(done), pa.int32())
-        tokenized = tokenized.map_batches(
-            lambda b: b.filter(pc.invert(pc.is_in(b["part"], value_set=done_arr))),
-            batch_format="pyarrow",
-        )
-    # Coalesce to ~2 blocks/CPU before the exchange: the sort shuffle
-    # schedules O(map_blocks + reduce_blocks) tasks, and hundreds of tiny
-    # blocks make it latency- instead of bandwidth-bound.
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    tokenized = tokenized.repartition(max(8, 2 * n_cpus))
     t_spill = time.perf_counter()
+
+    @ray.remote(num_returns=n_parts_total)
+    def split_block(tbl: pa.Table):
+        part = tbl["part"].to_numpy(zero_copy_only=False)
+        order = np.argsort(part, kind="stable")
+        s = tbl.take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(n_parts_total + 1))
+        return tuple(
+            s.slice(int(lo), int(hi - lo)) for lo, hi in zip(bounds[:-1], bounds[1:])
+        )
 
     writer = _SegmentWriter(index_dir, avgdl)
 
-    def write_segment(group: pa.Table) -> pa.Table:
-        return writer(group)
+    @ray.remote
+    def encode_part(part: int, *tables):
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return None
+        seg_row = writer(pa.concat_tables(live), part=part)
+        return {
+            "part": part,
+            "n_terms": int(seg_row["n_terms"][0].as_py()),
+            "n_postings": int(seg_row["n_postings"][0].as_py()),
+        }
 
-    manifest_rows = (
-        tokenized.groupby("part")
-        .map_groups(write_segment, batch_format="pyarrow")
-        .to_pandas()
-    )
+    # coalesce first: the split stage emits (blocks x n_parts) objects and
+    # every encode task resolves one dependency per block — thousands of tiny
+    # objects/deps cost more in store metadata + scheduler work than they buy
+    # in parallelism (measured 1.5-2x on the whole stage). Cap well below
+    # blocks x parts ~ 4k.
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    tokenized = tokenized.repartition(max(8, min(2 * n_cpus, 48)))
+    block_refs = tokenized.to_arrow_refs()
+    split_refs = [split_block.remote(r) for r in block_refs]
+    todo = [p for p in range(n_parts_total) if p not in done]
+    enc_refs = [
+        encode_part.remote(p, *[split_refs[i][p] for i in range(len(split_refs))])
+        for p in todo
+    ]
+    manifest_rows = [r for r in ray.get(enc_refs) if r is not None]
+    del split_refs, block_refs
     t_segments = time.perf_counter()
 
     # --- finalize stats.json (manifest-last global commit) ------------------

@@ -126,9 +126,19 @@ class Bm25Index:
         return candidates, acc
 
     def topk(
-        self, query_text: str, k: int, rank_round: int | None = None
+        self,
+        query_text: str,
+        k: int,
+        rank_round: int | None = None,
+        allowed: np.ndarray | None = None,
+        excluded: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (doc_ids, scores): descending score, ascending doc_id ties.
+
+        ``allowed`` / ``excluded``: optional docID whitelist / blacklist (the
+        allowedStructures / excludedStructures semi/anti-join filters,
+        DefaultTargetAssembler.java:66-74,151-161). Filtered queries take the
+        exhaustive path (pruning thresholds assume the unfiltered corpus).
 
         ``rank_round``: rank on scores rounded to N decimals instead of exact
         float64 — used for cross-engine (DuckDB-oracle) deterministic ranking,
@@ -143,6 +153,10 @@ class Bm25Index:
         side strict round-up guard on block maxes makes every pruned doc's
         score strictly below the kth, so score AND doc-id tie-break order are
         identical to exhaustive scoring (asserted in tests)."""
+        if allowed is not None or excluded is not None:
+            return self._topk_exhaustive(
+                query_text, k, rank_round, allowed=allowed, excluded=excluded
+            )
         if rank_round is not None:
             return self._topk_exhaustive(query_text, k, rank_round)
         terms = sorted(set(tokenize_text(query_text)))
@@ -157,9 +171,20 @@ class Bm25Index:
         return self._topk_exhaustive(query_text, k, None)
 
     def _topk_exhaustive(
-        self, query_text: str, k: int, rank_round: int | None
+        self,
+        query_text: str,
+        k: int,
+        rank_round: int | None,
+        allowed: np.ndarray | None = None,
+        excluded: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         doc, score = self.score_all(query_text)
+        if allowed is not None and len(doc):
+            mask = np.isin(doc, np.asarray(allowed, dtype=np.int64))
+            doc, score = doc[mask], score[mask]
+        if excluded is not None and len(doc):
+            mask = ~np.isin(doc, np.asarray(excluded, dtype=np.int64))
+            doc, score = doc[mask], score[mask]
         if len(doc) == 0:
             return doc, score
         key = np.round(score, rank_round) if rank_round is not None else score
@@ -341,9 +366,17 @@ class Bm25Index:
         k: int,
         rank_round: int | None = None,
         conjunctive: bool = False,
+        allowed: np.ndarray | None = None,
+        excluded: np.ndarray | None = None,
     ) -> pa.Table:
-        fn = self.conjunctive_topk if conjunctive else self.topk
-        doc, score = fn(query_text, k, rank_round=rank_round)
+        if conjunctive:
+            if allowed is not None or excluded is not None:
+                raise ValueError("allow/deny filters are OR-path only")
+            doc, score = self.conjunctive_topk(query_text, k, rank_round=rank_round)
+        else:
+            doc, score = self.topk(
+                query_text, k, rank_round=rank_round, allowed=allowed, excluded=excluded
+            )
         n = len(doc)
         return pa.table(
             {

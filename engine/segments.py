@@ -54,24 +54,33 @@ def _pack_binary(flat: bytes, value_nbytes: np.ndarray, starts: np.ndarray, ends
 
 
 def encode_bucket(group: pa.Table, avgdl: float) -> pa.Table:
-    """One bucket's (term, salt, doc_id, tf, dl) rows -> SEGMENT_SCHEMA table."""
+    """One bucket's (term, salt, doc_id, tf, dl) rows -> SEGMENT_SCHEMA table.
+
+    Sorts by DICTIONARY CODE, not lexicographic term: grouping only needs
+    consistency, and the reader looks terms up by exact string, never by file
+    order. An integer ``np.lexsort`` + numpy gathers replaced a whole-table
+    string ``sort_indices`` + ``take`` — the string path ran at ~9.4 us/row
+    under 32 concurrent encoders (memory-bandwidth saturation) vs ~1.4 us
+    alone; this touches each term string exactly once (dictionary hash) and
+    gathers strings only at group starts."""
     if group.num_rows == 0:
         return SEGMENT_SCHEMA.empty_table()
-    order = pc.sort_indices(
-        group, sort_keys=[("term", "ascending"), ("salt", "ascending"), ("doc_id", "ascending")]
-    )
-    g = group.take(order)
-    term = g["term"].combine_chunks()
-    salt = g["salt"].to_numpy(zero_copy_only=False).astype(np.int32)
-    doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dl = g["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+    term_col = group["term"]
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()
+    dic = term_col.dictionary_encode()
+    tcodes0 = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    salt0 = group["salt"].to_numpy(zero_copy_only=False).astype(np.int32)
+    doc0 = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((doc0, salt0, tcodes0))
+    tcodes = tcodes0[order]
+    salt = salt0[order]
+    doc = doc0[order]
+    tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    dl = group["dl"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
     n = len(doc)
 
     # group boundaries on (term, salt)
-    if isinstance(term, pa.ChunkedArray):
-        term = term.combine_chunks()
-    tcodes = term.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
     key = (tcodes << np.int64(20)) | salt.astype(np.int64)
     is_start = np.empty(n, dtype=bool)
     is_start[0] = True
@@ -123,7 +132,8 @@ def encode_bucket(group: pa.Table, avgdl: float) -> pa.Table:
 
     return pa.table(
         {
-            "term": term.take(pa.array(starts)),
+            # one string gather per GROUP (1.6k), not per row (3.3M)
+            "term": dic.dictionary.take(pa.array(tcodes[starts])),
             "run": pa.array(salt[starts], pa.int32()),
             "df": pa.array(df),
             "cf": pa.array(cf),
