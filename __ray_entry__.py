@@ -266,6 +266,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tbl = _round_scores(tbl, "score", "score_r", SCORE_ROUND)
         return tbl.sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
 
+    def normalize_docs(sf_dir):
+        """M1 normalizer chain: NFC + lowercase + whitespace collapse + drop
+        empties, as pure pyarrow.compute kernels over Arrow batches."""
+        from engine.tokenize import normalize_batch
+
+        ds = _docs(sf_dir, ["doc_id", "text"])
+        return ds.map_batches(normalize_batch, batch_format="pyarrow").sort("doc_id")
+
     # ---- dedup ----------------------------------------------------------
     def dedup_exact(sf_dir):
         from engine.ops.dedup import exact_dedup
@@ -451,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_incremental": bm25_topk_incremental,
         "percolate_conjunctive": percolate_conjunctive,
+        "normalize_docs": normalize_docs,
         "dedup_exact": dedup_exact,
         "ngram_jaccard": ngram_jaccard,
         "dedup_minhash": dedup_minhash,
@@ -602,6 +611,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(conjunctive=False),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
+        "normalize_docs": """
+SELECT doc_id,
+       regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g') AS norm_text
+FROM documents
+WHERE text IS NOT NULL
+  AND regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g') <> ''
+""",
         "bm25_topk_filtered": _bm25_sql(conjunctive=False, doc_filter="scores.doc_id % 3 = 0"),
         # incremental half-build + ADD must equal the full-corpus build
         "bm25_topk_incremental": _bm25_sql(conjunctive=False),

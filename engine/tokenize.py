@@ -117,3 +117,25 @@ def tokenize_text(text: str) -> list[str]:
     import re
 
     return [t for t in re.split(TOKEN_SPLIT_REGEX, text.lower()) if t]
+
+
+def normalize_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """M1 normalizer/filter chain analog (DefaultStructureWriter.java:127-158:
+    drop disallowed rows, canonicalize the rest): NFC-normalize, lowercase,
+    collapse whitespace runs, trim, DROP null/empty rows. Pure pyarrow.compute
+    kernels; contract shared with the DuckDB oracle
+    (``regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g')``)."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.utf8_lower(pc.utf8_normalize(text, form="NFC")), r"\s+", " "
+        )
+    )
+    keep = pc.and_kleene(pc.is_valid(norm), pc.not_equal(norm, ""))
+    keep = pc.fill_null(keep, False)
+    out = pa.table({id_col: batch[id_col].cast(pa.int64()), "norm_text": norm})
+    return out.filter(keep)

@@ -214,3 +214,30 @@ def test_percolate_dataset_conjunctive(ray_session, tiny_index):
     queries = [{"query_id": "PAIR", "text": "zqmarker1 zqmarker2"}]
     out = percolate_dataset(docs, tiny_index, queries, mode="all", concurrency=2).to_pandas()
     assert list(out["doc_id"]) == [1]
+
+
+def test_query_service_replicas_and_timeout(ray_session, tiny_index):
+    """Replica-actor serving returns identical results to the local index;
+    an absurdly small deadline raises QueryTimeout (QueryTimeoutTest analog)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from engine.query import Bm25Index
+    from engine.serve import QueryService, QueryTimeout
+
+    svc = QueryService(tiny_index, n_replicas=2)
+    try:
+        svc.warm(["zqmarker0"])
+        bm = Bm25Index(tiny_index)
+        for text, k in [("zqmarker0", 5), ("w00000 zqmarker1", 10)]:
+            d1, s1 = svc.topk(text, k)
+            d2, s2 = bm.topk(text, k)
+            np.testing.assert_array_equal(d1, d2)
+            np.testing.assert_array_equal(s1, s2)
+        # round-robin hits the second replica too (same results)
+        d3, _ = svc.topk("zqmarker0", 5)
+        np.testing.assert_array_equal(d3, bm.topk("zqmarker0", 5)[0])
+        with _pytest.raises(QueryTimeout):
+            svc.topk("w00000", 10, timeout_s=1e-9)
+    finally:
+        svc.shutdown()
