@@ -335,29 +335,69 @@ class Bm25Index:
         if not terms:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         by_rarity = sorted(terms, key=lambda t: (self.reader.df(t), t))
-        candidates: np.ndarray | None = None
-        for t in by_rarity:
-            doc, _ = self.reader.postings(t)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if self.reader.df(by_rarity[0]) == 0:
+            return empty
+        # seed: the rarest posting IS the initial candidate set (full decode);
+        # every later term is probed at BLOCK granularity — only the one block
+        # per candidate whose docID range can contain it is decoded (the
+        # block-max-WAND skip applied to conjunctive intersection; candidates
+        # shrink rarest-first with early exit, DefaultTargetAssembler:79-112)
+        candidates, seed_tf = self.reader.postings(by_rarity[0])
+        partial: dict[str, tuple[np.ndarray, np.ndarray]] = {
+            by_rarity[0]: (candidates, seed_tf)
+        }
+        for t in by_rarity[1:]:
+            doc, tf = self._probe_blocks(t, candidates)
+            partial[t] = (doc, tf)
             if len(doc) == 0:
-                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-            candidates = doc if candidates is None else candidates[np.isin(candidates, doc, assume_unique=True)]
+                return empty
+            pos = np.minimum(np.searchsorted(doc, candidates), len(doc) - 1)
+            candidates = candidates[doc[pos] == candidates]
             if len(candidates) == 0:  # early exit: no doc can match
-                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        # exact scoring of survivors, ascending-term accumulation as in topk
+                return empty
+        # exact scoring of survivors from the partial decodes, ascending-term
+        # accumulation exactly as in topk (bit-identical to full-decode path)
+        dl = self.dl(candidates)
         acc = np.zeros(len(candidates), dtype=np.float64)
         for t in terms:
-            doc, tf = self.reader.postings(t)
-            df = len(doc)
+            doc, tf = partial[t]
+            df = self.reader.df(t)  # true df, not the partial-decode length
             idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
             sel = np.searchsorted(doc, candidates)
             tff = tf[sel].astype(np.float64)
-            dl = self.dl(candidates)
             acc += idf * tff * (BM25_K1 + 1.0) / (
                 tff + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)
             )
         key = np.round(acc, rank_round) if rank_round is not None else acc
         order = np.lexsort((candidates, -key))[:k]
         return candidates[order], acc[order]
+
+    def _probe_blocks(
+        self, term: str, candidates: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Partial posting covering every candidate that term could contain:
+        decodes ONLY the blocks whose docID range intersects ``candidates``
+        (or reuses the full decoded posting if it is already LRU-cached)."""
+        cached = self.reader._post_cache.get(term)
+        if cached is not None:
+            return cached
+        docs_l, tfs_l = [], []
+        for run in self.reader.run_blocks(term):
+            last = run["last_doc"]
+            if not len(last):
+                continue
+            bidx = np.searchsorted(last, candidates, side="left")
+            for b in np.unique(bidx[bidx < len(last)]):
+                d, t_ = self._block_docs_tfs(run, int(b))
+                docs_l.append(d)
+                tfs_l.append(t_)
+        if not docs_l:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        doc = np.concatenate(docs_l)
+        tf = np.concatenate(tfs_l)
+        order = np.argsort(doc, kind="stable")
+        return doc[order], tf[order]
 
     def topk_table(
         self,
