@@ -125,3 +125,46 @@ def test_pruned_paths_bit_identical_to_exhaustive(tiny_index):
         d2, s2 = bm._topk_exhaustive(q["text"], q["k"], None)
         assert np.array_equal(d1, d2), q["query_id"]
         assert np.array_equal(s1, s2), q["query_id"]
+
+
+def test_conjunctive_blockskip_matches_full_decode(tiny_index):
+    """Block-probed AND intersection must equal full-decode intersection
+    (docIDs and bit-exact scores), including the df-for-idf subtlety."""
+    import math
+
+    import numpy as np
+
+    from engine.query import Bm25Index
+    from engine.schema import BM25_B, BM25_K1
+    from engine.tokenize import tokenize_text
+
+    def brute(bm, text, k):
+        terms = sorted(set(tokenize_text(text)))
+        cands = None
+        for t in sorted(terms, key=lambda t: (bm.reader.df(t), t)):
+            doc, _ = bm.reader.postings(t)
+            if not len(doc):
+                return np.empty(0, np.int64), np.empty(0)
+            cands = doc if cands is None else cands[np.isin(cands, doc, assume_unique=True)]
+            if not len(cands):
+                return np.empty(0, np.int64), np.empty(0)
+        acc = np.zeros(len(cands))
+        for t in terms:
+            doc, tf = bm.reader.postings(t)
+            idf = math.log(1.0 + (bm.n_docs - len(doc) + 0.5) / (len(doc) + 0.5))
+            tff = tf[np.searchsorted(doc, cands)].astype(np.float64)
+            dl = bm.dl(cands)
+            acc += idf * tff * (BM25_K1 + 1.0) / (
+                tff + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / bm.avgdl)
+            )
+        order = np.lexsort((cands, -acc))[:k]
+        return cands[order], acc[order]
+
+    ref = Bm25Index(tiny_index)
+    for text in ["zqmarker1 zqmarker2", "w00000 zqmarker0", "w00001 w00002",
+                 "zqmarker0 qqqabsent", "w00000 w00001 w00002"]:
+        fresh = Bm25Index(tiny_index)  # cold: forces the block-probe path
+        d1, s1 = fresh.conjunctive_topk(text, 10)
+        d2, s2 = brute(ref, text, 10)
+        np.testing.assert_array_equal(d1, d2, err_msg=text)
+        np.testing.assert_array_equal(s1, s2, err_msg=text)
