@@ -663,8 +663,8 @@ WHERE text IS NOT NULL
             WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
             agg AS (
               SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_uniq,
-                     sum(CASE WHEN term IN ('the','a','of','to','and','in','is','it','for','on') THEN 1 ELSE 0 END) AS n_stop,
-                     sum(length(term)) AS sum_token_len
+                     sum(CASE WHEN term IN ('the','a','of','to','and','in','is','it','for','on') THEN 1 ELSE 0 END)::BIGINT AS n_stop,
+                     sum(length(term))::BIGINT AS sum_token_len
               FROM toks GROUP BY doc_id
             )
             SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, length(d.text) AS n_chars,
@@ -684,11 +684,11 @@ WHERE text IS NOT NULL
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_c4,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_c6,
-                   sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_discount_c,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_c,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_price_c,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS sum_disc_price_c4,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)) * (100 + CAST(round(l_tax * 100) AS BIGINT)))::BIGINT AS sum_charge_c6,
+                   sum(CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS sum_discount_c,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -696,7 +696,7 @@ WHERE text IS NOT NULL
         """,
         "revenue_by_nation": """
             SELECT n.n_name,
-                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS revenue_c4
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT AS revenue_c4
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -730,8 +730,8 @@ WHERE text IS NOT NULL
             ),
             s AS (
               SELECT user_id, event_id, ts,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                     (sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_id
               FROM m
             )
             SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
