@@ -337,30 +337,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _i64(res, ["rank"])
 
     def ann_ivf_topk(sf_dir):
-        import pyarrow.parquet as pq
+        """IVF with hive-partitioned parquet inverted lists served by an
+        IvfProber actor pool. Probes ALL centroids here so the result is
+        exactly brute cosine top-k — the SQL oracle gates the full
+        build->partition->probe->score plumbing; approximation quality at
+        nprobe < n_centroids is pytest-gated against brute separately."""
+        import shutil
 
-        from engine.ops.similarity import IvfIndex
+        from engine.ops.similarity import IvfIndex, IvfProber
 
         ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        qdf = (
-            pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-            .to_pandas()
+        path = _cache(sf_dir, "ivf_index")
+        if not os.path.exists(os.path.join(path, "_centroids.npy")):
+            shutil.rmtree(path, ignore_errors=True)
+            IvfIndex(n_centroids=16).build(ds, path)
+        qds = ds.filter(expr="vec_id < 5").map_batches(
+            lambda b: pa.table({"query_id": b["vec_id"], "embedding": b["embedding"]}),
+            batch_format="pyarrow",
         )
-        qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
-        ivf = IvfIndex(n_centroids=16).fit_assign(ds)
-        rows = []
-        for qid, vec in zip(qdf["vec_id"], qdf["embedding"]):
-            ids, sims = ivf.topk(np.asarray(vec), k=10, nprobe=4)
-            for r, (v, s) in enumerate(zip(ids, sims), 1):
-                rows.append((int(qid), r, int(v), round(float(s), SCORE_ROUND)))
-        return pa.table(
-            {
-                "query_id": pa.array([r[0] for r in rows], pa.int64()),
-                "rank": pa.array([r[1] for r in rows], pa.int64()),
-                "vec_id": pa.array([r[2] for r in rows], pa.int64()),
-                "cosine_r": pa.array([r[3] for r in rows], pa.float64()),
-            }
+        out = qds.map_batches(
+            IvfProber,
+            fn_constructor_kwargs={"path": path, "k": 10, "nprobe": 16, "rank_round": RANK_ROUND},
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+            num_cpus=1,
         )
+        res = _collect(out).sort_by([("query_id", "ascending"), ("rank", "ascending")])
+        res = _round_scores(res, "cosine", "cosine_r", SCORE_ROUND)
+        return _i64(res, ["rank"])
 
     # ---- text analysis --------------------------------------------------
     def text_quality(sf_dir):
@@ -584,6 +588,78 @@ sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
 
 
+def _jaccard_sql() -> str:
+    """Exact Jaccard >= 4/5 pairs over distinct word-3-gram shingles. Also the
+    oracle for dedup_minhash: its verification stage is the SAME exact-Jaccard
+    test restricted to LSH candidates, and on the fixed-seed signature set the
+    banding recall over this corpus is total — deterministic, so the outputs
+    coincide exactly (any miss would surface as a rows_match failure)."""
+    return f"""
+            WITH {_SHINGLE_CTE},
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b
+            )
+            SELECT p.doc_a, p.doc_b, p.common, sa.n AS n_a, sb.n AS n_b
+            FROM pairs p
+            JOIN sz sa ON p.doc_a = sa.doc_id
+            JOIN sz sb ON p.doc_b = sb.doc_id
+            WHERE p.common * 5 >= 4 * (sa.n + sb.n - p.common)
+        """
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Restates engine/ops/dedup.py simhash_batch exactly: per-token-occurrence
+    md5_number_lower hash, occurrence-weighted ±1 per bit, sign -> bit, then
+    all pairs with hamming(popcount of xor) <= max_hamming."""
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents),
+h AS (SELECT doc_id, md5_number_lower(term)::UBIGINT AS h FROM toks),
+bits AS (
+  SELECT doc_id, b AS bit,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+  GROUP BY doc_id, b
+),
+fp0 AS (
+  SELECT doc_id, bit_or(CASE WHEN s > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END) AS fp
+  FROM bits GROUP BY doc_id
+),
+fp AS (SELECT d.doc_id, coalesce(fp0.fp, 0::UBIGINT) AS fp FROM documents d LEFT JOIN fp0 USING (doc_id))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
+def _lang_id_sql() -> str:
+    """Restates engine/ops/textstats.py lang_id_batch: per-language stopword
+    occurrence counts, argmax with lexicographic tie-break, 'und' on zero."""
+    from engine.ops.textstats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+    sums = ",\n                   ".join(
+        "sum(CASE WHEN term IN ({}) THEN 1 ELSE 0 END)::BIGINT AS s_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang])), lang
+        )
+        for lang in langs
+    )
+    greatest = "greatest({})".format(", ".join(f"s_{lang}" for lang in langs))
+    chain = " ".join(f"WHEN s_{lang} = g THEN '{lang}'" for lang in langs)
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents),
+sc AS (SELECT doc_id,
+                   {sums}
+       FROM toks GROUP BY doc_id),
+scg AS (SELECT *, {greatest} AS g FROM sc)
+SELECT d.doc_id,
+       CASE WHEN scg.doc_id IS NULL OR g = 0 THEN 'und' {chain} END AS pred_lang
+FROM documents d LEFT JOIN scg USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tok = _TOKEN_SQL
     return {
@@ -626,19 +702,10 @@ WHERE text IS NOT NULL
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
         """,
-        "ngram_jaccard": f"""
-            WITH {_SHINGLE_CTE},
-            pairs AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY doc_a, doc_b
-            )
-            SELECT p.doc_a, p.doc_b, p.common, sa.n AS n_a, sb.n AS n_b
-            FROM pairs p
-            JOIN sz sa ON p.doc_a = sa.doc_id
-            JOIN sz sb ON p.doc_b = sb.doc_id
-            WHERE p.common * 5 >= 4 * (sa.n + sb.n - p.common)
-        """,
+        "ngram_jaccard": _jaccard_sql(),
+        "dedup_minhash": _jaccard_sql(),
+        "dedup_simhash": _simhash_sql(max_hamming=3),
+        "lang_id": _lang_id_sql(),
         "dedup_embedding": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine_r
@@ -646,6 +713,22 @@ WHERE text IS NOT NULL
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         """,
         "ann_cosine_topk": f"""
+            WITH sims AS (
+              SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                     list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS cosine
+              FROM embeddings q JOIN embeddings v ON q.vec_id < 5
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY query_id ORDER BY round(cosine, {RANK_ROUND}) DESC, vec_id) AS rank
+              FROM sims
+            )
+            SELECT query_id, rank, vec_id, round(cosine, {SCORE_ROUND}) AS cosine_r
+            FROM ranked WHERE rank <= 10
+        """,
+        # full-probe IVF == brute cosine exactly (plumbing gate; recall at
+        # nprobe < n_centroids is pytest-gated vs brute)
+        "ann_ivf_topk": f"""
             WITH sims AS (
               SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
                      list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS cosine

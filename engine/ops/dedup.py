@@ -21,6 +21,8 @@ boundary values.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -35,6 +37,25 @@ _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+def _md5_lower64(strs: pa.Array) -> np.ndarray:
+    """uint64 hash of each string, bit-identical to DuckDB's
+    ``md5_number_lower(s)``: the LAST 8 bytes of the md5 digest read
+    little-endian. Hashes the dictionary (unique strings) only — O(vocab)
+    Python — then gathers per occurrence, so the oracle SQL can restate any
+    hash-derived operator exactly."""
+    dic = strs.dictionary_encode()
+    uniq = np.array(
+        [
+            int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+            for t in dic.dictionary.to_pylist()
+        ],
+        dtype=np.uint64,
+    )
+    if len(uniq) == 0:
+        return np.array([], dtype=np.uint64)
+    return uniq[dic.indices.to_numpy(zero_copy_only=False)]
 
 
 # --------------------------------------------------------------------------
@@ -131,6 +152,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 8,
+    max_shingle_df: int | None = None,
 ):
     """EXACT all-pairs Jaccard >= threshold_num/threshold_den over distinct
     word k-gram shingle sets.
@@ -139,6 +161,14 @@ def ngram_jaccard_pairs(
     Count per (doc_a, doc_b) = intersection size -> integer threshold test
     with per-doc set sizes (broadcast). Returns
     (doc_a, doc_b, common, n_a, n_b) — all int64, doc_a < doc_b.
+
+    ``max_shingle_df``: skew guard for the self-join. A single stop-shingle
+    appearing in f docs emits f^2 join rows; with the cap, shingles with
+    df > max_shingle_df are dropped from BOTH join sides (per-doc set sizes
+    are left untouched), bounding join fan-out at num_shingles * cap^2.
+    Effect is one-sided: ``common`` can only shrink, so precision is intact
+    and only recall is reduced (a pair must now clear the threshold using
+    non-hot shingles alone). None = exact (the oracle-checked default).
     """
     import ray
     from ray.data.aggregate import Count
@@ -157,8 +187,23 @@ def ngram_jaccard_pairs(
         (sizes["doc_id"].to_numpy().astype(np.int64), sizes["n_shingles"].to_numpy().astype(np.int64))
     )
 
-    joined = shingles.join(
-        shingles,
+    join_input = shingles
+    if max_shingle_df is not None:
+        # Distributed df count; only the HOT hash values (tiny by definition
+        # of a skew cap) come to the driver for the broadcast filter.
+        sh_df = shingles.groupby("sh").aggregate(Count(alias_name="df"))
+        hot = sh_df.filter(expr=f"df > {int(max_shingle_df)}").select_columns(["sh"]).to_pandas()
+        hot_ref = ray.put(hot["sh"].to_numpy().astype(np.int64))
+
+        def drop_hot(batch: pa.Table) -> pa.Table:
+            hot_vals = ray.get(hot_ref)
+            mask = pc.invert(pc.is_in(batch["sh"], value_set=pa.array(hot_vals, pa.int64())))
+            return batch.filter(mask)
+
+        join_input = shingles.map_batches(drop_hot, batch_format="pyarrow").materialize()
+
+    joined = join_input.join(
+        join_input,
         join_type="inner",
         num_partitions=num_partitions,
         on=("sh",),
@@ -322,42 +367,90 @@ def minhash_lsh_pairs(
         m = a < b
         return pa.table({"doc_a": pa.array(a[m], pa.int64()), "doc_b": pa.array(b[m], pa.int64())})
 
-    cand = (
+    cand_ds = (
         joined.map_batches(ordered_pairs, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands_hit"))  # distinct pairs
-        .to_pandas()
+        .materialize()
     )
-    if cand.empty:
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series([], dtype=np.int64),
-                "doc_b": pd.Series([], dtype=np.int64),
-                "common": pd.Series([], dtype=np.int64),
-                "n_a": pd.Series([], dtype=np.int64),
-                "n_b": pd.Series([], dtype=np.int64),
-            }
-        )
 
-    # exact verification: shingle sets of candidate docs only (broadcast)
-    need = np.unique(np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()]))
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "common": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+        }
+    )
+    if cand_ds.count() == 0:
+        return empty
+
+    # Distributed exact verification. The only driver-resident artifact is the
+    # candidate PAIR list itself — O(LSH candidates), bounded by band
+    # selectivity, NOT by corpus size — broadcast once via ray.put. Shingle
+    # sets stay distributed: re-shingle only candidate docs (pc.is_in filter
+    # inside map_batches), self-join on shingle hash, Count per pair ==
+    # intersection size, then a vectorized merge against the broadcast
+    # candidate set + integer threshold. No per-pair Python loop anywhere.
+    cand_pairs = cand_ds.select_columns(["doc_a", "doc_b"]).to_pandas()
+    need = np.unique(np.concatenate([cand_pairs["doc_a"].to_numpy(), cand_pairs["doc_b"].to_numpy()]))
     need_ref = ray.put(need)
+    cand_ref = ray.put(cand_pairs)
 
     def shingles_of_needed(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch[id_col].cast(pa.int64()), value_set=pa.array(ray.get(need_ref)))
         return _shingle_hash_table(batch.filter(mask), k, id_col, text_col)
 
-    sh = ds.map_batches(shingles_of_needed, batch_format="pyarrow").to_pandas()
-    sets = {int(d): set(g["sh"]) for d, g in sh.groupby("doc_id", sort=False)}
-    rows = []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = sets.get(int(a), set()), sets.get(int(b), set())
-        inter = len(sa & sb)
-        union = len(sa) + len(sb) - inter
-        if inter * threshold_den >= threshold_num * union and union:
-            rows.append((int(a), int(b), inter, len(sa), len(sb)))
-    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "common", "n_a", "n_b"]).astype(np.int64)
-    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    sh_needed = ds.map_batches(shingles_of_needed, batch_format="pyarrow").materialize()
+    sizes = sh_needed.groupby("doc_id").aggregate(Count(alias_name="n_shingles")).to_pandas()
+    sizes = sizes.sort_values("doc_id")
+    size_ref = ray.put(
+        (
+            sizes["doc_id"].to_numpy().astype(np.int64),
+            sizes["n_shingles"].to_numpy().astype(np.int64),
+        )
+    )
+
+    sh_joined = sh_needed.join(
+        sh_needed,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("sh",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+    common = (
+        sh_joined.map_batches(ordered_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="common"))
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        cand_df = ray.get(cand_ref)
+        ids, sz = ray.get(size_ref)
+        df = batch.select(["doc_a", "doc_b", "common"]).to_pandas()
+        df = df.merge(cand_df, on=["doc_a", "doc_b"], how="inner")  # LSH candidates only
+        if df.empty:
+            return empty
+        da = df["doc_a"].to_numpy().astype(np.int64)
+        db = df["doc_b"].to_numpy().astype(np.int64)
+        cm = df["common"].to_numpy().astype(np.int64)
+        na = sz[np.searchsorted(ids, da)]
+        nb = sz[np.searchsorted(ids, db)]
+        union = na + nb - cm
+        keep = (cm * threshold_den >= threshold_num * union) & (union > 0)
+        return pa.table(
+            {
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "common": pa.array(cm[keep], pa.int64()),
+                "n_a": pa.array(na[keep], pa.int64()),
+                "n_b": pa.array(nb[keep], pa.int64()),
+            }
+        )
+
+    return common.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
 
 
 # --------------------------------------------------------------------------
@@ -365,15 +458,16 @@ def minhash_lsh_pairs(
 # --------------------------------------------------------------------------
 
 def simhash_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """64-bit SimHash over occurrence-weighted token hashes, vectorized."""
-    import polars as pl
+    """64-bit SimHash over occurrence-weighted token hashes, vectorized.
 
+    Token hash is md5-lower64 (== DuckDB ``md5_number_lower``) so the whole
+    operator is restated exactly by the ``dedup_simhash`` oracle SQL."""
     flat, parent, _ = _explode_tokens(batch[text_col])
     ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
     n = batch.num_rows
     fp = np.zeros(n, dtype=np.uint64)
     if len(flat):
-        h = pl.from_arrow(pa.table({"t": flat}))["t"].hash(seed=11).to_numpy().astype(np.uint64)
+        h = _md5_lower64(flat)
         acc = np.zeros((n, 64), dtype=np.int64)
         bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
         np.add.at(acc, parent, bits * 2 - 1)
@@ -465,33 +559,51 @@ def simhash_pairs(
 # --------------------------------------------------------------------------
 
 def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Pairs with cosine similarity >= threshold (float64 math).
+    """EXACT pairs with cosine similarity >= threshold (float64 math).
 
-    Scale path: each batch computes sims against the BROADCAST full matrix
-    (ray.put once) — O(n*b) per batch, no shuffle; at larger n switch to the
-    IVF partitioner in ``similarity.py``. Emits doc_a < doc_b once.
-    """
+    Block-pair design: the normalized vector table is materialized ONCE into
+    the object store and the driver keeps only the per-block ObjectRefs. Each
+    map_batches task then streams over those block refs one at a time
+    (``ray.get`` per block, released before the next), computing a
+    (batch × block) sim tile — so peak task memory is one batch + one block,
+    never the whole matrix, and nothing corpus-sized ever lives on the
+    driver. Every unordered pair is emitted exactly once via the ``a < b``
+    tile mask (a pair lands in exactly one (batch, block) orientation).
+    Compute is the unavoidable exact O(n^2) matmul, fully distributed; for an
+    approximate sub-quadratic variant bucket by ``IvfIndex`` assignment and
+    self-join clusters instead."""
     import ray
 
-    full = ds.to_pandas()
-    ids = full[id_col].to_numpy().astype(np.int64)
-    mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, mat))
+    def normalize_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()), "nvec": pa.array(list(mat))})
+
+    norm = ds.map_batches(normalize_batch, batch_format="pyarrow").materialize()
+    block_refs = ray.put(norm.to_arrow_refs())  # list of refs — O(blocks) driver state
 
     def batch_pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        bids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        bmat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
-        bmat /= np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True), 1e-12)
-        sims = bmat @ all_mat.T
-        bi, aj = np.nonzero((sims >= threshold) & (bids[:, None] < all_ids[None, :]))
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        bmat = np.stack(batch["nvec"].to_numpy(zero_copy_only=False))
+        out_a, out_b, out_c = [], [], []
+        for ref in ray.get(block_refs):
+            blk = ray.get(ref)  # one block resident at a time
+            oids = blk["vec_id"].to_numpy(zero_copy_only=False)
+            omat = np.stack(blk["nvec"].to_numpy(zero_copy_only=False))
+            sims = bmat @ omat.T
+            bi, oj = np.nonzero((sims >= threshold) & (bids[:, None] < oids[None, :]))
+            if len(bi):
+                out_a.append(bids[bi])
+                out_b.append(oids[oj])
+                out_c.append(sims[bi, oj])
+        cat = lambda xs, dt: np.concatenate(xs) if xs else np.array([], dtype=dt)  # noqa: E731
         return pa.table(
             {
-                "doc_a": pa.array(bids[bi], pa.int64()),
-                "doc_b": pa.array(all_ids[aj], pa.int64()),
-                "cosine": pa.array(sims[bi, aj], pa.float64()),
+                "doc_a": pa.array(cat(out_a, np.int64), pa.int64()),
+                "doc_b": pa.array(cat(out_b, np.int64), pa.int64()),
+                "cosine": pa.array(cat(out_c, np.float64), pa.float64()),
             }
         )
 
-    return ds.map_batches(batch_pairs, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+    return norm.map_batches(batch_pairs, batch_format="pyarrow").sort(["doc_a", "doc_b"])

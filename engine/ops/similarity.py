@@ -3,15 +3,29 @@
 - ``brute_topk``: exact cosine top-k — per-batch numpy matmul against a
   BROADCAST query matrix (ray.put once, read per task), per-batch partial
   top-k, tiny final merge on the driver. No shuffle of the vector table.
-- ``IvfIndex`` / ``ivf_topk``: the scale path — seeded k-means centroids
-  (sampled fit), cluster assignment as a stateful actor-pool stage, queries
-  probe ``nprobe`` nearest centroids; recall measured against brute force in
-  tests.
+- ``IvfIndex``: the scale path — seeded spherical k-means centroids fit on a
+  deterministic sample (only the sample + the k×d centroid matrix ever live
+  on the driver), assignment as a vectorized ``map_batches`` stage, and the
+  inverted lists written as HIVE-PARTITIONED parquet (``centroid=<c>/``),
+  one directory per list: resumable output, and a probe reads ONLY its
+  partitions' files. Nothing corpus-sized is ever materialized driver-side.
+- ``IvfProber``: actor-pool serving stage — each actor loads the centroid
+  matrix once in ``__init__`` and LRU-caches just the partitions its queries
+  probe (the strucmotif replica-reads-only-touched-buckets pattern,
+  strucmotif-search-core InvertedIndex bucket read path).
+- ``ivf_topk_scan``: single-pass streaming variant when no index directory is
+  wanted: assign + probe-mask + per-batch partial top-k in ONE map_batches
+  over the vector table, then the same tiny driver merge as ``brute_topk``.
 
-Determinism: ties broken (-score, vec_id); float64 throughout.
+Determinism: ties broken (-score, vec_id) with optional rank-rounding so
+rankings are reproducible cross-engine; float64 throughout. With
+``nprobe == n_centroids`` results are exactly ``brute_topk``'s (the oracle
+gate); recall at nprobe < n_centroids is pytest-gated against brute.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -23,6 +37,37 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 def _stack(col) -> np.ndarray:
     return np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def _merge_partials(parts: list[pa.Table], query_ids: np.ndarray, k: int,
+                    rank_round: int | None) -> pa.Table:
+    """Tiny driver-side merge of per-batch partial top-k tables
+    (qi, vec_id, cosine) -> final (query_id, rank, vec_id, cosine)."""
+    qid_arr = np.asarray(query_ids)
+    out_q, out_r, out_v, out_c = [], [], [], []
+    parts = [p for p in parts if p.num_rows]
+    if parts:
+        allp = pa.concat_tables(parts)
+        qi = allp["qi"].to_numpy(zero_copy_only=False)
+        vid = allp["vec_id"].to_numpy(zero_copy_only=False)
+        cos = allp["cosine"].to_numpy(zero_copy_only=False)
+        for i in range(len(qid_arr)):
+            m = qi == i
+            v, c = vid[m], cos[m]
+            key = np.round(c, rank_round) if rank_round is not None else c
+            order = np.lexsort((v, -key))[:k]
+            out_q.append(np.full(len(order), qid_arr[i]))
+            out_r.append(np.arange(1, len(order) + 1, dtype=np.int32))
+            out_v.append(v[order])
+            out_c.append(c[order])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q) if out_q else np.array([], dtype=np.int64), pa.int64()),
+            "rank": pa.array(np.concatenate(out_r) if out_r else np.array([], dtype=np.int32), pa.int32()),
+            "vec_id": pa.array(np.concatenate(out_v) if out_v else np.array([], dtype=np.int64), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c) if out_c else np.array([], dtype=np.float64), pa.float64()),
+        }
+    )
 
 
 def brute_topk(
@@ -64,72 +109,63 @@ def brute_topk(
             }
         )
 
-    import ray as _ray
-
     parts = [
-        _ray.get(r)
+        ray.get(r)
         for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
     ]
-    parts = [p for p in parts if p.num_rows]
-    qid_arr = np.asarray(query_ids)
-    out_q, out_r, out_v, out_c = [], [], [], []
-    if parts:
-        allp = pa.concat_tables(parts)
-        qi = allp["qi"].to_numpy(zero_copy_only=False)
-        vid = allp["vec_id"].to_numpy(zero_copy_only=False)
-        cos = allp["cosine"].to_numpy(zero_copy_only=False)
-        for i in range(len(qid_arr)):
-            m = qi == i
-            v, c = vid[m], cos[m]
-            key = np.round(c, rank_round) if rank_round is not None else c
-            order = np.lexsort((v, -key))[:k]
-            out_q.append(np.full(len(order), qid_arr[i]))
-            out_r.append(np.arange(1, len(order) + 1, dtype=np.int32))
-            out_v.append(v[order])
-            out_c.append(c[order])
-    return pa.table(
-        {
-            "query_id": pa.array(np.concatenate(out_q) if out_q else np.array([], dtype=np.int64), pa.int64()),
-            "rank": pa.array(np.concatenate(out_r) if out_r else np.array([], dtype=np.int32), pa.int32()),
-            "vec_id": pa.array(np.concatenate(out_v) if out_v else np.array([], dtype=np.int64), pa.int64()),
-            "cosine": pa.array(np.concatenate(out_c) if out_c else np.array([], dtype=np.float64), pa.float64()),
-        }
-    )
+    return _merge_partials(parts, query_ids, k, rank_round)
+
+
+def _kmeans_fit(sample_mat: np.ndarray, n_centroids: int, n_iter: int, seed: int) -> np.ndarray:
+    """Seeded spherical k-means on a sample matrix (already normalized)."""
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(sample_mat))
+    cent = sample_mat[rng.choice(len(sample_mat), size=k, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(sample_mat @ cent.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = sample_mat[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
 
 
 class IvfIndex:
-    """IVF over cosine: seeded spherical k-means on a sample, then inverted
-    lists per centroid. Query probes the ``nprobe`` nearest centroids.
+    """IVF over cosine with hive-partitioned parquet inverted lists.
 
-    Fit is driver-side on a deterministic sample; assignment is a vectorized
-    ``map_batches`` stage; the lists live in one arrow-backed structure
-    (broadcastable via ray.put for a query actor pool)."""
+    ``fit`` -> ``build(ds, path)`` writes ``path/centroid=<c>/*.parquet`` via
+    a streaming assign stage + ``write_parquet(partition_cols=...)`` — the
+    corpus never passes through the driver. The query side (``topk``) reads
+    ONLY the probed partitions (partition-pruned pyarrow dataset scan) and
+    LRU-caches decoded lists, so a long-lived prober actor holds just the
+    lists its query stream touches."""
 
-    def __init__(self, n_centroids: int = 16, n_iter: int = 10, seed: int = 42):
+    def __init__(self, n_centroids: int = 16, n_iter: int = 10, seed: int = 42,
+                 cache_lists: int = 64):
         self.n_centroids = n_centroids
         self.n_iter = n_iter
         self.seed = seed
+        self.cache_lists = cache_lists
         self.centroids: np.ndarray | None = None
-        self.list_ids: list[np.ndarray] = []
-        self.list_vecs: list[np.ndarray] = []
+        self.path: str | None = None
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-    def fit_assign(self, ds, id_col: str = "vec_id", vec_col: str = "embedding", sample_n: int = 10000):
+    # -- build side -------------------------------------------------------
+    def fit(self, ds, id_col: str = "vec_id", vec_col: str = "embedding",
+            sample_n: int = 10000):
+        sample = ds.limit(sample_n).to_pandas()  # driver holds the SAMPLE only
+        smat = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+        self.centroids = _kmeans_fit(smat, self.n_centroids, self.n_iter, self.seed)
+        return self
+
+    def build(self, ds, path: str, id_col: str = "vec_id", vec_col: str = "embedding",
+              sample_n: int = 10000):
         import ray
 
-        sample = ds.limit(sample_n).to_pandas()
-        smat = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
-        rng = np.random.default_rng(self.seed)
-        k = min(self.n_centroids, len(smat))
-        cent = smat[rng.choice(len(smat), size=k, replace=False)]
-        for _ in range(self.n_iter):
-            assign = np.argmax(smat @ cent.T, axis=1)
-            for c in range(k):
-                m = assign == c
-                if m.any():
-                    v = smat[m].mean(axis=0)
-                    cent[c] = v / max(np.linalg.norm(v), 1e-12)
-        self.centroids = cent
-        cref = ray.put(cent)
+        if self.centroids is None:
+            self.fit(ds, id_col, vec_col, sample_n)
+        cref = ray.put(self.centroids)
 
         def assign_batch(batch: pa.Table) -> pa.Table:
             cm = ray.get(cref)
@@ -140,31 +176,151 @@ class IvfIndex:
                 {
                     "vec_id": pa.array(ids, pa.int64()),
                     "centroid": pa.array(a),
-                    vec_col: batch[vec_col],
+                    "embedding": batch[vec_col],
                 }
             )
 
-        assigned = ds.map_batches(assign_batch, batch_format="pyarrow").to_pandas()
-        self.list_ids = []
-        self.list_vecs = []
-        for c in range(k):
-            sub = assigned[assigned["centroid"] == c]
-            self.list_ids.append(sub["vec_id"].to_numpy().astype(np.int64))
-            self.list_vecs.append(
-                _normalize(np.stack(sub[vec_col].to_numpy()).astype(np.float64))
-                if len(sub)
-                else np.zeros((0, cent.shape[1]))
-            )
+        os.makedirs(path, exist_ok=True)
+        ds.map_batches(assign_batch, batch_format="pyarrow").write_parquet(
+            path, partition_cols=["centroid"]
+        )
+        # "_"-prefixed so pyarrow dataset discovery ignores it in the hive tree
+        np.save(os.path.join(path, "_centroids.npy"), self.centroids)
+        self.path = path
         return self
 
-    def topk(self, query_vec: np.ndarray, k: int = 10, nprobe: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    @classmethod
+    def load(cls, path: str, **kw):
+        obj = cls(**kw)
+        obj.centroids = np.load(os.path.join(path, "_centroids.npy"))
+        obj.path = path
+        return obj
+
+    # -- query side -------------------------------------------------------
+    def _lists(self, c: int) -> tuple[np.ndarray, np.ndarray]:
+        if c not in self._cache:
+            import pyarrow.dataset as pads
+
+            dset = pads.dataset(self.path, partitioning="hive", format="parquet")
+            tbl = dset.to_table(columns=["vec_id", "embedding"],
+                                filter=pads.field("centroid") == int(c))
+            if tbl.num_rows:
+                ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                mat = _normalize(_stack(tbl["embedding"]))
+            else:
+                ids = np.array([], dtype=np.int64)
+                mat = np.zeros((0, self.centroids.shape[1]))
+            while len(self._cache) >= self.cache_lists:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[c] = (ids, mat)
+        return self._cache[c]
+
+    def topk(self, query_vec: np.ndarray, k: int = 10, nprobe: int = 4,
+             rank_round: int | None = None) -> tuple[np.ndarray, np.ndarray]:
         q = np.asarray(query_vec, dtype=np.float64)
         q = q / max(np.linalg.norm(q), 1e-12)
         probes = np.argsort(-(self.centroids @ q))[:nprobe]
-        ids = np.concatenate([self.list_ids[c] for c in probes]) if len(probes) else np.array([], dtype=np.int64)
-        if len(ids) == 0:
-            return ids, np.array([], dtype=np.float64)
-        vecs = np.vstack([self.list_vecs[c] for c in probes])
+        pairs = [self._lists(int(c)) for c in probes]
+        pairs = [p for p in pairs if len(p[0])]
+        if not pairs:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        ids = np.concatenate([p[0] for p in pairs])
+        vecs = np.vstack([p[1] for p in pairs])
         sims = vecs @ q
-        order = np.lexsort((ids, -sims))[:k]
+        key = np.round(sims, rank_round) if rank_round is not None else sims
+        order = np.lexsort((ids, -key))[:k]
         return ids[order], sims[order]
+
+
+class IvfProber:
+    """Actor-pool serving stage: batches of (query_id, embedding) -> top-k
+    result rows. The index handle (centroids + list LRU) is constructed ONCE
+    per actor in ``__init__``; each ``__call__`` probes per query row."""
+
+    def __init__(self, path: str, k: int = 10, nprobe: int = 4,
+                 rank_round: int | None = None, cache_lists: int = 64):
+        self.idx = IvfIndex.load(path, cache_lists=cache_lists)
+        self.k = k
+        self.nprobe = nprobe
+        self.rank_round = rank_round
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        qmat = _stack(batch["embedding"])
+        out_q, out_r, out_v, out_c = [], [], [], []
+        for qid, vec in zip(qids, qmat):
+            ids, sims = self.idx.topk(vec, k=self.k, nprobe=self.nprobe,
+                                      rank_round=self.rank_round)
+            out_q.append(np.full(len(ids), qid, dtype=np.int64))
+            out_r.append(np.arange(1, len(ids) + 1, dtype=np.int32))
+            out_v.append(ids)
+            out_c.append(sims)
+        cat = lambda xs, dt: np.concatenate(xs) if xs else np.array([], dtype=dt)  # noqa: E731
+        return pa.table(
+            {
+                "query_id": pa.array(cat(out_q, np.int64), pa.int64()),
+                "rank": pa.array(cat(out_r, np.int32), pa.int32()),
+                "vec_id": pa.array(cat(out_v, np.int64), pa.int64()),
+                "cosine": pa.array(cat(out_c, np.float64), pa.float64()),
+            }
+        )
+
+
+def ivf_topk_scan(
+    ds,
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 10,
+    seed: int = 42,
+    sample_n: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rank_round: int | None = None,
+) -> pa.Table:
+    """One-pass streaming IVF: no index directory. Fit centroids on a sample,
+    broadcast (centroids, queries, per-query probe sets), then a single
+    map_batches over the vector table assigns rows to centroids and scores
+    each query ONLY against rows in its probed clusters; per-batch partial
+    top-k, tiny driver merge."""
+    import ray
+
+    idx = IvfIndex(n_centroids=n_centroids, n_iter=n_iter, seed=seed).fit(
+        ds, id_col, vec_col, sample_n
+    )
+    cent = idx.centroids
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    probe_mask = np.zeros((len(q), len(cent)), dtype=bool)  # (nq, k_cent)
+    order = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]
+    probe_mask[np.repeat(np.arange(len(q)), order.shape[1]), order.ravel()] = True
+    ref = ray.put((cent, q, probe_mask))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cm, qm, pm = ray.get(ref)
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mat = _normalize(_stack(batch[vec_col]))
+        assign = np.argmax(mat @ cm.T, axis=1)
+        sims = qm @ mat.T  # (nq, nb)
+        allowed = pm[:, assign]  # (nq, nb): row in a probed cluster of query
+        sims = np.where(allowed, sims, -np.inf)
+        nb = sims.shape[1]
+        kk = min(k + 64, nb)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qm)), kk)
+        cols = part.ravel()
+        keep = allowed[rows, cols]
+        return pa.table(
+            {
+                "qi": pa.array(rows[keep].astype(np.int32)),
+                "vec_id": pa.array(ids[cols[keep]], pa.int64()),
+                "cosine": pa.array(sims[rows[keep], cols[keep]], pa.float64()),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    return _merge_partials(parts, query_ids, k, rank_round)

@@ -48,7 +48,7 @@ def test_jaccard_and_minhash_agree(crafted_docs):
     from engine.ops.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     exact = ngram_jaccard_pairs(crafted_docs, threshold_num=4, threshold_den=5).to_pandas()
-    mh = minhash_lsh_pairs(crafted_docs, threshold_num=4, threshold_den=5)
+    mh = minhash_lsh_pairs(crafted_docs, threshold_num=4, threshold_den=5).to_pandas()
     # MinHash verifies candidates with exact Jaccard -> subset of exact pairs;
     # on identical docs recall is guaranteed (identical signatures)
     exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
@@ -83,11 +83,13 @@ def test_embedding_dup_pairs(ray_session):
     assert list(zip(out["doc_a"], out["doc_b"])) == [(0, 1)]
 
 
-def test_brute_vs_ivf_topk_consistency(ray_session):
-    """IVF with nprobe == n_centroids probes everything -> identical to brute."""
+def test_brute_vs_ivf_topk_consistency(ray_session, tmp_path):
+    """IVF with nprobe == n_centroids probes everything -> identical to brute,
+    through BOTH query paths (partitioned-parquet index and streaming scan);
+    partial probing (nprobe=2) stays a subset with exact scores."""
     import ray.data
 
-    from engine.ops.similarity import IvfIndex, brute_topk
+    from engine.ops.similarity import IvfIndex, brute_topk, ivf_topk_scan
 
     rng = np.random.default_rng(7)
     mat = rng.normal(size=(200, 16))
@@ -97,13 +99,25 @@ def test_brute_vs_ivf_topk_consistency(ray_session):
     queries = rng.normal(size=(3, 16))
     brute = brute_topk(ds, queries, np.arange(3), k=5).to_pandas()
 
-    ivf = IvfIndex(n_centroids=4, n_iter=5, seed=42)
-    ivf.fit_assign(ds)
+    ivf = IvfIndex(n_centroids=4, n_iter=5, seed=42).build(ds, str(tmp_path / "ivf"))
     for qi in range(3):
         ids, sims = ivf.topk(queries[qi], k=5, nprobe=4)
         b = brute[brute["query_id"] == qi].sort_values("rank")
         assert list(ids) == list(b["vec_id"])
         np.testing.assert_allclose(sims, b["cosine"].to_numpy(), rtol=1e-9)
+        # partial probe: exact scores for whatever it returns
+        pids, psims = ivf.topk(queries[qi], k=5, nprobe=2)
+        got = {int(v): s for v, s in zip(pids, psims)}
+        brute_all = brute_topk(ds, queries[qi : qi + 1], np.array([qi]), k=200).to_pandas()
+        exact = dict(zip(brute_all["vec_id"], brute_all["cosine"]))
+        for v, s in got.items():
+            np.testing.assert_allclose(s, exact[v], rtol=1e-9)
+
+    scan = ivf_topk_scan(ds, queries, np.arange(3), k=5, n_centroids=4, nprobe=4,
+                         n_iter=5, seed=42).to_pandas()
+    pd_brute = brute[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+    pd_scan = scan[["query_id", "rank", "vec_id"]].reset_index(drop=True)
+    assert pd_brute.equals(pd_scan)
 
 
 def test_textstats_batches():
