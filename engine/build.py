@@ -159,7 +159,7 @@ def build_index(
         state.recover(index_dir)
     else:
         for name in os.listdir(index_dir):
-            if name.startswith("segment-") or name in ("stats.json",):
+            if name.startswith("segment-") or name in ("stats.json", "routing.json"):
                 os.remove(os.path.join(index_dir, name))
 
     if isinstance(source, str):
@@ -216,8 +216,40 @@ def build_index(
     n_docs, avgdl = int(dm_info["n_docs"]), float(dm_info["avgdl"])
     t_docmap = time.perf_counter()
 
-    # --- hot-term detection (deterministic sample) --------------------------
-    hot_terms = detect_hot_terms(ds, id_col, text_col, min(sample_docs, n_docs), hot_fraction)
+    # --- routing contract (pre-shuffle checkpoint) ---------------------------
+    # The routing of a term to a part is a function of (n_buckets, n_salts,
+    # hot_terms). Parts committed by a crashed run and parts encoded by the
+    # resumed run MUST route identically, or a term's postings are split /
+    # duplicated across parts in ways the reader merges silently wrong. So the
+    # full contract is persisted BEFORE any segment is written (the docmap
+    # _SUCCESS pattern); a resume loads the committed contract — reusing its
+    # hot set rather than re-sampling — and refuses to proceed if the caller's
+    # args disagree with what the crashed run committed to.
+    routing_path = os.path.join(index_dir, "routing.json")
+    caller_args = {
+        "n_buckets": n_buckets,
+        "n_salts": n_salts,
+        "hot_fraction": hot_fraction,
+        "sample_docs": sample_docs,
+    }
+    if resume and os.path.exists(routing_path):
+        with open(routing_path) as f:
+            contract = json.load(f)
+        committed_args = {k: contract[k] for k in caller_args}
+        if committed_args != caller_args:
+            raise ValueError(
+                f"refusing to resume {index_dir}: committed routing contract "
+                f"{committed_args} != caller args {caller_args}; pass "
+                "resume=False to rebuild from scratch"
+            )
+        hot_terms = list(contract["hot_terms"])
+    else:
+        hot_terms = detect_hot_terms(
+            ds, id_col, text_col, min(sample_docs, n_docs), hot_fraction
+        )
+        state.atomic_write_bytes(
+            json.dumps({**caller_args, "hot_terms": hot_terms}).encode(), routing_path
+        )
     hot_ref = ray.put(hot_terms)
     t_hot = time.perf_counter()
 

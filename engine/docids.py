@@ -31,7 +31,11 @@ import ray.data
 
 
 def conv_base_offsets(ds: "ray.data.Dataset") -> tuple[np.ndarray, np.ndarray]:
-    """Pass 1+2: sorted conv_id array + int64 base offset per conv."""
+    """Pass 1+2: sorted conv_id array + int64 base offset per conv.
+
+    ``base`` has one extra trailing element = total row count, so
+    ``base[i+1] - base[i]`` is conversation i's turn count (used by
+    ``add_doc_ids`` to validate the dense-turn_idx assumption)."""
     import pyarrow.compute as pc
 
     # partial count per batch; the final combine happens ON THE DRIVER —
@@ -54,8 +58,8 @@ def conv_base_offsets(ds: "ray.data.Dataset") -> tuple[np.ndarray, np.ndarray]:
     order = pc.sort_indices(tbl["conv_id"].combine_chunks())
     convs = tbl["conv_id"].combine_chunks().take(order).to_numpy(zero_copy_only=False)
     n = tbl["n_sum"].combine_chunks().take(order).to_numpy(zero_copy_only=False).astype(np.int64)
-    base = np.zeros(len(n), dtype=np.int64)
-    np.cumsum(n[:-1], out=base[1:])
+    base = np.zeros(len(n) + 1, dtype=np.int64)
+    np.cumsum(n, out=base[1:])
     return convs.astype(str), base
 
 
@@ -69,7 +73,23 @@ def add_doc_ids(ds: "ray.data.Dataset", convs: np.ndarray, base: np.ndarray) -> 
         pos = np.searchsorted(convs_b, cid)
         if (pos >= len(convs_b)).any() or (convs_b[pos] != cid).any():
             raise ValueError("conv_id not present in offset table")
-        doc_id = base_b[pos] + batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # the assignment is only collision-free when turn_idx is exactly
+        # 0..count-1 per conversation — validate instead of silently
+        # corrupting the index: range check catches gaps (a deleted turn
+        # maps past the conversation's reserved block), the per-batch
+        # doc_id-uniqueness check catches duplicated turn_idx values
+        counts = base_b[pos + 1] - base_b[pos]
+        bad = (turn < 0) | (turn >= counts)
+        if bad.any():
+            j = int(np.flatnonzero(bad)[0])
+            raise ValueError(
+                f"turn_idx {turn[j]} out of range [0, {counts[j]}) for conv "
+                f"{cid[j]!r}: turn_idx must be dense 0..count-1 per conversation"
+            )
+        doc_id = base_b[pos] + turn
+        if len(np.unique(doc_id)) != len(doc_id):
+            raise ValueError("duplicate (conv_id, turn_idx) rows in batch")
         return batch.append_column("doc_id", pa.array(doc_id, pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")

@@ -70,10 +70,18 @@ class Percolator:
         dl = float(sum(tf.values()))
         out = []
         for q in self.queries:
-            present = [t for t in q["terms"] if t in tf]
+            # index-absent terms (df == 0) never contribute: Bm25Index.topk
+            # cannot return a doc for them (idf == 0, no posting), so they
+            # must not count as "present" here either — otherwise 'any' mode
+            # would emit matches topk would never produce (score delta 0.0
+            # but a contract divergence).
+            live = [t for t in q["terms"] if q["df"][t] > 0]
+            present = [t for t in live if t in tf]
             if not present:
                 continue
             if self.mode == "all" and len(present) < len(q["terms"]):
+                # conjunctive: every term must be present AND indexed — topk
+                # conjunctive returns nothing for a query with an absent term
                 continue
             score = 0.0
             for t in q["terms"]:  # ascending term order: oracle-identical sum

@@ -137,8 +137,11 @@ def add_documents(
         id_col = id_col or "doc_id"
         known = _read_docmap(index_dir, columns=["doc_id"])
         known_ids = pa.array(known["doc_id"].to_pylist(), pa.int64())
-        new_tbl = pa.concat_tables(
-            [t for t in ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs()) if t.num_rows]
+        blocks = [t for t in ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs()) if t.num_rows]
+        new_tbl = (
+            pa.concat_tables(blocks)
+            if blocks
+            else pa.table({id_col: pa.array([], pa.int64()), text_col: pa.array([], pa.string())})
         )
         new_tbl = new_tbl.filter(
             pc.invert(pc.is_in(new_tbl[id_col].cast(pa.int64()), value_set=known_ids))

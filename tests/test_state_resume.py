@@ -140,3 +140,52 @@ def test_lineage_manifest_contents(tiny_index):
     stats = state.read_stats(tiny_index)
     assert stats["n_postings"] == sum(i["n_postings"] for i in parts.values())
     assert stats["n_term_runs"] == sum(i["n_terms"] for i in parts.values())
+
+
+def test_resume_refuses_mismatched_routing_contract(ray_session, tiny_corpus, tmp_path):
+    """A resumed build whose bucket/salt args differ from the crashed run's
+    committed routing contract must fail loudly, never mix routings."""
+    from engine.build import build_index
+
+    idx = str(tmp_path / "idx_contract")
+    build_index(tiny_corpus, idx, n_buckets=4, n_salts=2)
+    with pytest.raises(ValueError, match="routing contract"):
+        build_index(tiny_corpus, idx, n_buckets=8, n_salts=2, resume=True)
+    # same args resume fine (no-op) and reuse the persisted hot set
+    rep = build_index(tiny_corpus, idx, n_buckets=4, n_salts=2, resume=True)
+    assert rep["parts_written_this_run"] == 0
+
+
+def test_docid_assignment_validates_turn_gaps(ray_session):
+    """Gapped or duplicated turn_idx must fail the build, not silently
+    collide docIDs across conversations."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.docids import add_doc_ids, conv_base_offsets
+
+    gapped = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array(["a", "a", "b"], pa.string()),
+                "turn_idx": pa.array([0, 5, 0], pa.int32()),  # a has a gap
+                "text": pa.array(["x", "y", "z"]),
+            }
+        )
+    )
+    convs, base = conv_base_offsets(gapped)
+    with pytest.raises(Exception, match="turn_idx|out of range"):
+        add_doc_ids(gapped, convs, base).materialize()
+
+    dup = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array(["a", "a"], pa.string()),
+                "turn_idx": pa.array([0, 0], pa.int32()),
+                "text": pa.array(["x", "y"]),
+            }
+        )
+    )
+    convs, base = conv_base_offsets(dup)
+    with pytest.raises(Exception, match="duplicate"):
+        add_doc_ids(dup, convs, base).materialize()

@@ -197,21 +197,27 @@ def test_percolate_dataset_conjunctive(ray_session, tiny_index):
 
     from engine.percolate import percolate_dataset
 
+    # conjunctive matching requires INDEXED terms (df > 0): absent terms make
+    # the query unsatisfiable, exactly like Bm25Index.topk conjunctive
+    from engine.query import Bm25Index
+
+    vocab = Bm25Index(tiny_index).reader.vocab_df()["term"].to_pylist()
+    t1, t2 = vocab[0], vocab[1]
     docs = ray.data.from_arrow(
         pa.table(
             {
                 "doc_id": pa.array([1, 2, 3], pa.int64()),
                 "text": pa.array(
                     [
-                        "zqmarker1 zqmarker2 both present",
-                        "zqmarker1 only one",
-                        "nothing relevant here",
+                        f"{t1} {t2} both present",
+                        f"{t1} only one",
+                        "zqunrelated zqtokens zqhere",
                     ]
                 ),
             }
         )
     )
-    queries = [{"query_id": "PAIR", "text": "zqmarker1 zqmarker2"}]
+    queries = [{"query_id": "PAIR", "text": f"{t1} {t2}"}]
     out = percolate_dataset(docs, tiny_index, queries, mode="all", concurrency=2).to_pandas()
     assert list(out["doc_id"]) == [1]
 
@@ -241,3 +247,30 @@ def test_query_service_replicas_and_timeout(ray_session, tiny_index):
             svc.topk("w00000", 10, timeout_s=1e-9)
     finally:
         svc.shutdown()
+
+
+def test_percolate_absent_terms_never_match(ray_session, tiny_index):
+    """Index-absent (df == 0) terms must not count as 'present': topk never
+    returns a doc for them, so percolate must not either — in 'any' mode an
+    all-absent query matches nothing even when the DOC contains the term; in
+    'all' mode one absent term makes the conjunctive query unsatisfiable."""
+    from engine.percolate import Percolator
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(tiny_index)
+    # a term guaranteed present in the index
+    live_term = bm.reader.vocab_df()["term"][0].as_py()
+    absent = "zzzneverindexedzzz"
+    assert bm.reader.df(absent) == 0
+
+    p_any = Percolator(tiny_index, [{"query_id": "q", "text": absent}], mode="any")
+    assert p_any.percolate(f"some text with {absent} inside") == []
+
+    p_all = Percolator(
+        tiny_index, [{"query_id": "q", "text": f"{live_term} {absent}"}], mode="all"
+    )
+    assert p_all.percolate(f"{live_term} {absent}") == []
+
+    # sanity: the live term alone still matches in both modes
+    p_live = Percolator(tiny_index, [{"query_id": "q", "text": live_term}], mode="all")
+    assert len(p_live.percolate(f"{live_term} other words")) == 1
