@@ -43,7 +43,7 @@ from . import state
 from .docids import add_doc_ids, conv_base_offsets
 from .schema import TRANSCRIPT_SCHEMA
 from .segments import encode_bucket, term_bucket_array
-from .tokenize import doc_length_batch, tokenize_batch
+from .tokenize import doc_length_batch, md5_lower64, tokenize_batch
 
 DEFAULT_N_BUCKETS = 32
 DEFAULT_N_SALTS = 8
@@ -188,6 +188,12 @@ def build_index(
                     "conv_id": b["conv_id"],
                     "turn_idx": b["turn_idx"],
                     "dl": dl["dl"],
+                    # content revision (known.list (major, minor) analog,
+                    # io/DefaultStateRepository.java:57-61): lets ADD detect
+                    # re-submitted docs whose text changed
+                    "content_hash": pa.array(
+                        md5_lower64(b[text_col]).astype(np.int64), pa.int64()
+                    ),
                 }
             )
 
@@ -195,7 +201,11 @@ def build_index(
         ds = ds.select_columns([id_col, text_col])
 
         def docmap_fn(b: pa.Table) -> pa.Table:
-            return doc_length_batch(b, id_col=id_col, text_col=text_col)
+            dl = doc_length_batch(b, id_col=id_col, text_col=text_col)
+            return dl.append_column(
+                "content_hash",
+                pa.array(md5_lower64(b[text_col]).astype(np.int64), pa.int64()),
+            )
 
     # docmap pass is itself checkpointed: a _SUCCESS marker makes it resumable
     docmap_dir = os.path.join(index_dir, "docmap")
@@ -278,6 +288,9 @@ def build_index(
 
     @ray.remote(num_returns=n_parts_total)
     def split_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or "part" not in tbl.column_names:
+            # empty upstream blocks skip the map UDF and keep the input schema
+            return tuple(None for _ in range(n_parts_total))
         part = tbl["part"].to_numpy(zero_copy_only=False)
         order = np.argsort(part, kind="stable")
         s = tbl.take(pa.array(order))
@@ -290,7 +303,7 @@ def build_index(
 
     @ray.remote
     def encode_part(part: int, *tables):
-        live = [t for t in tables if t.num_rows]
+        live = [t for t in tables if t is not None and t.num_rows]
         if not live:
             return None
         seg_row = writer(pa.concat_tables(live), part=part)

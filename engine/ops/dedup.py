@@ -21,8 +21,6 @@ boundary values.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -39,23 +37,7 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
 
 
-def _md5_lower64(strs: pa.Array) -> np.ndarray:
-    """uint64 hash of each string, bit-identical to DuckDB's
-    ``md5_number_lower(s)``: the LAST 8 bytes of the md5 digest read
-    little-endian. Hashes the dictionary (unique strings) only — O(vocab)
-    Python — then gathers per occurrence, so the oracle SQL can restate any
-    hash-derived operator exactly."""
-    dic = strs.dictionary_encode()
-    uniq = np.array(
-        [
-            int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
-            for t in dic.dictionary.to_pylist()
-        ],
-        dtype=np.uint64,
-    )
-    if len(uniq) == 0:
-        return np.array([], dtype=np.uint64)
-    return uniq[dic.indices.to_numpy(zero_copy_only=False)]
+from ..tokenize import md5_lower64 as _md5_lower64  # shared, oracle-SQL-exact
 
 
 # --------------------------------------------------------------------------

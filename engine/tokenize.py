@@ -139,3 +139,27 @@ def normalize_batch(
     keep = pc.fill_null(keep, False)
     out = pa.table({id_col: batch[id_col].cast(pa.int64()), "norm_text": norm})
     return out.filter(keep)
+
+
+def md5_lower64(strs: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """uint64 hash of each string, bit-identical to DuckDB's
+    ``md5_number_lower(s)``: the LAST 8 bytes of the md5 digest read
+    little-endian. Hashes the dictionary (unique strings) only — O(unique)
+    Python — then gathers per occurrence, so any hash-derived operator can be
+    restated exactly in oracle SQL. Used for simhash token hashing and docmap
+    content revisions."""
+    import hashlib
+
+    if isinstance(strs, pa.ChunkedArray):
+        strs = strs.combine_chunks()
+    dic = strs.dictionary_encode()
+    uniq = np.array(
+        [
+            int.from_bytes(hashlib.md5((t or "").encode()).digest()[8:], "little")
+            for t in dic.dictionary.to_pylist()
+        ],
+        dtype=np.uint64,
+    )
+    if len(uniq) == 0:
+        return np.array([], dtype=np.uint64)
+    return uniq[dic.indices.to_numpy(zero_copy_only=False)]

@@ -46,7 +46,7 @@ import ray.data
 from . import state
 from .build import _Router
 from .segments import decode_posting, encode_bucket
-from .tokenize import doc_length_batch, tokenize_batch
+from .tokenize import doc_length_batch, md5_lower64, tokenize_batch
 
 
 def _docmap_dir(index_dir: str) -> str:
@@ -84,6 +84,62 @@ def _refresh_stats(index_dir: str, n_docs: int, avgdl: float, generation: int) -
     return stats
 
 
+def _key_strings(conv: pa.Array | pa.ChunkedArray, turn: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """(conv_id, turn_idx) -> one sortable string key per row (vectorized)."""
+    k = pc.binary_join_element_wise(
+        conv, turn.cast(pa.int64()).cast(pa.string()), "\x1f"
+    )
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    return k.to_numpy(zero_copy_only=False).astype(str)
+
+
+@ray.remote
+def _nrows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _assign_delta_ids(tbl: pa.Table, first_id: int) -> pa.Table:
+    """Delta docID minting: block of the key-sorted delta + its global offset."""
+    out = tbl.append_column(
+        "doc_id", pa.array(first_id + np.arange(tbl.num_rows), pa.int64())
+    )
+    return out.drop_columns(["old_doc_id"]) if "old_doc_id" in out.column_names else out
+
+
+@ray.remote
+def _merge_part(index_dir: str, part: int, bounds_avgdl: float, *tables) -> int | None:
+    """One touched part: concat this part's delta sub-tables, encode the delta
+    rows as NEW RUNS, append to the existing segment (existing runs are NOT
+    decoded — the concat-onto-existing-bucket merge of
+    DefaultInvertedIndex.java:197-231), atomic rewrite + manifest."""
+    live = [t for t in tables if t is not None and t.num_rows]
+    if not live:
+        return None
+    delta_seg = encode_bucket(pa.concat_tables(live), bounds_avgdl)
+    path = state.segment_path(index_dir, part)
+    if os.path.exists(path):
+        merged = pa.concat_tables([pq.read_table(path), delta_seg]).sort_by(
+            [("term", "ascending"), ("run", "ascending")]
+        )
+    else:
+        merged = delta_seg
+    tmp = path + ".tmp"
+    pq.write_table(merged, tmp, row_group_size=16384)
+    os.replace(tmp, path)
+    state.write_part_manifest(
+        index_dir,
+        part,
+        {
+            "n_terms": merged.num_rows,
+            "n_postings": int(pc.sum(merged["df"]).as_py() or 0),
+            "n_tokens": int(pc.sum(merged["cf"]).as_py() or 0),
+        },
+    )
+    return part
+
+
 def add_documents(
     index_dir: str,
     source,
@@ -91,8 +147,29 @@ def add_documents(
     text_col: str = "text",
     id_col: str | None = None,
 ) -> dict:
-    """Merge new documents into an existing index (idempotent: already-known
-    keys are skipped, StrucmotifUpdate.java:229-233)."""
+    """Merge new documents into an existing index — a RAY PIPELINE end to end
+    (the delta never passes through the driver as data, only as object refs):
+
+    1. classify (streaming map_batches): anti-join every delta row against the
+       broadcast known-key snapshot (``pc.is_in``-style searchsorted filter —
+       the known.list plan of StrucmotifUpdate.java:493-523). Revision-aware:
+       a known key whose ``content_hash`` changed is a MODIFIED doc
+       (known.list (major, minor) analog, DefaultStateRepository.java:57-61)
+       — its old postings are purged and its new text re-indexed under a new
+       docID. Unchanged known keys are skipped (idempotent ADD,
+       StrucmotifUpdate.java:229-233).
+    2. mint docIDs: key-sort the delta (Ray sort), per-block row counts ->
+       driver prefix-sum over #blocks ints, per-block assign tasks.
+    3. docmap delta: streaming write_parquet of (doc_id, key, dl, hash) rows.
+    4. postings: tokenize -> committed routing -> per-part split ->
+       ONE RAY TASK PER TOUCHED PART appends the delta as new runs
+       (run ids offset by ``generation * n_salts``; existing runs untouched).
+
+    Scale note: the known-key snapshot is broadcast once via ``ray.put`` —
+    O(corpus keys) object-store bytes, read shared-memory per task. Beyond
+    broadcast budget, swap stage 1 for a hash-partitioned ``Dataset.join``
+    against the docmap on the same key; stages 2-4 are unchanged.
+    """
     stats = state.read_stats(index_dir)
     transcripts = bool(stats.get("transcripts_mode"))
     generation = int(stats.get("generation", 0)) + 1
@@ -101,101 +178,158 @@ def add_documents(
 
     ds = ray.data.read_parquet(source) if isinstance(source, str) else source
 
+    # --- known-key snapshot (broadcast once) -----------------------------
+    dm_schema = pq.read_schema(
+        next(
+            os.path.join(_docmap_dir(index_dir), f)
+            for f in sorted(os.listdir(_docmap_dir(index_dir)))
+            if f.endswith(".parquet")
+        )
+    )
+    has_hash = "content_hash" in dm_schema.names
     if transcripts:
-        known = _read_docmap(index_dir, columns=["conv_id", "turn_idx", "doc_id"])
-        known_keys = set(
-            zip(known["conv_id"].to_pylist(), known["turn_idx"].to_pylist())
-        )
-        next_id = (
-            int(pc.max(known["doc_id"]).as_py()) + 1 if known.num_rows else 0
-        )
-        new_tbl = pa.concat_tables(
-            [t for t in ray.get(ds.select_columns(["conv_id", "turn_idx", "text"]).to_arrow_refs()) if t.num_rows]
-        ) if ds.count() else pa.table({"conv_id": pa.array([], pa.string()), "turn_idx": pa.array([], pa.int32()), "text": pa.array([], pa.string())})
-        mask = [
-            (c, t) not in known_keys
-            for c, t in zip(new_tbl["conv_id"].to_pylist(), new_tbl["turn_idx"].to_pylist())
-        ]
-        new_tbl = new_tbl.filter(pa.array(mask, pa.bool_()))
-        order = pc.sort_indices(
-            new_tbl, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
-        )
-        new_tbl = new_tbl.take(order)
-        new_tbl = new_tbl.append_column(
-            "doc_id", pa.array(next_id + np.arange(new_tbl.num_rows), pa.int64())
-        )
-        id_col = "doc_id"
-        docmap_delta = pa.table(
-            {
-                "doc_id": new_tbl["doc_id"],
-                "conv_id": new_tbl["conv_id"],
-                "turn_idx": new_tbl["turn_idx"],
-                "dl": doc_length_batch(new_tbl, id_col="doc_id", text_col=text_col)["dl"],
-            }
-        )
+        cols = ["conv_id", "turn_idx", "doc_id"] + (["content_hash"] if has_hash else [])
+        known = _read_docmap(index_dir, columns=cols)
+        keys = _key_strings(known["conv_id"], known["turn_idx"])
+        ds = ds.select_columns(["conv_id", "turn_idx", text_col])
     else:
         id_col = id_col or "doc_id"
-        known = _read_docmap(index_dir, columns=["doc_id"])
-        known_ids = pa.array(known["doc_id"].to_pylist(), pa.int64())
-        blocks = [t for t in ray.get(ds.select_columns([id_col, text_col]).to_arrow_refs()) if t.num_rows]
-        new_tbl = (
-            pa.concat_tables(blocks)
-            if blocks
-            else pa.table({id_col: pa.array([], pa.int64()), text_col: pa.array([], pa.string())})
-        )
-        new_tbl = new_tbl.filter(
-            pc.invert(pc.is_in(new_tbl[id_col].cast(pa.int64()), value_set=known_ids))
-        )
-        docmap_delta = doc_length_batch(new_tbl, id_col=id_col, text_col=text_col)
+        cols = ["doc_id"] + (["content_hash"] if has_hash else [])
+        known = _read_docmap(index_dir, columns=cols)
+        keys = known["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ds = ds.select_columns([id_col, text_col])
+    order = np.argsort(keys, kind="stable")
+    keys_sorted = keys[order]
+    docid_sorted = known["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    hash_sorted = (
+        known["content_hash"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        if has_hash
+        else None
+    )
+    next_id = int(docid_sorted.max()) + 1 if len(docid_sorted) else 0
+    kref = ray.put((keys_sorted, docid_sorted, hash_sorted))
 
-    if new_tbl.num_rows == 0:
-        return {"added": 0, "generation": generation - 1, "parts_touched": 0}
+    # --- stage 1: classify ------------------------------------------------
+    def classify(batch: pa.Table) -> pa.Table:
+        ks, dids, hs = ray.get(kref)
+        if transcripts:
+            bk = _key_strings(batch["conv_id"], batch["turn_idx"])
+        else:
+            bk = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, bk)
+        inb = pos < len(ks)
+        found = np.zeros(len(bk), dtype=bool)
+        if inb.any():
+            found[inb] = ks[pos[inb]] == bk[inb]
+        old_id = np.full(len(bk), -1, dtype=np.int64)
+        if hs is not None and found.any():
+            bh = md5_lower64(batch[text_col]).astype(np.int64)
+            changed = found.copy()
+            changed[found] = hs[pos[found]] != bh[found]
+            old_id[changed] = dids[pos[changed]]
+            keep = ~found | changed
+        else:
+            keep = ~found
+        out = batch.filter(pa.array(keep))
+        return out.append_column("old_doc_id", pa.array(old_id[keep], pa.int64()))
 
-    # tokenize + route with the COMMITTED routing (hot set pinned in stats),
-    # then offset run ids into this generation's namespace
+    delta = ds.map_batches(classify, batch_format="pyarrow").materialize()
+    n_delta = delta.count()
+    if n_delta == 0:
+        return {"added": 0, "replaced": 0, "generation": generation - 1, "parts_touched": 0}
+
+    # --- purge superseded postings of modified docs -----------------------
+    changed_blocks = [
+        t
+        for t in ray.get(
+            delta.filter(expr="old_doc_id >= 0").select_columns(["old_doc_id"]).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    replaced = 0
+    if changed_blocks:
+        changed_ids = np.sort(
+            pa.concat_tables(changed_blocks)["old_doc_id"].to_numpy(zero_copy_only=False)
+        )
+        replaced = int(len(changed_ids))
+        _purge_doc_ids(index_dir, changed_ids, bounds_avgdl)
+
+    # --- stage 2: mint docIDs (key-sorted delta + per-block offsets) ------
+    if transcripts:
+        sort_keys = ["conv_id", "turn_idx"]
+        blocks = delta.sort(sort_keys).to_arrow_refs()
+        counts = ray.get([_nrows.remote(r) for r in blocks])
+        offsets = next_id + np.concatenate(([0], np.cumsum(counts)[:-1]))
+        assigned = [
+            _assign_delta_ids.remote(r, int(off)) for r, off in zip(blocks, offsets)
+        ]
+        delta_ds = ray.data.from_arrow_refs(assigned).materialize()
+        id_col = "doc_id"
+    else:
+        delta_ds = delta.drop_columns(["old_doc_id"]).materialize()
+
+    # --- stage 3: docmap delta (streaming write) ---------------------------
+    def docmap_fn(b: pa.Table) -> pa.Table:
+        dl = doc_length_batch(b, id_col=id_col, text_col=text_col)
+        cols = {"doc_id": dl["doc_id"]}
+        if transcripts:
+            cols.update(conv_id=b["conv_id"], turn_idx=b["turn_idx"])
+        cols["dl"] = dl["dl"]
+        cols["content_hash"] = pa.array(md5_lower64(b[text_col]).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    delta_dir = os.path.join(_docmap_dir(index_dir), f"delta-{generation:04d}")
+    delta_ds.map_batches(docmap_fn, batch_format="pyarrow").write_parquet(delta_dir)
+
+    # --- stage 4: tokenize -> committed routing -> per-part merge tasks ---
     hot_ref = ray.put(stats.get("hot_terms", []))
     router = _Router(hot_ref, n_buckets, n_salts)
-    rows = router(tokenize_batch(new_tbl, id_col=id_col, text_col=text_col))
     run_offset = generation * n_salts
-    rows = rows.set_column(
-        rows.schema.get_field_index("salt"),
-        "salt",
-        pc.add(rows["salt"], pa.scalar(run_offset, pa.int32())).cast(pa.int32()),
-    )
 
-    # merge per touched part: append the delta rows as new runs (existing
-    # rows are NOT decoded), atomic rewrite + manifest update
-    parts_touched = 0
-    for part in sorted(set(rows["part"].to_pylist())):
-        sub = rows.filter(pc.equal(rows["part"], part))
-        delta_seg = encode_bucket(sub, bounds_avgdl)
-        path = state.segment_path(index_dir, int(part))
-        if os.path.exists(path):
-            merged = pa.concat_tables([pq.read_table(path), delta_seg]).sort_by(
-                [("term", "ascending"), ("run", "ascending")]
-            )
-        else:
-            merged = delta_seg
-        tmp = path + ".tmp"
-        pq.write_table(merged, tmp, row_group_size=16384)
-        os.replace(tmp, path)
-        state.write_part_manifest(
-            index_dir,
-            int(part),
-            {
-                "n_terms": merged.num_rows,
-                "n_postings": int(pc.sum(merged["df"]).as_py() or 0),
-                "n_tokens": int(pc.sum(merged["cf"]).as_py() or 0),
-            },
+    def route_offset(batch: pa.Table) -> pa.Table:
+        rows = router(tokenize_batch(batch, id_col=id_col, text_col=text_col))
+        return rows.set_column(
+            rows.schema.get_field_index("salt"),
+            "salt",
+            pc.add(rows["salt"], pa.scalar(run_offset, pa.int32())).cast(pa.int32()),
         )
-        parts_touched += 1
 
-    pq.write_table(
-        docmap_delta, os.path.join(_docmap_dir(index_dir), f"delta-{generation:04d}.parquet")
-    )
+    n_parts_total = n_buckets * n_salts
+
+    @ray.remote(num_returns=n_parts_total)
+    def split_block(tbl: pa.Table):
+        if tbl.num_rows == 0 or "part" not in tbl.column_names:
+            # empty upstream blocks skip the map UDF and keep the input schema
+            return tuple(None for _ in range(n_parts_total))
+        part = tbl["part"].to_numpy(zero_copy_only=False)
+        o = np.argsort(part, kind="stable")
+        s = tbl.take(pa.array(o))
+        bounds = np.searchsorted(part[o], np.arange(n_parts_total + 1))
+        return tuple(
+            s.slice(int(lo), int(hi - lo)) for lo, hi in zip(bounds[:-1], bounds[1:])
+        )
+
+    routed_refs = delta_ds.map_batches(route_offset, batch_format="pyarrow").to_arrow_refs()
+    if len(routed_refs) == 0:
+        split_refs = []
+    else:
+        split_refs = [split_block.remote(r) for r in routed_refs]
+    merge_refs = [
+        _merge_part.remote(
+            index_dir, p, bounds_avgdl, *[split_refs[i][p] for i in range(len(split_refs))]
+        )
+        for p in range(n_parts_total)
+    ]
+    parts_touched = sum(1 for r in ray.get(merge_refs) if r is not None)
+
     n_docs, avgdl = _rewrite_docmap_marker(index_dir)
     _refresh_stats(index_dir, n_docs, avgdl, generation)
-    return {"added": new_tbl.num_rows, "generation": generation, "parts_touched": parts_touched}
+    return {
+        "added": int(n_delta),
+        "replaced": replaced,
+        "generation": generation,
+        "parts_touched": parts_touched,
+    }
 
 
 def _reencode_part(
@@ -213,16 +347,21 @@ def _reencode_part(
     if not os.path.exists(path):
         return None
     tbl = pq.read_table(path)
+    # bulk column conversion once (vs per-row .as_py() — ~3x on wide parts)
+    docs_enc = tbl["doc_ids_enc"].to_pylist()
+    tfs_enc = tbl["tfs_enc"].to_pylist()
+    runs_col = tbl["run"].to_numpy(zero_copy_only=False)
+    terms_col = tbl["term"].to_pylist()
     terms, salts, docs, tfs = [], [], [], []
     for i in range(tbl.num_rows):
-        d, t = decode_posting(tbl["doc_ids_enc"][i].as_py(), tbl["tfs_enc"][i].as_py())
+        d, t = decode_posting(docs_enc[i], tfs_enc[i])
         if remove_ids is not None and len(d):
             keep = ~np.isin(d, remove_ids, assume_unique=True)
             d, t = d[keep], t[keep]
         if not len(d):
             continue
-        run = int(tbl["run"][i].as_py())
-        terms.append(np.full(len(d), tbl["term"][i].as_py(), dtype=object))
+        run = int(runs_col[i])
+        terms.append(np.full(len(d), terms_col[i], dtype=object))
         salts.append(np.full(len(d), run % n_salts if collapse_runs else run, dtype=np.int32))
         docs.append(d)
         tfs.append(t)
@@ -260,13 +399,57 @@ def _reencode_part(
     return info
 
 
+_reencode_part_remote = ray.remote(_reencode_part)
+
+
+def _purge_doc_ids(index_dir: str, remove: np.ndarray, bounds_avgdl: float) -> int:
+    """Mask the given doc_ids out of every posting (ONE RAY TASK PER PART —
+    the decode->filter->re-encode work is embarrassingly parallel across
+    bucket files) and drop them from the docmap (consolidated rewrite).
+    Returns the number of parts touched."""
+    remove = np.unique(np.asarray(remove, dtype=np.int64))
+    dm = _read_docmap(index_dir)
+    mask = pc.is_in(dm["doc_id"], value_set=pa.array(remove, pa.int64()))
+    keep_dm = dm.filter(pc.invert(mask))
+
+    # removed ids may still appear inside postings being decoded; the lookup
+    # covers every doc (value unused for removed docs — they are filtered
+    # before encode)
+    all_order = np.argsort(dm["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
+    lookup = (
+        dm["doc_id"].to_numpy(zero_copy_only=False)[all_order],
+        dm["dl"].to_numpy(zero_copy_only=False)[all_order],
+    )
+    rref, lref = ray.put(remove), ray.put(lookup)
+    parts = sorted(state.committed_parts(index_dir))
+    results = ray.get(
+        [
+            _reencode_part_remote.remote(index_dir, p, bounds_avgdl, rref, lref)
+            for p in parts
+        ]
+    )
+
+    # rewrite docmap (single consolidated file, delta dirs folded in)
+    ddir = _docmap_dir(index_dir)
+    for name in os.listdir(ddir):
+        path = os.path.join(ddir, name)
+        if name.endswith(".parquet"):
+            os.remove(path)
+        elif os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+    pq.write_table(keep_dm, os.path.join(ddir, "docmap-0000.parquet"))
+    return sum(1 for r in results if r is not None)
+
+
 def remove_documents(index_dir: str, *, conv_ids=None, doc_ids=None) -> dict:
     """Remove documents (by conv_id or doc_id) from the index + docmap."""
     stats = state.read_stats(index_dir)
     generation = int(stats.get("generation", 0)) + 1
     bounds_avgdl = float(stats.get("bounds_avgdl", stats["avgdl"]))
 
-    dm = _read_docmap(index_dir)
+    dm = _read_docmap(index_dir, columns=["doc_id", "conv_id"] if conv_ids is not None else ["doc_id"])
     if conv_ids is not None:
         mask = pc.is_in(dm["conv_id"], value_set=pa.array(list(conv_ids), pa.string()))
     else:
@@ -276,38 +459,14 @@ def remove_documents(index_dir: str, *, conv_ids=None, doc_ids=None) -> dict:
     remove = np.sort(dm.filter(mask)["doc_id"].to_numpy(zero_copy_only=False))
     if len(remove) == 0:
         return {"removed": 0, "generation": generation - 1}
-    keep_dm = dm.filter(pc.invert(mask))
 
-    order = np.argsort(keep_dm["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
-    ids_sorted = keep_dm["doc_id"].to_numpy(zero_copy_only=False)[order]
-    dl_sorted = keep_dm["dl"].to_numpy(zero_copy_only=False)[order]
-    # removed ids may still appear inside postings being decoded; extend the
-    # lookup with their dl so _reencode_part can resolve any doc (value unused
-    # for removed docs — they are filtered before encode)
-    all_order = np.argsort(dm["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
-    lookup = (
-        dm["doc_id"].to_numpy(zero_copy_only=False)[all_order],
-        dm["dl"].to_numpy(zero_copy_only=False)[all_order],
-    )
-
-    parts = sorted(state.committed_parts(index_dir))
-    results = [
-        _reencode_part(index_dir, p, bounds_avgdl, remove, lookup)
-        for p in parts
-    ]
-
-    # rewrite docmap (single consolidated file) + marker
-    ddir = _docmap_dir(index_dir)
-    for name in os.listdir(ddir):
-        if name.endswith(".parquet"):
-            os.remove(os.path.join(ddir, name))
-    pq.write_table(keep_dm, os.path.join(ddir, "docmap-0000.parquet"))
+    parts_touched = _purge_doc_ids(index_dir, remove, bounds_avgdl)
     n_docs, avgdl = _rewrite_docmap_marker(index_dir)
     _refresh_stats(index_dir, n_docs, avgdl, generation)
     return {
         "removed": int(len(remove)),
         "generation": generation,
-        "parts_touched": sum(1 for r in results if r is not None),
+        "parts_touched": parts_touched,
     }
 
 
@@ -324,10 +483,15 @@ def compact_index(index_dir: str) -> dict:
         dm["dl"].to_numpy(zero_copy_only=False)[order],
     )
     avgdl = float(stats["avgdl"])
-    for p in sorted(state.committed_parts(index_dir)):
-        _reencode_part(
-            index_dir, p, avgdl, None, lookup, collapse_runs=True, n_salts=n_salts
-        )
+    lref = ray.put(lookup)
+    ray.get(
+        [
+            _reencode_part_remote.remote(
+                index_dir, p, avgdl, None, lref, collapse_runs=True, n_salts=n_salts
+            )
+            for p in sorted(state.committed_parts(index_dir))
+        ]
+    )
     new_stats = _refresh_stats(index_dir, int(stats["n_docs"]), avgdl, 0)
     new_stats["bounds_avgdl"] = avgdl
     state.write_stats(index_dir, new_stats)

@@ -274,3 +274,52 @@ def test_percolate_absent_terms_never_match(ray_session, tiny_index):
     # sanity: the live term alone still matches in both modes
     p_live = Percolator(tiny_index, [{"query_id": "q", "text": live_term}], mode="all")
     assert len(p_live.percolate(f"{live_term} other words")) == 1
+
+
+def test_revision_aware_add_reindexes_changed_docs(upd_index):
+    """A re-submitted conversation with EDITED text must be re-indexed on ADD
+    (content_hash revision gate): the new text becomes searchable, the old
+    postings are gone, and an unchanged resubmission stays a no-op."""
+    import ray.data
+
+    import pyarrow.parquet as pq
+    from engine.query import Bm25Index
+    from engine.update import add_documents
+
+    dm = pq.read_table(f"{upd_index}/docmap", columns=["conv_id", "turn_idx"])
+    conv = dm["conv_id"][0].as_py()
+    turn = dm["turn_idx"][0].as_py()
+
+    # 1. unchanged resubmission: idempotent no-op
+    bm0 = Bm25Index(upd_index)
+    dmap = pq.read_table(f"{upd_index}/docmap")
+    row = dmap.filter(
+        pa.compute.and_(
+            pa.compute.equal(dmap["conv_id"], conv), pa.compute.equal(dmap["turn_idx"], turn)
+        )
+    )
+    old_doc_id = row["doc_id"][0].as_py()
+
+    # reconstruct the original text? not stored — instead ADD an edited turn
+    edited = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([conv], pa.string()),
+                "turn_idx": pa.array([turn], pa.int32()),
+                "text": pa.array(["zqeditedmarker completely new content"], pa.string()),
+            }
+        )
+    )
+    rep = add_documents(upd_index, edited)
+    assert rep["replaced"] == 1 and rep["added"] == 1
+
+    bm = Bm25Index(upd_index)
+    docs, _ = bm.topk("zqeditedmarker", k=5)
+    assert len(docs) == 1 and docs[0] != old_doc_id  # new docID, searchable
+    # old docID fully purged from docmap
+    dmap2 = pq.read_table(f"{upd_index}/docmap", columns=["doc_id"])
+    assert old_doc_id not in set(dmap2["doc_id"].to_pylist())
+
+    # 2. resubmitting the SAME edited text again: no-op
+    rep2 = add_documents(upd_index, edited)
+    assert rep2["added"] == 0 and rep2["replaced"] == 0
