@@ -37,6 +37,24 @@ DOC_QUERIES: list[tuple[str, str, int]] = [
 
 _TOKEN_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+# --- phrase queries over the positional documents index (J4 analog) ---------
+PHRASE_QUERIES: list[tuple[str, str]] = [
+    ("P1_bigram", "table scan"),
+    ("P2_bigram", "hash join"),
+    ("P3_trigram", "order sort table"),
+    ("P4_stop_bigram", "the a"),
+    ("P5_absent", "zzzabsent phrase"),
+]
+
+# --- expansion queries: each slot is an OR-group of variants (Q1/Q2 analog) --
+EXPANDED_QUERIES: list[tuple[str, list[list[str]], int]] = [
+    ("E1_two_slots", [["key", "table"], ["join", "merge", "hash"]], 10),
+    ("E2_rare_or", [["dup"], ["slow", "fast"]], 15),
+    ("E3_three_slots", [["scan"], ["window", "filter"], ["the", "a"]], 10),
+    ("E4_single_slot", [["batch", "stream", "spark"]], 10),
+    ("E5_absent_variant", [["key", "zzzabsentzzz"], ["scan"]], 10),
+]
+
 RANK_ROUND = 6
 SCORE_ROUND = 4
 
@@ -250,6 +268,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _round_scores(res, "score", "score_r", SCORE_ROUND)
         return _i64(res, ["rank"])
 
+    def _documents_posindex(sf_dir):
+        from engine.build import build_index
+
+        idx = _cache(sf_dir, "documents_posindex")
+        if not os.path.exists(os.path.join(idx, "stats.json")):
+            ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            build_index(
+                ds, idx, id_col="doc_id", n_buckets=8, n_salts=4, hot_fraction=0.05,
+                positions=True,
+            )
+        return idx
+
+    def phrase_match(sf_dir):
+        """Exact-phrase matching over positional postings (J4: the reference's
+        path-overlap join consumes per-occurrence identifier payloads,
+        TargetStructure.java:78-111). Integer-exact output."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_posindex(sf_dir))
+        qids, dids, cnts = [], [], []
+        for qid, phrase in PHRASE_QUERIES:
+            d, n = bm.phrase_match(phrase)
+            qids.extend([qid] * len(d))
+            dids.extend(d.tolist())
+            cnts.extend(n.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "n_matches": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    def bm25_topk_expanded(sf_dir):
+        """Q1/Q2 analog: per-slot OR-groups (tolerance expansion / exchanges,
+        ResiduePairOccurrence.java:166-227) scored as sum over slots of the
+        max variant contribution; rounded ranking for cross-engine ties."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        tables = []
+        for qid, slots, k in EXPANDED_QUERIES:
+            d, s = bm.expanded_topk(slots, k, rank_round=RANK_ROUND)
+            tables.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * len(d), pa.string()),
+                        "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
+                        "doc_id": pa.array(d, pa.int64()),
+                        "score": pa.array(s, pa.float64()),
+                    }
+                )
+            )
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
     def percolate_conjunctive(sf_dir):
         """Percolation (detect-motifs analog): every (doc, stored query) pair
         where the doc contains ALL query terms, BM25-scored with corpus
@@ -462,6 +536,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_conjunctive": bm25_conjunctive,
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_incremental": bm25_topk_incremental,
+        "bm25_topk_expanded": bm25_topk_expanded,
+        "phrase_match": phrase_match,
         "percolate_conjunctive": percolate_conjunctive,
         "normalize_docs": normalize_docs,
         "dedup_exact": dedup_exact,
@@ -634,6 +710,71 @@ WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
 """
 
 
+def _phrase_sql() -> str:
+    """Phrase matching restated relationally: k-way self-join of the token
+    position table on (doc, i+offset). Engine positions are 0-based, SQL
+    subscripts 1-based — only relative offsets matter."""
+    parts = []
+    for qid, phrase in PHRASE_QUERIES:
+        terms = phrase.lower().split()
+        froms = ", ".join(f"toks t{i}" for i in range(len(terms)))
+        conds = [f"t{i}.tok = '{t}'" for i, t in enumerate(terms)]
+        conds += [f"t{i}.doc_id = t0.doc_id" for i in range(1, len(terms))]
+        conds += [f"t{i}.i = t0.i + {i}" for i in range(1, len(terms))]
+        parts.append(
+            f"SELECT '{qid}' AS query_id, t0.doc_id, count(*)::BIGINT AS n_matches "
+            f"FROM {froms} WHERE {' AND '.join(conds)} GROUP BY t0.doc_id"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH l AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM l)
+{union}
+"""
+
+
+def _expanded_sql() -> str:
+    """Expansion oracle: per (query, slot, doc) the MAX variant BM25
+    contribution, summed over slots; same rounding contract as bm25_topk."""
+    vals = ",\n      ".join(
+        f"('{qid}', {si}, '{t}', {k})"
+        for qid, slots, k in EXPANDED_QUERIES
+        for si, slot in enumerate(slots)
+        for t in sorted(set(slot))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, slot, term, k) AS (VALUES
+      {vals}),
+contrib AS (
+  SELECT q.query_id, q.k, q.slot, tf.doc_id,
+         max( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS c
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, q.slot, tf.doc_id
+),
+scores AS (SELECT query_id, k, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, k, doc_id),
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= k
+"""
+
+
 def _lang_id_sql() -> str:
     """Restates engine/ops/textstats.py lang_id_batch: per-language stopword
     occurrence counts, argmax with lexicographic tie-break, 'und' on zero."""
@@ -697,6 +838,8 @@ WHERE text IS NOT NULL
         "bm25_topk_filtered": _bm25_sql(conjunctive=False, doc_filter="scores.doc_id % 3 = 0"),
         # incremental half-build + ADD must equal the full-corpus build
         "bm25_topk_incremental": _bm25_sql(conjunctive=False),
+        "bm25_topk_expanded": _expanded_sql(),
+        "phrase_match": _phrase_sql(),
         "percolate_conjunctive": _percolate_sql(),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

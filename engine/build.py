@@ -146,12 +146,16 @@ def build_index(
     hot_fraction: float = DEFAULT_HOT_FRACTION,
     sample_docs: int = DEFAULT_SAMPLE_DOCS,
     resume: bool = True,
+    positions: bool = False,
 ) -> dict:
     """Build (or resume) the inverted index. Returns a build report dict.
 
     ``source``: a ray.data.Dataset, a parquet file, or a directory of shards.
     ``id_col=None`` means transcripts mode: dense docIDs are derived from
     ``(conv_id, turn_idx)`` (the stable-ordering invariant).
+    ``positions=True`` stores per-occurrence token positions in the segments
+    (phrase/adjacency queries; the identifierData payload analog) at the cost
+    of a larger exchange + segment footprint.
     """
     t0 = time.perf_counter()
     os.makedirs(index_dir, exist_ok=True)
@@ -281,7 +285,7 @@ def build_index(
     done = set(state.committed_parts(index_dir)) if resume else set()
     n_parts_total = n_buckets * n_salts
     tokenized = ds.map_batches(
-        lambda b: tokenize_batch(b, id_col=id_col, text_col=text_col),
+        lambda b: tokenize_batch(b, id_col=id_col, text_col=text_col, positions=positions),
         batch_format="pyarrow",
     ).map_batches(_Router(hot_ref, n_buckets, n_salts), batch_format="pyarrow")
     t_spill = time.perf_counter()
@@ -345,6 +349,7 @@ def build_index(
         "n_postings": int(sum(p["n_postings"] for p in parts.values())),
         "inputs": lineage_inputs,
         "transcripts_mode": transcripts,
+        "positional": positions,
         "timings_sec": {
             "docmap": round(t_docmap - t0, 3),
             "hot_detect": round(t_hot - t_docmap, 3),

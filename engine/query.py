@@ -334,28 +334,10 @@ class Bm25Index:
         terms = sorted(set(tokenize_text(query_text)))
         if not terms:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        by_rarity = sorted(terms, key=lambda t: (self.reader.df(t), t))
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-        if self.reader.df(by_rarity[0]) == 0:
+        candidates, partial = self._conjunctive_candidates(terms)
+        if len(candidates) == 0:
             return empty
-        # seed: the rarest posting IS the initial candidate set (full decode);
-        # every later term is probed at BLOCK granularity — only the one block
-        # per candidate whose docID range can contain it is decoded (the
-        # block-max-WAND skip applied to conjunctive intersection; candidates
-        # shrink rarest-first with early exit, DefaultTargetAssembler:79-112)
-        candidates, seed_tf = self.reader.postings(by_rarity[0])
-        partial: dict[str, tuple[np.ndarray, np.ndarray]] = {
-            by_rarity[0]: (candidates, seed_tf)
-        }
-        for t in by_rarity[1:]:
-            doc, tf = self._probe_blocks(t, candidates)
-            partial[t] = (doc, tf)
-            if len(doc) == 0:
-                return empty
-            pos = np.minimum(np.searchsorted(doc, candidates), len(doc) - 1)
-            candidates = candidates[doc[pos] == candidates]
-            if len(candidates) == 0:  # early exit: no doc can match
-                return empty
         # exact scoring of survivors from the partial decodes, ascending-term
         # accumulation exactly as in topk (bit-identical to full-decode path)
         dl = self.dl(candidates)
@@ -372,6 +354,174 @@ class Bm25Index:
         key = np.round(acc, rank_round) if rank_round is not None else acc
         order = np.lexsort((candidates, -key))[:k]
         return candidates[order], acc[order]
+
+    def _conjunctive_candidates(
+        self, terms: list[str]
+    ) -> tuple[np.ndarray, dict[str, tuple[np.ndarray, np.ndarray]]]:
+        """Docs containing ALL terms + the partial decodes used to prove it.
+
+        Seed: the rarest posting IS the initial candidate set (full decode);
+        every later term is probed at BLOCK granularity — only the one block
+        per candidate whose docID range can contain it is decoded (the
+        block-max-WAND skip applied to conjunctive intersection; candidates
+        shrink rarest-first with early exit, DefaultTargetAssembler:79-112)."""
+        empty = np.empty(0, dtype=np.int64)
+        by_rarity = sorted(terms, key=lambda t: (self.reader.df(t), t))
+        if not by_rarity or self.reader.df(by_rarity[0]) == 0:
+            return empty, {}
+        candidates, seed_tf = self.reader.postings(by_rarity[0])
+        partial: dict[str, tuple[np.ndarray, np.ndarray]] = {
+            by_rarity[0]: (candidates, seed_tf)
+        }
+        for t in by_rarity[1:]:
+            doc, tf = self._probe_blocks(t, candidates)
+            partial[t] = (doc, tf)
+            if len(doc) == 0:
+                return empty, partial
+            pos = np.minimum(np.searchsorted(doc, candidates), len(doc) - 1)
+            candidates = candidates[doc[pos] == candidates]
+            if len(candidates) == 0:  # early exit: no doc can match
+                return empty, partial
+        return candidates, partial
+
+    def phrase_match(self, phrase_text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Exact-phrase matching over a POSITIONAL index (J4 analog: the
+        reference's path-overlap join consumes per-occurrence identifier
+        payloads, domain/result/TargetStructure.java:78-111; ours consumes
+        per-occurrence token positions).
+
+        Candidates come from the conjunctive block-skip intersection of the
+        phrase's distinct terms; each survivor is verified positionally:
+        intersect term_i's positions shifted by -i across the phrase — the
+        surviving offsets are the phrase start positions. Returns
+        (doc_ids ascending, n_matches per doc), integer-exact."""
+        seq = tokenize_text(phrase_text)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        if not seq:
+            return empty
+        uniq = sorted(set(seq))
+        candidates, _ = self._conjunctive_candidates(uniq)
+        if len(candidates) == 0:
+            return empty
+        pos_lists = {t: self.reader.positions_lookup(t, candidates) for t in uniq}
+        counts = np.zeros(len(candidates), dtype=np.int64)
+        for i in range(len(candidates)):
+            m = pos_lists[seq[0]][i]
+            for off in range(1, len(seq)):
+                if len(m) == 0:
+                    break
+                m = np.intersect1d(m, pos_lists[seq[off]][i] - off, assume_unique=True)
+            counts[i] = len(m)
+        keep = counts > 0
+        return candidates[keep], counts[keep]
+
+    def expanded_topk(
+        self,
+        slots: list[list[str]],
+        k: int,
+        rank_round: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Query-expansion top-k — the Q1/Q2 analog. Each SLOT is an OR-group
+        of term variants (tolerance expansion produces up to 27 descriptor
+        variants per pair, position-specific exchanges substitute allowed
+        alternatives: ResiduePairOccurrence.java:166-227, defaults
+        domain/query/Parameters.java:10-18). A doc's slot contribution is the
+        MAX BM25 contribution over the slot's variants (a variant match
+        stands in for the original, never stacks); total = sum over slots.
+
+        Exact mode routes through slot-level MaxScore (slot bound = max
+        variant bound); fallback + rank_round mode score exhaustively.
+        Both are asserted bit-identical in tests."""
+        slots = [sorted(set(s)) for s in slots if s]
+        if not slots:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        if rank_round is None:
+            out = self._expanded_maxscore(slots, k)
+            if out is not None:
+                return out
+        return self._expanded_exhaustive(slots, k, rank_round)
+
+    def _slot_contrib(
+        self, slot: list[str], cand: np.ndarray, dl: np.ndarray
+    ) -> np.ndarray:
+        """max-over-variants BM25 contribution of one slot at ``cand``."""
+        acc = np.zeros(len(cand), dtype=np.float64)
+        for t in slot:  # ascending variant order (deterministic max)
+            doc, tf = self.reader.postings(t)
+            if not len(doc):
+                continue
+            pos = np.minimum(np.searchsorted(doc, cand), len(doc) - 1)
+            present = doc[pos] == cand
+            if present.any():
+                contrib = self._contrib(self.idf(t), tf[pos[present]], dl[present])
+                np.maximum.at(acc, np.flatnonzero(present), contrib)
+        return acc
+
+    def _expanded_exhaustive(
+        self, slots: list[list[str]], k: int, rank_round: int | None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        all_terms = sorted({t for s in slots for t in s})
+        postings = [self.reader.postings(t) for t in all_terms]
+        live = [d for d, _ in postings if len(d)]
+        if not live:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        cand = np.unique(np.concatenate(live))
+        dl = self.dl(cand)
+        acc = np.zeros(len(cand), dtype=np.float64)
+        for slot in slots:  # slot order: deterministic accumulation
+            acc += self._slot_contrib(slot, cand, dl)
+        nz = acc > 0
+        cand, acc = cand[nz], acc[nz]
+        key = np.round(acc, rank_round) if rank_round is not None else acc
+        order = np.lexsort((cand, -key))[:k]
+        return cand[order], acc[order]
+
+    def _expanded_maxscore(
+        self, slots: list[list[str]], k: int
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Slot-level MaxScore: slot upper bound = max variant bound; docs in
+        only low-bound slots cannot beat the kth candidate. None = fallback."""
+        ub = [
+            max(
+                (self.idf(t) * self.reader.max_impact(t) * self._bound_scale for t in s),
+                default=0.0,
+            )
+            for s in slots
+        ]
+        by_ub = sorted(range(len(slots)), key=lambda i: (ub[i], i))
+        cum = np.cumsum([ub[i] for i in by_ub])
+        slot_df = [sum(self.reader.df(t) for t in s) for s in slots]
+        all_df = sum(slot_df)
+        for j in range(len(by_ub) - 1, -1, -1):
+            essential = [slots[i] for i in by_ub[j:]]
+            nonessential_bound = float(cum[j - 1]) if j > 0 else 0.0
+            ess_df = sum(slot_df[i] for i in by_ub[j:])
+            if all_df and ess_df > 0.25 * all_df:
+                return None  # fat candidate set: exhaustive is cheaper
+            ess_postings = [
+                self.reader.postings(t)[0] for s in essential for t in s
+            ]
+            ess_postings = [d for d in ess_postings if len(d)]
+            if not ess_postings:
+                return (
+                    np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64),
+                ) if j == 0 else None
+            cand = np.unique(np.concatenate(ess_postings))
+            if len(cand) < k and j > 0:
+                continue
+            dl = self.dl(cand)
+            acc = np.zeros(len(cand), dtype=np.float64)
+            for slot in slots:  # same order as exhaustive: bit-identical sums
+                acc += self._slot_contrib(slot, cand, dl)
+            kk = min(k, len(cand))
+            kth = np.partition(acc, len(acc) - kk)[len(acc) - kk]
+            if nonessential_bound <= kth:
+                nz = acc > 0
+                cand, acc = cand[nz], acc[nz]
+                order = np.lexsort((cand, -acc))[:k]
+                return cand[order], acc[order]
+        return None
 
     def _probe_blocks(
         self, term: str, candidates: np.ndarray

@@ -68,14 +68,21 @@ SEGMENT_SCHEMA = pa.schema(
     ]
 )
 
+#: positional variant (ArrayBucket.identifierData analog,
+#: domain/bucket/ArrayBucket.java:31-34): per-run varint stream of per-doc
+#: position lists (delta within doc, first absolute), doc order == docID order.
+POSITIONAL_SEGMENT_SCHEMA = SEGMENT_SCHEMA.append(pa.field("pos_enc", pa.binary()))
+
 #: docmap — the ``known.list`` analog (DefaultStateRepository.java:57-61):
-#: docID <-> public key, plus doc length for BM25.
+#: docID <-> public key, doc length for BM25, plus the content revision hash
+#: (the (major, minor) revision analog) for revision-aware incremental ADD.
 DOCMAP_SCHEMA = pa.schema(
     [
         pa.field("doc_id", pa.int64()),
         pa.field("conv_id", pa.string()),
         pa.field("turn_idx", pa.int32()),
         pa.field("dl", pa.int32()),
+        pa.field("content_hash", pa.int64()),
     ]
 )
 

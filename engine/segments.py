@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from .codec import varint_decode, varint_encode, varint_nbytes
-from .schema import BLOCK_SIZE, BM25_B, BM25_K1, SEGMENT_SCHEMA
+from .schema import BLOCK_SIZE, BM25_B, BM25_K1, POSITIONAL_SEGMENT_SCHEMA, SEGMENT_SCHEMA
 
 
 def _pack_binary(flat: bytes, value_nbytes: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Array:
@@ -63,8 +63,9 @@ def encode_bucket(group: pa.Table, avgdl: float) -> pa.Table:
     under 32 concurrent encoders (memory-bandwidth saturation) vs ~1.4 us
     alone; this touches each term string exactly once (dictionary hash) and
     gathers strings only at group starts."""
+    has_pos = "pos" in group.column_names
     if group.num_rows == 0:
-        return SEGMENT_SCHEMA.empty_table()
+        return (POSITIONAL_SEGMENT_SCHEMA if has_pos else SEGMENT_SCHEMA).empty_table()
     term_col = group["term"]
     if isinstance(term_col, pa.ChunkedArray):
         term_col = term_col.combine_chunks()
@@ -130,22 +131,43 @@ def encode_bucket(group: pa.Table, avgdl: float) -> pa.Table:
     block_doc_off = pa.ListArray.from_arrays(pa.array(b_offsets), pa.array(doc_off, pa.int32()))
     block_tf_off = pa.ListArray.from_arrays(pa.array(b_offsets), pa.array(tf_off, pa.int32()))
 
-    return pa.table(
-        {
-            # one string gather per GROUP (1.6k), not per row (3.3M)
-            "term": dic.dictionary.take(pa.array(tcodes[starts])),
-            "run": pa.array(salt[starts], pa.int32()),
-            "df": pa.array(df),
-            "cf": pa.array(cf),
-            "doc_ids_enc": doc_ids_enc,
-            "tfs_enc": tfs_enc,
-            "block_last_doc": block_last_doc,
-            "block_max_impact": block_max_impact,
-            "block_doc_off": block_doc_off,
-            "block_tf_off": block_tf_off,
-        },
-        schema=SEGMENT_SCHEMA,
-    )
+    cols = {
+        # one string gather per GROUP (1.6k), not per row (3.3M)
+        "term": dic.dictionary.take(pa.array(tcodes[starts])),
+        "run": pa.array(salt[starts], pa.int32()),
+        "df": pa.array(df),
+        "cf": pa.array(cf),
+        "doc_ids_enc": doc_ids_enc,
+        "tfs_enc": tfs_enc,
+        "block_last_doc": block_last_doc,
+        "block_max_impact": block_max_impact,
+        "block_doc_off": block_doc_off,
+        "block_tf_off": block_tf_off,
+    }
+    if has_pos:
+        # positional payload (ArrayBucket.identifierData analog): each run's
+        # per-doc position lists concatenated in doc order, positions
+        # delta-encoded WITHIN a doc (first absolute), one varint stream per
+        # run sliced zero-copy by group — same layout discipline as docIDs
+        pos_col = group["pos"]
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
+        pos_taken = pos_col.take(pa.array(order))
+        pos_vals = pc.list_flatten(pos_taken).to_numpy(zero_copy_only=False).astype(np.int64)
+        vstarts_rows = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tf, out=vstarts_rows[1:])
+        deltas = np.empty(len(pos_vals), dtype=np.uint64)
+        if len(pos_vals):
+            np.subtract(pos_vals[1:], pos_vals[:-1], out=deltas[1:], casting="unsafe")
+            row_start_v = vstarts_rows[:-1]
+            deltas[row_start_v] = pos_vals[row_start_v].astype(np.uint64)
+        pos_nb = varint_nbytes(deltas)
+        pos_flat = varint_encode(deltas)
+        cols["pos_enc"] = _pack_binary(
+            pos_flat, pos_nb, vstarts_rows[starts], vstarts_rows[ends]
+        )
+        return pa.table(cols, schema=POSITIONAL_SEGMENT_SCHEMA)
+    return pa.table(cols, schema=SEGMENT_SCHEMA)
 
 
 def decode_posting(doc_ids_enc: bytes, tfs_enc: bytes) -> tuple[np.ndarray, np.ndarray]:
@@ -283,6 +305,48 @@ class SegmentReader:
                 }
             )
         self._blocks_cache[term] = out
+        return out
+
+    def positions_lookup(self, term: str, cand: np.ndarray) -> list[np.ndarray]:
+        """Per-candidate ascending position arrays of ``term`` (empty array
+        when the doc lacks it). Requires a positional index (``pos_enc``).
+
+        Decodes each run's position stream ONCE (cached per term): absolute
+        positions recovered from within-doc deltas with one cumsum + one
+        per-doc correction gather; candidates then resolve by binary search
+        into the run's docID array."""
+        cache = getattr(self, "_pos_cache", None)
+        if cache is None:
+            cache = self._pos_cache = {}
+        decoded = cache.get(term)
+        if decoded is None:
+            decoded = []
+            for tbl, i in self._runs(term):
+                if "pos_enc" not in tbl.column_names:
+                    raise ValueError(
+                        "positions_lookup requires an index built with positions=True"
+                    )
+                d, t = decode_posting(tbl["doc_ids_enc"][i].as_py(), tbl["tfs_enc"][i].as_py())
+                deltas = varint_decode(tbl["pos_enc"][i].as_py()).astype(np.int64)
+                vb = np.zeros(len(d) + 1, dtype=np.int64)
+                np.cumsum(t, out=vb[1:])
+                c = np.cumsum(deltas)
+                corr = np.zeros(len(d), dtype=np.int64)
+                corr[1:] = c[vb[1:-1] - 1]  # cumsum just before each doc's first value
+                abs_pos = c - np.repeat(corr, t)
+                decoded.append((d, vb, abs_pos))
+            cache[term] = decoded
+        empty = np.empty(0, dtype=np.int64)
+        out = [empty] * len(cand)
+        for d, vb, abs_pos in decoded:
+            if not len(d):
+                continue
+            pos = np.searchsorted(d, cand)
+            pos_c = np.minimum(pos, len(d) - 1)
+            hit = d[pos_c] == cand
+            for j in np.flatnonzero(hit):
+                r = int(pos_c[j])
+                out[j] = abs_pos[vb[r] : vb[r + 1]]
         return out
 
     def max_impact(self, term: str) -> float:

@@ -48,42 +48,81 @@ def _explode_tokens(text: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndar
 
 
 def tokenize_batch(
-    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text",
+    positions: bool = False,
 ) -> pa.Table:
     """One Arrow batch of docs -> exploded (term, doc_id, tf, dl) table.
 
     ``id_col`` must be int64 and unique within the corpus (dense docIDs from
     ``engine.docids`` for transcripts; the native ``doc_id`` for documents).
+
+    ``positions=True`` adds a ``pos`` list<int32> column: the ASCENDING
+    0-based token offsets of this (doc, term)'s occurrences — the
+    ``identifierData`` payload analog (domain/bucket/ArrayBucket.java:31-34
+    keeps per-occurrence residue identifiers beside each docID). Grouping is
+    done with one lexsort instead of the hash group_by so the per-group
+    position lists come out ordered for free.
     """
     flat, parent, dl = _explode_tokens(batch[text_col])
     if len(flat) == 0:
-        return pa.table(
-            {
-                "term": pa.array([], pa.string()),
-                "doc_id": pa.array([], pa.int64()),
-                "tf": pa.array([], pa.int32()),
-                "dl": pa.array([], pa.int32()),
-            }
-        )
+        cols = {
+            "term": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "tf": pa.array([], pa.int32()),
+            "dl": pa.array([], pa.int32()),
+        }
+        if positions:
+            cols["pos"] = pa.array([], pa.list_(pa.int32()))
+        return pa.table(cols)
     doc_ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
     doc_ids_np = doc_ids.to_numpy(zero_copy_only=False).astype(np.int64)
-    exploded = pa.table(
-        {
-            "term": flat,
-            "doc_id": pa.array(doc_ids_np[parent], pa.int64()),
-            "dl": pa.array(dl[parent], pa.int32()),
-        }
+    if not positions:
+        exploded = pa.table(
+            {
+                "term": flat,
+                "doc_id": pa.array(doc_ids_np[parent], pa.int64()),
+                "dl": pa.array(dl[parent], pa.int32()),
+            }
+        )
+        # partial aggregation: tf per (doc, term) within this batch (SPIMI partial)
+        grouped = exploded.group_by(["term", "doc_id"], use_threads=False).aggregate(
+            [("term", "count"), ("dl", "min")]
+        )
+        return pa.table(
+            {
+                "term": grouped["term"],
+                "doc_id": grouped["doc_id"],
+                "tf": grouped["term_count"].cast(pa.int32()),
+                "dl": grouped["dl_min"],
+            }
+        )
+
+    # positional: one lexsort groups (doc, term) AND orders positions ascending
+    doc_starts = np.zeros(len(dl) + 1, dtype=np.int64)
+    np.cumsum(dl, out=doc_starts[1:])
+    pos_in_doc = (np.arange(len(parent), dtype=np.int64) - doc_starts[parent]).astype(np.int32)
+    dic = flat.dictionary_encode()
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pos_in_doc, codes, parent))
+    p_s, c_s, pos_s = parent[order], codes[order], pos_in_doc[order]
+    is_start = np.empty(len(p_s), dtype=bool)
+    is_start[0] = True
+    np.not_equal(
+        (p_s[1:].astype(np.int64) << 32) | c_s[1:], (p_s[:-1].astype(np.int64) << 32) | c_s[:-1],
+        out=is_start[1:],
     )
-    # partial aggregation: tf per (doc, term) within this batch (SPIMI partial)
-    grouped = exploded.group_by(["term", "doc_id"], use_threads=False).aggregate(
-        [("term", "count"), ("dl", "min")]
-    )
+    starts = np.flatnonzero(is_start)
+    ends = np.append(starts[1:], len(p_s))
+    offsets = np.empty(len(starts) + 1, dtype=np.int32)
+    offsets[:-1] = starts
+    offsets[-1] = len(p_s)
     return pa.table(
         {
-            "term": grouped["term"],
-            "doc_id": grouped["doc_id"],
-            "tf": grouped["term_count"].cast(pa.int32()),
-            "dl": grouped["dl_min"],
+            "term": dic.dictionary.take(pa.array(c_s[starts])),
+            "doc_id": pa.array(doc_ids_np[p_s[starts]], pa.int64()),
+            "tf": pa.array((ends - starts).astype(np.int32)),
+            "dl": pa.array(dl[p_s[starts]], pa.int32()),
+            "pos": pa.ListArray.from_arrays(pa.array(offsets), pa.array(pos_s, pa.int32())),
         }
     )
 

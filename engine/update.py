@@ -285,9 +285,12 @@ def add_documents(
     hot_ref = ray.put(stats.get("hot_terms", []))
     router = _Router(hot_ref, n_buckets, n_salts)
     run_offset = generation * n_salts
+    positional = bool(stats.get("positional"))
 
     def route_offset(batch: pa.Table) -> pa.Table:
-        rows = router(tokenize_batch(batch, id_col=id_col, text_col=text_col))
+        rows = router(
+            tokenize_batch(batch, id_col=id_col, text_col=text_col, positions=positional)
+        )
         return rows.set_column(
             rows.schema.get_field_index("salt"),
             "salt",
@@ -352,11 +355,28 @@ def _reencode_part(
     tfs_enc = tbl["tfs_enc"].to_pylist()
     runs_col = tbl["run"].to_numpy(zero_copy_only=False)
     terms_col = tbl["term"].to_pylist()
-    terms, salts, docs, tfs = [], [], [], []
+    has_pos = "pos_enc" in tbl.column_names
+    pos_enc_l = tbl["pos_enc"].to_pylist() if has_pos else None
+    from .codec import varint_decode
+
+    terms, salts, docs, tfs, pos_vals, pos_counts = [], [], [], [], [], []
     for i in range(tbl.num_rows):
         d, t = decode_posting(docs_enc[i], tfs_enc[i])
+        keep = None
         if remove_ids is not None and len(d):
             keep = ~np.isin(d, remove_ids, assume_unique=True)
+        if has_pos and len(d):
+            # reconstruct absolute positions, then drop removed docs' spans
+            deltas = varint_decode(pos_enc_l[i]).astype(np.int64)
+            vb = np.zeros(len(d) + 1, dtype=np.int64)
+            np.cumsum(t, out=vb[1:])
+            c = np.cumsum(deltas)
+            corr = np.zeros(len(d), dtype=np.int64)
+            corr[1:] = c[vb[1:-1] - 1]
+            abs_pos = c - np.repeat(corr, t)
+            if keep is not None:
+                abs_pos = abs_pos[np.repeat(keep, t)]
+        if keep is not None:
             d, t = d[keep], t[keep]
         if not len(d):
             continue
@@ -365,6 +385,9 @@ def _reencode_part(
         salts.append(np.full(len(d), run % n_salts if collapse_runs else run, dtype=np.int32))
         docs.append(d)
         tfs.append(t)
+        if has_pos:
+            pos_vals.append(abs_pos)
+            pos_counts.append(t)
     if not docs:
         os.remove(path)
         mp = state.manifest_path(index_dir, part)
@@ -374,15 +397,21 @@ def _reencode_part(
     ids_sorted, dl_sorted = dl_lookup
     doc_all = np.concatenate(docs)
     dl_all = dl_sorted[np.searchsorted(ids_sorted, doc_all)]
-    rows = pa.table(
-        {
-            "term": pa.array(np.concatenate(terms), pa.string()),
-            "salt": pa.array(np.concatenate(salts), pa.int32()),
-            "doc_id": pa.array(doc_all, pa.int64()),
-            "tf": pa.array(np.concatenate(tfs).astype(np.int32)),
-            "dl": pa.array(dl_all.astype(np.int32)),
-        }
-    )
+    cols = {
+        "term": pa.array(np.concatenate(terms), pa.string()),
+        "salt": pa.array(np.concatenate(salts), pa.int32()),
+        "doc_id": pa.array(doc_all, pa.int64()),
+        "tf": pa.array(np.concatenate(tfs).astype(np.int32)),
+        "dl": pa.array(dl_all.astype(np.int32)),
+    }
+    if has_pos:
+        counts = np.concatenate(pos_counts)
+        offs = np.zeros(len(counts) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offs[1:])
+        cols["pos"] = pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(np.concatenate(pos_vals).astype(np.int32), pa.int32())
+        )
+    rows = pa.table(cols)
     # collapsed runs may merge docs of the same (term, salt): encode_bucket
     # requires strictly ascending docs per group, which holds because runs
     # are doc-disjoint and docs are unique per term

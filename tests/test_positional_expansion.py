@@ -1,0 +1,248 @@
+"""Positional payloads (J4) + query expansion (Q1/Q2) tests.
+
+J4 analog: the reference's postings carry per-occurrence identifier payloads
+(domain/bucket/ArrayBucket.java:31-34 ``identifierData``) consumed by the
+path-overlap join (domain/result/TargetStructure.java:78-111); ours carry
+token positions consumed by phrase matching. Q1/Q2 analog: tolerance
+expansion / position-specific exchanges (ResiduePairOccurrence.java:166-227)
+become per-slot OR-groups scored as sum-over-slots of the max variant
+contribution. All asserted against independent pure-Python oracles.
+"""
+
+import math
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from engine.schema import BM25_B, BM25_K1
+from engine.tokenize import tokenize_text
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session, tiny_corpus, tmp_path_factory):
+    from engine.build import build_index
+
+    idx = str(tmp_path_factory.mktemp("index") / "tiny_pos")
+    build_index(
+        tiny_corpus, idx, n_buckets=8, n_salts=4, hot_fraction=0.05, positions=True
+    )
+    return idx
+
+
+@pytest.fixture(scope="module")
+def doc_tokens(tiny_corpus, pos_index):
+    """doc_id -> token list, via the docmap's key<->docID contract."""
+    import glob
+
+    dm = pq.read_table(pos_index + "/docmap")
+    key_to_doc = {
+        (c, t): d
+        for c, t, d in zip(
+            dm["conv_id"].to_pylist(), dm["turn_idx"].to_pylist(), dm["doc_id"].to_pylist()
+        )
+    }
+    out = {}
+    for f in sorted(glob.glob(tiny_corpus + "/*.parquet")):
+        tbl = pq.read_table(f, columns=["conv_id", "turn_idx", "text"])
+        for c, t, x in zip(
+            tbl["conv_id"].to_pylist(), tbl["turn_idx"].to_pylist(), tbl["text"].to_pylist()
+        ):
+            out[key_to_doc[(c, t)]] = tokenize_text(x or "")
+    return out
+
+
+def test_positions_roundtrip(pos_index, doc_tokens):
+    """positions_lookup returns exactly each doc's ascending token offsets."""
+    from engine.segments import SegmentReader
+
+    reader = SegmentReader(pos_index)
+    vocab = reader.vocab_df()
+    terms = sorted(vocab["term"].to_pylist())
+    # a deterministic spread: rarest, densest, and a stride through the middle
+    by_df = sorted(zip(vocab["df"].to_pylist(), vocab["term"].to_pylist()))
+    sample = {by_df[0][1], by_df[-1][1], *(t for _, t in by_df[:: max(1, len(by_df) // 25)])}
+    all_docs = np.array(sorted(doc_tokens), dtype=np.int64)
+    checked = 0
+    for term in sorted(sample):
+        got = reader.positions_lookup(term, all_docs)
+        for j, d in enumerate(all_docs):
+            want = [i for i, tok in enumerate(doc_tokens[int(d)]) if tok == term]
+            assert got[j].tolist() == want, (term, int(d))
+            checked += len(want)
+    assert checked > 100
+
+
+def _oracle_phrase(doc_tokens, phrase):
+    seq = tokenize_text(phrase)
+    out = {}
+    for d, toks in doc_tokens.items():
+        n = sum(
+            1
+            for i in range(len(toks) - len(seq) + 1)
+            if toks[i : i + len(seq)] == seq
+        )
+        if n:
+            out[d] = n
+    return out
+
+
+def test_phrase_match_vs_oracle(pos_index, doc_tokens):
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(pos_index)
+    # real bigrams/trigrams harvested deterministically from the corpus itself
+    some = doc_tokens[min(doc_tokens)]
+    phrases = [
+        " ".join(some[0:2]),
+        " ".join(some[1:4]),
+        "w00000 w00001",
+        "zzzabsent phrase never",
+    ]
+    any_hits = 0
+    for p in phrases:
+        d, n = bm.phrase_match(p)
+        want = _oracle_phrase(doc_tokens, p)
+        got = dict(zip(d.tolist(), n.tolist()))
+        assert got == want, p
+        assert list(d) == sorted(d)  # ascending docID contract
+        any_hits += len(got)
+    assert any_hits > 0  # the harvested phrases must actually occur
+
+
+def test_phrase_single_term_equals_tf(pos_index, doc_tokens):
+    """Degenerate 1-token phrase == plain tf posting."""
+    from engine.query import Bm25Index
+    from engine.segments import SegmentReader
+
+    bm = Bm25Index(pos_index)
+    reader = SegmentReader(pos_index)
+    term = sorted(reader.vocab_df()["term"].to_pylist())[0]
+    d, n = bm.phrase_match(term)
+    pd_, pt = reader.postings(term)
+    np.testing.assert_array_equal(d, pd_)
+    np.testing.assert_array_equal(n, pt.astype(np.int64))
+
+
+def _oracle_expanded(doc_tokens, slots, k):
+    """Pure-Python sum-over-slots of max-variant BM25 contribution."""
+    n_docs = len(doc_tokens)
+    dl = {d: len(t) for d, t in doc_tokens.items()}
+    avgdl = sum(dl.values()) / n_docs
+    tf = {}
+    for d, toks in doc_tokens.items():
+        for t in toks:
+            tf.setdefault(t, {})
+            tf[t][d] = tf[t].get(d, 0) + 1
+    scores = {}
+    for slot in slots:
+        best = {}
+        for t in sorted(set(slot)):
+            plist = tf.get(t)
+            if not plist:
+                continue
+            df = len(plist)
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            for d, f in plist.items():
+                denom = f + BM25_K1 * (1.0 - BM25_B + BM25_B * dl[d] / avgdl)
+                c = idf * f * (BM25_K1 + 1.0) / denom
+                if c > best.get(d, -1.0):
+                    best[d] = c
+        for d, c in best.items():
+            scores[d] = scores.get(d, 0.0) + c
+    ranked = sorted(scores.items(), key=lambda it: (-it[1], it[0]))[:k]
+    return ranked
+
+
+EXP_CASES = [
+    [["w00000", "w00001"], ["w00002", "w00003", "w00004"]],
+    [["w00777"], ["w00000"]],
+    [["w00010", "w00011", "w00012"]],
+    [["w00000"], ["zzzabsentzzz", "w00005"], ["w00020", "w00021"]],
+]
+
+
+def test_expanded_vs_oracle(pos_index, doc_tokens):
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(pos_index)
+    hits = 0
+    for slots in EXP_CASES:
+        d, s = bm.expanded_topk(slots, 12)
+        want = _oracle_expanded(doc_tokens, slots, 12)
+        assert d.tolist() == [x for x, _ in want], slots
+        np.testing.assert_allclose(s, [y for _, y in want], rtol=1e-12)
+        hits += len(d)
+    assert hits > 0
+
+
+def test_expanded_maxscore_bitident(pos_index):
+    """Slot-level MaxScore pruning must be BIT-identical to exhaustive."""
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(pos_index)
+    for slots in EXP_CASES:
+        norm = [sorted(set(s)) for s in slots if s]
+        d_e, s_e = bm._expanded_exhaustive(norm, 12, None)
+        out = bm._expanded_maxscore(norm, 12)
+        if out is None:  # fat-candidate fallback is allowed, not wrong
+            continue
+        d_m, s_m = out
+        np.testing.assert_array_equal(d_m, d_e)
+        np.testing.assert_array_equal(
+            s_m.view(np.uint64), s_e.view(np.uint64)
+        )  # bit pattern, not approx
+
+
+def test_expanded_single_variant_equals_topk(pos_index):
+    """One slot x one variant degenerates to plain single-term topk."""
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(pos_index)
+    d1, s1 = bm.expanded_topk([["w00000"]], 10)
+    d2, s2 = bm.topk("w00000", 10)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_allclose(s1, s2, rtol=1e-12)
+
+
+def test_phrase_after_add_and_remove(ray_session, pos_index, doc_tokens, tmp_path):
+    """ADD/REMOVE on a POSITIONAL index keep phrase matching exact."""
+    import ray.data
+
+    from engine.query import Bm25Index
+    from engine.update import add_documents, remove_documents
+
+    idx = str(tmp_path / "posupd")
+    shutil.copytree(pos_index, idx)
+    new = pa.table(
+        {
+            "conv_id": pa.array(["zzzz-pos-0", "zzzz-pos-0", "zzzz-pos-1"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "text": pa.array(
+                [
+                    "alpha bravo charlie alpha bravo",
+                    "charlie alpha bravo charlie",
+                    "delta alpha bravo delta",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    rep = add_documents(idx, ray.data.from_arrow(new))
+    assert rep["added"] == 3
+    bm = Bm25Index(idx)
+    d, n = bm.phrase_match("alpha bravo")
+    base = max(doc_tokens) + 1
+    assert dict(zip(d.tolist(), n.tolist())) == {base: 2, base + 1: 1, base + 2: 1}
+    # old docs' phrases still intact after the update
+    some = doc_tokens[min(doc_tokens)]
+    d0, n0 = bm.phrase_match(" ".join(some[0:2]))
+    want0 = _oracle_phrase(doc_tokens, " ".join(some[0:2]))
+    assert dict(zip(d0.tolist(), n0.tolist())) == want0
+
+    remove_documents(idx, conv_ids=["zzzz-pos-0"])
+    bm2 = Bm25Index(idx)
+    d2, n2 = bm2.phrase_match("alpha bravo")
+    assert dict(zip(d2.tolist(), n2.tolist())) == {base + 2: 1}
