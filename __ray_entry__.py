@@ -324,6 +324,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = pa.concat_tables([t for t in tables if t.num_rows])
         return _round_scores(res, "score", "score_r", SCORE_ROUND)
 
+    def bm25_topk_sharded(sf_dir):
+        """Scatter/gather over term-partitioned postings shards: each shard
+        actor holds only its part files; the coordinator gathers term runs and
+        runs the unchanged exact scoring paths. Must equal bm25_topk exactly
+        (same SQL oracle) — the postings-shard serving mode the reference's
+        replica-per-JVM model lacks at 100x corpus."""
+        from engine.serve import ShardedQueryService
+
+        idx = _documents_index(sf_dir)
+        svc = ShardedQueryService(idx, n_shards=3)
+        try:
+            tables = []
+            for qid, text, k in DOC_QUERIES:
+                d, s = svc.topk(text, k, rank_round=RANK_ROUND)
+                tables.append(
+                    pa.table(
+                        {
+                            "query_id": pa.array([qid] * len(d), pa.string()),
+                            "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
+                            "doc_id": pa.array(d, pa.int64()),
+                            "score": pa.array(s, pa.float64()),
+                        }
+                    )
+                )
+            res = pa.concat_tables([t for t in tables if t.num_rows])
+        finally:
+            svc.shutdown()
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
     def percolate_conjunctive(sf_dir):
         """Percolation (detect-motifs analog): every (doc, stored query) pair
         where the doc contains ALL query terms, BM25-scored with corpus
@@ -537,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_incremental": bm25_topk_incremental,
         "bm25_topk_expanded": bm25_topk_expanded,
+        "bm25_topk_sharded": bm25_topk_sharded,
         "phrase_match": phrase_match,
         "percolate_conjunctive": percolate_conjunctive,
         "normalize_docs": normalize_docs,
@@ -839,6 +869,8 @@ WHERE text IS NOT NULL
         # incremental half-build + ADD must equal the full-corpus build
         "bm25_topk_incremental": _bm25_sql(conjunctive=False),
         "bm25_topk_expanded": _expanded_sql(),
+        # sharded scatter/gather must be indistinguishable from single-reader
+        "bm25_topk_sharded": _bm25_sql(conjunctive=False),
         "phrase_match": _phrase_sql(),
         "percolate_conjunctive": _percolate_sql(),
         "dedup_exact": """

@@ -89,11 +89,19 @@ class Bm25Index:
             # single-term fast path: the posting IS the sorted candidate set
             candidates = postings[0][1]
             positions = [np.arange(len(candidates))]
-        elif self._dense:
+        elif self._dense and (
+            self.n_docs <= (1 << 25)
+            or self.n_docs <= 4 * sum(len(d) for _, d, _ in postings)
+        ):
             # dense-docID fast path: scatter contributions into an n_docs-long
             # accumulator — no unique()/sort over the multi-million-doc union
             # (the dominant multi-term cost). Per-doc float adds still happen
-            # in ascending term order, so scores stay bit-identical.
+            # in ascending term order, so scores stay bit-identical. Gated on
+            # corpus size: the n_docs float64 accumulator is 8 bytes/doc per
+            # query (8 GB at 10^9 docs), so beyond 32M docs it is only taken
+            # when the postings themselves are within 4x of that footprint —
+            # otherwise the unique()-merge path below (O(postings) memory)
+            # computes the same bits.
             acc_full = np.zeros(self.n_docs, dtype=np.float64)
             for t, doc, tf in postings:  # ascending term order
                 df = len(doc)
