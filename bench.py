@@ -9,9 +9,10 @@ JSON line:
    "build_turns_per_sec": ..., "query_p95_ms": ...}
 
 --scaling: run the same build in FRESH processes at two parallelism levels
-(GRAFT_SCALING_PAIR, default "8,32"; "2,8" sits inside this host's honest
-scaling region — see tools/cpu_capacity.py and BASELINE.md), best-of-2 per
-leg, and report both throughputs + scaling efficiency.
+(GRAFT_SCALING_PAIR, default "2,8" — the N->4N pair inside this host's honest
+scaling region; the 8->32 pair is hard-capped by the shared-tenant host at
+~0.45-0.72 ceiling efficiency — see tools/cpu_capacity.py and BASELINE.md),
+best-of-2 per leg, and report both throughputs + scaling efficiency.
 
 The transcript corpus is synthesized deterministically (seed=42) into /tmp and
 reused across runs; generation is untimed. One untimed warm read precedes the
@@ -159,7 +160,7 @@ def run_scaling() -> None:
     # N and 4N parallelism levels (driver instruction allows any N/4N pair);
     # see tools/cpu_capacity.py for why the pair matters on this host
     n_lo, n_hi = (
-        int(x) for x in os.environ.get("GRAFT_SCALING_PAIR", "8,32").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALING_PAIR", "2,8").split(",")
     )
 
     def run(ncpu: int) -> dict:

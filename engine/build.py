@@ -43,7 +43,7 @@ from . import state
 from .docids import add_doc_ids, conv_base_offsets
 from .schema import TRANSCRIPT_SCHEMA
 from .segments import encode_bucket, term_bucket_array
-from .tokenize import doc_length_batch, md5_lower64, tokenize_batch
+from .tokenize import doc_length_batch, hash64_text, tokenize_batch
 
 DEFAULT_N_BUCKETS = 32
 DEFAULT_N_SALTS = 8
@@ -78,12 +78,20 @@ def detect_hot_terms(
 
 
 class _Router:
-    """Adds ``part`` (+ ``salt``) routing columns. Stateless, broadcast hot set."""
+    """Adds the ``part`` routing column (+ ``salt`` when asked). Stateless,
+    broadcast hot set.
 
-    def __init__(self, hot_ref, n_buckets: int, n_salts: int):
+    ``emit_salt=False`` (the build path): salt is fully determined by the part
+    (``salt == part // n_buckets``), so carrying it per row through the
+    exchange is 4 wasted bytes/posting/copy — the encoder reconstitutes it as
+    a constant. The update path keeps ``emit_salt=True`` because it offsets
+    run ids by generation before encoding."""
+
+    def __init__(self, hot_ref, n_buckets: int, n_salts: int, emit_salt: bool = True):
         self.hot_ref = hot_ref
         self.n_buckets = n_buckets
         self.n_salts = n_salts
+        self.emit_salt = emit_salt
         self._hot_arr = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -97,22 +105,36 @@ class _Router:
         else:
             salt = np.zeros(len(bucket), dtype=np.int32)
         part = bucket + salt * self.n_buckets
-        return batch.append_column("salt", pa.array(salt, pa.int32())).append_column(
-            "part", pa.array(part, pa.int32())
-        )
+        if self.emit_salt:
+            batch = batch.append_column("salt", pa.array(salt, pa.int32()))
+        return batch.append_column("part", pa.array(part, pa.int32()))
 
 
 class _SegmentWriter:
-    """Callable: one part's rows -> encoded segment file + manifest."""
+    """Callable: one part's rows -> encoded segment file + manifest.
 
-    def __init__(self, index_dir: str, avgdl: float):
+    ``dl_ref``: broadcast docmap lookup (ids_sorted_or_None, dl_values) for
+    the slim exchange (rows carry no ``dl`` column); resolved lazily once per
+    task via zero-copy ``ray.get``. ``n_buckets`` reconstitutes the per-part
+    constant salt when rows carry no ``salt`` column."""
+
+    def __init__(self, index_dir: str, avgdl: float, dl_ref=None, n_buckets: int | None = None):
         self.index_dir = index_dir
         self.avgdl = avgdl
+        self.dl_ref = dl_ref
+        self.n_buckets = n_buckets
+        self._dl_lookup = None
 
     def __call__(self, group: pa.Table, part: int | None = None) -> pa.Table:
         if part is None:
             part = int(group["part"][0].as_py())
-        seg = encode_bucket(group, self.avgdl)
+        dl_lookup = None
+        if "dl" not in group.column_names and self.dl_ref is not None:
+            if self._dl_lookup is None:
+                self._dl_lookup = ray.get(self.dl_ref)
+            dl_lookup = self._dl_lookup
+        salt_const = part // self.n_buckets if self.n_buckets else None
+        seg = encode_bucket(group, self.avgdl, dl_lookup=dl_lookup, salt_const=salt_const)
         path = state.segment_path(self.index_dir, part)
         tmp = path + ".tmp"
         pq.write_table(seg, tmp, row_group_size=16384)
@@ -196,7 +218,7 @@ def build_index(
                     # io/DefaultStateRepository.java:57-61): lets ADD detect
                     # re-submitted docs whose text changed
                     "content_hash": pa.array(
-                        md5_lower64(b[text_col]).astype(np.int64), pa.int64()
+                        hash64_text(b[text_col]).astype(np.int64), pa.int64()
                     ),
                 }
             )
@@ -208,7 +230,7 @@ def build_index(
             dl = doc_length_batch(b, id_col=id_col, text_col=text_col)
             return dl.append_column(
                 "content_hash",
-                pa.array(md5_lower64(b[text_col]).astype(np.int64), pa.int64()),
+                pa.array(hash64_text(b[text_col]).astype(np.int64), pa.int64()),
             )
 
     # docmap pass is itself checkpointed: a _SUCCESS marker makes it resumable
@@ -218,16 +240,25 @@ def build_index(
         if os.path.isdir(docmap_dir):
             shutil.rmtree(docmap_dir)
         ds.map_batches(docmap_fn, batch_format="pyarrow").write_parquet(docmap_dir)
-        dm = pq.read_table(docmap_dir, columns=["dl"])
+    # one (doc_id, dl) read serves BOTH the global stats and the broadcast dl
+    # lookup the slim exchange resolves lengths from at encode time
+    dm = pq.read_table(docmap_dir, columns=["doc_id", "dl"])
+    n_docs = dm.num_rows
+    avgdl = float(pc.mean(dm["dl"]).as_py() or 0.0)
+    if not os.path.exists(docmap_marker):
         state.atomic_write_bytes(
-            json.dumps(
-                {"n_docs": dm.num_rows, "avgdl": float(pc.mean(dm["dl"]).as_py() or 0.0)}
-            ).encode(),
-            docmap_marker,
+            json.dumps({"n_docs": n_docs, "avgdl": avgdl}).encode(), docmap_marker
         )
-    with open(docmap_marker) as f:
-        dm_info = json.load(f)
-    n_docs, avgdl = int(dm_info["n_docs"]), float(dm_info["avgdl"])
+    dm_ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dm_dls = dm["dl"].to_numpy(zero_copy_only=False).astype(np.int32)
+    if n_docs and dm_ids.min() == 0 and dm_ids.max() == n_docs - 1:
+        dense = np.zeros(n_docs, dtype=np.int32)
+        dense[dm_ids] = dm_dls
+        dl_ref = ray.put((None, dense))  # dense docIDs: direct gather
+    else:
+        o = np.argsort(dm_ids, kind="stable")
+        dl_ref = ray.put((dm_ids[o], dm_dls[o]))
+    del dm, dm_ids, dm_dls
     t_docmap = time.perf_counter()
 
     # --- routing contract (pre-shuffle checkpoint) ---------------------------
@@ -284,17 +315,30 @@ def build_index(
     # same assumption groupby().map_groups makes; n_buckets controls it.
     done = set(state.committed_parts(index_dir)) if resume else set()
     n_parts_total = n_buckets * n_salts
+    # slim exchange rows: (term, doc_id, tf, part) only — dl resolves from the
+    # broadcast docmap at encode time, salt is constant per part. Tokenize and
+    # route are consecutive map_batches, fused into ONE task by Ray Data (one
+    # object-store write for the routed rows).
     tokenized = ds.map_batches(
-        lambda b: tokenize_batch(b, id_col=id_col, text_col=text_col, positions=positions),
+        lambda b: tokenize_batch(
+            b, id_col=id_col, text_col=text_col, positions=positions, with_dl=False
+        ),
         batch_format="pyarrow",
-    ).map_batches(_Router(hot_ref, n_buckets, n_salts), batch_format="pyarrow")
+    ).map_batches(
+        _Router(hot_ref, n_buckets, n_salts, emit_salt=False), batch_format="pyarrow"
+    )
     t_spill = time.perf_counter()
 
     @ray.remote(num_returns=n_parts_total)
-    def split_block(tbl: pa.Table):
-        if tbl.num_rows == 0 or "part" not in tbl.column_names:
+    def split_blocks(*tbls):
+        # several upstream blocks -> one split task: bounds the number of
+        # (split output x part) objects without a repartition pass (which
+        # re-wrote every routed row through the object store once more)
+        live = [t for t in tbls if t.num_rows and "part" in t.column_names]
+        if not live:
             # empty upstream blocks skip the map UDF and keep the input schema
             return tuple(None for _ in range(n_parts_total))
+        tbl = live[0] if len(live) == 1 else pa.concat_tables(live)
         part = tbl["part"].to_numpy(zero_copy_only=False)
         order = np.argsort(part, kind="stable")
         s = tbl.take(pa.array(order))
@@ -303,7 +347,7 @@ def build_index(
             s.slice(int(lo), int(hi - lo)) for lo, hi in zip(bounds[:-1], bounds[1:])
         )
 
-    writer = _SegmentWriter(index_dir, avgdl)
+    writer = _SegmentWriter(index_dir, avgdl, dl_ref=dl_ref, n_buckets=n_buckets)
 
     @ray.remote
     def encode_part(part: int, *tables):
@@ -317,22 +361,48 @@ def build_index(
             "n_postings": int(seg_row["n_postings"][0].as_py()),
         }
 
-    # coalesce first: the split stage emits (blocks x n_parts) objects and
-    # every encode task resolves one dependency per block — thousands of tiny
+    # The split stage emits (split tasks x n_parts) objects and every encode
+    # task resolves one dependency per split task — thousands of tiny
     # objects/deps cost more in store metadata + scheduler work than they buy
-    # in parallelism (measured 1.5-2x on the whole stage). Cap well below
-    # blocks x parts ~ 4k.
-    n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    tokenized = tokenized.repartition(max(8, min(2 * n_cpus, 48)))
-    block_refs = tokenized.to_arrow_refs()
-    split_refs = [split_block.remote(r) for r in block_refs]
+    # in parallelism (measured 1.5-2x on the whole stage), so several routed
+    # blocks feed ONE split task. Split tasks launch AS blocks materialize
+    # (streaming ref-bundle iteration — split overlaps the tail of tokenize
+    # instead of waiting behind a full-materialize barrier).
+    split_refs: list = []
+    pending_refs: list = []
+    pending_bytes = 0
+    # group streamed blocks into ~even split tasks by bytes; the threshold
+    # bounds the task count near max_split_tasks for typical block sizes
+    group_bytes = 64 << 20
+
+    def _flush():
+        nonlocal pending_refs, pending_bytes
+        if pending_refs:
+            split_refs.append(split_blocks.remote(*pending_refs))
+            pending_refs, pending_bytes = [], 0
+
+    try:
+        bundle_iter = tokenized.iter_internal_ref_bundles()
+        for bundle in bundle_iter:
+            for block_ref, meta in bundle.blocks:
+                pending_refs.append(block_ref)
+                pending_bytes += int(meta.size_bytes or 0)
+                if pending_bytes >= group_bytes or len(pending_refs) >= 8:
+                    _flush()
+    except AttributeError:  # developer API moved: fall back to full materialize
+        for block_ref in tokenized.to_arrow_refs():
+            pending_refs.append(block_ref)
+            if len(pending_refs) >= 4:
+                _flush()
+    _flush()
+    t_tok = time.perf_counter()
     todo = [p for p in range(n_parts_total) if p not in done]
     enc_refs = [
         encode_part.remote(p, *[split_refs[i][p] for i in range(len(split_refs))])
         for p in todo
     ]
     manifest_rows = [r for r in ray.get(enc_refs) if r is not None]
-    del split_refs, block_refs
+    del split_refs
     t_segments = time.perf_counter()
 
     # --- finalize stats.json (manifest-last global commit) ------------------
@@ -353,6 +423,8 @@ def build_index(
         "timings_sec": {
             "docmap": round(t_docmap - t0, 3),
             "hot_detect": round(t_hot - t_docmap, 3),
+            "tokenize_exchange_in": round(t_tok - t_hot, 3),
+            "split_encode": round(t_segments - t_tok, 3),
             "segments": round(t_segments - t_hot, 3),
             "total": round(time.perf_counter() - t0, 3),
         },

@@ -48,7 +48,13 @@ def conv_base_offsets(ds: "ray.data.Dataset") -> tuple[np.ndarray, np.ndarray]:
         g = batch.group_by(["conv_id"], use_threads=False).aggregate([("conv_id", "count")])
         return pa.table({"conv_id": g["conv_id"], "n": g["conv_id_count"].cast(pa.int64())})
 
-    partial_refs = ds.map_batches(partial_counts, batch_format="pyarrow").to_arrow_refs()
+    # project to the one needed column BEFORE the pass: the projection pushes
+    # into the parquet read, so pass 1 never pulls the text payload bytes
+    partial_refs = (
+        ds.select_columns(["conv_id"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
     partials = [t for t in ray.get(partial_refs) if t.num_rows]
     tbl = (
         pa.concat_tables(partials)
@@ -69,10 +75,20 @@ def add_doc_ids(ds: "ray.data.Dataset", convs: np.ndarray, base: np.ndarray) -> 
 
     def assign(batch: pa.Table) -> pa.Table:
         convs_b, base_b = ray.get(ref)  # shared-memory read, once per task
-        cid = batch["conv_id"].to_numpy(zero_copy_only=False).astype(str)
-        pos = np.searchsorted(convs_b, cid)
-        if (pos >= len(convs_b)).any() or (convs_b[pos] != cid).any():
+        # conv_ids repeat ~turns-per-conv times within a batch: dictionary-
+        # encode and do the unicode conversion + searchsorted + equality
+        # validation over UNIQUES only (a large batch-pass cost otherwise —
+        # .astype(str) materializes a 4-byte/char numpy copy of every row)
+        col = batch["conv_id"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dic = col.dictionary_encode()
+        uniq = np.asarray(dic.dictionary.to_pylist(), dtype=str)
+        pos_u = np.searchsorted(convs_b, uniq)
+        if (pos_u >= len(convs_b)).any() or (convs_b[np.minimum(pos_u, len(convs_b) - 1)] != uniq).any():
             raise ValueError("conv_id not present in offset table")
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        pos = pos_u[codes]
         turn = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         # the assignment is only collision-free when turn_idx is exactly
         # 0..count-1 per conversation — validate instead of silently
@@ -85,7 +101,7 @@ def add_doc_ids(ds: "ray.data.Dataset", convs: np.ndarray, base: np.ndarray) -> 
             j = int(np.flatnonzero(bad)[0])
             raise ValueError(
                 f"turn_idx {turn[j]} out of range [0, {counts[j]}) for conv "
-                f"{cid[j]!r}: turn_idx must be dense 0..count-1 per conversation"
+                f"{uniq[codes[j]]!r}: turn_idx must be dense 0..count-1 per conversation"
             )
         doc_id = base_b[pos] + turn
         if len(np.unique(doc_id)) != len(doc_id):

@@ -53,8 +53,13 @@ def _pack_binary(flat: bytes, value_nbytes: np.ndarray, starts: np.ndarray, ends
     )
 
 
-def encode_bucket(group: pa.Table, avgdl: float) -> pa.Table:
-    """One bucket's (term, salt, doc_id, tf, dl) rows -> SEGMENT_SCHEMA table.
+def encode_bucket(
+    group: pa.Table,
+    avgdl: float,
+    dl_lookup: tuple[np.ndarray | None, np.ndarray] | None = None,
+    salt_const: int | None = None,
+) -> pa.Table:
+    """One bucket's (term[, salt], doc_id, tf[, dl]) rows -> SEGMENT_SCHEMA.
 
     Sorts by DICTIONARY CODE, not lexicographic term: grouping only needs
     consistency, and the reader looks terms up by exact string, never by file
@@ -62,7 +67,13 @@ def encode_bucket(group: pa.Table, avgdl: float) -> pa.Table:
     string ``sort_indices`` + ``take`` — the string path ran at ~9.4 us/row
     under 32 concurrent encoders (memory-bandwidth saturation) vs ~1.4 us
     alone; this touches each term string exactly once (dictionary hash) and
-    gathers strings only at group starts."""
+    gathers strings only at group starts.
+
+    Exchange-slim variants: when the build drops the ``dl`` column from the
+    shuffle, ``dl_lookup`` = (ids_sorted_or_None, dl_values) resolves lengths
+    here (ids None = dense docIDs, direct gather). When a part's run id is a
+    constant (build: salt == part // n_buckets), ``salt_const`` replaces the
+    per-row ``salt`` column. Both cut 4 bytes/posting/copy off the shuffle."""
     has_pos = "pos" in group.column_names
     if group.num_rows == 0:
         return (POSITIONAL_SEGMENT_SCHEMA if has_pos else SEGMENT_SCHEMA).empty_table()
@@ -71,14 +82,23 @@ def encode_bucket(group: pa.Table, avgdl: float) -> pa.Table:
         term_col = term_col.combine_chunks()
     dic = term_col.dictionary_encode()
     tcodes0 = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    salt0 = group["salt"].to_numpy(zero_copy_only=False).astype(np.int32)
     doc0 = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((doc0, salt0, tcodes0))
+    if "salt" in group.column_names:
+        salt0 = group["salt"].to_numpy(zero_copy_only=False).astype(np.int32)
+        order = np.lexsort((doc0, salt0, tcodes0))
+        salt = salt0[order]
+    else:
+        order = np.lexsort((doc0, tcodes0))
+        salt = np.full(len(doc0), 0 if salt_const is None else salt_const, dtype=np.int32)
     tcodes = tcodes0[order]
-    salt = salt0[order]
     doc = doc0[order]
     tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    dl = group["dl"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    if "dl" in group.column_names:
+        dl = group["dl"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    else:
+        ids_sorted, dl_vals = dl_lookup
+        dl = dl_vals[doc] if ids_sorted is None else dl_vals[np.searchsorted(ids_sorted, doc)]
+        dl = dl.astype(np.int64)
     n = len(doc)
 
     # group boundaries on (term, salt)

@@ -49,12 +49,17 @@ def _explode_tokens(text: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndar
 
 def tokenize_batch(
     batch: pa.Table, id_col: str = "doc_id", text_col: str = "text",
-    positions: bool = False,
+    positions: bool = False, with_dl: bool = True,
 ) -> pa.Table:
-    """One Arrow batch of docs -> exploded (term, doc_id, tf, dl) table.
+    """One Arrow batch of docs -> exploded (term, doc_id, tf[, dl]) table.
 
     ``id_col`` must be int64 and unique within the corpus (dense docIDs from
     ``engine.docids`` for transcripts; the native ``doc_id`` for documents).
+
+    ``with_dl=False`` omits the per-row ``dl`` column: the build exchange
+    resolves document lengths at ENCODE time from the broadcast docmap lookup
+    instead of carrying 4 bytes/posting through every shuffle copy (the bytes
+    saved scale with corpus size; the broadcast is O(n_docs) once).
 
     ``positions=True`` adds a ``pos`` list<int32> column: the ASCENDING
     0-based token offsets of this (doc, term)'s occurrences — the
@@ -69,33 +74,33 @@ def tokenize_batch(
             "term": pa.array([], pa.string()),
             "doc_id": pa.array([], pa.int64()),
             "tf": pa.array([], pa.int32()),
-            "dl": pa.array([], pa.int32()),
         }
+        if with_dl:
+            cols["dl"] = pa.array([], pa.int32())
         if positions:
             cols["pos"] = pa.array([], pa.list_(pa.int32()))
         return pa.table(cols)
     doc_ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
     doc_ids_np = doc_ids.to_numpy(zero_copy_only=False).astype(np.int64)
     if not positions:
-        exploded = pa.table(
-            {
-                "term": flat,
-                "doc_id": pa.array(doc_ids_np[parent], pa.int64()),
-                "dl": pa.array(dl[parent], pa.int32()),
-            }
-        )
+        exp_cols = {
+            "term": flat,
+            "doc_id": pa.array(doc_ids_np[parent], pa.int64()),
+        }
+        if with_dl:
+            exp_cols["dl"] = pa.array(dl[parent], pa.int32())
+        exploded = pa.table(exp_cols)
         # partial aggregation: tf per (doc, term) within this batch (SPIMI partial)
-        grouped = exploded.group_by(["term", "doc_id"], use_threads=False).aggregate(
-            [("term", "count"), ("dl", "min")]
-        )
-        return pa.table(
-            {
-                "term": grouped["term"],
-                "doc_id": grouped["doc_id"],
-                "tf": grouped["term_count"].cast(pa.int32()),
-                "dl": grouped["dl_min"],
-            }
-        )
+        aggs = [("term", "count")] + ([("dl", "min")] if with_dl else [])
+        grouped = exploded.group_by(["term", "doc_id"], use_threads=False).aggregate(aggs)
+        out_cols = {
+            "term": grouped["term"],
+            "doc_id": grouped["doc_id"],
+            "tf": grouped["term_count"].cast(pa.int32()),
+        }
+        if with_dl:
+            out_cols["dl"] = grouped["dl_min"]
+        return pa.table(out_cols)
 
     # positional: one lexsort groups (doc, term) AND orders positions ascending
     doc_starts = np.zeros(len(dl) + 1, dtype=np.int64)
@@ -116,15 +121,15 @@ def tokenize_batch(
     offsets = np.empty(len(starts) + 1, dtype=np.int32)
     offsets[:-1] = starts
     offsets[-1] = len(p_s)
-    return pa.table(
-        {
-            "term": dic.dictionary.take(pa.array(c_s[starts])),
-            "doc_id": pa.array(doc_ids_np[p_s[starts]], pa.int64()),
-            "tf": pa.array((ends - starts).astype(np.int32)),
-            "dl": pa.array(dl[p_s[starts]], pa.int32()),
-            "pos": pa.ListArray.from_arrays(pa.array(offsets), pa.array(pos_s, pa.int32())),
-        }
-    )
+    out_cols = {
+        "term": dic.dictionary.take(pa.array(c_s[starts])),
+        "doc_id": pa.array(doc_ids_np[p_s[starts]], pa.int64()),
+        "tf": pa.array((ends - starts).astype(np.int32)),
+    }
+    if with_dl:
+        out_cols["dl"] = pa.array(dl[p_s[starts]], pa.int32())
+    out_cols["pos"] = pa.ListArray.from_arrays(pa.array(offsets), pa.array(pos_s, pa.int32()))
+    return pa.table(out_cols)
 
 
 def doc_length_batch(
@@ -202,3 +207,26 @@ def md5_lower64(strs: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if len(uniq) == 0:
         return np.array([], dtype=np.uint64)
     return uniq[dic.indices.to_numpy(zero_copy_only=False)]
+
+
+def hash64_text(strs: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized uint64 content hash for docmap revision tracking.
+
+    Doc TEXTS are (nearly) all unique, so md5_lower64's dictionary trick
+    degenerates to a per-row Python md5 loop there (~5 us/doc). This path is
+    xxhash64 via polars (~30x faster, no Python loop), falling back to md5.
+    NOT SQL-parity bound — revision hashes are only ever compared against
+    hashes written by the same code; a hash-scheme change at worst re-indexes
+    re-submitted docs (safe direction). Used by build + incremental ADD, which
+    therefore MUST share this one function."""
+    try:
+        import polars as pl
+    except ImportError:  # pragma: no cover - polars is baked into the env
+        return md5_lower64(strs)
+    if isinstance(strs, pa.ChunkedArray):
+        strs = strs.combine_chunks()
+    if len(strs) == 0:
+        return np.array([], dtype=np.uint64)
+    return (
+        pl.Series("t", strs).fill_null("").hash(seed=0).to_numpy().astype(np.uint64)
+    )

@@ -46,7 +46,7 @@ import ray.data
 from . import state
 from .build import _Router
 from .segments import decode_posting, encode_bucket
-from .tokenize import doc_length_batch, md5_lower64, tokenize_batch
+from .tokenize import doc_length_batch, hash64_text, tokenize_batch
 
 
 def _docmap_dir(index_dir: str) -> str:
@@ -223,7 +223,7 @@ def add_documents(
             found[inb] = ks[pos[inb]] == bk[inb]
         old_id = np.full(len(bk), -1, dtype=np.int64)
         if hs is not None and found.any():
-            bh = md5_lower64(batch[text_col]).astype(np.int64)
+            bh = hash64_text(batch[text_col]).astype(np.int64)
             changed = found.copy()
             changed[found] = hs[pos[found]] != bh[found]
             old_id[changed] = dids[pos[changed]]
@@ -275,7 +275,7 @@ def add_documents(
         if transcripts:
             cols.update(conv_id=b["conv_id"], turn_idx=b["turn_idx"])
         cols["dl"] = dl["dl"]
-        cols["content_hash"] = pa.array(md5_lower64(b[text_col]).astype(np.int64), pa.int64())
+        cols["content_hash"] = pa.array(hash64_text(b[text_col]).astype(np.int64), pa.int64())
         return pa.table(cols)
 
     delta_dir = os.path.join(_docmap_dir(index_dir), f"delta-{generation:04d}")
