@@ -156,7 +156,11 @@ def run_scaling() -> None:
     # at ~0.66 even with perfect compute scaling; ~3.3M turns lets the
     # CPU-bound stages dominate, which is also the honest proxy for the
     # 10^12-turn design point where per-job constants vanish.
-    scaling_convs = os.environ.get("GRAFT_SCALING_CONVS", "150000")
+    # 300k convs = 6.6M turns: at this size the per-job constants (docmap
+    # barrier, hot detect, driver prefix sums — ~8-10s combined) are <5% of
+    # even the fast leg, so the pair measures the scalable pipeline, not the
+    # constants. Also the closer proxy for the 100-TB design point.
+    scaling_convs = os.environ.get("GRAFT_SCALING_CONVS", "300000")
     # N and 4N parallelism levels (driver instruction allows any N/4N pair);
     # see tools/cpu_capacity.py for why the pair matters on this host
     n_lo, n_hi = (

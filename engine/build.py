@@ -107,6 +107,22 @@ class _Router:
         part = bucket + salt * self.n_buckets
         if self.emit_salt:
             batch = batch.append_column("salt", pa.array(salt, pa.int32()))
+        if not self.emit_salt:
+            # build path: ship term as a dictionary column — 4-byte codes per
+            # row + each block's vocab once, instead of ~10 bytes/occurrence
+            # of string+offset through every exchange copy (the term column
+            # is the widest thing in the shuffle). The split stage re-compacts
+            # dictionaries per part slice so no slice carries another part's
+            # vocab strings.
+            term_col = batch["term"]
+            if isinstance(term_col, pa.ChunkedArray):
+                term_col = term_col.combine_chunks()
+            if not pa.types.is_dictionary(term_col.type):
+                batch = batch.set_column(
+                    batch.schema.get_field_index("term"),
+                    "term",
+                    term_col.dictionary_encode(),
+                )
         return batch.append_column("part", pa.array(part, pa.int32()))
 
 
@@ -343,9 +359,30 @@ def build_index(
         order = np.argsort(part, kind="stable")
         s = tbl.take(pa.array(order))
         bounds = np.searchsorted(part[order], np.arange(n_parts_total + 1))
-        return tuple(
-            s.slice(int(lo), int(hi - lo)) for lo, hi in zip(bounds[:-1], bounds[1:])
-        )
+        term_idx = s.schema.get_field_index("term")
+        tcol = s["term"]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        if not pa.types.is_dictionary(tcol.type):
+            return tuple(
+                s.slice(int(lo), int(hi - lo)) for lo, hi in zip(bounds[:-1], bounds[1:])
+            )
+        # dictionary terms: each slice must carry ONLY its own part's vocab —
+        # a plain slice would serialize the whole blocks' unified dictionary
+        # into every part object. Re-compact per slice (np.unique remap).
+        codes_all = tcol.indices.to_numpy(zero_copy_only=False)
+        out = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            sl = s.slice(int(lo), int(hi - lo))
+            if sl.num_rows == 0:
+                out.append(sl)
+                continue
+            uniq, remapped = np.unique(codes_all[lo:hi], return_inverse=True)
+            compacted = pa.DictionaryArray.from_arrays(
+                pa.array(remapped.astype(np.int32)), tcol.dictionary.take(pa.array(uniq))
+            )
+            out.append(sl.set_column(term_idx, "term", compacted))
+        return tuple(out)
 
     writer = _SegmentWriter(index_dir, avgdl, dl_ref=dl_ref, n_buckets=n_buckets)
 

@@ -79,8 +79,12 @@ def encode_bucket(
         return (POSITIONAL_SEGMENT_SCHEMA if has_pos else SEGMENT_SCHEMA).empty_table()
     term_col = group["term"]
     if isinstance(term_col, pa.ChunkedArray):
-        term_col = term_col.combine_chunks()
-    dic = term_col.dictionary_encode()
+        term_col = term_col.combine_chunks()  # dict chunks unify here
+    dic = (
+        term_col
+        if pa.types.is_dictionary(term_col.type)
+        else term_col.dictionary_encode()
+    )
     tcodes0 = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     doc0 = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     if "salt" in group.column_names:
