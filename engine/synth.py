@@ -39,14 +39,36 @@ def marker_token(m: int) -> str:
     return f"zqmarker{m}"
 
 
-def generate_transcripts(n_convs: int, seed: int = 42) -> pa.Table:
-    """Generate the full corpus as one Arrow table (deterministic in seed)."""
-    rng = np.random.default_rng(seed)
+#: conversations per generation chunk: bounds the flat token buffer of one
+#: chunk under Arrow's 2^31-byte single-array cap (hit at ~250k convs) while
+#: keeping every corpus <= this size BIT-IDENTICAL to the unchunked generator
+CHUNK_CONVS = 100_000
 
+
+def generate_transcripts(n_convs: int, seed: int = 42) -> pa.Table:
+    """Generate the full corpus as one Arrow table (deterministic in seed).
+
+    Corpora above ``CHUNK_CONVS`` conversations are generated in independent
+    deterministic chunks (RNG stream seeded by ``[seed, chunk_idx]``) and
+    concatenated — chunk columns stay under Arrow's single-array byte cap.
+    """
+    if n_convs <= CHUNK_CONVS:
+        return _generate_range(n_convs, np.random.default_rng(seed), conv_base=0)
+    tables = []
+    for ci, start in enumerate(range(0, n_convs, CHUNK_CONVS)):
+        cnt = min(CHUNK_CONVS, n_convs - start)
+        tables.append(
+            _generate_range(cnt, np.random.default_rng([seed, ci]), conv_base=start)
+        )
+    return pa.concat_tables(tables)
+
+
+def _generate_range(n_convs: int, rng, conv_base: int) -> pa.Table:
+    """One chunk of conversations [conv_base, conv_base + n_convs)."""
     # conversation lengths: Zipf-truncated in [1, 64]
     conv_len = np.minimum(rng.zipf(1.3, n_convs), 64).astype(np.int64)
     n_turns = int(conv_len.sum())
-    conv_of_turn = np.repeat(np.arange(n_convs), conv_len)
+    conv_of_turn = conv_base + np.repeat(np.arange(n_convs), conv_len)
     turn_idx = (np.arange(n_turns) - np.repeat(np.cumsum(conv_len) - conv_len, conv_len)).astype(np.int32)
 
     # tokens per turn: 5..200, skewed short
@@ -120,7 +142,8 @@ def write_corpus(
     import json
 
     manifest_path = os.path.join(out_dir, "_synth_manifest.json")
-    want = {"n_convs": n_convs, "seed": seed, "n_shards": n_shards, "version": 1}
+    # version 2: chunked generation (content changes above CHUNK_CONVS only)
+    want = {"n_convs": n_convs, "seed": seed, "n_shards": n_shards, "version": 2}
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             if json.load(f) == want:

@@ -43,6 +43,49 @@ def test_sharded_absent_term(sharded):
     assert len(d) == 0 and len(s) == 0
 
 
+def test_sharded_after_update(ray_session, tiny_index, tmp_path):
+    """Scatter/gather over a MULTI-GENERATION index: ADD appends delta runs
+    inside existing part files; the gathered view must merge them exactly as
+    the single reader does (run order preserved across shards)."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data
+
+    from engine.query import Bm25Index
+    from engine.serve import ShardedQueryService
+    from engine.update import add_documents
+
+    idx = str(tmp_path / "sharded_upd")
+    shutil.copytree(tiny_index, idx)
+    new = pa.table(
+        {
+            "conv_id": pa.array([f"zzzz-sh-{c}" for c in range(4) for _ in range(2)], pa.string()),
+            "turn_idx": pa.array([0, 1] * 4, pa.int32()),
+            "text": pa.array(
+                [f"w00000 w00777 shmarker{c} turn {t}" for c in range(4) for t in range(2)],
+                pa.string(),
+            ),
+        }
+    )
+    assert add_documents(idx, ray.data.from_arrow(new))["added"] == 8
+    bm = Bm25Index(idx)
+    # fractional CPUs: the module fixture's 3 shard actors are still alive —
+    # 3 more full-CPU actors would exceed the 4-CPU test budget and the new
+    # actors would never place (a silent hang)
+    svc = ShardedQueryService(idx, n_shards=3, num_cpus=0.25)
+    try:
+        for text, k in [("w00000", 10), ("w00777 shmarker2", 8), ("shmarker0", 5)]:
+            d1, s1 = bm.topk(text, k)
+            d2, s2 = svc.topk(text, k)
+            np.testing.assert_array_equal(d1, d2, err_msg=text)
+            np.testing.assert_array_equal(
+                np.asarray(s1).view(np.uint64), np.asarray(s2).view(np.uint64)
+            )
+    finally:
+        svc.shutdown()
+
+
 def test_shards_partition_all_parts(sharded):
     """Every part is owned by exactly one shard (no gaps, no overlap)."""
     import ray
