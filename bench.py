@@ -156,11 +156,13 @@ def run_scaling() -> None:
     # at ~0.66 even with perfect compute scaling; ~3.3M turns lets the
     # CPU-bound stages dominate, which is also the honest proxy for the
     # 10^12-turn design point where per-job constants vanish.
-    # 300k convs = 6.6M turns: at this size the per-job constants (docmap
-    # barrier, hot detect, driver prefix sums — ~8-10s combined) are <5% of
-    # even the fast leg, so the pair measures the scalable pipeline, not the
-    # constants. Also the closer proxy for the 100-TB design point.
-    scaling_convs = os.environ.get("GRAFT_SCALING_CONVS", "300000")
+    # 150k convs = 3.3M turns: big enough that per-job constants (~8-10s:
+    # docmap barrier, hot detect, driver prefix sums) are <15% of the fast
+    # leg. A 300k-conv variant was tried and REJECTED: the 2x-longer legs
+    # doubled exposure to this VM's minute-scale throttle windows and both
+    # legs measured slower (best 38.3k vs 59.0k turns/s at 8 CPUs) — more
+    # noise, no constant-dilution benefit.
+    scaling_convs = os.environ.get("GRAFT_SCALING_CONVS", "150000")
     # N and 4N parallelism levels (driver instruction allows any N/4N pair);
     # see tools/cpu_capacity.py for why the pair matters on this host
     n_lo, n_hi = (

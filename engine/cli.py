@@ -6,6 +6,9 @@
     python -m engine.cli remove <index_dir> --conv <conv_id> [...]
     python -m engine.cli compact <index_dir>
     python -m engine.cli query  <index_dir> "text" [-k N] [--and] [--csv out.csv]
+                                [--sharded N]
+    python -m engine.cli phrase <index_dir> "exact phrase" (positional index)
+    python -m engine.cli expand <index_dir> --slot "a|b" --slot "c" [-k N]
     python -m engine.cli stats  <index_dir>
 
 Owns its Ray session (guarded init) per the driver contract: library code
@@ -41,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--salts", type=int, default=8)
     b.add_argument("--id-col", default=None, help="doc id column (omit for transcripts mode)")
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument(
+        "--positions", action="store_true",
+        help="store per-occurrence token positions (enables phrase queries)",
+    )
 
     a = sub.add_parser("add", help="incrementally add documents")
     a.add_argument("index_dir")
@@ -61,6 +68,20 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--and", dest="conjunctive", action="store_true", help="all terms must match")
     q.add_argument("--csv", default=None, help="write hits to CSV (result-sink analog)")
+    q.add_argument(
+        "--sharded", type=int, default=0, metavar="N",
+        help="serve via N scatter/gather postings-shard actors instead of one reader",
+    )
+
+    ph = sub.add_parser("phrase", help="exact-phrase matching (positional index)")
+    ph.add_argument("index_dir")
+    ph.add_argument("text")
+
+    ex = sub.add_parser("expand", help="expanded top-k: each --slot is an OR-group of variants")
+    ex.add_argument("index_dir")
+    ex.add_argument("--slot", action="append", required=True,
+                    help="pipe-separated variants, e.g. 'fast|quick' (repeatable)")
+    ex.add_argument("-k", type=int, default=10)
 
     s = sub.add_parser("stats", help="print index stats.json")
     s.add_argument("index_dir")
@@ -78,6 +99,7 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=args.buckets,
             n_salts=args.salts,
             resume=not args.no_resume,
+            positions=args.positions,
         )
         print(json.dumps({k: rep[k] for k in ("n_docs", "n_parts", "n_postings", "timings_sec", "parts_written_this_run")}))
     elif args.cmd == "add":
@@ -91,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "remove":
         if not args.conv and not args.doc:
             p.error("remove requires --conv or --doc")
+        _ray()
         from .update import remove_documents
 
         rep = remove_documents(
@@ -100,14 +123,36 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(json.dumps(rep))
     elif args.cmd == "compact":
+        _ray()
         from .update import compact_index
 
         print(json.dumps(compact_index(args.index_dir)))
     elif args.cmd == "query":
         from .query import Bm25Index, write_hits_csv
 
-        bm = Bm25Index(args.index_dir)
-        tbl = bm.topk_table("cli", args.text, args.k, conjunctive=args.conjunctive)
+        if args.sharded:
+            _ray()
+            import numpy as np
+            import pyarrow as pa
+
+            from .serve import ShardedQueryService
+
+            svc = ShardedQueryService(args.index_dir, n_shards=args.sharded)
+            try:
+                d, s = svc.topk(args.text, args.k, conjunctive=args.conjunctive)
+            finally:
+                svc.shutdown()
+            tbl = pa.table(
+                {
+                    "query_id": pa.array(["cli"] * len(d), pa.string()),
+                    "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
+                    "doc_id": pa.array(d, pa.int64()),
+                    "score": pa.array(s, pa.float64()),
+                }
+            )
+        else:
+            bm = Bm25Index(args.index_dir)
+            tbl = bm.topk_table("cli", args.text, args.k, conjunctive=args.conjunctive)
         if args.csv:
             write_hits_csv(tbl, args.csv)
         for i in range(tbl.num_rows):
@@ -120,6 +165,21 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+    elif args.cmd == "phrase":
+        from .query import Bm25Index
+
+        bm = Bm25Index(args.index_dir)
+        d, n = bm.phrase_match(args.text)
+        for doc, cnt in zip(d.tolist(), n.tolist()):
+            print(json.dumps({"doc_id": doc, "n_matches": cnt}))
+    elif args.cmd == "expand":
+        from .query import Bm25Index
+
+        bm = Bm25Index(args.index_dir)
+        slots = [[v for v in s.split("|") if v] for s in args.slot]
+        d, s = bm.expanded_topk(slots, args.k)
+        for i, (doc, sc) in enumerate(zip(d.tolist(), s.tolist()), start=1):
+            print(json.dumps({"rank": i, "doc_id": doc, "score": round(sc, 6)}))
     elif args.cmd == "stats":
         from .state import read_stats
 

@@ -43,3 +43,47 @@ def test_cli_conjunctive_query(ray_session, tiny_index, capsys):
     rc = main(["query", tiny_index, "qqqabsenttermqqq zqmarker0", "-k", "5", "--and"])
     assert rc == 0
     assert capsys.readouterr().out.strip() == ""  # AND with absent term -> empty
+
+
+def test_cli_expand(ray_session, tiny_index, capsys):
+    from engine.cli import main
+
+    rc = main(["expand", tiny_index, "--slot", "zqmarker0|zqmarker1", "--slot", "w00000", "-k", "5"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines and lines[0]["rank"] == 1 and lines[0]["score"] > 0
+
+
+def test_cli_phrase_and_positional_build(ray_session, tiny_corpus, tmp_path, capsys):
+    from engine.cli import main
+
+    idx = str(tmp_path / "cli_pos")
+    rc = main(["build", tiny_corpus, idx, "--buckets", "8", "--salts", "2", "--positions"])
+    assert rc == 0
+    build_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert build_out["n_docs"] > 0
+    # harvest a real bigram from the corpus so the phrase must hit
+    import pyarrow.parquet as pq
+
+    from engine.tokenize import tokenize_text
+
+    first = pq.read_table(tiny_corpus, columns=["text"])["text"][0].as_py()
+    toks = tokenize_text(first)
+    rc = main(["phrase", idx, f"{toks[0]} {toks[1]}"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines and all(r["n_matches"] >= 1 for r in lines)
+
+
+def test_cli_sharded_query(ray_session, tiny_index, capsys):
+    from engine.cli import main
+
+    rc = main(["query", tiny_index, "zqmarker0", "-k", "5", "--sharded", "2"])
+    assert rc == 0
+    sharded_lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    rc = main(["query", tiny_index, "zqmarker0", "-k", "5"])
+    assert rc == 0
+    plain_lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [(r["doc_id"], r["rank"]) for r in sharded_lines] == [
+        (r["doc_id"], r["rank"]) for r in plain_lines
+    ]
