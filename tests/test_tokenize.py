@@ -62,3 +62,26 @@ def test_batch_matches_scalar_tokenizer():
         for r in out:
             if r["doc_id"] == i:
                 assert r["dl"] == len(toks)
+
+
+def test_hash64_text_deterministic_and_null_safe():
+    """Content-revision hash: stable across calls, null == empty string, and
+    different texts hash differently (build and incremental ADD must agree
+    on this function or every re-submitted doc looks modified)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.tokenize import hash64_text
+
+    a = pa.array(["hello world", "", None, "hello world", "other"], pa.string())
+    h1 = hash64_text(a)
+    h2 = hash64_text(a)
+    assert h1.dtype == np.uint64
+    np.testing.assert_array_equal(h1, h2)
+    assert h1[0] == h1[3]          # same text, same hash
+    assert h1[1] == h1[2]          # null treated as empty
+    assert h1[0] != h1[4]          # different text, different hash
+    assert len(hash64_text(pa.array([], pa.string()))) == 0
+    # chunked input takes the same path
+    ch = pa.chunked_array([["hello world"], ["other"]])
+    np.testing.assert_array_equal(hash64_text(ch), h1[[0, 4]])
