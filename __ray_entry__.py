@@ -390,6 +390,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir, ["doc_id", "text"]), threshold_num=4, threshold_den=5
         )
 
+    def dedup_clusters(sf_dir):
+        """Connected components over the exact-Jaccard dup-pair graph:
+        (doc_id, cluster_rep = component min) for every doc in a
+        non-singleton near-dup cluster."""
+        from engine.ops.dedup import dedup_clusters as _clusters
+
+        return _clusters(_docs(sf_dir, ["doc_id", "text"]), threshold_num=4, threshold_den=5)
+
     def dedup_minhash(sf_dir):
         from engine.ops.dedup import minhash_lsh_pairs
 
@@ -572,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": normalize_docs,
         "dedup_exact": dedup_exact,
         "ngram_jaccard": ngram_jaccard,
+        "dedup_clusters": dedup_clusters,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
@@ -713,6 +722,28 @@ def _jaccard_sql() -> str:
             JOIN sz sb ON p.doc_b = sb.doc_id
             WHERE p.common * 5 >= 4 * (sa.n + sb.n - p.common)
         """
+
+
+def _clusters_sql() -> str:
+    """Connected components of the exact-Jaccard pair graph: symmetric
+    closure + recursive transitive reachability, cluster_rep = least
+    reachable doc_id (incl. self). Tiny at oracle scale — the pair graph is
+    the 25-row _jaccard_sql output."""
+    return f"""
+WITH RECURSIVE base AS ({_jaccard_sql()}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM base
+  UNION
+  SELECT doc_b, doc_a FROM base
+),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+)
+SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_rep
+FROM reach GROUP BY a
+"""
 
 
 def _simhash_sql(max_hamming: int = 3) -> str:
@@ -878,6 +909,7 @@ WHERE text IS NOT NULL
             FROM documents GROUP BY text
         """,
         "ngram_jaccard": _jaccard_sql(),
+        "dedup_clusters": _clusters_sql(),
         "dedup_minhash": _jaccard_sql(),
         "dedup_simhash": _simhash_sql(max_hamming=3),
         "lang_id": _lang_id_sql(),

@@ -589,3 +589,72 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, id_col: str = "vec_id", vec
         )
 
     return norm.map_batches(batch_pairs, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering (connected components over the dup-pair graph)
+# --------------------------------------------------------------------------
+
+def dedup_clusters(
+    ds,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+    max_shingle_df: int | None = None,
+) -> pa.Table:
+    """Connected components over the exact n-gram Jaccard dup-pair graph:
+    one row per doc in a non-singleton component, ``cluster_rep`` = the
+    component's minimum doc_id. The canonical "keep one per near-dup
+    cluster" reduction of a training-data pipeline (pairs alone over-count:
+    a 3-doc chain A-B, B-C is ONE cluster even though (A, C) is below
+    threshold).
+
+    Scale shape: the edge list is the OUTPUT of the fully distributed pair
+    pipeline and is sparse by construction (pairs above a high threshold);
+    collecting it is the same small-result discipline as top-k. Components
+    are then computed by vectorized min-label propagation (scatter-min per
+    round, O(component diameter) rounds — near-dup components are
+    shallow). Beyond single-node edge volumes, run the SAME min-label
+    iteration distributedly: join(labels, edges) -> per-endpoint min ->
+    repeat until fixpoint."""
+    pairs = ngram_jaccard_pairs(
+        ds,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+        num_partitions=num_partitions,
+        max_shingle_df=max_shingle_df,
+    ).select_columns(["doc_a", "doc_b"])
+    import ray
+
+    blocks = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
+    if not blocks:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster_rep": pa.array([], pa.int64())}
+        )
+    edges = pa.concat_tables(blocks)
+    a = edges["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = edges["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, codes = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = codes[: len(a)], codes[len(a) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(label[ea], label[eb])
+        new = label.copy()
+        np.minimum.at(new, ea, m)
+        np.minimum.at(new, eb, m)
+        new = new[new]  # pointer-halving: hop once toward the root per round
+        if np.array_equal(new, label):
+            break
+        label = new
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_rep": pa.array(nodes[label], pa.int64()),
+        }
+    )

@@ -153,3 +153,44 @@ def test_multimodal_featurize_plumbing(ray_session):
     a = np.stack(out.sort_values("media_id")["feature"].to_numpy())
     b = np.stack(out2.sort_values("media_id")["feature"].to_numpy())
     np.testing.assert_array_equal(a, b)
+
+
+def test_dedup_clusters_transitive_chain(ray_session):
+    """A-B and B-C above threshold but A-C below: one 3-doc cluster (the
+    pair list alone cannot express this). Oracle = brute-force union-find."""
+    from engine.ops.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    base = ["w%02d" % i for i in range(12)]
+    texts = [
+        " ".join(base),                      # 0: A
+        " ".join(base[1:] + ["x1"]),         # 1: B (near A)
+        " ".join(base[2:] + ["x1", "x2"]),   # 2: C (near B, farther from A)
+        "totally different words here now",  # 3: unrelated
+        " ".join(base),                      # 4: exact dup of A
+    ]
+    ds = _docs_ds(texts)
+    pairs = ngram_jaccard_pairs(ds, threshold_num=7, threshold_den=10, k=2).to_pandas()
+    edges = set(map(tuple, pairs[["doc_a", "doc_b"]].itertuples(index=False)))
+    parent = list(range(5))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for d in range(5):
+        r = find(d)
+        if any(find(o) == r for o in range(5) if o != d):
+            want[d] = r
+
+    got_tbl = dedup_clusters(ds, threshold_num=7, threshold_den=10, k=2)
+    got = dict(zip(got_tbl["doc_id"].to_pylist(), got_tbl["cluster_rep"].to_pylist()))
+    assert got == want
+    # the scenario must actually exercise transitivity: A-C edge absent
+    assert (0, 2) not in edges and got.get(2) == 0
