@@ -55,6 +55,14 @@ EXPANDED_QUERIES: list[tuple[str, list[list[str]], int]] = [
     ("E5_absent_variant", [["key", "zzzabsentzzz"], ["scan"]], 10),
 ]
 
+# --- more-like-this: doc-as-query (the reference's primary mode) ------------
+MLT_QUERIES: list[tuple[str, int, int]] = [  # (query_id, source doc_id, k)
+    ("M1_doc3", 3, 10),
+    ("M2_doc17", 17, 10),
+    ("M3_doc42", 42, 10),
+]
+MLT_M = 6
+
 RANK_ROUND = 6
 SCORE_ROUND = 4
 
@@ -353,6 +361,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             svc.shutdown()
         return _round_scores(res, "score", "score_r", SCORE_ROUND)
 
+    def more_like_this(sf_dir):
+        """Doc-as-query: the source doc's top-m tf*idf terms (rounded select,
+        term-ascending ties) feed the standard exact top-k — the analog of
+        querying by a whole structure's own descriptors
+        (Strucmotif.searchForStructures)."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from engine.query import Bm25Index
+
+        idx = _documents_index(sf_dir)
+        bm = Bm25Index(idx)
+        docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        tables = []
+        for qid, src_doc, k in MLT_QUERIES:
+            row = docs.filter(pc.equal(docs["doc_id"], src_doc))
+            text = row["text"][0].as_py() if row.num_rows else ""
+            d, s = bm.more_like_this(text or "", k, m=MLT_M, rank_round=RANK_ROUND)
+            tables.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * len(d), pa.string()),
+                        "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
+                        "doc_id": pa.array(d, pa.int64()),
+                        "score": pa.array(s, pa.float64()),
+                    }
+                )
+            )
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
     def percolate_conjunctive(sf_dir):
         """Percolation (detect-motifs analog): every (doc, stored query) pair
         where the doc contains ALL query terms, BM25-scored with corpus
@@ -575,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_incremental": bm25_topk_incremental,
         "bm25_topk_expanded": bm25_topk_expanded,
         "bm25_topk_sharded": bm25_topk_sharded,
+        "more_like_this": more_like_this,
         "phrase_match": phrase_match,
         "percolate_conjunctive": percolate_conjunctive,
         "normalize_docs": normalize_docs,
@@ -722,6 +762,56 @@ def _jaccard_sql() -> str:
             JOIN sz sb ON p.doc_b = sb.doc_id
             WHERE p.common * 5 >= 4 * (sa.n + sb.n - p.common)
         """
+
+
+def _mlt_sql() -> str:
+    """more_like_this restated: per source doc, rank its terms by
+    round(tf * idf, 6) desc / term asc, take the top MLT_M, then the exact
+    BM25 pipeline over that term set (same rounding contract as bm25_topk)."""
+    vals = ",\n      ".join(f"('{qid}', {doc}, {k})" for qid, doc, k in MLT_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+src(query_id, src_doc, k) AS (VALUES
+      {vals}),
+qterms AS (
+  SELECT s.query_id, s.k, tf.term,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY round(tf.tf * ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)), 6) DESC,
+                    tf.term ASC
+         ) AS rn
+  FROM src s
+  JOIN tf ON tf.doc_id = s.src_doc
+  JOIN df USING (term)
+  CROSS JOIN stats st
+),
+q AS (SELECT query_id, k, term FROM qterms WHERE rn <= {MLT_M}),
+scores AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= k
+"""
 
 
 def _clusters_sql() -> str:
@@ -902,6 +992,7 @@ WHERE text IS NOT NULL
         "bm25_topk_expanded": _expanded_sql(),
         # sharded scatter/gather must be indistinguishable from single-reader
         "bm25_topk_sharded": _bm25_sql(conjunctive=False),
+        "more_like_this": _mlt_sql(),
         "phrase_match": _phrase_sql(),
         "percolate_conjunctive": _percolate_sql(),
         "dedup_exact": """

@@ -531,6 +531,34 @@ class Bm25Index:
                 return cand[order], acc[order]
         return None
 
+    def more_like_this(
+        self,
+        doc_text: str,
+        k: int,
+        m: int = 6,
+        rank_round: int | None = None,
+        select_round: int = 6,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Doc-as-query — the reference's PRIMARY query mode: a whole
+        structure is the query, its descriptors are extracted and searched
+        (Strucmotif.searchForStructures; DefaultStrucmotifRuntime builds the
+        query from the structure's own residue pairs). Here: select the
+        document's top-``m`` terms by tf*idf (rounded to ``select_round``
+        decimals for cross-engine determinism; ties break ascending term),
+        then run the standard exact top-k over that term set."""
+        from collections import Counter
+
+        counts = Counter(tokenize_text(doc_text))
+        scored = sorted(
+            (-round(f * self.idf(t), select_round), t)
+            for t, f in counts.items()
+            if self.reader.df(t) > 0
+        )
+        terms = [t for _, t in scored[:m]]
+        if not terms:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        return self.topk(" ".join(terms), k, rank_round=rank_round)
+
     def _probe_blocks(
         self, term: str, candidates: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:

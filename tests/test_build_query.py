@@ -168,3 +168,34 @@ def test_conjunctive_blockskip_matches_full_decode(tiny_index):
         d2, s2 = brute(ref, text, 10)
         np.testing.assert_array_equal(d1, d2, err_msg=text)
         np.testing.assert_array_equal(s1, s2, err_msg=text)
+
+
+def test_more_like_this_self_retrieval(tiny_corpus, tiny_index):
+    """Doc-as-query: a document's own top-tf*idf terms retrieve it at rank 1
+    on a corpus where its rare marker dominates the selection."""
+    import pyarrow.parquet as pq
+
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(tiny_index)
+    dm = pq.read_table(tiny_index + "/docmap")
+    key_to_doc = {
+        (c, t): d
+        for c, t, d in zip(
+            dm["conv_id"].to_pylist(), dm["turn_idx"].to_pylist(), dm["doc_id"].to_pylist()
+        )
+    }
+    import glob
+
+    # find a marker-carrying turn (conv idx % stride == 3, turn 0)
+    for f in sorted(glob.glob(tiny_corpus + "/*.parquet")):
+        tbl = pq.read_table(f, columns=["conv_id", "turn_idx", "text"])
+        for c, t, x in zip(
+            tbl["conv_id"].to_pylist(), tbl["turn_idx"].to_pylist(), tbl["text"].to_pylist()
+        ):
+            if "zqmarker" in (x or ""):
+                d, s = bm.more_like_this(x, k=5, m=4)
+                assert len(d) > 0 and d[0] == key_to_doc[(c, t)]
+                assert s[0] >= s[-1] > 0
+                return
+    raise AssertionError("no marker turn found in tiny corpus")
