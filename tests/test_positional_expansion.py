@@ -246,3 +246,32 @@ def test_phrase_after_add_and_remove(ray_session, pos_index, doc_tokens, tmp_pat
     bm2 = Bm25Index(idx)
     d2, n2 = bm2.phrase_match("alpha bravo")
     assert dict(zip(d2.tolist(), n2.tolist())) == {base + 2: 1}
+
+
+def test_positional_kill_and_resume(ray_session, tiny_corpus, pos_index, doc_tokens, tmp_path):
+    """Kill-and-resume on a POSITIONAL build: rebuilt parts must re-encode
+    position payloads identically (phrase results equal the uninterrupted
+    build's)."""
+    import os
+
+    from engine import state
+    from engine.build import build_index
+    from engine.query import Bm25Index
+
+    idx = str(tmp_path / "pos_killed")
+    shutil.copytree(pos_index, idx)
+    parts = sorted(state.committed_parts(idx))
+    for p in parts[:2]:  # lost parts: neither payload nor manifest
+        os.remove(state.segment_path(idx, p))
+        os.remove(state.manifest_path(idx, p))
+    build_index(
+        tiny_corpus, idx, n_buckets=8, n_salts=4, hot_fraction=0.05,
+        positions=True, resume=True,
+    )
+    bm_r, bm_o = Bm25Index(idx), Bm25Index(pos_index)
+    some = doc_tokens[min(doc_tokens)]
+    for phrase in [" ".join(some[0:2]), " ".join(some[1:4]), "w00000 w00001"]:
+        d1, n1 = bm_r.phrase_match(phrase)
+        d2, n2 = bm_o.phrase_match(phrase)
+        np.testing.assert_array_equal(d1, d2, err_msg=phrase)
+        np.testing.assert_array_equal(n1, n2)
