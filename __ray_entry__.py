@@ -603,6 +603,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _round_scores(res, "total_value", "total_value", 2)
         return _round_scores(res, "avg_value", "avg_value", 6)
 
+    def asof_join(sf_dir):
+        """AS-OF inequality join composed from Ray Data primitives (tagged
+        union -> one bucket groupby -> vectorized segment-cummax merge);
+        deterministic tie-break (latest o_orderdate, then highest
+        o_orderkey) so DuckDB's window-rank formulation hashes identically."""
+        return _collect(rel.asof_join_events_orders(sf_dir))
+
     return {
         "tokenize_tf": tokenize_tf,
         "doc_lengths": doc_lengths,
@@ -640,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": events_hourly,
         "sessionize": rel.sessionize,
         "events_type_stats": events_type_stats,
+        "asof_join": asof_join,
     }
 
 
@@ -1123,5 +1131,20 @@ WHERE text IS NOT NULL
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY event_type
+        """,
+        # as-of: latest order at-or-before each event, deterministic tie-break
+        "asof_join": """
+            WITH j AS (
+              SELECT e.event_id, e.user_id, o.o_orderkey,
+                     epoch_us(o.o_orderdate) AS o_date_us, o.o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                     ) AS rn
+              FROM events e
+              JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            )
+            SELECT event_id, user_id, o_orderkey, o_date_us, o_totalprice
+            FROM j WHERE rn = 1
         """,
     }

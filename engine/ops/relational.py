@@ -263,3 +263,99 @@ def events_type_stats(sf_dir: str):
         )
         .sort("event_type")
     )
+
+
+def asof_join_events_orders(sf_dir: str, num_buckets: int = 32):
+    """AS-OF JOIN: each event matched to the same customer's LATEST order at
+    or before the event time (inner semantics; ties on o_orderdate break by
+    highest o_orderkey so the result is deterministic and SQL-oracle-able).
+
+    Ray Data has no inequality join, so this composes one from primitives —
+    the documented custom-operator pattern:
+
+    1. tag both sides, project to a COMMON schema, ``union`` them;
+    2. one hash-partitioned ``groupby(bucket)`` (key % num_buckets) co-locates
+       every customer's events AND orders — the only shuffle;
+    3. per bucket, a fully vectorized merge: lexsort by (key, ts, side) with
+       orders before events on equal ts (<= semantics), then a segment-reset
+       running maximum (key_rank * (N+1) + order_ordinal) forward-fills the
+       latest order ordinal within each key segment — no Python loop over
+       rows.
+
+    Partitioning assumption: one bucket's rows fit one worker (same contract
+    as every groupby here); num_buckets scales it.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        key = b["user_id"].cast(pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "t": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+                "event_id": b["event_id"].cast(pa.int64()),
+                "o_orderkey": pa.nulls(b.num_rows, pa.int64()),
+                "o_totalprice": pa.nulls(b.num_rows, pa.float64()),
+                "bucket": pa.array(key.to_numpy(zero_copy_only=False) % num_buckets, pa.int64()),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        key = b["o_custkey"].cast(pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "t": b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+                "event_id": pa.nulls(b.num_rows, pa.int64()),
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_totalprice": b["o_totalprice"].cast(pa.float64()),
+                "bucket": pa.array(key.to_numpy(zero_copy_only=False) % num_buckets, pa.int64()),
+            }
+        )
+
+    both = ev.map_batches(tag_events, batch_format="pyarrow").union(
+        od.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        side = group["side"].to_numpy(zero_copy_only=False)
+        okey = group["o_orderkey"].to_numpy(zero_copy_only=False)
+        # order rows sort before event rows at equal (key, t): `<=` semantics;
+        # among equal (key, t) orders, higher o_orderkey LAST wins the cummax,
+        # so sort orders ascending by o_orderkey via the tiebreak column
+        tie = np.where(side == 0, np.nan_to_num(okey, nan=0.0), np.iinfo(np.int64).max)
+        order = np.lexsort((tie, side, t, key))
+        key_s, side_s = key[order], side[order]
+        n = len(key_s)
+        is_new_key = np.empty(n, dtype=bool)
+        is_new_key[0] = True
+        np.not_equal(key_s[1:], key_s[:-1], out=is_new_key[1:])
+        key_rank = np.cumsum(is_new_key, dtype=np.int64) - 1
+        # ordinal of each order row in sorted order (1-based; 0 = none)
+        ordinal = np.where(side_s == 0, np.arange(1, n + 1, dtype=np.int64), 0)
+        packed = key_rank * np.int64(n + 1) + ordinal
+        run = np.maximum.accumulate(packed)
+        latest = run - key_rank * np.int64(n + 1)  # <=0 when max is from a prior key
+        ev_mask = side_s == 1
+        matched_ordinal = latest[ev_mask]
+        hit = matched_ordinal > 0
+        src_pos = order[ev_mask][hit]  # original row of the matched EVENT
+        ord_pos = order[matched_ordinal[hit] - 1]  # original row of the matched ORDER
+        return pa.table(
+            {
+                "event_id": pa.array(group["event_id"].to_numpy(zero_copy_only=False)[src_pos].astype(np.int64)),
+                "user_id": pa.array(key[src_pos], pa.int64()),
+                "o_orderkey": pa.array(okey[ord_pos].astype(np.int64)),
+                "o_date_us": pa.array(t[ord_pos], pa.int64()),
+                "o_totalprice": pa.array(
+                    group["o_totalprice"].to_numpy(zero_copy_only=False)[ord_pos], pa.float64()
+                ),
+            }
+        )
+
+    return both.groupby("bucket").map_groups(merge, batch_format="pyarrow").sort("event_id")

@@ -194,3 +194,46 @@ def test_dedup_clusters_transitive_chain(ray_session):
     assert got == want
     # the scenario must actually exercise transitivity: A-C edge absent
     assert (0, 2) not in edges and got.get(2) == 0
+
+
+def test_asof_join_semantics(ray_session, tmp_path, monkeypatch):
+    """Crafted as-of cases: latest-at-or-before wins, equal-date ties break
+    by highest orderkey, order-after-event and orderless customers drop out
+    (inner semantics)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    ts = lambda s: np.datetime64(s, "us")
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([ts("2024-01-10"), ts("2024-01-05"), ts("2024-01-01"), ts("2024-01-10")], pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([100, 101, 102, 200, 300], pa.int64()),
+            "o_custkey": pa.array([7, 7, 7, 8, 9], pa.int64()),
+            "o_orderdate": pa.array(
+                [ts("2024-01-05"), ts("2024-01-05"), ts("2024-01-02"), ts("2024-01-01"), ts("2024-02-01")],
+                pa.timestamp("us"),
+            ),
+            "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+        }
+    )
+    pq.write_table(events, f"{sf}/events.parquet")
+    pq.write_table(orders, f"{sf}/orders.parquet")
+    out = rel.asof_join_events_orders(sf, num_buckets=2).to_pandas()
+    got = {int(r.event_id): (int(r.o_orderkey), float(r.o_totalprice)) for r in out.itertuples()}
+    assert got == {
+        1: (101, 2.0),  # latest date 01-05; tie 100 vs 101 -> higher key
+        2: (101, 2.0),  # o_orderdate == ts counts (<= semantics)
+        # 3: no order at-or-before 01-01 -> dropped
+        # 4: user 9's only order is AFTER the event -> dropped
+    }
