@@ -603,6 +603,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _round_scores(res, "total_value", "total_value", 2)
         return _round_scores(res, "avg_value", "avg_value", 6)
 
+    def sliding_window(sf_dir):
+        """Per-event trailing-hour same-user window aggregate — the sliding
+        complement of the tumbling events_hourly; one bucket groupby + a
+        packed-key searchsorted window, integer-cent sums."""
+        return _collect(rel.sliding_window_events(sf_dir))
+
     def asof_join(sf_dir):
         """AS-OF inequality join composed from Ray Data primitives (tagged
         union -> one bucket groupby -> vectorized segment-cummax merge);
@@ -648,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": rel.sessionize,
         "events_type_stats": events_type_stats,
         "asof_join": asof_join,
+        "sliding_window": sliding_window,
     }
 
 
@@ -1131,6 +1138,17 @@ WHERE text IS NOT NULL
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY event_type
+        """,
+        # RANGE frame == engine contract: same-ts peers included both sides
+        "sliding_window": """
+            SELECT event_id,
+                   count(*) OVER w AS w_count,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER w AS w_sum_c
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 60 MINUTES PRECEDING AND CURRENT ROW
+            )
         """,
         # as-of: latest order at-or-before each event, deterministic tie-break
         "asof_join": """

@@ -359,3 +359,73 @@ def asof_join_events_orders(sf_dir: str, num_buckets: int = 32):
         )
 
     return both.groupby("bucket").map_groups(merge, batch_format="pyarrow").sort("event_id")
+
+
+def sliding_window_events(sf_dir: str, window_minutes: int = 60, num_buckets: int = 32):
+    """Sliding event-time window aggregate: for EVERY event, the count and
+    value-sum of the same user's events in ``(ts - window, ts]`` (inclusive
+    current row — DuckDB's ``RANGE ... PRECEDING AND CURRENT ROW`` frame,
+    which also aggregates same-timestamp peers on both sides of the row).
+
+    Same custom-operator shape as the as-of join: one hash-bucket groupby
+    co-locates each user's events; per bucket a vectorized merge — lexsort by
+    (user, ts), per-row window start via ``searchsorted`` of ``ts - window``
+    clamped to the user's segment start, prefix sums turn every window into
+    two gathers. No per-row Python.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    win_us = np.int64(window_minutes) * 60_000_000
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        key = b["user_id"].cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "t": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "key": key,
+                "value": b["value"].cast(pa.float64()),
+                "bucket": pa.array(key.to_numpy(zero_copy_only=False) % num_buckets, pa.int64()),
+            }
+        )
+
+    def window_agg(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        val = group["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, key))
+        key_s, t_s, val_s = key[order], t[order], val[order]
+        n = len(key_s)
+        is_new = np.empty(n, dtype=bool)
+        is_new[0] = True
+        np.not_equal(key_s[1:], key_s[:-1], out=is_new[1:])
+        key_rank = np.cumsum(is_new, dtype=np.int64) - 1
+        # t_s is sorted only WITHIN key segments; pack (key_rank, t) into one
+        # monotone int64 so a single global searchsorted answers every
+        # segment-local window query (LARGE exceeds any in-segment offset,
+        # so cross-segment probes can never land inside a neighbor)
+        t_rel = t_s - t_s.min()
+        large = np.int64(t_rel.max()) + win_us + 2
+        packed = key_rank * large + t_rel
+        # RANGE frame: include same-timestamp peers AFTER the current row too
+        lo = np.searchsorted(packed, packed - win_us, side="left")
+        hi = np.searchsorted(packed, packed, side="right")
+        # integer-cent prefix sums: exact and order-independent (float csum
+        # differences would drift vs the oracle's per-window summation)
+        cents = np.round(val_s * 100).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        w_count = (hi - lo).astype(np.int64)
+        w_sum_c = csum[hi] - csum[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(group["event_id"].to_numpy(zero_copy_only=False)[order], pa.int64()),
+                "w_count": pa.array(w_count),
+                "w_sum_c": pa.array(w_sum_c),
+            }
+        )
+
+    return (
+        ev.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(window_agg, batch_format="pyarrow")
+        .sort("event_id")
+    )

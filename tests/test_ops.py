@@ -237,3 +237,44 @@ def test_asof_join_semantics(ray_session, tmp_path, monkeypatch):
         # 3: no order at-or-before 01-01 -> dropped
         # 4: user 9's only order is AFTER the event -> dropped
     }
+
+
+def test_sliding_window_semantics(ray_session, tmp_path):
+    """Boundary cases: exactly-window-ago included (RANGE inclusive),
+    same-timestamp peers counted on BOTH sides of the row, users isolated."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    sf = str(tmp_path / "sfw")
+    os.makedirs(sf)
+    ts = lambda s: np.datetime64(s, "us")
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "ts": pa.array(
+                [
+                    ts("2024-01-01T10:00"), ts("2024-01-01T11:00"),  # u1: exactly 60min apart
+                    ts("2024-01-01T11:00"),                          # u1: same-ts peer of 2
+                    ts("2024-01-01T12:30"),                          # u1: outside window of 2,3
+                    ts("2024-01-01T11:00"), ts("2024-01-01T09:00"),  # u2: isolated from u1
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0], pa.float64()),
+        }
+    )
+    pq.write_table(events, f"{sf}/events.parquet")
+    out = rel.sliding_window_events(sf, window_minutes=60, num_buckets=2).to_pandas()
+    got = {int(r.event_id): (int(r.w_count), int(r.w_sum_c)) for r in out.itertuples()}
+    assert got == {
+        1: (1, 100),        # own row only
+        2: (3, 700),        # 10:00 is exactly 60min ago -> included; + same-ts peer 3
+        3: (3, 700),        # RANGE frame: same result as its same-ts peer
+        4: (1, 800),        # 11:00 is 90min ago -> excluded
+        5: (1, 1600),       # u2 at 11:00 sees nothing of u1; 09:00 is 120min ago
+        6: (1, 3200),
+    }
