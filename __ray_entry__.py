@@ -116,10 +116,16 @@ def _collect(ds) -> pa.Table:
     import ray
 
     tables = [ray.get(r) for r in ds.to_arrow_refs()]
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        return ds.schema().empty_table() if hasattr(ds.schema(), "empty_table") else pa.table({})
-    return pa.concat_tables(tables).combine_chunks()
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        # legitimately-empty result: keep the SCHEMA (an empty block if any,
+        # else unwrap the ray.data.Schema wrapper) so the driver's
+        # column-name compare still sees the contract columns
+        if tables:
+            return tables[0]
+        base = getattr(ds.schema(), "base_schema", None)
+        return base.empty_table() if isinstance(base, pa.Schema) else pa.table({})
+    return pa.concat_tables(live).combine_chunks()
 
 
 def _round_scores(tbl: pa.Table, col: str, out_col: str, nd: int) -> pa.Table:
@@ -609,6 +615,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         packed-key searchsorted window, integer-cent sums."""
         return _collect(rel.sliding_window_events(sf_dir))
 
+    def range_join(sf_dir):
+        """Band (inequality range) self-join: every same-user event pair
+        within a 1-hour window, each unordered pair once ((t, event_id)
+        ordering) — composed from one bucket groupby + packed-axis
+        searchsorted spans + np.repeat gather."""
+        return _collect(rel.range_join_event_pairs(sf_dir))
+
     def asof_join(sf_dir):
         """AS-OF inequality join composed from Ray Data primitives (tagged
         union -> one bucket groupby -> vectorized segment-cummax merge);
@@ -654,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": rel.sessionize,
         "events_type_stats": events_type_stats,
         "asof_join": asof_join,
+        "range_join": range_join,
         "sliding_window": sliding_window,
     }
 
@@ -1149,6 +1163,14 @@ WHERE text IS NOT NULL
               PARTITION BY user_id ORDER BY ts
               RANGE BETWEEN INTERVAL 60 MINUTES PRECEDING AND CURRENT ROW
             )
+        """,
+        "range_join": """
+            SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+            FROM events a
+            JOIN events b ON b.user_id = a.user_id
+             AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 60 MINUTES
+             AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
         """,
         # as-of: latest order at-or-before each event, deterministic tie-break
         "asof_join": """

@@ -429,3 +429,69 @@ def sliding_window_events(sf_dir: str, window_minutes: int = 60, num_buckets: in
         .map_groups(window_agg, batch_format="pyarrow")
         .sort("event_id")
     )
+
+
+def range_join_event_pairs(sf_dir: str, minutes: int = 60, num_buckets: int = 32):
+    """RANGE (band) self-join: every ordered pair of SAME-USER events whose
+    timestamps lie within ``minutes`` of each other (``0 < ts_b - ts_a <=
+    band``, plus same-ts pairs ordered by event_id) — the inequality-band
+    sibling of the as-of join (which keeps only one match).
+
+    Composed-operator shape: one hash-bucket groupby co-locates each user's
+    events; per bucket, rows sort by (key, t, event_id) and each row's band
+    span is two searchsorted probes on the packed (key_rank, t) axis; pairs
+    materialize with one ``np.repeat`` + ranged gather (no Python loop).
+    Output size is the true join cardinality — the band bounds it."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    band_us = np.int64(minutes) * 60_000_000
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        key = b["user_id"].cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "t": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "key": key,
+                "bucket": pa.array(key.to_numpy(zero_copy_only=False) % num_buckets, pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, t, key))
+        key_s, t_s, eid_s = key[order], t[order], eid[order]
+        n = len(key_s)
+        is_new = np.empty(n, dtype=bool)
+        is_new[0] = True
+        np.not_equal(key_s[1:], key_s[:-1], out=is_new[1:])
+        key_rank = np.cumsum(is_new, dtype=np.int64) - 1
+        rel = t_s - t_s.min()
+        large = np.int64(rel.max()) + band_us + 2
+        packed = key_rank * large + rel
+        # span of FOLLOWERS of row i: (t_i, t_i + band] within i's segment;
+        # same-ts peers pair once, ordered by position (event_id tiebreak)
+        lo = np.arange(1, n + 1, dtype=np.int64)  # strictly after self
+        hi = np.searchsorted(packed, packed + band_us, side="right")
+        # same-ts followers sit between self and the first larger t: they are
+        # already inside [self+1, hi) because packed ties sort adjacent
+        counts = np.maximum(hi - lo, 0)
+        a_rep = np.repeat(np.arange(n), counts)
+        offs = np.arange(len(a_rep)) - np.repeat(np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        b_pos = np.repeat(lo, counts) + offs
+        return pa.table(
+            {
+                "event_a": pa.array(eid_s[a_rep], pa.int64()),
+                "event_b": pa.array(eid_s[b_pos], pa.int64()),
+                "user_id": pa.array(key_s[a_rep], pa.int64()),
+                "gap_us": pa.array(t_s[b_pos] - t_s[a_rep], pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+        .sort(["event_a", "event_b"])
+    )

@@ -278,3 +278,38 @@ def test_sliding_window_semantics(ray_session, tmp_path):
         5: (1, 1600),       # u2 at 11:00 sees nothing of u1; 09:00 is 120min ago
         6: (1, 3200),
     }
+
+
+def test_range_join_event_pairs_semantics(ray_session, tmp_path):
+    """Band boundaries: exactly-60-min gap included, beyond excluded,
+    same-ts pair appears once (lower event_id first), users isolated."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    sf = str(tmp_path / "sfr")
+    os.makedirs(sf)
+    ts = lambda s: np.datetime64(s, "us")
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(
+                [
+                    ts("2024-01-01T10:00"), ts("2024-01-01T11:00"),  # u1: exactly 60min
+                    ts("2024-01-01T12:01"),                          # u1: 61min after 2
+                    ts("2024-01-01T10:30"), ts("2024-01-01T10:30"),  # u2: same-ts pair
+                ],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        }
+    )
+    pq.write_table(events, f"{sf}/events.parquet")
+    out = rel.range_join_event_pairs(sf, minutes=60, num_buckets=2).to_pandas()
+    got = {(int(r.event_a), int(r.event_b)): int(r.gap_us) for r in out.itertuples()}
+    assert got == {
+        (1, 2): 3_600_000_000,  # exactly 60 min: included
+        (4, 5): 0,              # same-ts pair: once, lower event_id first
+    }  # (2,3) 61 min and (1,3) 121 min are beyond the band; users isolated
