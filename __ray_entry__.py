@@ -55,6 +55,14 @@ EXPANDED_QUERIES: list[tuple[str, list[list[str]], int]] = [
     ("E5_absent_variant", [["key", "zzzabsentzzz"], ["scan"]], 10),
 ]
 
+# --- highlight: per-occurrence positions of a single term -------------------
+HIGHLIGHT_QUERIES: list[tuple[str, str]] = [
+    ("H1_common", "table"),
+    ("H2_rare", "dup"),
+    ("H3_stop", "the"),
+    ("H4_absent", "zzzabsentzzz"),
+]
+
 # --- more-like-this: doc-as-query (the reference's primary mode) ------------
 MLT_QUERIES: list[tuple[str, int, int]] = [  # (query_id, source doc_id, k)
     ("M1_doc3", 3, 10),
@@ -312,6 +320,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "query_id": pa.array(qids, pa.string()),
                 "doc_id": pa.array(dids, pa.int64()),
                 "n_matches": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    def term_positions(sf_dir):
+        """Highlight primitive: every (doc, token-position) occurrence of a
+        term, read from the positional postings (ArrayBucket.identifierData
+        analog) — never from the raw text. Integer-exact."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_posindex(sf_dir))
+        qids, dids, poss = [], [], []
+        for qid, term in HIGHLIGHT_QUERIES:
+            d, p = bm.term_positions(term)
+            qids.extend([qid] * len(d))
+            dids.extend(d.tolist())
+            poss.extend(p.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
             }
         )
 
@@ -662,7 +691,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
         "top_orders": rel.top_orders,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "customers_without_orders": rel.customers_without_orders,
         "customer_order_counts": rel.customer_order_counts,
+        "distinct_users_daily": rel.distinct_users_daily,
+        "grouped_price_quantiles": rel.grouped_price_quantiles,
+        "term_positions": term_positions,
         "events_hourly": events_hourly,
         "sessionize": rel.sessionize,
         "events_type_stats": events_type_stats,
@@ -913,6 +947,23 @@ toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM l)
 """
 
 
+def _positions_sql() -> str:
+    """Highlight oracle: token positions restated from the raw text with the
+    shared tokenizer SQL; engine reads them from positional postings instead.
+    Positions 0-based on both sides (generate_subscripts is 1-based)."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, doc_id, pos FROM toks WHERE tok = '{term}'"
+        for qid, term in HIGHLIGHT_QUERIES
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH l AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok,
+                (generate_subscripts(l, 1) - 1)::BIGINT AS pos FROM l)
+{union}
+"""
+
+
 def _expanded_sql() -> str:
     """Expansion oracle: per (query, slot, doc) the MAX variant BM25
     contribution, summed over slots; same rounding contract as bm25_topk."""
@@ -1122,6 +1173,56 @@ WHERE text IS NOT NULL
             FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_custkey
         """,
+        # grouped top-k: same (price_c desc, orderkey asc) contract as engine
+        "top_orders_per_customer": """
+            WITH r AS (
+              SELECT o_custkey, o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                                o_orderkey
+                     ) AS rk
+              FROM orders
+            )
+            SELECT o_custkey, rk::BIGINT AS rk, o_orderkey, price_c
+            FROM r WHERE rk <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+            )
+        """,
+        "distinct_users_daily": """
+            SELECT date_trunc('day', ts) AS day,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY day
+        """,
+        # exact nearest-rank-lower quantile: 0-based rank ((n-1)*q)//100
+        "grouped_price_quantiles": """
+            WITH v AS (
+              SELECT l_returnflag,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+              FROM lineitem
+            ),
+            r AS (
+              SELECT l_returnflag, price_c,
+                     row_number() OVER (PARTITION BY l_returnflag ORDER BY price_c) - 1 AS rn,
+                     count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM v
+            )
+            SELECT l_returnflag,
+                   max(n)::BIGINT AS n,
+                   max(CASE WHEN rn = ((n - 1) * 50) // 100 THEN price_c END)::BIGINT AS p50_c,
+                   max(CASE WHEN rn = ((n - 1) * 90) // 100 THEN price_c END)::BIGINT AS p90_c,
+                   max(CASE WHEN rn = ((n - 1) * 99) // 100 THEN price_c END)::BIGINT AS p99_c
+            FROM r GROUP BY l_returnflag
+        """,
+        "term_positions": _positions_sql(),
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    round(sum(value), 2) AS total_value, count(*) AS n_events

@@ -146,10 +146,22 @@ def top_orders(sf_dir: str, k: int = 20):
     )
 
 
-def customers_without_orders(sf_dir: str):
-    """Anti-join: broadcast the distinct o_custkey set, filter inside batches."""
+def customers_without_orders(sf_dir: str, cutoff: str = "2000-01-01"):
+    """Anti-join: customers with no order at-or-after ``cutoff`` — the key-set
+    of the (date-pruned) order scan is broadcast once via ``ray.put`` and each
+    customer batch filters with a vectorized ``is_in``; no shuffle join.
+    (Unfiltered, the synthetic corpus gives every customer an order, which
+    degenerates the anti-join to empty.)"""
+    cut = np.datetime64(cutoff, "us")
+
+    def recent_keys(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        return batch.select(["o_custkey"]).filter(pa.array(ts >= cut))
+
     custkeys = (
-        _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(recent_keys, batch_format="pyarrow")
+        .unique("o_custkey")
     )
     key_ref = ray.put(pa.array(sorted(custkeys), pa.int64()))
 
@@ -494,4 +506,171 @@ def range_join_event_pairs(sf_dir: str, minutes: int = 60, num_buckets: int = 32
         .groupby("bucket")
         .map_groups(merge, batch_format="pyarrow")
         .sort(["event_a", "event_b"])
+    )
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3):
+    """Grouped top-k: each customer's k highest-price orders.
+
+    Scale shape: a per-batch PARTIAL top-k per key shrinks every block to at
+    most k rows per (key, block) before the shuffle, so the groupby exchange
+    moves O(k · keys-per-block) rows instead of the whole fact table. The
+    final per-key merge re-applies the identical selection, so the composition
+    is exact for any block layout. Deterministic total order inside a key:
+    (price_c desc, o_orderkey asc) — the contract shared with the SQL oracle's
+    ROW_NUMBER window.
+    """
+
+    def _topk(ck, price_c, ok, emit_rank: bool):
+        order = np.lexsort((ok, -price_c, ck))
+        ck_s, pc_s, ok_s = ck[order], price_c[order], ok[order]
+        n = len(ck_s)
+        is_new = np.empty(n, dtype=bool)
+        if n:
+            is_new[0] = True
+            np.not_equal(ck_s[1:], ck_s[:-1], out=is_new[1:])
+        seg = np.cumsum(is_new, dtype=np.int64) - 1
+        starts = np.flatnonzero(is_new)
+        rank = np.arange(n, dtype=np.int64) - starts[seg]
+        keep = rank < k
+        cols = {
+            "o_custkey": pa.array(ck_s[keep], pa.int64()),
+            "o_orderkey": pa.array(ok_s[keep], pa.int64()),
+            "price_c": pa.array(pc_s[keep], pa.int64()),
+        }
+        if emit_rank:
+            cols["rk"] = pa.array(rank[keep] + 1, pa.int64())
+        return pa.table(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price_c = np.round(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _topk(ck, price_c, ok, emit_rank=False)
+
+    def final(group: pa.Table) -> pa.Table:
+        t = _topk(
+            group["o_custkey"].to_numpy(zero_copy_only=False),
+            group["price_c"].to_numpy(zero_copy_only=False),
+            group["o_orderkey"].to_numpy(zero_copy_only=False),
+            emit_rank=True,
+        )
+        return t.select(["o_custkey", "rk", "o_orderkey", "price_c"])
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(final, batch_format="pyarrow")
+        .sort(["o_custkey", "rk"])
+    )
+
+
+def distinct_users_daily(sf_dir: str):
+    """Exact per-day COUNT(DISTINCT user_id) via two-stage dedup.
+
+    Per-batch (day, user) dedup shrinks the exchange to unique pairs per
+    block (idempotent — re-deduping the union per group gives the exact
+    global answer); the per-day merge counts unique survivors. No driver
+    materialization, no count-distinct shuffle of raw events.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        day_us = ts.astype("datetime64[D]").astype("datetime64[us]").astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((uid, day_us))
+        d_s, u_s = day_us[order], uid[order]
+        n = len(d_s)
+        keep = np.empty(n, dtype=bool)
+        if n:
+            keep[0] = True
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (u_s[1:] != u_s[:-1])
+        return pa.table(
+            {
+                "day_us": pa.array(d_s[keep], pa.int64()),
+                "user_id": pa.array(u_s[keep], pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        day_us = group["day_us"][0].as_py()
+        uid = group["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array([day_us], pa.timestamp("us")),
+                "n_users": pa.array([len(np.unique(uid))], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("day_us")
+        .map_groups(final, batch_format="pyarrow")
+        .sort("day")
+    )
+
+
+def grouped_price_quantiles(sf_dir: str, qs: tuple[int, ...] = (50, 90, 99)):
+    """Exact grouped quantiles via a distributed value-count histogram.
+
+    Instead of sorting the fact table (an all-to-all sort shuffle) or pulling
+    each group to one worker (skew: 3 giant groups), each batch reduces to
+    (flag, price_c) -> count; the groupby sums histograms; the tiny per-flag
+    merge (distinct price points only) resolves exact nearest-rank-lower
+    quantiles: value at 0-based rank ((n-1)*q)//100 — the integer-arithmetic
+    contract mirrored in the SQL oracle's ROW_NUMBER formulation.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flag = batch["l_returnflag"]
+        codes_dict = flag.dictionary_encode()
+        if isinstance(codes_dict, pa.ChunkedArray):
+            codes_dict = codes_dict.combine_chunks()
+        codes = codes_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = codes_dict.dictionary.to_pylist()
+        price_c = np.round(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        packed = codes * (np.int64(1) << 44) + price_c  # price_c < 2^44
+        u, counts = np.unique(packed, return_counts=True)
+        u_code = (u >> np.int64(44)).astype(np.int64)
+        u_price = (u & ((np.int64(1) << 44) - 1)).astype(np.int64)
+        lab_arr = pa.array(labels, pa.string()).take(pa.array(u_code))
+        return pa.table(
+            {
+                "l_returnflag": lab_arr,
+                "price_c": pa.array(u_price, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        flag = group["l_returnflag"][0].as_py()
+        price = group["price_c"].to_numpy(zero_copy_only=False)
+        cnt = group["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(price)
+        price, cnt = price[order], cnt[order]
+        cum = np.cumsum(cnt, dtype=np.int64)
+        n = int(cum[-1])
+        cols = {
+            "l_returnflag": pa.array([flag], pa.string()),
+            "n": pa.array([n], pa.int64()),
+        }
+        for q in qs:
+            r = ((n - 1) * q) // 100
+            cols[f"p{q}_c"] = pa.array([int(price[np.searchsorted(cum, r, side="right")])], pa.int64())
+        return pa.table(cols)
+
+    return (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "price_c"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("l_returnflag")
+        .map_groups(final, batch_format="pyarrow")
+        .sort("l_returnflag")
     )

@@ -423,6 +423,29 @@ class Bm25Index:
         keep = counts > 0
         return candidates[keep], counts[keep]
 
+    def term_positions(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Every (doc, position) occurrence of ``term``, exploded — the
+        highlight/offsets primitive (the reference surfaces per-occurrence
+        identifier payloads the same way, domain/bucket/ArrayBucket.java:31-34).
+
+        Requires a positional index. Returns (doc_ids repeated per occurrence,
+        0-based token positions), doc-major ascending, positions ascending
+        within a doc — integer-exact."""
+        toks = tokenize_text(term)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        if len(toks) != 1:
+            raise ValueError("term_positions takes exactly one token")
+        t = toks[0]
+        docs, _tfs = self.reader.postings(t)
+        if len(docs) == 0:
+            return empty
+        pos_lists = self.reader.positions_lookup(t, docs)
+        counts = np.fromiter((len(p) for p in pos_lists), dtype=np.int64, count=len(pos_lists))
+        return (
+            np.repeat(docs, counts),
+            np.concatenate(pos_lists) if len(pos_lists) else empty[1],
+        )
+
     def expanded_topk(
         self,
         slots: list[list[str]],

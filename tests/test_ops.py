@@ -313,3 +313,100 @@ def test_range_join_event_pairs_semantics(ray_session, tmp_path):
         (1, 2): 3_600_000_000,  # exactly 60 min: included
         (4, 5): 0,              # same-ts pair: once, lower event_id first
     }  # (2,3) 61 min and (1,3) 121 min are beyond the band; users isolated
+
+
+def _write_sf(tmp_path, **tables):
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    for name, tbl in tables.items():
+        pq.write_table(tbl, f"{sf}/{name}.parquet")
+    return sf
+
+
+def test_top_orders_per_customer_ranks_and_ties(ray_session, tmp_path):
+    """Grouped top-k: price desc, orderkey-asc tie-break, short groups kept."""
+    from engine.ops import relational as rel
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([5, 2, 3, 4, 1, 9], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+            "o_totalprice": pa.array([10.0, 10.0, 9.0, 8.0, 7.0, 1.5], pa.float64()),
+        }
+    )
+    sf = _write_sf(tmp_path, orders=orders)
+    out = rel.top_orders_per_customer(sf, k=3).to_pandas()
+    rows = [tuple(map(int, r)) for r in out[["o_custkey", "rk", "o_orderkey", "price_c"]].to_numpy()]
+    assert rows == [
+        (1, 1, 2, 1000),  # tie at 10.00 -> lower orderkey first
+        (1, 2, 5, 1000),
+        (1, 3, 3, 900),
+        (2, 1, 9, 150),   # group smaller than k survives
+    ]
+
+
+def test_distinct_users_daily_dedups_within_day(ray_session, tmp_path):
+    from engine.ops import relational as rel
+
+    ts = lambda s: np.datetime64(s, "us")
+    events = pa.table(
+        {
+            "ts": pa.array(
+                [ts("2024-01-01T03:00"), ts("2024-01-01T17:59"), ts("2024-01-01T09:00"),
+                 ts("2024-01-02T00:00"), ts("2024-01-02T23:59")],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([7, 7, 8, 7, 7], pa.int64()),
+        }
+    )
+    sf = _write_sf(tmp_path, events=events)
+    out = rel.distinct_users_daily(sf).to_pandas()
+    got = {str(r.day)[:10]: int(r.n_users) for r in out.itertuples()}
+    assert got == {"2024-01-01": 2, "2024-01-02": 1}
+
+
+def test_grouped_price_quantiles_nearest_rank_lower(ray_session, tmp_path):
+    """Exact rank formula ((n-1)*q)//100 over a value-count histogram,
+    including duplicate-value collapse."""
+    from engine.ops import relational as rel
+
+    lineitem = pa.table(
+        {
+            "l_returnflag": pa.array(["A"] * 4 + ["B"] * 4, pa.string()),
+            "l_extendedprice": pa.array([1.0, 2.0, 3.0, 4.0, 1.0, 1.0, 1.0, 2.0], pa.float64()),
+        }
+    )
+    sf = _write_sf(tmp_path, lineitem=lineitem)
+    out = rel.grouped_price_quantiles(sf).to_pandas().set_index("l_returnflag")
+    a, b = out.loc["A"], out.loc["B"]
+    # A: cents [100,200,300,400]; ranks p50=(3*50)//100=1, p90=2, p99=2
+    assert (int(a.n), int(a.p50_c), int(a.p90_c), int(a.p99_c)) == (4, 200, 300, 300)
+    # B: [100,100,100,200] -> histogram collapse; all quantiles at 100 except none
+    assert (int(b.n), int(b.p50_c), int(b.p90_c), int(b.p99_c)) == (4, 100, 100, 100)
+
+
+def test_customers_without_orders_cutoff(ray_session, tmp_path):
+    from engine.ops import relational as rel
+
+    ts = lambda s: np.datetime64(s, "us")
+    customer = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_name": pa.array(["a", "b", "c"], pa.string()),
+            "c_acctbal": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array([ts("2001-06-01"), ts("1999-06-01")], pa.timestamp("us")),
+        }
+    )
+    sf = _write_sf(tmp_path, customer=customer, orders=orders)
+    out = rel.customers_without_orders(sf, cutoff="2000-01-01").to_pandas()
+    # cust 1 has a recent order; cust 2's is pre-cutoff; cust 3 has none
+    assert out["c_custkey"].tolist() == [2, 3]

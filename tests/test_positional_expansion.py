@@ -275,3 +275,24 @@ def test_positional_kill_and_resume(ray_session, tiny_corpus, pos_index, doc_tok
         d2, n2 = bm_o.phrase_match(phrase)
         np.testing.assert_array_equal(d1, d2, err_msg=phrase)
         np.testing.assert_array_equal(n1, n2)
+
+
+def test_term_positions_vs_tokens(pos_index, doc_tokens):
+    """term_positions (highlight primitive) == exploded naive token offsets."""
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(pos_index)
+    vocab = sorted({t for toks in doc_tokens.values() for t in toks})
+    for term in vocab[:5] + vocab[-2:]:
+        d, p = bm.term_positions(term)
+        want = [
+            (doc, i)
+            for doc in sorted(doc_tokens)
+            for i, t in enumerate(doc_tokens[doc])
+            if t == term
+        ]
+        assert list(zip(d.tolist(), p.tolist())) == want
+    d, p = bm.term_positions("zzzneverzzz")
+    assert len(d) == 0 and len(p) == 0
+    with pytest.raises(ValueError):
+        bm.term_positions("two words")
