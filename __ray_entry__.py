@@ -55,6 +55,26 @@ EXPANDED_QUERIES: list[tuple[str, list[list[str]], int]] = [
     ("E5_absent_variant", [["key", "zzzabsentzzz"], ["scan"]], 10),
 ]
 
+# --- boolean-query surface: msm / must_not / prefix -------------------------
+MSM_QUERIES: list[tuple[str, str, int, int]] = [  # (qid, text, m, k)
+    ("S1_two_of_three", "join hash merge", 2, 10),
+    ("S2_two_of_five", "slow fast scan filter window", 2, 15),
+    ("S3_msm_eq_nt", "key table", 2, 10),       # m == nt -> conjunctive
+    ("S4_with_absent", "key zzzabsentzzz table", 2, 10),
+    ("S5_unreachable", "key table", 3, 10),     # m > live terms -> empty
+]
+NOT_QUERIES: list[tuple[str, str, list[str], int]] = [  # (qid, text, neg, k)
+    ("N1_excl_rare", "key table", ["dup"], 10),
+    ("N2_excl_stop", "join hash", ["the"], 10),
+    ("N3_excl_absent", "scan filter", ["zzzabsentzzz"], 10),
+]
+PREFIX_QUERIES: list[tuple[str, str, int]] = [  # (qid, prefix, k)
+    ("PR1_wide", "s", 10),       # 6 variants in the synthetic vocab
+    ("PR2_pair", "c", 10),
+    ("PR3_single", "q", 10),     # degenerates to single-term topk
+    ("PR4_absent", "zz", 10),
+]
+
 # --- highlight: per-occurrence positions of a single term -------------------
 HIGHLIGHT_QUERIES: list[tuple[str, str]] = [
     ("H1_common", "table"),
@@ -343,6 +363,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "pos": pa.array(poss, pa.int64()),
             }
         )
+
+    def _hits_table(qid, d, s):
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(d), pa.string()),
+                "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
+                "doc_id": pa.array(d, pa.int64()),
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    def bm25_topk_msm(sf_dir):
+        """Minimum-should-match disjunction (the assembler's per-pair
+        hit-count floor, DefaultTargetAssembler.java:108-161): docs matching
+        >= m distinct query terms, BM25-ranked; rounded cross-engine ties."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        tables = []
+        for qid, text, m, k in MSM_QUERIES:
+            d, s = bm.topk_msm(text, m, k, rank_round=RANK_ROUND)
+            tables.append(_hits_table(qid, d, s))
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
+    def bm25_topk_must_not(sf_dir):
+        """Boolean must_not: J3's anti-join (excludedStructures,
+        DefaultTargetAssembler.java:151-161) with the exclusion set drawn from
+        the negative terms' own postings."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        tables = []
+        for qid, text, negs, k in NOT_QUERIES:
+            d, s = bm.topk_must_not(text, negs, k, rank_round=RANK_ROUND)
+            tables.append(_hits_table(qid, d, s))
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
+    def bm25_topk_prefix(sf_dir):
+        """Prefix (wildcard) query: vocabulary scan expands the prefix into an
+        OR-slot of concrete terms, scored max-over-variants through the same
+        expanded-topk path as Q1/Q2 tolerance expansion."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        tables = []
+        for qid, prefix, k in PREFIX_QUERIES:
+            variants = bm.prefix_terms(prefix)
+            if not variants:
+                continue
+            d, s = bm.expanded_topk([variants], k, rank_round=RANK_ROUND)
+            tables.append(_hits_table(qid, d, s))
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
 
     def bm25_topk_expanded(sf_dir):
         """Q1/Q2 analog: per-slot OR-groups (tolerance expansion / exchanges,
@@ -668,6 +743,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_incremental": bm25_topk_incremental,
         "bm25_topk_expanded": bm25_topk_expanded,
+        "bm25_topk_msm": bm25_topk_msm,
+        "bm25_topk_must_not": bm25_topk_must_not,
+        "bm25_topk_prefix": bm25_topk_prefix,
         "bm25_topk_sharded": bm25_topk_sharded,
         "more_like_this": more_like_this,
         "phrase_match": phrase_match,
@@ -754,6 +832,125 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
 FROM ranked WHERE rank <= k
+"""
+
+
+_BM25_CORE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"""
+
+_BM25_CONTRIB_SQL = """ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl))"""
+
+
+def _rank_cut_sql() -> str:
+    return f"""
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM hits
+)
+SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= k
+"""
+
+
+def _msm_sql() -> str:
+    """msm oracle: matched distinct-term count per (query, doc) with a per-
+    query >= m floor; identical scoring/ranking contract to _bm25_sql."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}', {m}, {k})"
+        for qid, text, m, k in MSM_QUERIES
+        for t in sorted(set(text.lower().split()))
+    )
+    return f"""{_BM25_CORE_SQL},
+q(query_id, term, m, k) AS (VALUES
+      {vals}),
+scores AS (
+  SELECT q.query_id, q.m, q.k, tf.doc_id, count(*) AS matched,
+         sum( {_BM25_CONTRIB_SQL} ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.m, q.k, tf.doc_id
+),
+hits AS (
+  SELECT query_id, k, doc_id, score FROM scores WHERE matched >= m
+),
+{_rank_cut_sql()}
+"""
+
+
+def _must_not_sql() -> str:
+    """must_not oracle: positive BM25 scoring minus docs containing any of
+    the query's negative terms (anti-join on the token table)."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}', {k})"
+        for qid, text, _negs, k in NOT_QUERIES
+        for t in sorted(set(text.lower().split()))
+    )
+    nvals = ",\n      ".join(
+        f"('{qid}', '{t}')"
+        for qid, _text, negs, _k in NOT_QUERIES
+        for t in sorted({w for n in negs for w in n.lower().split()})
+    )
+    return f"""{_BM25_CORE_SQL},
+q(query_id, term, k) AS (VALUES
+      {vals}),
+nq(query_id, term) AS (VALUES
+      {nvals}),
+scores AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum( {_BM25_CONTRIB_SQL} ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, tf.doc_id
+),
+hits AS (
+  SELECT query_id, k, doc_id, score FROM scores sc
+  WHERE NOT EXISTS (
+    SELECT 1 FROM tf JOIN nq ON tf.term = nq.term
+    WHERE nq.query_id = sc.query_id AND tf.doc_id = sc.doc_id
+  )
+),
+{_rank_cut_sql()}
+"""
+
+
+def _prefix_sql() -> str:
+    """Prefix oracle: variant set = corpus terms LIKE 'prefix%', score = max
+    variant contribution (single-slot expansion contract)."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{prefix}', {k})" for qid, prefix, k in PREFIX_QUERIES
+    )
+    return f"""{_BM25_CORE_SQL},
+q(query_id, prefix, k) AS (VALUES
+      {vals}),
+contrib AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         {_BM25_CONTRIB_SQL} AS c
+  FROM q
+  JOIN tf ON tf.term LIKE q.prefix || '%'
+  JOIN df ON df.term = tf.term
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+),
+hits AS (
+  SELECT query_id, k, doc_id, max(c) AS score
+  FROM contrib GROUP BY query_id, k, doc_id
+),
+{_rank_cut_sql()}
 """
 
 
@@ -1074,6 +1271,9 @@ WHERE text IS NOT NULL
         "bm25_topk_sharded": _bm25_sql(conjunctive=False),
         "more_like_this": _mlt_sql(),
         "phrase_match": _phrase_sql(),
+        "bm25_topk_msm": _msm_sql(),
+        "bm25_topk_must_not": _must_not_sql(),
+        "bm25_topk_prefix": _prefix_sql(),
         "percolate_conjunctive": _percolate_sql(),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

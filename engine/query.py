@@ -446,6 +446,93 @@ class Bm25Index:
             np.concatenate(pos_lists) if len(pos_lists) else empty[1],
         )
 
+    def _rank_topk(
+        self, doc: np.ndarray, score: np.ndarray, k: int, rank_round: int | None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Shared deterministic ranking tail: (-rounded key, doc_id) order,
+        argpartition prune keeping kth-key ties (same contract as topk)."""
+        if len(doc) == 0:
+            return doc, score
+        key = np.round(score, rank_round) if rank_round is not None else score
+        if len(doc) > k:
+            kth = key[np.argpartition(-key, k - 1)[k - 1]]
+            keep = np.flatnonzero(key >= kth)
+            doc, score, key = doc[keep], score[keep], key[keep]
+        order = np.lexsort((doc, -key))[:k]
+        return doc[order], score[order]
+
+    def topk_msm(
+        self, query_text: str, m: int, k: int, rank_round: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Minimum-should-match disjunction: rank by BM25 over docs matching
+        at least ``m`` distinct query terms (Lucene's minimumShouldMatch; the
+        reference's analog is the per-pair hit-count floor the target
+        assembler enforces before path assembly,
+        core/DefaultTargetAssembler.java:108-161).
+
+        One unique() over the concatenated postings yields candidates, their
+        accumulate positions AND the per-doc matched-term count (bincount of
+        the inverse) — the >= m filter prunes before any float scoring, so
+        cost is bounded by postings size, never the corpus."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        terms = sorted(set(tokenize_text(query_text)))
+        postings = []
+        for t in terms:
+            doc, tf = self.reader.postings(t)
+            if len(doc):
+                postings.append((t, doc, tf))
+        if not postings or m > len(postings):
+            return empty
+        concat = np.concatenate([d for _, d, _ in postings])
+        candidates, inverse = np.unique(concat, return_inverse=True)
+        counts = np.bincount(inverse, minlength=len(candidates))
+        keep = counts >= m
+        if not keep.any():
+            return empty
+        # scatter each term's contribution only where the msm filter survives
+        sel = np.cumsum(keep, dtype=np.int64) - 1  # candidate -> kept slot
+        acc = np.zeros(int(keep.sum()), dtype=np.float64)
+        lo = 0
+        for t, doc, tf in postings:  # ascending term order, like score_all
+            pos = inverse[lo : lo + len(doc)]
+            lo += len(doc)
+            live = keep[pos]
+            idf = self.idf(t)
+            contrib = self._contrib(idf, tf[live], self.dl(doc[live]))
+            acc[sel[pos[live]]] += contrib
+        return self._rank_topk(candidates[keep], acc, k, rank_round)
+
+    def topk_must_not(
+        self,
+        query_text: str,
+        neg_terms: list[str],
+        k: int,
+        rank_round: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Boolean must_not: top-k for ``query_text`` excluding every doc that
+        contains ANY of ``neg_terms`` — the J3 anti-join (excludedStructures,
+        core/DefaultTargetAssembler.java:151-161) with the exclusion set drawn
+        from the index itself (postings union) instead of a caller list."""
+        negs = sorted({t for nt in neg_terms for t in tokenize_text(nt)})
+        neg_docs = [self.reader.postings(t)[0] for t in negs]
+        neg_docs = [d for d in neg_docs if len(d)]
+        excluded = np.unique(np.concatenate(neg_docs)) if neg_docs else None
+        return self.topk(query_text, k, rank_round=rank_round, excluded=excluded)
+
+    def prefix_terms(self, prefix: str, max_terms: int = 64) -> list[str]:
+        """Vocabulary scan: all indexed terms starting with ``prefix``,
+        ascending, capped (Lucene's automaton term expansion; the vocab is
+        the A5 known-keys scan surface). Raises if the cap is exceeded —
+        silent truncation would change results unpredictably."""
+        vocab = self.reader.vocab_df()
+        import pyarrow.compute as _pc
+
+        mask = _pc.starts_with(vocab["term"], pattern=prefix)
+        terms = sorted(set(vocab.filter(mask)["term"].to_pylist()))
+        if len(terms) > max_terms:
+            raise ValueError(f"prefix '{prefix}' expands to {len(terms)} > {max_terms} terms")
+        return terms
+
     def expanded_topk(
         self,
         slots: list[list[str]],

@@ -199,3 +199,64 @@ def test_more_like_this_self_retrieval(tiny_corpus, tiny_index):
                 assert s[0] >= s[-1] > 0
                 return
     raise AssertionError("no marker turn found in tiny corpus")
+
+
+def _rank(items, k):
+    """(doc, score) pairs -> deterministic top-k: score desc, doc asc."""
+    return sorted(items, key=lambda x: (-x[1], x[0]))[:k]
+
+
+def test_msm_matches_naive(tiny_index, oracle):
+    """topk_msm == naive filter-by-matched-count over the oracle postings,
+    for every m from 1 to nt+1 (the +1 case must be empty)."""
+    from engine.oracle import bm25_scores
+
+    from engine.tokenize import tokenize_text
+
+    bm = Bm25Index(tiny_index)
+    for q in QUERY_SET:
+        terms = sorted(set(tokenize_text(q["text"])))
+        for m in range(1, len(terms) + 2):
+            d, s = bm.topk_msm(q["text"], m, q["k"])
+            scores = bm25_scores(oracle, q["text"])
+            matched = {
+                doc: sum(1 for t in terms if doc in oracle.postings.get(t, {}))
+                for doc in scores
+            }
+            want = _rank([(doc, sc) for doc, sc in scores.items() if matched[doc] >= m], q["k"])
+            assert d.tolist() == [w[0] for w in want], (q["query_id"], m)
+            assert np.allclose(s, [w[1] for w in want], rtol=0, atol=0), (q["query_id"], m)
+
+
+def test_msm_one_equals_topk(tiny_index):
+    bm = Bm25Index(tiny_index)
+    for q in QUERY_SET:
+        d1, s1 = bm.topk_msm(q["text"], 1, q["k"])
+        d2, s2 = bm._topk_exhaustive(q["text"], q["k"], None)
+        assert np.array_equal(d1, d2) and np.array_equal(s1, s2), q["query_id"]
+
+
+def test_must_not_excludes_only_neg_docs(tiny_index, oracle):
+    from engine.oracle import bm25_scores
+
+    bm = Bm25Index(tiny_index)
+    for q in QUERY_SET:
+        for neg in ("join", "the", "zzzneverzzz"):
+            d, s = bm.topk_must_not(q["text"], [neg], q["k"])
+            neg_docs = set(oracle.postings.get(neg, {}))
+            scores = bm25_scores(oracle, q["text"])
+            want = _rank([(doc, sc) for doc, sc in scores.items() if doc not in neg_docs], q["k"])
+            assert d.tolist() == [w[0] for w in want], (q["query_id"], neg)
+            assert np.allclose(s, [w[1] for w in want], rtol=0, atol=0)
+            assert not (set(d.tolist()) & neg_docs)
+
+
+def test_prefix_terms_and_cap(tiny_index, oracle):
+    bm = Bm25Index(tiny_index)
+    vocab = sorted(oracle.postings)
+    for prefix in ("s", "a", "zz"):
+        want = [t for t in vocab if t.startswith(prefix)]
+        assert bm.prefix_terms(prefix) == want
+    if len(vocab) > 1:
+        with pytest.raises(ValueError):
+            bm.prefix_terms("", max_terms=1)
