@@ -364,6 +364,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def hash_split(sf_dir):
+        """Deterministic train/test split: multiplicative-hash bucket of the
+        doc key — stable across runs, cluster sizes, and engines."""
+        from engine.ops.sampling import hash_split as _hs
+
+        return _collect(_hs(sf_dir))
+
+    def facet_counts(sf_dir):
+        """Search faceting: per-(query, source) matched-doc counts; matched
+        sets from postings union (ANY semantics), attribution streamed over
+        the corpus scan with per-batch partial counts."""
+        import ray.data
+
+        from engine.query import facet_counts as _fc
+
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+        items = [{"query_id": q, "text": t} for q, t, _k in DOC_QUERIES]
+        return _collect(_fc(_documents_index(sf_dir), items, docs))
+
     def _hits_table(qid, d, s):
         return pa.table(
             {
@@ -743,6 +764,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_incremental": bm25_topk_incremental,
         "bm25_topk_expanded": bm25_topk_expanded,
+        "hash_split": hash_split,
+        "facet_counts": facet_counts,
         "bm25_topk_msm": bm25_topk_msm,
         "bm25_topk_must_not": bm25_topk_must_not,
         "bm25_topk_prefix": bm25_topk_prefix,
@@ -858,6 +881,27 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
 FROM ranked WHERE rank <= k
+"""
+
+
+def _facet_sql() -> str:
+    """Facet oracle: distinct (query, matched doc) pairs via the token table,
+    rolled up by the doc's source."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}')"
+        for qid, text, _k in DOC_QUERIES
+        for t in sorted(set(text.lower().split()))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+q(query_id, term) AS (VALUES
+      {vals}),
+m AS (SELECT DISTINCT q.query_id, toks.doc_id FROM q JOIN toks USING (term))
+SELECT m.query_id, d.source, count(*) AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY m.query_id, d.source
 """
 
 
@@ -1271,6 +1315,14 @@ WHERE text IS NOT NULL
         "bm25_topk_sharded": _bm25_sql(conjunctive=False),
         "more_like_this": _mlt_sql(),
         "phrase_match": _phrase_sql(),
+        "hash_split": """
+            SELECT doc_id,
+                   CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000 AS BIGINT) AS bucket,
+                   CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000 < 100
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "facet_counts": _facet_sql(),
         "bm25_topk_msm": _msm_sql(),
         "bm25_topk_must_not": _must_not_sql(),
         "bm25_topk_prefix": _prefix_sql(),

@@ -1,0 +1,58 @@
+"""Deterministic sampling / dataset-split operators.
+
+A 100-TB training-data pipeline needs splits and samples that are (a) stable
+across runs and cluster sizes, (b) computable per batch with no shuffle and no
+global state, and (c) reproducible by any other engine from the row key alone.
+Multiplicative (Knuth) hashing over the document key gives all three: the
+assignment is a pure function of ``doc_id``, so re-runs, resumes, and the
+DuckDB oracle all agree bit-for-bit.
+
+Scale notes: the tag is embarrassingly parallel (one ``map_batches``, no
+exchange); numpy uint64 wraparound is EXACT for the mod-2^32 hash because
+2^32 divides 2^64 — so arbitrarily large docIDs hash identically to the
+oracle's HUGEINT arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(1 << 32)
+
+
+def hash_buckets(ids: np.ndarray, n_buckets: int = 1000) -> np.ndarray:
+    """(id * 2654435761) mod 2^32 mod n_buckets, exact for any int64 >= 0."""
+    h = (ids.astype(np.uint64) * _KNUTH) % _M32
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def hash_split(sf_dir: str, test_permille: int = 100, id_col: str = "doc_id"):
+    """Deterministic train/test split of the documents table.
+
+    Emits (doc_id, bucket, split): bucket in [0, 1000), split = 'test' when
+    bucket < ``test_permille`` else 'train'. Pure per-batch transform — the
+    pruned read touches only the key column.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = hash_buckets(ids)
+        is_test = bucket < test_permille
+        labels = pa.array(["train", "test"], pa.string())
+        split = labels.take(pa.array(is_test.astype(np.int8)))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bucket": pa.array(bucket, pa.int64()),
+                "split": split,
+            }
+        )
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=[id_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .sort(id_col)
+    )

@@ -802,3 +802,74 @@ def write_hits_csv(hits: pa.Table, path: str) -> None:
     import pyarrow.csv as pacsv
 
     pacsv.write_csv(hits, path)
+
+
+def facet_counts(
+    index_dir: str,
+    query_items: list[dict],
+    docs_ds,
+    facet_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Per-(query, facet) matched-document counts — search faceting.
+
+    Matched set per query = union of its terms' postings (ANY semantics),
+    resolved once from the index on the driver and broadcast via ``ray.put``;
+    the doc -> facet attribution then STREAMS over the corpus scan with a
+    per-batch partial count (sorted-membership searchsorted + bincount over
+    the batch's dictionary-encoded facet), so the exchange carries one row per
+    (query, facet, block) — never per matched document. The reference surfaces
+    the same rollup as per-assembly hit counts in its result stats
+    (core/AbstractSearchContext.java:62-77 result stream).
+    """
+    import ray
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    bm = Bm25Index(index_dir)
+    matched: dict[str, np.ndarray] = {}
+    for it in query_items:
+        terms = sorted(set(tokenize_text(it["text"])))
+        arrs = [bm.reader.postings(t)[0] for t in terms]
+        arrs = [a for a in arrs if len(a)]
+        matched[it["query_id"]] = (
+            np.unique(np.concatenate(arrs)) if arrs else np.empty(0, dtype=np.int64)
+        )
+    ref = ray.put(matched)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        fac = batch[facet_col].dictionary_encode()
+        if isinstance(fac, pa.ChunkedArray):
+            fac = fac.combine_chunks()
+        codes = fac.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = fac.dictionary
+        qids, fcodes, ns = [], [], []
+        for qid, marr in m.items():
+            pos = np.searchsorted(marr, ids)
+            pos_c = np.clip(pos, 0, max(len(marr) - 1, 0))
+            hit = (pos < len(marr)) & (len(marr) > 0)
+            if len(marr):
+                hit &= marr[pos_c] == ids
+            counts = np.bincount(codes[hit], minlength=len(labels))
+            nz = np.flatnonzero(counts)
+            qids.extend([qid] * len(nz))
+            fcodes.extend(nz.tolist())
+            ns.extend(counts[nz].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                facet_col: labels.take(pa.array(fcodes, pa.int64()))
+                if qids
+                else pa.array([], labels.type),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["query_id", facet_col])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .sort(["query_id", facet_col])
+    )

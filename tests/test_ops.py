@@ -410,3 +410,81 @@ def test_customers_without_orders_cutoff(ray_session, tmp_path):
     out = rel.customers_without_orders(sf, cutoff="2000-01-01").to_pandas()
     # cust 1 has a recent order; cust 2's is pre-cutoff; cust 3 has none
     assert out["c_custkey"].tolist() == [2, 3]
+
+
+def test_hash_buckets_wraparound_exact():
+    """numpy uint64 wraparound == exact big-int arithmetic, incl. ids > 2^32."""
+    from engine.ops.sampling import hash_buckets
+
+    ids = np.array([0, 1, 42, 2**31, 2**33 + 7, 2**62 + 12345], dtype=np.int64)
+    got = hash_buckets(ids)
+    want = [((int(i) * 2654435761) % (2**32)) % 1000 for i in ids]
+    assert got.tolist() == want
+
+
+def test_hash_split_fraction_and_determinism(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from engine.ops.sampling import hash_split
+
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    n = 5000
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(["x"] * n)}),
+        f"{sf}/documents.parquet",
+    )
+    a = hash_split(sf, test_permille=100).to_pandas()
+    b = hash_split(sf, test_permille=100).to_pandas()
+    assert a.equals(b)
+    frac = (a["split"] == "test").mean()
+    assert 0.06 < frac < 0.14  # ~10% within hash noise
+    assert ((a["bucket"] < 100) == (a["split"] == "test")).all()
+
+
+def test_facet_counts_vs_naive(ray_session, tmp_path):
+    """facet_counts == brute-force per-(query, source) matched-doc count."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import facet_counts
+    from engine.tokenize import tokenize_text
+
+    texts = ["alpha beta", "beta gamma", "gamma delta", "alpha", "epsilon", ""]
+    sources = ["web", "web", "chat", "chat", "mail", "web"]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "source": pa.array(sources),
+        }
+    )
+    pq.write_table(tbl, f"{sf}/documents.parquet")
+    idx = str(tmp_path / "idx")
+    build_index(
+        ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+        idx, id_col="doc_id", n_buckets=2, n_salts=1, hot_fraction=0.5,
+    )
+    items = [
+        {"query_id": "QA", "text": "alpha gamma"},
+        {"query_id": "QB", "text": "epsilon"},
+        {"query_id": "QC", "text": "zzznope"},
+    ]
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+    out = facet_counts(idx, items, docs).to_pandas()
+    got = {(r.query_id, r.source): int(r.n_docs) for r in out.itertuples()}
+    want = {}
+    for it in items:
+        qterms = set(tokenize_text(it["text"]))
+        for d, (t, s) in enumerate(zip(texts, sources)):
+            if qterms & set(tokenize_text(t)):
+                key = (it["query_id"], s)
+                want[key] = want.get(key, 0) + 1
+    assert got == want
