@@ -75,6 +75,15 @@ PREFIX_QUERIES: list[tuple[str, str, int]] = [  # (qid, prefix, k)
     ("PR4_absent", "zz", 10),
 ]
 
+# --- fuzzy queries: each term expands to its ed<=1 vocab neighborhood -------
+FUZZY_QUERIES: list[tuple[str, list[str], int]] = [  # (qid, typo'd terms, k)
+    ("F1_typo", ["scann"], 10),          # -> {scan}
+    ("F2_multi", ["ag"], 10),            # -> {a, agg} (two neighbors)
+    ("F3_mixed", ["joi", "hash"], 10),   # deletion typo + exact vocab term
+    ("F4_exact", ["key"], 5),            # in-vocab, no ed-1 neighbors
+    ("F5_absent", ["zzqq"], 5),          # empty neighborhood -> no hits
+]
+
 # --- highlight: per-occurrence positions of a single term -------------------
 HIGHLIGHT_QUERIES: list[tuple[str, str]] = [
     ("H1_common", "table"),
@@ -371,6 +380,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _collect(_hs(sf_dir))
 
+    def stratified_sample(sf_dir):
+        """Per-source deterministic downsampling (source-mix rebalancing):
+        keep iff hash bucket < the stratum's permille rate."""
+        from engine.ops.sampling import stratified_sample as _ss
+
+        return _collect(_ss(sf_dir))
+
     def facet_counts(sf_dir):
         """Search faceting: per-(query, source) matched-doc counts; matched
         sets from postings union (ANY semantics), attribution streamed over
@@ -461,6 +477,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 )
             )
         res = pa.concat_tables([t for t in tables if t.num_rows])
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
+    def bm25_topk_fuzzy(sf_dir):
+        """Fuzzy search: each query term -> its Levenshtein<=1 vocab
+        neighborhood (FastSS deletion index over the term dictionary), scored
+        through the unchanged expanded slot-MaxScore path."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        tables = []
+        for qid, terms, k in FUZZY_QUERIES:
+            d, s = bm.fuzzy_topk(terms, k, rank_round=RANK_ROUND)
+            tables.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * len(d), pa.string()),
+                        "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
+                        "doc_id": pa.array(d, pa.int64()),
+                        "score": pa.array(s, pa.float64()),
+                    }
+                )
+            )
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "score_r": pa.array([], pa.float64()),
+                }
+            )
+        res = pa.concat_tables(tables)
         return _round_scores(res, "score", "score_r", SCORE_ROUND)
 
     def bm25_topk_sharded(sf_dir):
@@ -663,6 +712,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: lang_id_batch(b), batch_format="pyarrow"
         ).sort("doc_id")
 
+    def unigram_lm(sf_dir):
+        """Corpus-unigram-LM mean log-prob per doc (perplexity-style quality
+        score): one streamed counting pass, broadcast LM, vectorized lookup."""
+        from engine.ops.textstats import unigram_lm_scores
+
+        return _collect(unigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id")
+
+    def doc_top_terms(sf_dir):
+        """Per-doc top-3 TF-IDF keywords; ties round(score,6) desc, term asc."""
+        from engine.ops.textstats import doc_top_terms as _dtt
+
+        return _collect(_dtt(_docs(sf_dir, ["doc_id", "text"]), m=3)).sort_by(
+            [("doc_id", "ascending"), ("rank", "ascending")]
+        )
+
+    def bigram_counts(sf_dir):
+        """Corpus top-50 word bigrams (collocations), count desc / bigram asc."""
+        from engine.ops.textstats import bigram_top_counts
+
+        return _collect(bigram_top_counts(_docs(sf_dir, ["doc_id", "text"]), topn=50))
+
+    def ngram_novelty(sf_dir):
+        """Per-doc corpus-unique 3-gram shingle counts (memorization signal)."""
+        from engine.ops.textstats import ngram_novelty as _nn
+
+        return _i64(
+            _collect(_nn(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id"),
+            ["n_shingles", "n_novel"],
+        )
+
     def fingerprint(sf_dir):
         from engine.ops.textstats import fingerprint_batch
 
@@ -764,7 +843,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_incremental": bm25_topk_incremental,
         "bm25_topk_expanded": bm25_topk_expanded,
+        "bm25_topk_fuzzy": bm25_topk_fuzzy,
         "hash_split": hash_split,
+        "stratified_sample": stratified_sample,
         "facet_counts": facet_counts,
         "bm25_topk_msm": bm25_topk_msm,
         "bm25_topk_must_not": bm25_topk_must_not,
@@ -784,6 +865,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": ann_ivf_topk,
         "text_quality": text_quality,
         "lang_id": lang_id,
+        "unigram_lm": unigram_lm,
+        "doc_top_terms": doc_top_terms,
+        "bigram_counts": bigram_counts,
+        "ngram_novelty": ngram_novelty,
         "fingerprint": fingerprint,
         "token_count_by_source": token_count_by_source,
         "transcripts_bm25_topk": transcripts_bm25_topk,
@@ -804,6 +889,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": asof_join,
         "range_join": range_join,
         "sliding_window": sliding_window,
+        "event_gaps": lambda sf_dir: _collect(rel.event_gaps(sf_dir)),
+        "events_type_pivot": lambda sf_dir: _i64(
+            _collect(rel.events_type_pivot(sf_dir)),
+            [f"n_{t}" for t in rel.EVENT_TYPES],
+        ),
+        "extract_props_k": lambda sf_dir: _collect(rel.extract_props_k(sf_dir)),
     }
 
 
@@ -1247,6 +1338,51 @@ FROM ranked WHERE rank <= k
 """
 
 
+def _fuzzy_sql() -> str:
+    """Fuzzy oracle: each query term's slot is ALL vocabulary terms within
+    Levenshtein distance 1 (DuckDB levenshtein over the df term dictionary —
+    the same vocab the engine's deletion index expands over), then the exact
+    expanded max-contribution-per-slot BM25 pipeline."""
+    vals = ",\n      ".join(
+        f"('{qid}', {si}, '{t}', {k})"
+        for qid, terms, k in FUZZY_QUERIES
+        for si, t in enumerate(terms)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q0(query_id, slot, qterm, k) AS (VALUES
+      {vals}),
+q AS (SELECT q0.query_id, q0.slot, v.term, q0.k
+      FROM q0 JOIN (SELECT term FROM df) v ON levenshtein(q0.qterm, v.term) <= 1),
+contrib AS (
+  SELECT q.query_id, q.k, q.slot, tf.doc_id,
+         max( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS c
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, q.slot, tf.doc_id
+),
+scores AS (SELECT query_id, k, doc_id, sum(c) AS score FROM contrib GROUP BY query_id, k, doc_id),
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= k
+"""
+
+
 def _lang_id_sql() -> str:
     """Restates engine/ops/textstats.py lang_id_batch: per-language stopword
     occurrence counts, argmax with lexicographic tie-break, 'und' on zero."""
@@ -1274,7 +1410,18 @@ FROM documents d LEFT JOIN scg USING (doc_id)
 
 
 def oracle_sql() -> dict[str, str]:
+    from engine.ops.relational import EVENT_TYPES
+    from engine.ops.sampling import DEFAULT_RATE_PERMILLE, STRATA_RATES_PERMILLE
+
     tok = _TOKEN_SQL
+    strata_case = "CASE source {} ELSE {} END".format(
+        " ".join(f"WHEN '{s}' THEN {r}" for s, r in sorted(STRATA_RATES_PERMILLE.items())),
+        DEFAULT_RATE_PERMILLE,
+    )
+    pivot_sums = ",\n                   ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
+        for t in EVENT_TYPES
+    )
     return {
         "tokenize_tf": f"""
             WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
@@ -1311,6 +1458,7 @@ WHERE text IS NOT NULL
         # incremental half-build + ADD must equal the full-corpus build
         "bm25_topk_incremental": _bm25_sql(conjunctive=False),
         "bm25_topk_expanded": _expanded_sql(),
+        "bm25_topk_fuzzy": _fuzzy_sql(),
         # sharded scatter/gather must be indistinguishable from single-reader
         "bm25_topk_sharded": _bm25_sql(conjunctive=False),
         "more_like_this": _mlt_sql(),
@@ -1321,6 +1469,14 @@ WHERE text IS NOT NULL
                    CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000 < 100
                         THEN 'test' ELSE 'train' END AS split
             FROM documents
+        """,
+        "stratified_sample": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000 AS BIGINT) AS bucket
+              FROM documents)
+            SELECT doc_id, source, bucket FROM t
+            WHERE bucket < {strata_case}
         """,
         "facet_counts": _facet_sql(),
         "bm25_topk_msm": _msm_sql(),
@@ -1336,6 +1492,49 @@ WHERE text IS NOT NULL
         "dedup_minhash": _jaccard_sql(),
         "dedup_simhash": _simhash_sql(max_hamming=3),
         "lang_id": _lang_id_sql(),
+        "unigram_lm": f"""
+            WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+            tc AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+            tot AS (SELECT count(*) AS total FROM toks),
+            ll AS (SELECT t.doc_id, count(*) AS dl,
+                          sum(ln(tc.n::DOUBLE / tot.total)) AS ll
+                   FROM toks t JOIN tc USING (term) CROSS JOIN tot
+                   GROUP BY t.doc_id)
+            SELECT d.doc_id, coalesce(ll.dl, 0)::BIGINT AS dl,
+                   round(coalesce(ll.ll / ll.dl, 0.0), 6) AS avg_logprob_r
+            FROM documents d LEFT JOIN ll USING (doc_id)
+        """,
+        "doc_top_terms": f"""
+            WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            nd AS (SELECT count(*) AS n_docs FROM documents),
+            sc AS (SELECT tf.doc_id, tf.term,
+                          ln(1 + (nd.n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf AS score
+                   FROM tf JOIN df USING (term) CROSS JOIN nd),
+            ranked AS (SELECT doc_id, term, score,
+                              row_number() OVER (
+                                PARTITION BY doc_id
+                                ORDER BY round(score, {RANK_ROUND}) DESC, term) AS rank
+                       FROM sc)
+            SELECT doc_id, rank::BIGINT AS rank, term, round(score, {SCORE_ROUND}) AS score_r
+            FROM ranked WHERE rank <= 3
+        """,
+        "bigram_counts": f"""
+            WITH toks AS (SELECT doc_id, {tok} AS l FROM documents),
+            pos AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM toks),
+            nx AS (SELECT doc_id, tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS t2 FROM pos)
+            SELECT tok || ' ' || t2 AS bigram, count(*)::BIGINT AS n
+            FROM nx WHERE t2 IS NOT NULL
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+        """,
+        "ngram_novelty": f"""
+            WITH {_SHINGLE_CTE},
+            sdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+            SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+                   sum(CASE WHEN sdf.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+            FROM sh JOIN sdf USING (shingle) GROUP BY sh.doc_id
+        """,
         "dedup_embedding": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine_r
@@ -1539,5 +1738,21 @@ WHERE text IS NOT NULL
             )
             SELECT event_id, user_id, o_orderkey, o_date_us, o_totalprice
             FROM j WHERE rn = 1
+        """,
+        "event_gaps": """
+            SELECT event_id, user_id,
+                   coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+            FROM events
+        """,
+        "events_type_pivot": f"""
+            SELECT user_id,
+                   {pivot_sums}
+            FROM events GROUP BY user_id
+        """,
+        "extract_props_k": """
+            SELECT event_id,
+                   CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k_val
+            FROM events
         """,
     }

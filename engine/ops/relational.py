@@ -674,3 +674,90 @@ def grouped_price_quantiles(sf_dir: str, qs: tuple[int, ...] = (50, 90, 99)):
         .map_groups(final, batch_format="pyarrow")
         .sort("l_returnflag")
     )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_gaps(sf_dir: str):
+    """LAG window op: per event, microseconds since the same user's previous
+    event (-1 sentinel for each user's first — gaps are always >= 0, and a
+    null-free int64 column hashes identically on both compare sides). One
+    hash shuffle co-locates a user's events; the per-group body is a
+    vectorized pandas sort + shift, ordering tie-break (ts, event_id) so
+    equal timestamps stay deterministic."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[0] = -1
+        gap[1:] = ts[1:] - ts[:-1]
+        return pd.DataFrame(
+            {"event_id": g["event_id"], "user_id": g["user_id"], "gap_us": gap}
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
+def events_type_pivot(sf_dir: str):
+    """Pivot events to one wide row per user: count per event type as columns
+    (the long->wide reshape a feature pipeline feeds a trainer). Type set is
+    a fixed contract (EVENT_TYPES); unknown types would fail loudly in the
+    oracle diff rather than silently reshape.
+
+    Scale shape: the pivot happens INSIDE each batch (bincount over
+    user x type), so the exchange carries <= users-per-block wide rows and
+    the groupby just sums the wide columns — no post-shuffle reshape."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch["event_type"]
+        uniq, codes = np.unique(uid, return_inverse=True)
+        cols = {"user_id": pa.array(uniq, pa.int64())}
+        for j, t in enumerate(EVENT_TYPES):
+            mask = pc.equal(et, t).to_numpy(zero_copy_only=False)
+            cnt = (
+                np.bincount(codes[mask], minlength=len(uniq))
+                if mask.any()
+                else np.zeros(len(uniq), dtype=np.int64)
+            )
+            cols[f"n_{t}"] = pa.array(cnt.astype(np.int64))
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES]
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*aggs)
+        .sort("user_id")
+    )
+
+
+def extract_props_k(sf_dir: str):
+    """Typed field extraction from the semi-structured ``props`` JSON string:
+    pull integer ``k`` per event with ONE vectorized RE2 kernel
+    (pc.extract_regex) — the schema-on-read ETL step for a string-typed
+    payload column; rows without a match yield NULL (same as SQL
+    regexp_extract returning NULL)."""
+
+    def ex(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch["props"], pattern=r'"k": (?P<v>[0-9]+)')
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "k_val": pc.struct_field(hit, "v").cast(pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "props"])
+        .map_batches(ex, batch_format="pyarrow")
+        .sort("event_id")
+    )

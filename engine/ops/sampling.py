@@ -56,3 +56,47 @@ def hash_split(sf_dir: str, test_permille: int = 100, id_col: str = "doc_id"):
         .map_batches(tag, batch_format="pyarrow")
         .sort(id_col)
     )
+
+
+#: per-source keep rates in permille; sources not listed use DEFAULT_RATE.
+#: Fixed contract shared verbatim with the oracle SQL.
+STRATA_RATES_PERMILLE: dict[str, int] = {"src0": 1000, "src1": 500, "src2": 250}
+DEFAULT_RATE_PERMILLE = 100
+
+
+def stratified_sample(
+    sf_dir: str,
+    rates_permille: dict[str, int] | None = None,
+    default_permille: int = DEFAULT_RATE_PERMILLE,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+):
+    """Deterministic per-stratum downsampling: keep a row iff its hash bucket
+    (same multiplicative hash as hash_split, over doc_id alone) falls below
+    the stratum's permille rate — the source-mix rebalancing step of a
+    training-data pipeline. Pure per-batch map, no shuffle, no global state;
+    re-runs and resumes keep EXACTLY the same rows, and the rate table rides
+    into the task closure (a few entries — below broadcast size)."""
+    rates = dict(STRATA_RATES_PERMILLE if rates_permille is None else rates_permille)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = hash_buckets(ids)
+        src = batch[strata_col].to_numpy(zero_copy_only=False)
+        thr = np.full(len(src), default_permille, dtype=np.int64)
+        for s, r in rates.items():
+            thr[src == s] = r
+        keep = bucket < thr
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                strata_col: batch[strata_col],
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        ).filter(pa.array(keep))
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=[id_col, strata_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .sort(id_col)
+    )

@@ -174,3 +174,236 @@ def token_count_by_group(ds, group_col: str, id_col: str = "doc_id", text_col: s
         .groupby(group_col)
         .aggregate(Sum("n_tokens", alias_name="total_tokens"), Count(alias_name="n_docs"))
     )
+
+
+def corpus_term_counts(ds, text_col: str = "text"):
+    """Corpus unigram counts (term, n): per-batch tf partial-agg shrinks the
+    exchange to <= vocab rows per block before the tiny groupby (A1->A2)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _, _ = _explode_tokens(batch[text_col])
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        g = pa.table({"term": flat}).group_by(["term"], use_threads=False).aggregate(
+            [("term", "count")]
+        )
+        return pa.table({"term": g["term"], "n": g["term_count"].cast(pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("term").aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+def unigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text", round_to: int = 6):
+    """Per-doc mean token log-probability under the corpus unigram LM — the
+    CCNet-style perplexity quality filter, exactly restatable in SQL.
+
+    Pass 1 streams the corpus into a (term, n) table (vocab-sized — small);
+    the sorted (terms, logp) arrays are broadcast ONCE via ``ray.put`` and
+    looked up per batch through a dictionary-encode + searchsorted gather
+    (O(uniq log V) string compares per batch, not O(tokens)).
+
+    OOV cannot occur here (the LM is fit on the same corpus); at 100-TB scale
+    cap the vocab at top-V terms and fold the tail into one OOV mass — the
+    lookup path is unchanged. Empty docs score 0.0 by contract."""
+    import ray
+
+    counts = corpus_term_counts(ds, text_col).to_pandas()
+    terms = counts["term"].to_numpy()
+    order = np.argsort(terms)
+    terms_sorted = terms[order]
+    n_sorted = counts["n"].to_numpy().astype(np.float64)[order]
+    total = n_sorted.sum()
+    logp = np.log(n_sorted / total) if total else n_sorted
+    ref = ray.put((terms_sorted, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ts, lp = ray.get(ref)
+        flat, parent, dl = _explode_tokens(batch[text_col])
+        n = batch.num_rows
+        if len(flat):
+            dic = flat.dictionary_encode()
+            upos = np.searchsorted(ts, dic.dictionary.to_numpy(zero_copy_only=False))
+            lp_tok = lp[upos][dic.indices.to_numpy(zero_copy_only=False)]
+            ll = np.bincount(parent, weights=lp_tok, minlength=n)
+        else:
+            ll = np.zeros(n, dtype=np.float64)
+        safe = np.maximum(dl.astype(np.float64), 1.0)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "dl": pa.array(dl.astype(np.int64)),
+                "avg_logprob_r": pa.array(np.round(ll / safe, round_to)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def doc_top_terms(
+    ds,
+    m: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rank_round: int = 6,
+    score_round: int = 4,
+):
+    """Per-doc top-``m`` TF-IDF terms (keyword extraction; the per-document
+    informativeness ranking more_like_this uses, batched corpus-wide).
+
+    Pass 1: one streamed pass emits per-batch partial document frequencies;
+    n_docs rides the SAME exchange as the impossible term '' (tokens are
+    never empty), so no second counting pass. The vocab-sized (term, idf)
+    table is broadcast once via ``ray.put``. Pass 2: per-batch in-block tf,
+    idf gather, and a fully vectorized per-doc top-m (lexsort + segment
+    ranks). Ties: round(score, rank_round) DESC, term ASC."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def pdf(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _explode_tokens(batch[text_col])
+        marker = pa.table(
+            {"term": pa.array([""], pa.string()), "df": pa.array([batch.num_rows], pa.int64())}
+        )
+        if len(flat) == 0:
+            return marker
+        pair = (
+            pa.table({"p": pa.array(parent), "t": flat})
+            .group_by(["p", "t"], use_threads=False)
+            .aggregate([])
+        )
+        g = pair.group_by(["t"], use_threads=False).aggregate([("t", "count")])
+        part = pa.table({"term": g["t"], "df": g["t_count"].cast(pa.int64())})
+        return pa.concat_tables([part, marker])
+
+    dft = (
+        ds.map_batches(pdf, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    n_docs = int(dft.loc[dft["term"] == "", "df"].iloc[0])
+    dft = dft[dft["term"] != ""]
+    terms = dft["term"].to_numpy()
+    order = np.argsort(terms)
+    terms_sorted = terms[order]
+    df_sorted = dft["df"].to_numpy().astype(np.float64)[order]
+    idf = np.log1p((n_docs - df_sorted + 0.5) / (df_sorted + 0.5))
+    ref = ray.put((terms_sorted, idf))
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "score_r": pa.array([], pa.float64()),
+        }
+    )
+
+    def top(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _explode_tokens(batch[text_col])
+        if len(flat) == 0:
+            return empty
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pair = (
+            pa.table({"p": pa.array(parent), "t": flat})
+            .group_by(["p", "t"], use_threads=False)
+            .aggregate([("t", "count")])
+        )
+        p = pair["p"].to_numpy(zero_copy_only=False)
+        tf = pair["t_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ts, idfv = ray.get(ref)
+        dic = pair["t"].combine_chunks().dictionary_encode()
+        upos = np.searchsorted(ts, dic.dictionary.to_numpy(zero_copy_only=False))
+        score = idfv[upos][dic.indices.to_numpy(zero_copy_only=False)] * tf
+        t_np = pair["t"].to_numpy(zero_copy_only=False).astype(str)
+        order = np.lexsort((t_np, -np.round(score, rank_round), p))
+        p_o = p[order]
+        first = np.r_[0, np.flatnonzero(np.diff(p_o)) + 1]
+        seg_start = np.repeat(first, np.diff(np.r_[first, len(p_o)]))
+        rank = np.arange(len(p_o)) - seg_start + 1
+        keep = rank <= m
+        sel = order[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids[p[sel]], pa.int64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+                "term": pa.array(t_np[sel], pa.string()),
+                "score_r": pa.array(np.round(score[sel], score_round)),
+            }
+        )
+
+    return ds.map_batches(top, batch_format="pyarrow")
+
+
+def bigram_top_counts(ds, topn: int = 50, text_col: str = "text"):
+    """Corpus top-``topn`` word bigrams by count (collocation mining).
+
+    Per-batch: consecutive-token pairs within a doc (vectorized take+join),
+    counted in-block — the exchange carries <= distinct-bigrams rows per
+    block, not tokens. Tiny groupby sum, sort (count DESC, bigram ASC),
+    limit. The sorted table is vocab-bounded, not corpus-bounded."""
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _explode_tokens(batch[text_col])
+        if len(flat) < 2:
+            return empty
+        starts = np.flatnonzero(parent[1:] == parent[:-1])
+        if len(starts) == 0:
+            return empty
+        bg = pc.binary_join_element_wise(
+            flat.take(pa.array(starts)), flat.take(pa.array(starts + 1)), " "
+        )
+        g = pa.table({"bigram": bg}).group_by(["bigram"], use_threads=False).aggregate(
+            [("bigram", "count")]
+        )
+        return pa.table({"bigram": g["bigram"], "n": g["bigram_count"].cast(pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(topn)
+    )
+
+
+def ngram_novelty(
+    ds, k: int = 3, id_col: str = "doc_id", text_col: str = "text", num_partitions: int = 8
+):
+    """Per-doc novelty: how many of the doc's DISTINCT word k-gram shingles
+    appear in NO other document (corpus shingle-df == 1) — the n-gram
+    memorization / contamination signal a training-data pipeline filters on.
+
+    Shape: hashed-shingle explode (64-bit, the same scale path as
+    ngram_jaccard_pairs; the DuckDB oracle recomputes over shingle STRINGS,
+    so any hash collision would surface as a value mismatch) ->
+    groupby(sh) df -> hash-partitioned join back -> per-doc Count/Sum.
+    Docs shorter than k tokens emit no row (no shingles), by contract."""
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _shingle_hash_table
+
+    sh = ds.map_batches(
+        lambda b: _shingle_hash_table(b, k, id_col, text_col), batch_format="pyarrow"
+    ).materialize()
+    df = sh.groupby("sh").aggregate(Count(alias_name="df"))
+    joined = sh.join(df, join_type="inner", num_partitions=num_partitions, on=("sh",))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "novel": pc.cast(pc.equal(batch["df"], 1), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(mark, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_shingles"), Sum("novel", alias_name="n_novel"))
+    )

@@ -32,6 +32,32 @@ from .segments import SegmentReader
 from .tokenize import tokenize_text
 
 
+def _within_ed1(a: str, b: str) -> bool:
+    """Exact Levenshtein-distance <= 1 test in one O(len) pass (no DP):
+    equal | one substitution (same length) | one indel (length differs by 1)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = 0
+    skipped = False
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif skipped:
+            return False
+        else:
+            skipped = True
+            j += 1
+    return True
+
+
 class Bm25Index:
     """Query-side handle: segment reader + docmap lengths + global stats."""
 
@@ -532,6 +558,56 @@ class Bm25Index:
         if len(terms) > max_terms:
             raise ValueError(f"prefix '{prefix}' expands to {len(terms)} > {max_terms} terms")
         return terms
+
+    def _deletion_index(self) -> dict[str, set[str]]:
+        """FastSS deletion-neighborhood index over the vocab, built lazily
+        ONCE per index handle (so once per query actor, like the rest of the
+        T1 per-worker state): variant -> vocab terms producing it by 0 or 1
+        character deletions. Lookup of ed<=1 candidates is then O(|q|) dict
+        probes instead of an O(vocab) scan per query term.
+
+        Scale path: the index is O(vocab x avg_len) entries; at 100-TB vocab
+        sizes build it per postings shard (ShardedQueryService already
+        partitions the vocab by term hash) instead of whole-vocab."""
+        if getattr(self, "_del_idx", None) is None:
+            idx: dict[str, set[str]] = {}
+            for t in self.reader.vocab_df()["term"].to_pylist():
+                idx.setdefault(t, set()).add(t)
+                for i in range(len(t)):
+                    idx.setdefault(t[:i] + t[i + 1 :], set()).add(t)
+            self._del_idx = idx
+        return self._del_idx
+
+    def fuzzy_terms(self, term: str, max_terms: int = 64) -> list[str]:
+        """All vocab terms within Levenshtein distance 1 of ``term`` (the
+        tolerance-expansion analog over the term dictionary — Lucene's
+        FuzzyQuery; reference Q1 expands each descriptor to its tolerance
+        neighborhood the same way, ResiduePairOccurrence.java:166-227).
+
+        Candidate generation via the deletion index (every ed<=1 pair shares
+        a deletion variant), then an exact O(len) ed<=1 verification — the
+        deletion-share test alone over-matches (e.g. 'ab' vs 'ba')."""
+        idx = self._deletion_index()
+        cands: set[str] = set()
+        for v in [term] + [term[:i] + term[i + 1 :] for i in range(len(term))]:
+            cands |= idx.get(v, set())
+        out = sorted(t for t in cands if _within_ed1(term, t))
+        if len(out) > max_terms:
+            raise ValueError(f"'{term}' expands to {len(out)} > {max_terms} terms")
+        return out
+
+    def fuzzy_topk(
+        self,
+        terms: list[str],
+        k: int,
+        rank_round: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Fuzzy search: each query term becomes an OR-slot of its ed<=1
+        vocab neighborhood, scored through the unchanged expanded_topk
+        slot-MaxScore path (a variant match stands in for the original).
+        Terms with an empty neighborhood drop out; all-empty -> no hits."""
+        slots = [self.fuzzy_terms(t) for t in terms]
+        return self.expanded_topk(slots, k, rank_round=rank_round)
 
     def expanded_topk(
         self,

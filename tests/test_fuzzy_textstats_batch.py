@@ -1,0 +1,238 @@
+"""Boundary tests for the fuzzy-search / corpus-stats / sampling / event-window
+operator batch, all asserted against hand-computed or brute-force oracles.
+
+Fuzzy search is the FastSS-style tolerance expansion over the term dictionary
+(the Q1 analog routed through expanded_topk); the textstats ops are the
+corpus-LM / keyword / collocation / novelty family of training-data filters.
+"""
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference DP Levenshtein (the brute-force oracle for _within_ed1)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_within_ed1_matches_dp_levenshtein():
+    from engine.query import _within_ed1
+
+    words = ["", "a", "b", "ab", "ba", "abc", "axc", "abcd", "acbd", "xabc", "abx", "aabc"]
+    for x in words:
+        for y in words:
+            assert _within_ed1(x, y) == (_lev(x, y) <= 1), (x, y)
+
+
+@pytest.fixture(scope="module")
+def fuzzy_index(ray_session, tmp_path_factory):
+    """Controlled vocab {ab, ba, abc, axc, join, x} for neighborhood tests."""
+    import ray.data
+
+    from engine.build import build_index
+
+    texts = ["ab abc join", "ba axc join", "x abc abc", "ab ab ba"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    )
+    idx = str(tmp_path_factory.mktemp("index") / "fuzzy")
+    build_index(ds, idx, id_col="doc_id", n_buckets=4, n_salts=2, hot_fraction=0.05)
+    return idx
+
+
+def test_fuzzy_terms_neighborhood_exact(fuzzy_index):
+    """Deletion-index candidates are verified with exact ed<=1: the
+    transposition 'ba' (shares deletion variants with 'ab' but ed=2) must be
+    rejected; insertions/deletions/substitutions within 1 accepted."""
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(fuzzy_index)
+    assert bm.fuzzy_terms("ab") == ["ab", "abc"]       # NOT 'ba' (ed 2)
+    assert bm.fuzzy_terms("abc") == ["ab", "abc", "axc"]
+    assert bm.fuzzy_terms("joi") == ["join"]           # out-of-vocab typo
+    assert bm.fuzzy_terms("zzqq") == []                # empty neighborhood
+
+
+def test_fuzzy_topk_equals_expanded_on_manual_slots(fuzzy_index):
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(fuzzy_index)
+    d1, s1 = bm.fuzzy_topk(["abc", "joi"], k=10)
+    d2, s2 = bm.expanded_topk([["ab", "abc", "axc"], ["join"]], k=10)
+    assert d1.tolist() == d2.tolist()
+    np.testing.assert_allclose(s1, s2)
+    # all-empty neighborhoods -> no hits
+    d3, _ = bm.fuzzy_topk(["zzqq"], k=10)
+    assert len(d3) == 0
+
+
+def test_stratified_sample_rates_and_determinism(ray_session, tmp_path):
+    from engine.ops.sampling import hash_buckets, stratified_sample
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    n = 4000
+    sources = ["src0", "src1", "src2", "other"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["x"] * n),
+            "source": pa.array([sources[i % 4] for i in range(n)]),
+        }
+    )
+    pq.write_table(tbl, f"{sf}/documents.parquet")
+    rates = {"src0": 1000, "src1": 500, "src2": 250}
+    out = stratified_sample(sf, rates_permille=rates, default_permille=100).to_pandas()
+    # brute-force oracle: keep iff bucket(doc_id) < stratum rate
+    buckets = hash_buckets(np.arange(n, dtype=np.int64))
+    want = {
+        i for i in range(n) if buckets[i] < rates.get(sources[i % 4], 100)
+    }
+    assert set(out["doc_id"]) == want
+    assert (out["bucket"].to_numpy() == buckets[out["doc_id"].to_numpy()]).all()
+    # src0 at 1000 permille keeps everything in its stratum
+    assert (out["source"] == "src0").sum() == n // 4
+    # deterministic re-run
+    out2 = stratified_sample(sf, rates_permille=rates, default_permille=100).to_pandas()
+    assert out.equals(out2)
+
+
+def _docs_ds(texts):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    )
+
+
+def test_unigram_lm_hand_computed(ray_session):
+    from engine.ops.textstats import unigram_lm_scores
+
+    # counts: a=2 b=2 c=1, total=5
+    out = (
+        unigram_lm_scores(_docs_ds(["a a b", "b c", ""]))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    la, lc = math.log(2 / 5), math.log(1 / 5)
+    assert out["dl"].tolist() == [3, 2, 0]
+    np.testing.assert_allclose(
+        out["avg_logprob_r"].to_numpy(),
+        np.round([la, (la + lc) / 2, 0.0], 6),  # empty doc scores 0 by contract
+        atol=1e-9,
+    )
+
+
+def test_doc_top_terms_ranks_and_tie_order(ray_session):
+    from engine.ops.textstats import doc_top_terms
+
+    # df: aa=2, bb=cc=dd=ee=ff=1; n_docs=4
+    out = (
+        doc_top_terms(_docs_ds(["aa bb", "aa cc", "ee ff", "dd dd dd"]), m=3)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"], ignore_index=True)
+    )
+    idf1 = math.log(1 + (4 - 1 + 0.5) / (1 + 0.5))
+    idf2 = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    got = list(zip(out["doc_id"], out["rank"], out["term"]))
+    assert got == [
+        (0, 1, "bb"), (0, 2, "aa"),       # rarer term outranks common one
+        (1, 1, "cc"), (1, 2, "aa"),
+        (2, 1, "ee"), (2, 2, "ff"),       # exact tie -> term ascending
+        (3, 1, "dd"),
+    ]
+    sc = {(d, t): s for d, t, s in zip(out["doc_id"], out["term"], out["score_r"])}
+    assert sc[(0, "bb")] == round(idf1, 4) and sc[(0, "aa")] == round(idf2, 4)
+    assert sc[(3, "dd")] == round(3 * idf1, 4)  # tf=3
+
+
+def test_bigram_counts_no_cross_doc_pairs_and_tie_order(ray_session):
+    from engine.ops.textstats import bigram_top_counts
+
+    # doc0 ends 'b', doc1 starts 'b': "b b" must NOT be emitted
+    out = bigram_top_counts(_docs_ds(["a b a b", "b a", ""]), topn=10).to_pandas()
+    assert list(zip(out["bigram"], out["n"])) == [("a b", 2), ("b a", 2)]
+    top1 = bigram_top_counts(_docs_ds(["a b a b", "b a", ""]), topn=1).to_pandas()
+    assert list(top1["bigram"]) == ["a b"]  # count tie -> bigram ascending
+
+
+def test_ngram_novelty_distinct_shingles_and_short_docs(ray_session):
+    from engine.ops.textstats import ngram_novelty
+
+    out = (
+        ngram_novelty(_docs_ds(["a b c d", "a b c", "x y", "p q r p q r"]), k=3)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    got = {int(r.doc_id): (int(r.n_shingles), int(r.n_novel)) for r in out.itertuples()}
+    assert got == {
+        0: (2, 1),  # 'a b c' shared with doc1; 'b c d' unique
+        1: (1, 0),
+        # doc2 shorter than k: no shingles, no row
+        3: (3, 3),  # repeated shingle counted once (distinct), all corpus-unique
+    }
+
+
+def test_event_gaps_sentinel_and_tie_break(ray_session, tmp_path):
+    from engine.ops import relational as rel
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    ts = lambda s: np.datetime64(s, "us")
+    events = pa.table(
+        {
+            # u1 has two same-ts events with event_ids out of ts order:
+            # ordering contract is (ts, event_id)
+            "event_id": pa.array([2, 1, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [ts("2024-01-01T10:00"), ts("2024-01-01T10:00"),
+                 ts("2024-01-01T10:01"), ts("2024-01-01T09:00")],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        }
+    )
+    pq.write_table(events, f"{sf}/events.parquet")
+    out = rel.event_gaps(sf).to_pandas()
+    got = {int(r.event_id): int(r.gap_us) for r in out.itertuples()}
+    assert got == {
+        1: -1,              # user's first event: sentinel
+        2: 0,               # same-ts peer, ordered after lower event_id
+        3: 60_000_000,
+        4: -1,              # users isolated
+    }
+
+
+def test_events_type_pivot_counts(ray_session, tmp_path):
+    from engine.ops import relational as rel
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    events = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(
+                ["click", "click", "view", "error", "purchase", "signup"]
+            ),
+        }
+    )
+    pq.write_table(events, f"{sf}/events.parquet")
+    out = rel.events_type_pivot(sf).to_pandas().sort_values("user_id", ignore_index=True)
+    assert list(out.columns) == ["user_id"] + [f"n_{t}" for t in rel.EVENT_TYPES]
+    rows = {
+        int(r.user_id): (r.n_click, r.n_error, r.n_purchase, r.n_signup, r.n_view)
+        for r in out.itertuples()
+    }
+    assert rows == {1: (2, 0, 0, 0, 1), 2: (0, 1, 1, 0, 0), 3: (0, 0, 0, 1, 0)}
