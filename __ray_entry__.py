@@ -742,6 +742,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["n_shingles", "n_novel"],
         )
 
+    def lang_confusion(sf_dir):
+        """Heuristic-vs-gold confusion counts over the documents gold lang."""
+        from engine.ops.textstats import lang_confusion as _lcf
+
+        return _collect(_lcf(_docs(sf_dir, ["doc_id", "text", "lang"]))).sort_by(
+            [("gold", "ascending"), ("pred", "ascending")]
+        )
+
+    def label_centroids(sf_dir):
+        """Per-label mean embedding, long (label, dim, centroid_r) format."""
+        from engine.ops.similarity import label_centroids as _lc
+
+        return _collect(_lc(sf_dir)).sort_by(
+            [("label", "ascending"), ("dim", "ascending")]
+        )
+
+    def bpe_token_counts(sf_dir):
+        """Token-cost budgeting: BPE-ish pre-tokenizer + whitespace counts,
+        one streaming RE2 pass each."""
+        from engine.ops.textstats import bpe_token_counts as _btc
+
+        return _collect(_btc(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id")
+
+    def substring_dup_stats(sf_dir):
+        """Repeated k-token-window spans per doc (bounded substring-dedup
+        signal): duplicated window starts + union token coverage."""
+        from engine.ops.textstats import substring_dup_stats as _sds
+
+        return _i64(
+            _collect(_sds(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id"),
+            ["n_dup", "dup_cover"],
+        )
+
+    def uniform_sample_k(sf_dir):
+        """Exact-k deterministic uniform sample: k smallest (hash, doc_id)."""
+        from engine.ops.sampling import uniform_sample_k as _usk
+
+        return _collect(_usk(sf_dir))
+
     def fingerprint(sf_dir):
         from engine.ops.textstats import fingerprint_batch
 
@@ -869,6 +908,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": doc_top_terms,
         "bigram_counts": bigram_counts,
         "ngram_novelty": ngram_novelty,
+        "lang_confusion": lang_confusion,
+        "label_centroids": label_centroids,
+        "bpe_token_counts": bpe_token_counts,
+        "substring_dup_stats": substring_dup_stats,
+        "uniform_sample_k": uniform_sample_k,
         "fingerprint": fingerprint,
         "token_count_by_source": token_count_by_source,
         "transcripts_bm25_topk": transcripts_bm25_topk,
@@ -1125,6 +1169,12 @@ FROM scores JOIN qsize USING (query_id)
 WHERE scores.matched = qsize.nt
 """
 
+
+# BPE-ish pre-tokenizer pattern as a DuckDB string literal (same RE2 pattern
+# the engine runs through pc.count_substring_regex; apostrophe doubled).
+from engine.ops.textstats import BPE_SPLIT_PATTERN as _BPE_PAT
+
+_BPE_SQL_PATTERN = _BPE_PAT.replace("'", "''")
 
 _SHINGLE_CTE = f"""
 toks AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),
@@ -1527,6 +1577,43 @@ WHERE text IS NOT NULL
             SELECT tok || ' ' || t2 AS bigram, count(*)::BIGINT AS n
             FROM nx WHERE t2 IS NOT NULL
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+        """,
+        "lang_confusion": f"""
+            WITH pred AS ({_lang_id_sql()})
+            SELECT d.lang AS gold, p.pred_lang AS pred, count(*)::BIGINT AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY gold, pred
+        """,
+        "label_centroids": """
+            WITH e AS (SELECT label, unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings)
+            SELECT label::BIGINT AS label, (dim - 1)::BIGINT AS dim,
+                   round(avg(v::DOUBLE), 6) AS centroid_r
+            FROM e GROUP BY label, dim
+        """,
+        "bpe_token_counts": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text, ''), '{_BPE_SQL_PATTERN}'))::BIGINT AS n_bpe,
+                   len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS n_ws
+            FROM documents
+        """,
+        "substring_dup_stats": f"""
+            WITH toks AS (SELECT doc_id, {tok} AS l FROM documents),
+            st AS (SELECT doc_id, l, unnest(range(1, len(l) - 4 + 2)) AS i FROM toks),
+            win AS (SELECT doc_id, i, array_to_string(l[i:i+3], ' ') AS w FROM st),
+            wc AS (SELECT w, count(*) AS cnt FROM win GROUP BY w),
+            dup AS (SELECT win.doc_id, win.i FROM win JOIN wc USING (w) WHERE cnt >= 2),
+            cov AS (SELECT doc_id,
+                           least(coalesce(i - lag(i) OVER (PARTITION BY doc_id ORDER BY i), 4), 4) AS c
+                    FROM dup)
+            SELECT doc_id, count(*)::BIGINT AS n_dup, sum(c)::BIGINT AS dup_cover
+            FROM cov GROUP BY doc_id
+        """,
+        "uniform_sample_k": """
+            SELECT doc_id,
+                   CAST(CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 AS BIGINT) AS h
+            FROM documents ORDER BY h, doc_id LIMIT 64
         """,
         "ngram_novelty": f"""
             WITH {_SHINGLE_CTE},

@@ -100,3 +100,26 @@ def stratified_sample(
         .map_batches(tag, batch_format="pyarrow")
         .sort(id_col)
     )
+
+
+def uniform_sample_k(sf_dir: str, k: int = 64, id_col: str = "doc_id"):
+    """Deterministic uniform k-sample of the documents table: the k rows with
+    the smallest (hash(doc_id), doc_id) — order-by-hash sampling, the exact-k
+    companion to the rate-based gates above (same Knuth hash, full 32-bit
+    value). Per-batch lexsort keeps only k candidate rows per block, so the
+    final sort touches <= k x n_blocks rows, never the corpus."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids.astype(np.uint64) * _KNUTH) % _M32).astype(np.int64)
+        if len(ids) > k:
+            sel = np.lexsort((ids, h))[:k]
+            ids, h = ids[sel], h[sel]
+        return pa.table({id_col: pa.array(ids, pa.int64()), "h": pa.array(h, pa.int64())})
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=[id_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .sort(["h", id_col])
+        .limit(k)
+    )

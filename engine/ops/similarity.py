@@ -324,3 +324,54 @@ def ivf_topk_scan(
         for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
     ]
     return _merge_partials(parts, query_ids, k, rank_round)
+
+
+def label_centroids(sf_dir: str, round_to: int = 6):
+    """Grouped VECTOR aggregate: per-label mean embedding, long format
+    (label, dim, centroid_r) — the class-centroid computation behind
+    nearest-class-mean classification and per-class outlier scoring.
+
+    Shape: per-batch partial (label, dim, s=sum, c=count) long rows — the
+    exchange carries <= labels x dim rows per block, never vectors — then a
+    tiny groupby Sum and a stateless divide. float64 accumulation from the
+    float32 storage so the DuckDB avg(v::DOUBLE) oracle agrees to rounding.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = _stack(batch["embedding"])
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, codes = np.unique(labels, return_inverse=True)
+        u, d = len(uniq), emb.shape[1]
+        sums = np.zeros((u, d), dtype=np.float64)
+        np.add.at(sums, codes, emb)
+        cnt = np.bincount(codes, minlength=u).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), u)),
+                "s": pa.array(sums.ravel()),
+                "c": pa.array(np.repeat(cnt, d), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "label": batch["label"],
+                "dim": batch["dim"],
+                "centroid_r": pa.array(np.round(s / c, round_to)),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

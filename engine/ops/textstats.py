@@ -407,3 +407,143 @@ def ngram_novelty(
         .groupby("doc_id")
         .aggregate(Count(alias_name="n_shingles"), Sum("novel", alias_name="n_novel"))
     )
+
+
+#: GPT-2-style pre-tokenization pattern, lookahead-free so the SAME RE2
+#: pattern runs identically in pyarrow (count_substring_regex) and DuckDB
+#: (regexp_extract_all) — contractions, letter runs, digit runs, punctuation
+#: runs (each with an optional leading space), residual whitespace.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+WS_TOKEN_PATTERN = r"\S+"
+
+
+def bpe_token_counts(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc token counts under two tokenizations a data pipeline budgets
+    with: ``n_bpe`` (BPE-ish pre-tokenizer match count — the standard proxy
+    for model token cost before a real BPE merge table) and ``n_ws``
+    (whitespace tokens). Pure stateless map — ONE streaming RE2 pass per
+    pattern over the raw text, no Python loop, no shuffle."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col], "")
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "n_bpe": pc.count_substring_regex(text, BPE_SPLIT_PATTERN).cast(pa.int64()),
+                "n_ws": pc.count_substring_regex(text, WS_TOKEN_PATTERN).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def _window_hash_table(
+    batch: pa.Table, k: int, id_col: str, text_col: str
+) -> pa.Table:
+    """(doc_id, pos, h): EVERY k-token window per doc (positional, not
+    distinct — within-doc repeats count), h = 64-bit polars hash of the
+    space-joined window string. pos is the 0-based index of the window's
+    first token among the doc's kept tokens."""
+    import polars as pl
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "h": pa.array([], pa.int64()),
+        }
+    )
+    flat, parent, dl = _explode_tokens(batch[text_col])
+    if len(flat) < k:
+        return empty
+    # token index within its doc: running index minus the doc's start offset
+    starts = np.zeros(batch.num_rows + 1, dtype=np.int64)
+    np.cumsum(dl, out=starts[1:])
+    pos_in_doc = np.arange(len(parent), dtype=np.int64) - starts[parent]
+    # a window starts at i iff tokens i..i+k-1 share a parent
+    ok = parent[k - 1 :] == parent[: len(parent) - k + 1]
+    idx = np.flatnonzero(ok)
+    if len(idx) == 0:
+        return empty
+    base = pa.array(idx)
+    parts = [flat.take(pa.array(idx + j)) for j in range(k)]
+    joined = pc.binary_join_element_wise(*parts, " ")
+    h = pl.from_arrow(joined)
+    if isinstance(h, pl.DataFrame):  # single-column frame from a StructArray edge
+        h = h.to_series()
+    hv = h.hash(seed=7).to_numpy().astype(np.int64)
+    ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[parent[idx]], pa.int64()),
+            "pos": pa.array(pos_in_doc[idx], pa.int64()),
+            "h": pa.array(hv),
+        }
+    )
+
+
+def substring_dup_stats(
+    ds, k: int = 4, id_col: str = "doc_id", text_col: str = "text", num_partitions: int = 8
+):
+    """Repeated-substring statistics (the train-data dedup signal of
+    suffix-array substring dedup, bounded to k-token windows so it is exactly
+    SQL-restatable): for every doc with at least one k-token window whose
+    string occurs >= 2 times CORPUS-WIDE (any doc, including itself) —
+
+      n_dup:      number of such duplicated window starts in the doc
+      dup_cover:  tokens covered by the union of those [pos, pos+k) spans
+                  (sorted-positions telescoping: first window k, then
+                  min(gap, k) each — no interval materialization)
+
+    Shape: positional window-hash explode -> groupby(h) occurrence count ->
+    hash-partitioned join back -> per-doc map_groups (dup windows only, a
+    small fraction of the corpus). The oracle recomputes over window STRINGS,
+    so any 64-bit hash collision surfaces as a value mismatch."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    win = ds.map_batches(
+        lambda b: _window_hash_table(b, k, id_col, text_col), batch_format="pyarrow"
+    ).materialize()
+    wc = win.groupby("h").aggregate(Count(alias_name="cnt"))
+    dup = win.join(wc, join_type="inner", num_partitions=num_partitions, on=("h",)).filter(
+        expr="cnt >= 2"
+    )
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        p = np.sort(g["pos"].to_numpy(np.int64))
+        cover = int(np.minimum(np.diff(p), k).sum()) + k
+        return pd.DataFrame(
+            {"doc_id": [g["doc_id"].iloc[0]], "n_dup": [len(p)], "dup_cover": [cover]}
+        )
+
+    return (
+        dup.select_columns(["doc_id", "pos"])
+        .groupby("doc_id")
+        .map_groups(per_doc, batch_format="pandas")
+    )
+
+
+def lang_confusion(ds, id_col: str = "doc_id", text_col: str = "text", gold_col: str = "lang"):
+    """Heuristic-vs-gold language-ID confusion counts (gold, pred, n) — the
+    evaluation join a pipeline runs after any classifier stage. Pivot-free
+    long format; counts partial-aggregated in-batch so the exchange carries
+    <= |langs|^2 rows per block."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = lang_id_batch(batch, id_col, text_col)
+        g = (
+            pa.table({"gold": batch[gold_col], "pred": pred["pred_lang"]})
+            .group_by(["gold", "pred"], use_threads=False)
+            .aggregate([("pred", "count")])
+        )
+        return pa.table(
+            {"gold": g["gold"], "pred": g["pred"], "n": g["pred_count"].cast(pa.int64())}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["gold", "pred"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -236,3 +236,97 @@ def test_events_type_pivot_counts(ray_session, tmp_path):
         for r in out.itertuples()
     }
     assert rows == {1: (2, 0, 0, 0, 1), 2: (0, 1, 1, 0, 0), 3: (0, 0, 0, 1, 0)}
+
+
+def test_bpe_token_counts_hand_counted(ray_session):
+    from engine.ops.textstats import bpe_token_counts
+
+    out = (
+        bpe_token_counts(_docs_ds(["don't stop", "hello world 123!", "a  b", ""]))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # d0: "don" | "'t" | " stop"; d1: "hello" | " world" | " 123" | "!"
+    # d2: "a" | "  " (residual whitespace run) | "b"; d3: empty
+    assert out["n_bpe"].tolist() == [3, 4, 3, 0]
+    assert out["n_ws"].tolist() == [2, 3, 2, 0]
+
+
+def test_substring_dup_stats_overlap_and_within_doc(ray_session):
+    from engine.ops.textstats import substring_dup_stats
+
+    # k=2 windows: d0 has "a b" twice WITHIN itself and shares "b c" with d1;
+    # d0 dup starts {0,1,3} -> union cover {0,1,2,3,4}; d2 too short for any
+    # window -> no row
+    out = (
+        substring_dup_stats(_docs_ds(["a b c a b", "b c d", "x"]), k=2)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    got = {int(r.doc_id): (int(r.n_dup), int(r.dup_cover)) for r in out.itertuples()}
+    assert got == {0: (3, 5), 1: (1, 2)}
+
+
+def test_uniform_sample_k_exact_and_overshoot(ray_session, tmp_path):
+    from engine.ops.sampling import _KNUTH, _M32, uniform_sample_k
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    n = 1000
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(["x"] * n)}),
+        f"{sf}/documents.parquet",
+    )
+    ids = np.arange(n, dtype=np.int64)
+    h = ((ids.astype(np.uint64) * _KNUTH) % _M32).astype(np.int64)
+    want = set(ids[np.lexsort((ids, h))[:10]])
+    out = uniform_sample_k(sf, k=10).to_pandas()
+    assert set(out["doc_id"]) == want
+    assert (out["h"].to_numpy() == h[out["doc_id"].to_numpy()]).all()
+    # k beyond the corpus returns every row exactly once
+    assert sorted(uniform_sample_k(sf, k=2000).to_pandas()["doc_id"]) == list(range(n))
+
+
+def test_lang_confusion_counts(ray_session):
+    import ray.data
+
+    from engine.ops.textstats import lang_confusion
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["the and of to", "el la de que", "xyz xyz", "the of el la de"]
+            ),
+            "lang": pa.array(["en", "es", "de", "en"]),
+        }
+    )
+    out = lang_confusion(ray.data.from_arrow(tbl)).to_pandas()
+    got = {(r.gold, r.pred): int(r.n) for r in out.itertuples()}
+    # doc3: en hits {the, of}=2 < es hits {el, la, de}=3 -> misclassified es
+    assert got == {("en", "en"): 1, ("es", "es"): 1, ("de", "und"): 1, ("en", "es"): 1}
+
+
+def test_label_centroids_exact_means(ray_session, tmp_path):
+    from engine.ops.similarity import label_centroids
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    emb = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0, 0, 1], pa.int32()),
+        }
+    )
+    pq.write_table(emb, f"{sf}/embeddings.parquet")
+    out = (
+        label_centroids(sf)
+        .to_pandas()
+        .sort_values(["label", "dim"], ignore_index=True)
+    )
+    assert list(zip(out["label"], out["dim"], out["centroid_r"])) == [
+        (0, 0, 2.0), (0, 1, 3.0), (1, 0, 5.0), (1, 1, 6.0),
+    ]
