@@ -733,6 +733,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _collect(bigram_top_counts(_docs(sf_dir, ["doc_id", "text"]), topn=50))
 
+    def bigram_pmi(sf_dir):
+        """Top-50 bigrams by PMI (collocation strength), count floor 5."""
+        from engine.ops.textstats import bigram_pmi as _bp
+
+        return _i64(_collect(_bp(_docs(sf_dir, ["doc_id", "text"]))), ["n_ab"])
+
     def ngram_novelty(sf_dir):
         """Per-doc corpus-unique 3-gram shingle counts (memorization signal)."""
         from engine.ops.textstats import ngram_novelty as _nn
@@ -907,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_lm": unigram_lm,
         "doc_top_terms": doc_top_terms,
         "bigram_counts": bigram_counts,
+        "bigram_pmi": bigram_pmi,
         "ngram_novelty": ngram_novelty,
         "lang_confusion": lang_confusion,
         "label_centroids": label_centroids,
@@ -1569,6 +1576,23 @@ WHERE text IS NOT NULL
                        FROM sc)
             SELECT doc_id, rank::BIGINT AS rank, term, round(score, {SCORE_ROUND}) AS score_r
             FROM ranked WHERE rank <= 3
+        """,
+        "bigram_pmi": f"""
+            WITH toks AS (SELECT doc_id, {tok} AS l FROM documents),
+            pos AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM toks),
+            uni AS (SELECT tok, count(*) AS n FROM pos GROUP BY tok),
+            nt AS (SELECT count(*) AS n FROM pos),
+            nx AS (SELECT doc_id, tok AS t1,
+                          lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS t2 FROM pos),
+            bg AS (SELECT t1, t2, count(*) AS n_ab FROM nx WHERE t2 IS NOT NULL GROUP BY t1, t2),
+            nb AS (SELECT sum(n_ab) AS b FROM bg),
+            sc AS (SELECT t1 || ' ' || t2 AS bigram, n_ab,
+                          round(ln((n_ab::DOUBLE * nt.n * nt.n) / (nb.b::DOUBLE * ua.n * ub.n)), 6) AS pmi_r
+                   FROM bg JOIN uni ua ON bg.t1 = ua.tok JOIN uni ub ON bg.t2 = ub.tok
+                   CROSS JOIN nt CROSS JOIN nb
+                   WHERE n_ab >= 5)
+            SELECT bigram, n_ab::BIGINT AS n_ab, pmi_r FROM sc
+            ORDER BY pmi_r DESC, bigram LIMIT 50
         """,
         "bigram_counts": f"""
             WITH toks AS (SELECT doc_id, {tok} AS l FROM documents),

@@ -77,6 +77,11 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("index_dir")
     ph.add_argument("text")
 
+    fz = sub.add_parser("fuzzy", help="fuzzy top-k: each term expands to its ed<=1 vocab neighborhood")
+    fz.add_argument("index_dir")
+    fz.add_argument("text")
+    fz.add_argument("-k", type=int, default=10)
+
     ex = sub.add_parser("expand", help="expanded top-k: each --slot is an OR-group of variants")
     ex.add_argument("index_dir")
     ex.add_argument("--slot", action="append", required=True,
@@ -172,6 +177,14 @@ def main(argv: list[str] | None = None) -> int:
         d, n = bm.phrase_match(args.text)
         for doc, cnt in zip(d.tolist(), n.tolist()):
             print(json.dumps({"doc_id": doc, "n_matches": cnt}))
+    elif args.cmd == "fuzzy":
+        from .query import Bm25Index
+        from .tokenize import tokenize_text
+
+        bm = Bm25Index(args.index_dir)
+        d, s = bm.fuzzy_topk(tokenize_text(args.text), args.k)
+        for i, (doc, sc) in enumerate(zip(d.tolist(), s.tolist()), start=1):
+            print(json.dumps({"rank": i, "doc_id": doc, "score": round(sc, 6)}))
     elif args.cmd == "expand":
         from .query import Bm25Index
 

@@ -547,3 +547,87 @@ def lang_confusion(ds, id_col: str = "doc_id", text_col: str = "text", gold_col:
         .groupby(["gold", "pred"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def bigram_pmi(
+    ds, topn: int = 50, min_count: int = 5, text_col: str = "text", round_to: int = 6
+):
+    """Top-``topn`` bigrams by pointwise mutual information (collocation
+    STRENGTH, complementing ``bigram_top_counts``'s raw frequency):
+    pmi = ln( (n_ab * N * N) / (B * n_a * n_b) ) with N total tokens and B
+    total bigrams — every factor an exact integer so the SQL oracle computes
+    the identical double. ``min_count`` floors n_ab (PMI is noise-dominated
+    on rare pairs). Order: round(pmi) DESC, bigram ASC.
+
+    Shape: both the unigram table (vocab-sized) and the bigram table
+    (distinct-bigram-sized) stay distributed through their groupbys; only the
+    vocab-sized unigram counts come to the driver for the ray.put broadcast
+    gather stage."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    uni = corpus_term_counts(ds, text_col).to_pandas()
+    terms = uni["term"].to_numpy()
+    order = np.argsort(terms)
+    terms_sorted = terms[order]
+    n_sorted = uni["n"].to_numpy().astype(np.float64)[order]
+    n_total = float(n_sorted.sum())
+
+    empty = pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _explode_tokens(batch[text_col])
+        if len(flat) < 2:
+            return empty
+        starts = np.flatnonzero(parent[1:] == parent[:-1])
+        if len(starts) == 0:
+            return empty
+        bg = pc.binary_join_element_wise(
+            flat.take(pa.array(starts)), flat.take(pa.array(starts + 1)), " "
+        )
+        g = pa.table({"bigram": bg}).group_by(["bigram"], use_threads=False).aggregate(
+            [("bigram", "count")]
+        )
+        return pa.table({"bigram": g["bigram"], "n": g["bigram_count"].cast(pa.int64())})
+
+    bg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    b_total = float(bg.sum("n"))
+    ref = ray.put((terms_sorted, n_sorted))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ts, nv = ray.get(ref)
+        keep = pc.greater_equal(batch["n"], min_count)
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "n_ab": pa.array([], pa.int64()),
+                    "pmi_r": pa.array([], pa.float64()),
+                }
+            )
+        parts = pc.split_pattern(batch["bigram"], " ")
+        t1 = pc.list_element(parts, 0).to_numpy(zero_copy_only=False)
+        t2 = pc.list_element(parts, 1).to_numpy(zero_copy_only=False)
+        n_ab = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_a = nv[np.searchsorted(ts, t1)]
+        n_b = nv[np.searchsorted(ts, t2)]
+        pmi = np.log((n_ab * n_total * n_total) / (b_total * n_a * n_b))
+        return pa.table(
+            {
+                "bigram": batch["bigram"],
+                "n_ab": batch["n"].cast(pa.int64()),
+                "pmi_r": pa.array(np.round(pmi, round_to)),
+            }
+        )
+
+    return (
+        bg.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi_r", "bigram"], descending=[True, False])
+        .limit(topn)
+    )

@@ -87,3 +87,15 @@ def test_cli_sharded_query(ray_session, tiny_index, capsys):
     assert [(r["doc_id"], r["rank"]) for r in sharded_lines] == [
         (r["doc_id"], r["rank"]) for r in plain_lines
     ]
+
+
+def test_cli_fuzzy(ray_session, tiny_index, capsys):
+    """A one-character typo of a real corpus term must still rank docs; the
+    fuzzy result equals the exact query when the typo'd term's neighborhood
+    is exactly the original term."""
+    from engine.cli import main
+
+    rc = main(["fuzzy", tiny_index, "zqmarker0x", "-k", "5"])
+    assert rc == 0
+    fuzzy_lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert fuzzy_lines and fuzzy_lines[0]["rank"] == 1 and fuzzy_lines[0]["score"] > 0

@@ -330,3 +330,18 @@ def test_label_centroids_exact_means(ray_session, tmp_path):
     assert list(zip(out["label"], out["dim"], out["centroid_r"])) == [
         (0, 0, 2.0), (0, 1, 3.0), (1, 0, 5.0), (1, 1, 6.0),
     ]
+
+
+def test_bigram_pmi_hand_computed(ray_session):
+    from engine.ops.textstats import bigram_pmi
+
+    # N=16 tokens (a=3,b=3,c=5,d=5), B=10 bigrams; "b a" (n=2) under floor
+    out = bigram_pmi(
+        _docs_ds(["a b a b a b"] + ["c d"] * 5), topn=10, min_count=3
+    ).to_pandas()
+    want_ab = round(math.log((3 * 16 * 16) / (10 * 3 * 3)), 6)
+    want_cd = round(math.log((5 * 16 * 16) / (10 * 5 * 5)), 6)
+    assert list(zip(out["bigram"], out["n_ab"], out["pmi_r"])) == [
+        ("a b", 3, want_ab),
+        ("c d", 5, want_cd),
+    ]
