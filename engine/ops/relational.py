@@ -679,28 +679,51 @@ def grouped_price_quantiles(sf_dir: str, qs: tuple[int, ...] = (50, 90, 99)):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
-def event_gaps(sf_dir: str):
+def event_gaps(sf_dir: str, num_buckets: int = 32):
     """LAG window op: per event, microseconds since the same user's previous
     event (-1 sentinel for each user's first — gaps are always >= 0, and a
-    null-free int64 column hashes identically on both compare sides). One
-    hash shuffle co-locates a user's events; the per-group body is a
-    vectorized pandas sort + shift, ordering tie-break (ts, event_id) so
-    equal timestamps stay deterministic."""
+    null-free int64 column hashes identically on both compare sides).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
-        gap = np.empty(len(ts), dtype=np.int64)
-        gap[0] = -1
-        gap[1:] = ts[1:] - ts[:-1]
-        return pd.DataFrame(
-            {"event_id": g["event_id"], "user_id": g["user_id"], "gap_us": gap}
+    Same hash-BUCKET groupby shape as sliding_window_events: each group holds
+    MANY users (num_buckets groups total, not one per user — a per-user
+    map_groups would pay a Python call per user at corpus scale), and the
+    per-bucket body is one lexsort by (user, ts, event_id) + a segment-masked
+    diff. Equal timestamps stay deterministic via the event_id tie-break."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        key = b["user_id"].cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "t": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "key": key,
+                "bucket": pa.array(key.to_numpy(zero_copy_only=False) % num_buckets, pa.int64()),
+            }
+        )
+
+    def gaps(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, key))
+        key_s, t_s = key[order], t[order]
+        gap = np.empty(len(t_s), dtype=np.int64)
+        if len(gap):
+            gap[0] = -1
+            gap[1:] = np.where(key_s[1:] == key_s[:-1], t_s[1:] - t_s[:-1], -1)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(key_s, pa.int64()),
+                "gap_us": pa.array(gap),
+            }
         )
 
     return (
-        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        ev.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pyarrow")
         .sort("event_id")
     )
 
