@@ -496,10 +496,11 @@ def substring_dup_stats(
                   min(gap, k) each — no interval materialization)
 
     Shape: positional window-hash explode -> groupby(h) occurrence count ->
-    hash-partitioned join back -> per-doc map_groups (dup windows only, a
-    small fraction of the corpus). The oracle recomputes over window STRINGS,
-    so any 64-bit hash collision surfaces as a value mismatch."""
-    import pandas as pd
+    hash-partitioned join back -> hash-BUCKET groupby (each group holds MANY
+    docs; a per-doc map_groups would pay a Python call per doc at corpus
+    scale) with a fully vectorized per-bucket body (lexsort + segment
+    reduceat). The oracle recomputes over window STRINGS, so any 64-bit hash
+    collision surfaces as a value mismatch."""
     from ray.data.aggregate import Count
 
     win = ds.map_batches(
@@ -510,17 +511,42 @@ def substring_dup_stats(
         expr="cnt >= 2"
     )
 
-    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        p = np.sort(g["pos"].to_numpy(np.int64))
-        cover = int(np.minimum(np.diff(p), k).sum()) + k
-        return pd.DataFrame(
-            {"doc_id": [g["doc_id"].iloc[0]], "n_dup": [len(p)], "dup_cover": [cover]}
+    def bucketize(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pos": batch["pos"],
+                "bucket": pa.array(d % num_partitions, pa.int64()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        p = group["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        d_s, p_s = d[order], p[order]
+        first = np.empty(len(d_s), dtype=bool)
+        first[0] = True
+        np.not_equal(d_s[1:], d_s[:-1], out=first[1:])
+        prev = np.empty_like(p_s)
+        prev[0] = 0
+        prev[1:] = p_s[:-1]
+        contrib = np.where(first, k, np.minimum(p_s - prev, k))
+        idx = np.flatnonzero(first)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[idx], pa.int64()),
+                "n_dup": pa.array(np.diff(np.r_[idx, len(d_s)]).astype(np.int64)),
+                "dup_cover": pa.array(np.add.reduceat(contrib, idx).astype(np.int64)),
+            }
         )
 
     return (
         dup.select_columns(["doc_id", "pos"])
-        .groupby("doc_id")
-        .map_groups(per_doc, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
