@@ -44,13 +44,15 @@ from ..tokenize import md5_lower64 as _md5_lower64  # shared, oracle-SQL-exact
 # exact dedup
 # --------------------------------------------------------------------------
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text", num_buckets: int = 64):
     """Keep the lowest-id row per distinct text.
 
-    hash-partition (groupby text hash) + per-group first — collisions handled
-    by grouping on the true text within each hash group. Returns
-    (doc_id, n_copies) for every KEPT doc.
-    """
+    hash-BUCKET groupby (bucket = text-hash mod ``num_buckets``; all copies
+    of a text land in one bucket, each bucket holds MANY distinct texts — a
+    per-hash map_groups would pay a Python call per unique document at
+    corpus scale) + a per-bucket Arrow ``group_by`` on the TRUE text (C
+    kernel; hash collisions therefore cannot merge different texts).
+    Returns (doc_id, n_copies) for every KEPT doc."""
 
     def add_hash(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -60,22 +62,25 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
             {
                 "doc_id": batch[id_col].cast(pa.int64()),
                 text_col: batch[text_col],
-                "text_hash": pa.array(h.to_numpy().astype(np.int64)),
+                "bucket": pa.array((h.to_numpy() % num_buckets).astype(np.int64)),
             }
         )
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        agg = (
-            group.groupby(text_col, sort=False)["doc_id"]
-            .agg(["min", "size"])
-            .reset_index(drop=True)
+    def keep_first(group: pa.Table) -> pa.Table:
+        agg = group.group_by([text_col], use_threads=False).aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]
         )
-        return pd.DataFrame({"doc_id": agg["min"], "n_copies": agg["size"].astype(np.int64)})
+        return pa.table(
+            {
+                "doc_id": agg["doc_id_min"].cast(pa.int64()),
+                "n_copies": agg["doc_id_count"].cast(pa.int64()),
+            }
+        )
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .map_groups(keep_first, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(keep_first, batch_format="pyarrow")
         .select_columns(["doc_id", "n_copies"])
     )
 

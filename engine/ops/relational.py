@@ -232,33 +232,64 @@ def events_hourly(sf_dir: str):
     )
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30):
+def sessionize(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 32):
     """Session windows per user: a new session starts when the gap to the
-    previous event exceeds ``gap_minutes``. Per-user windowing inside
-    ``groupby(user_id).map_groups`` over ts-sorted groups (the ray-guide
-    streaming-shaped pattern); ordering tie-break: (ts, event_id)."""
-    gap = np.timedelta64(gap_minutes * 60, "s")
+    previous event exceeds ``gap_minutes``. Hash-BUCKET groupby (each group
+    holds MANY users; a per-user map_groups would pay a Python call per user
+    at corpus scale); the per-bucket body is one lexsort by
+    (user, ts, event_id), a vectorized break mask (first-of-user | gap),
+    and run-boundary gathers — sessions are contiguous runs after the sort,
+    so start/end/count are three indexed reads, no inner groupby."""
+    gap_us = np.int64(gap_minutes) * 60_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        prev = g["ts"].shift(1)
-        brk = (prev.isna()) | ((g["ts"] - prev) > gap)
-        sid = brk.cumsum().astype(np.int64) - 1
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("event_id", "size"),
+    def bucketize(b: pa.Table) -> pa.Table:
+        key = b["user_id"].cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "t": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "key": key,
+                "bucket": pa.array(key.to_numpy(zero_copy_only=False) % num_buckets, pa.int64()),
+            }
         )
-        out["session_id"] = out.index.astype(np.int64)
-        return out.reset_index(drop=True)[
-            ["user_id", "session_id", "session_start", "session_end", "n_events"]
-        ]
+
+    def sessions(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, key))
+        key_s, t_s = key[order], t[order]
+        n = len(key_s)
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (key_s[1:] != key_s[:-1]) | ((t_s[1:] - t_s[:-1]) > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], n] - 1
+        # 0-based session index within each user: cumulative breaks minus the
+        # cumulative-break value at the user's first session
+        csum = np.cumsum(brk)
+        user_first = np.empty(n, dtype=bool)
+        user_first[0] = True
+        np.not_equal(key_s[1:], key_s[:-1], out=user_first[1:])
+        ufirst_idx = np.flatnonzero(user_first)
+        runs_per_user = np.diff(np.r_[ufirst_idx, n])
+        base = np.repeat(csum[ufirst_idx], runs_per_user)
+        sid_all = csum - base  # 0-based per user, per ROW
+        return pa.table(
+            {
+                "user_id": pa.array(key_s[starts], pa.int64()),
+                "session_id": pa.array(sid_all[starts], pa.int64()),
+                "session_start": pa.array(t_s[starts]).cast(pa.timestamp("us")),
+                "session_end": pa.array(t_s[ends]).cast(pa.timestamp("us")),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+            }
+        )
 
     return (
         _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pyarrow")
         .sort(["user_id", "session_id"])
     )
 
