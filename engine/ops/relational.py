@@ -540,7 +540,7 @@ def range_join_event_pairs(sf_dir: str, minutes: int = 60, num_buckets: int = 32
     )
 
 
-def top_orders_per_customer(sf_dir: str, k: int = 3):
+def top_orders_per_customer(sf_dir: str, k: int = 3, num_buckets: int = 32):
     """Grouped top-k: each customer's k highest-price orders.
 
     Scale shape: a per-batch PARTIAL top-k per key shrinks every block to at
@@ -579,7 +579,13 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
             batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
         ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return _topk(ck, price_c, ok, emit_rank=False)
+        t = _topk(ck, price_c, ok, emit_rank=False)
+        # shuffle on a BUCKET of customers, not per customer: _topk is
+        # multi-key vectorized, so one Python call serves the whole bucket
+        return t.append_column(
+            "bucket",
+            pa.array(t["o_custkey"].to_numpy(zero_copy_only=False) % num_buckets, pa.int64()),
+        )
 
     def final(group: pa.Table) -> pa.Table:
         t = _topk(
@@ -593,7 +599,7 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
     return (
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
+        .groupby("bucket")
         .map_groups(final, batch_format="pyarrow")
         .sort(["o_custkey", "rk"])
     )
