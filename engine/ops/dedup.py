@@ -144,35 +144,37 @@ def ngram_jaccard_pairs(
     """EXACT all-pairs Jaccard >= threshold_num/threshold_den over distinct
     word k-gram shingle sets.
 
-    shingle-hash explode -> hash-partitioned SELF-JOIN on shingle ->
-    Count per (doc_a, doc_b) = intersection size -> integer threshold test
-    with per-doc set sizes (broadcast). Returns
-    (doc_a, doc_b, common, n_a, n_b) — all int64, doc_a < doc_b.
+    shingle-hash explode (each row CARRYING its doc's set size ``n``, computed
+    in-batch — a doc never splits across batches, so no sizes table, no
+    O(n_docs) driver broadcast, no extra join) -> hash-partitioned SELF-JOIN
+    on shingle -> per-(doc_a, doc_b) Count = intersection size with the sizes
+    riding along as group-constant Max aggregates -> integer threshold test.
+    Returns (doc_a, doc_b, common, n_a, n_b) — all int64, doc_a < doc_b.
 
     ``max_shingle_df``: skew guard for the self-join. A single stop-shingle
     appearing in f docs emits f^2 join rows; with the cap, shingles with
-    df > max_shingle_df are dropped from BOTH join sides (per-doc set sizes
-    are left untouched), bounding join fan-out at num_shingles * cap^2.
-    Effect is one-sided: ``common`` can only shrink, so precision is intact
-    and only recall is reduced (a pair must now clear the threshold using
-    non-hot shingles alone). None = exact (the oracle-checked default).
+    df > max_shingle_df are dropped from BOTH join sides (the carried per-doc
+    set sizes are untouched — they were stamped at emit time), bounding join
+    fan-out at num_shingles * cap^2. Effect is one-sided: ``common`` can only
+    shrink, so precision is intact and only recall is reduced (a pair must
+    now clear the threshold using non-hot shingles alone). None = exact (the
+    oracle-checked default).
     """
     import ray
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Max
 
-    # Materialized: consumed 3x (sizes agg + both join sides). The exploded
-    # (doc_id, sh) table is fixed-width int64 pairs — a small multiple of the
-    # token count, spills to disk if large. Without this, the lazy upstream is
-    # recomputed per consumer and the join's aggregator actors can deadlock
-    # against upstream stages on a small CPU budget.
-    shingles = ds.map_batches(
-        lambda b: _shingle_hash_table(b, k, id_col, text_col), batch_format="pyarrow"
-    ).materialize()
-    sizes = shingles.groupby("doc_id").aggregate(Count(alias_name="n_shingles")).to_pandas()
-    sizes = sizes.sort_values("doc_id")
-    size_ref = ray.put(
-        (sizes["doc_id"].to_numpy().astype(np.int64), sizes["n_shingles"].to_numpy().astype(np.int64))
-    )
+    def shingles_sized(batch: pa.Table) -> pa.Table:
+        t = _shingle_hash_table(batch, k, id_col, text_col)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(d, return_counts=True)
+        n = counts[np.searchsorted(uniq, d)] if len(d) else d
+        return t.append_column("n", pa.array(n.astype(np.int64), pa.int64()))
+
+    # Materialized: consumed by both sides of the self-join (without this the
+    # lazy upstream is scheduled twice concurrently with the join aggregators
+    # and can deadlock on a small CPU budget). Fixed-width int64 triples — a
+    # small multiple of the token count, spills to disk if large.
+    shingles = ds.map_batches(shingles_sized, batch_format="pyarrow").materialize()
 
     join_input = shingles
     if max_shingle_df is not None:
@@ -202,32 +204,40 @@ def ngram_jaccard_pairs(
         a = batch["doc_id_a"].to_numpy(zero_copy_only=False)
         b = batch["doc_id_b"].to_numpy(zero_copy_only=False)
         m = a < b
-        return pa.table({"doc_a": pa.array(a[m], pa.int64()), "doc_b": pa.array(b[m], pa.int64())})
+        return pa.table(
+            {
+                "doc_a": pa.array(a[m], pa.int64()),
+                "doc_b": pa.array(b[m], pa.int64()),
+                "n_a": batch["n_a"].filter(pa.array(m)).cast(pa.int64()),
+                "n_b": batch["n_b"].filter(pa.array(m)).cast(pa.int64()),
+            }
+        )
 
     common = (
         joined.map_batches(ordered_pairs, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="common"))
+        .aggregate(
+            Count(alias_name="common"),
+            Max("n_a", alias_name="n_a"),  # group-constant: every row agrees
+            Max("n_b", alias_name="n_b"),
+        )
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        ids, sz = ray.get(size_ref)
-        da = batch["doc_a"].to_numpy(zero_copy_only=False)
-        db = batch["doc_b"].to_numpy(zero_copy_only=False)
         cm = batch["common"].to_numpy(zero_copy_only=False).astype(np.int64)
-        na = sz[np.searchsorted(ids, da)]
-        nb = sz[np.searchsorted(ids, db)]
+        na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
         union = na + nb - cm
-        keep = cm * threshold_den >= threshold_num * union  # integer-exact
+        keep = pa.array(cm * threshold_den >= threshold_num * union)  # integer-exact
         return pa.table(
             {
-                "doc_a": pa.array(da[keep], pa.int64()),
-                "doc_b": pa.array(db[keep], pa.int64()),
-                "common": pa.array(cm[keep], pa.int64()),
-                "n_a": pa.array(na[keep], pa.int64()),
-                "n_b": pa.array(nb[keep], pa.int64()),
+                "doc_a": batch["doc_a"].cast(pa.int64()),
+                "doc_b": batch["doc_b"].cast(pa.int64()),
+                "common": pa.array(cm),
+                "n_a": pa.array(na),
+                "n_b": pa.array(nb),
             }
-        )
+        ).filter(keep)
 
     return common.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
 
