@@ -512,6 +512,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = pa.concat_tables(tables)
         return _round_scores(res, "score", "score_r", SCORE_ROUND)
 
+    def qld_topk(sf_dir):
+        """Second scoring function over the same index: query-likelihood with
+        Dirichlet smoothing (mu=2000) over docs matching >= 1 term."""
+        from engine.query import Bm25Index
+        from engine.tokenize import tokenize_text
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        tables = []
+        for qid, text, k in DOC_QUERIES:
+            d, s = bm.qld_topk(tokenize_text(text), k, rank_round=RANK_ROUND)
+            tables.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * len(d), pa.string()),
+                        "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
+                        "doc_id": pa.array(d, pa.int64()),
+                        "score": pa.array(s, pa.float64()),
+                    }
+                )
+            )
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
     def bm25_topk_sharded(sf_dir):
         """Scatter/gather over term-partitioned postings shards: each shard
         actor holds only its part files; the coordinator gathers term runs and
@@ -896,6 +919,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_must_not": bm25_topk_must_not,
         "bm25_topk_prefix": bm25_topk_prefix,
         "bm25_topk_sharded": bm25_topk_sharded,
+        "qld_topk": qld_topk,
         "more_like_this": more_like_this,
         "phrase_match": phrase_match,
         "percolate_conjunctive": percolate_conjunctive,
@@ -1395,6 +1419,51 @@ FROM ranked WHERE rank <= k
 """
 
 
+QLD_MU = 2000.0
+
+
+def _qld_sql() -> str:
+    """Restates Bm25Index.qld_topk: Dirichlet-smoothed query likelihood over
+    docs matching >= 1 live query term; absent terms (cf=0) are dropped, as
+    the engine skips them (ln(0) has no finite value)."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}', {k})"
+        for qid, text, k in DOC_QUERIES
+        for t in sorted(set(text.lower().split()))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+ct AS (SELECT count(*) AS c FROM toks),
+q(query_id, qterm, k) AS (VALUES
+      {vals}),
+ql AS (SELECT q.query_id, q.qterm, q.k, cf.cf FROM q JOIN cf ON cf.term = q.qterm),
+cand AS (SELECT DISTINCT ql.query_id, ql.k, tf.doc_id FROM ql JOIN tf ON tf.term = ql.qterm),
+contrib AS (
+  SELECT c.query_id, c.k, c.doc_id,
+         ln( (coalesce(tf.tf, 0) + {QLD_MU} * ql.cf / ct.c) / (dl_all.dl + {QLD_MU}) ) AS v
+  FROM cand c
+  JOIN ql ON ql.query_id = c.query_id
+  LEFT JOIN tf ON tf.term = ql.qterm AND tf.doc_id = c.doc_id
+  JOIN dl_all ON dl_all.doc_id = c.doc_id
+  CROSS JOIN ct
+),
+scores AS (SELECT query_id, k, doc_id, sum(v) AS score FROM contrib GROUP BY query_id, k, doc_id),
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= k
+"""
+
+
 def _fuzzy_sql() -> str:
     """Fuzzy oracle: each query term's slot is ALL vocabulary terms within
     Levenshtein distance 1 (DuckDB levenshtein over the df term dictionary —
@@ -1518,6 +1587,7 @@ WHERE text IS NOT NULL
         "bm25_topk_fuzzy": _fuzzy_sql(),
         # sharded scatter/gather must be indistinguishable from single-reader
         "bm25_topk_sharded": _bm25_sql(conjunctive=False),
+        "qld_topk": _qld_sql(),
         "more_like_this": _mlt_sql(),
         "phrase_match": _phrase_sql(),
         "hash_split": """

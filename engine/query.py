@@ -609,6 +609,49 @@ class Bm25Index:
         slots = [self.fuzzy_terms(t) for t in terms]
         return self.expanded_topk(slots, k, rank_round=rank_round)
 
+    def qld_topk(
+        self,
+        terms: list[str],
+        k: int,
+        mu: float = 2000.0,
+        rank_round: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Query-likelihood retrieval with Dirichlet smoothing (the classic
+        LM scorer, Zhai & Lafferty 2001) over the SAME index the BM25 paths
+        read — the second scoring function a search stack exposes:
+
+            score(d) = sum_t ln( (tf_{t,d} + mu * cf_t / C) / (dl_d + mu) )
+
+        over docs containing >= 1 query term, with cf_t the term's collection
+        frequency (sum of tf over its postings) and C the total token count
+        (sum of dl). Query terms are deduped + sorted; terms absent from the
+        index are skipped (p(t|C)=0 has no finite log); all-absent -> no
+        hits. Exhaustive over the candidate union — pruning lives in the
+        BM25 paths; this scorer's log((tf+x)/(dl+mu)) has no precomputed
+        impact bound in the segments."""
+        ts = sorted(set(terms))
+        postings = []
+        for t in ts:
+            d, tf = self.reader.postings(t)
+            if len(d):
+                postings.append((t, d, tf))
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if not postings:
+            return empty
+        c_total = float(self._dm_dl.sum())
+        concat = np.concatenate([d for _, d, _ in postings])
+        candidates, inverse = np.unique(concat, return_inverse=True)
+        dl = self.dl(candidates)
+        acc = np.zeros(len(candidates), dtype=np.float64)
+        lo = 0
+        for _, d, tf in postings:  # ascending term order
+            prior = mu * float(tf.sum()) / c_total
+            tf_full = np.zeros(len(candidates), dtype=np.float64)
+            tf_full[inverse[lo : lo + len(d)]] = tf.astype(np.float64)
+            lo += len(d)
+            acc += np.log((tf_full + prior) / (dl + mu))
+        return self._rank_topk(candidates, acc, k, rank_round)
+
     def expanded_topk(
         self,
         slots: list[list[str]],

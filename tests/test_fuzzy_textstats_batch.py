@@ -345,3 +345,39 @@ def test_bigram_pmi_hand_computed(ray_session):
         ("a b", 3, want_ab),
         ("c d", 5, want_cd),
     ]
+
+
+def test_qld_topk_matches_naive(fuzzy_index):
+    """Dirichlet query-likelihood == a from-scratch python oracle on the
+    controlled corpus, including a doc MISSING one query term (smoothed tf=0
+    contribution) and absent-term skipping."""
+    from engine.query import Bm25Index
+    from engine.tokenize import tokenize_text
+
+    texts = ["ab abc join", "ba axc join", "x abc abc", "ab ab ba"]
+    toks = [tokenize_text(t) for t in texts]
+    C = sum(len(t) for t in toks)
+    mu = 2000.0
+
+    def naive(query_terms, k):
+        terms = sorted(set(query_terms))
+        live = [t for t in terms if any(t in d for d in toks)]
+        cands = sorted(i for i, d in enumerate(toks) if any(t in d for t in live))
+        scored = []
+        for i in cands:
+            s = 0.0
+            for t in live:
+                cf = sum(d.count(t) for d in toks)
+                s += math.log(
+                    (toks[i].count(t) + mu * cf / C) / (len(toks[i]) + mu)
+                )
+            scored.append((i, s))
+        scored.sort(key=lambda x: (-round(x[1], 6), x[0]))
+        return scored[:k]
+
+    bm = Bm25Index(fuzzy_index)
+    for q in (["abc", "join"], ["ab"], ["join", "zzzabsent"], ["zzz"]):
+        d, s = bm.qld_topk(q, k=10, rank_round=6)
+        want = naive(q, 10)
+        assert d.tolist() == [w[0] for w in want]
+        np.testing.assert_allclose(s, [w[1] for w in want], rtol=1e-12)

@@ -85,3 +85,36 @@ def test_hash64_text_deterministic_and_null_safe():
     # chunked input takes the same path
     ch = pa.chunked_array([["hello world"], ["other"]])
     np.testing.assert_array_equal(hash64_text(ch), h1[[0, 4]])
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_batch_matches_scalar_tokenizer_property(texts):
+    """Vectorized Arrow tokenizer == pure-Python reference on arbitrary
+    unicode, including control chars, emoji, combining marks, and empties."""
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+    out = tokenize_batch(t).to_pylist()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], {})[r["term"]] = (r["tf"], r["dl"])
+    for i, text in enumerate(texts):
+        toks = tokenize_text(text)
+        want = {}
+        for tok in toks:
+            want[tok] = want.get(tok, 0) + 1
+        assert {k: v[0] for k, v in got.get(i, {}).items()} == want
+        for tf_dl in got.get(i, {}).values():
+            assert tf_dl[1] == len(toks)
