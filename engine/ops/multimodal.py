@@ -106,3 +106,114 @@ def featurize(ds, dim: int = 32, concurrency: int = 2, batch_size: int = 64):
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+
+class ImageResizer:
+    """Actor-pool stage: image payload -> nearest-neighbor resized payload.
+
+    Same stub discipline as MediaFeaturizer: ``decode="fake"`` interprets the
+    payload as a row-major uint8 grayscale grid of the row's (height, width)
+    metadata (truncated / zero-padded), then applies a REAL vectorized
+    nearest-neighbor index gather; ``decode="real"`` raises where PIL/cv2
+    would load once per actor. Output payloads are exactly
+    ``out_w * out_h`` bytes."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32, decode: str = "fake"):
+        if decode == "real":
+            raise NotImplementedError(
+                "no image codec library in this environment; plug PIL/cv2 here"
+            )
+        if decode != "fake":
+            raise ValueError(f"unknown decode mode: {decode}")
+        self.out_w, self.out_h = int(out_w), int(out_h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ow, oh = self.out_w, self.out_h
+        out = []
+        widths = batch["width"].to_numpy(zero_copy_only=False)
+        heights = batch["height"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"]
+        for i in range(batch.num_rows):  # rows are FAT; loop is per-payload
+            w, h = int(widths[i]), int(heights[i])
+            buf = np.frombuffer(payloads[i].as_py(), dtype=np.uint8)
+            grid = np.zeros(h * w, dtype=np.uint8)
+            grid[: min(len(buf), h * w)] = buf[: h * w]
+            grid = grid.reshape(h, w)
+            ys = (np.arange(oh) * h) // oh
+            xs = (np.arange(ow) * w) // ow
+            out.append(grid[ys][:, xs].tobytes())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(np.full(batch.num_rows, ow, dtype=np.int32)),
+                "height": pa.array(np.full(batch.num_rows, oh, dtype=np.int32)),
+                "payload": pa.array(out, pa.binary()),
+            }
+        )
+
+
+def resize_images(ds, out_w: int = 32, out_h: int = 32, concurrency: int = 2, batch_size: int = 64):
+    """Resize pipeline over the image rows only (pruned with a row filter
+    BEFORE the actor pool so non-image payloads never ship to it)."""
+    return ds.filter(expr="kind == 'image'").map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h, "decode": "fake"},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+class FrameSampler:
+    """Actor-pool stage: video payload -> EXPLODED sampled-frame rows.
+
+    ``decode="fake"`` splits the payload into ``n_frames`` equal byte chunks
+    (the stand-in for real frame decode); every ``every``-th frame is
+    emitted as its own row (media_id, frame_idx, frame) — the 1-to-many
+    flat-map shape of real frame sampling, with binary slicing zero-copy on
+    the Arrow buffer until ``.tobytes()``."""
+
+    def __init__(self, every: int = 10, decode: str = "fake"):
+        if decode == "real":
+            raise NotImplementedError(
+                "no video codec library in this environment; plug pyav here"
+            )
+        if decode != "fake":
+            raise ValueError(f"unknown decode mode: {decode}")
+        self.every = max(int(every), 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        nfs = batch["n_frames"].to_numpy(zero_copy_only=False)
+        mids = batch["media_id"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"]
+        for i in range(batch.num_rows):  # rows are FAT; loop is per-payload
+            nf = int(nfs[i])
+            if nf <= 0:
+                continue
+            buf = payloads[i].as_py()
+            fsize = max(len(buf) // nf, 1)
+            for j in range(0, nf, self.every):
+                ids.append(int(mids[i]))
+                idxs.append(j)
+                frames.append(buf[j * fsize : (j + 1) * fsize])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds, every: int = 10, concurrency: int = 2, batch_size: int = 64):
+    """Frame-sampling pipeline over the video rows only."""
+    return ds.filter(expr="kind == 'video'").map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every": every, "decode": "fake"},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )

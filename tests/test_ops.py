@@ -488,3 +488,64 @@ def test_facet_counts_vs_naive(ray_session, tmp_path):
                 key = (it["query_id"], s)
                 want[key] = want.get(key, 0) + 1
     assert got == want
+
+
+def test_multimodal_resize_plumbing(ray_session):
+    import ray.data
+
+    from engine.ops.multimodal import ImageResizer, resize_images, synth_media_table
+
+    tbl = synth_media_table(30, seed=2)
+    out = resize_images(ray.data.from_arrow(tbl), out_w=8, out_h=4).to_pandas()
+    n_images = sum(1 for k in tbl["kind"].to_pylist() if k == "image")
+    assert len(out) == n_images
+    assert all(len(p) == 8 * 4 for p in out["payload"])
+    assert (out["width"] == 8).all() and (out["height"] == 4).all()
+    # nearest-neighbor gather matches a hand computation for one row
+    row = tbl.filter(
+        __import__("pyarrow").compute.equal(tbl["kind"], "image")
+    ).slice(0, 1)
+    got = dict(zip(out["media_id"], out["payload"]))[row["media_id"][0].as_py()]
+    w, h = row["width"][0].as_py(), row["height"][0].as_py()
+    buf = np.frombuffer(row["payload"][0].as_py(), dtype=np.uint8)
+    grid = np.zeros(h * w, dtype=np.uint8)
+    grid[: min(len(buf), h * w)] = buf[: h * w]
+    grid = grid.reshape(h, w)
+    want = grid[(np.arange(4) * h) // 4][:, (np.arange(8) * w) // 8].tobytes()
+    assert got == want
+
+
+def test_multimodal_frame_sample_plumbing(ray_session):
+    import ray.data
+
+    from engine.ops.multimodal import sample_frames, synth_media_table
+
+    tbl = synth_media_table(30, seed=3)
+    out = sample_frames(ray.data.from_arrow(tbl), every=7).to_pandas()
+    vids = {
+        m: (n, p)
+        for m, k, n, p in zip(
+            tbl["media_id"].to_pylist(), tbl["kind"].to_pylist(),
+            tbl["n_frames"].to_pylist(), tbl["payload"].to_pylist(),
+        )
+        if k == "video"
+    }
+    # every video contributes ceil(n_frames / 7) rows with the right slices
+    got = out.groupby("media_id")
+    assert set(out["media_id"]) == set(vids)
+    for m, (nf, payload) in vids.items():
+        rows = out[out["media_id"] == m].sort_values("frame_idx")
+        assert list(rows["frame_idx"]) == list(range(0, nf, 7))
+        fsize = max(len(payload) // nf, 1)
+        for j, fr in zip(rows["frame_idx"], rows["frame"]):
+            assert fr == payload[j * fsize : (j + 1) * fsize]
+
+
+def test_multimodal_real_decode_is_marked(ray_session):
+    from engine.ops.multimodal import FrameSampler, ImageResizer, MediaFeaturizer
+
+    import pytest as _pytest
+
+    for cls in (MediaFeaturizer, ImageResizer, FrameSampler):
+        with _pytest.raises(NotImplementedError):
+            cls(decode="real")
