@@ -82,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     fz.add_argument("text")
     fz.add_argument("-k", type=int, default=10)
 
+    ql = sub.add_parser("qld", help="query-likelihood top-k (Dirichlet-smoothed LM scorer)")
+    ql.add_argument("index_dir")
+    ql.add_argument("text")
+    ql.add_argument("-k", type=int, default=10)
+    ql.add_argument("--mu", type=float, default=2000.0)
+
     ex = sub.add_parser("expand", help="expanded top-k: each --slot is an OR-group of variants")
     ex.add_argument("index_dir")
     ex.add_argument("--slot", action="append", required=True,
@@ -183,6 +189,14 @@ def main(argv: list[str] | None = None) -> int:
 
         bm = Bm25Index(args.index_dir)
         d, s = bm.fuzzy_topk(tokenize_text(args.text), args.k)
+        for i, (doc, sc) in enumerate(zip(d.tolist(), s.tolist()), start=1):
+            print(json.dumps({"rank": i, "doc_id": doc, "score": round(sc, 6)}))
+    elif args.cmd == "qld":
+        from .query import Bm25Index
+        from .tokenize import tokenize_text
+
+        bm = Bm25Index(args.index_dir)
+        d, s = bm.qld_topk(tokenize_text(args.text), args.k, mu=args.mu)
         for i, (doc, sc) in enumerate(zip(d.tolist(), s.tolist()), start=1):
             print(json.dumps({"rank": i, "doc_id": doc, "score": round(sc, 6)}))
     elif args.cmd == "expand":

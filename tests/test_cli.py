@@ -99,3 +99,12 @@ def test_cli_fuzzy(ray_session, tiny_index, capsys):
     assert rc == 0
     fuzzy_lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert fuzzy_lines and fuzzy_lines[0]["rank"] == 1 and fuzzy_lines[0]["score"] > 0
+
+
+def test_cli_qld(ray_session, tiny_index, capsys):
+    from engine.cli import main
+
+    rc = main(["qld", tiny_index, "zqmarker0", "-k", "5"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines and lines[0]["rank"] == 1 and lines[0]["score"] < 0  # log-probs
