@@ -387,6 +387,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _collect(_ss(sf_dir))
 
+    def group_sample_k(sf_dir):
+        """Exact-k per-source deterministic sample with in-group rank."""
+        from engine.ops.sampling import group_sample_k as _gsk
+
+        return _collect(_gsk(sf_dir))
+
     def facet_counts(sf_dir):
         """Search faceting: per-(query, source) matched-doc counts; matched
         sets from postings union (ANY semantics), attribution streamed over
@@ -914,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_fuzzy": bm25_topk_fuzzy,
         "hash_split": hash_split,
         "stratified_sample": stratified_sample,
+        "group_sample_k": group_sample_k,
         "facet_counts": facet_counts,
         "bm25_topk_msm": bm25_topk_msm,
         "bm25_topk_must_not": bm25_topk_must_not,
@@ -1604,6 +1611,17 @@ WHERE text IS NOT NULL
               FROM documents)
             SELECT doc_id, source, bucket FROM t
             WHERE bucket < {strata_case}
+        """,
+        "group_sample_k": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h
+              FROM documents),
+            ranked AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+              FROM t)
+            SELECT doc_id, source, rk::BIGINT AS rk FROM ranked WHERE rk <= 16
         """,
         "facet_counts": _facet_sql(),
         "bm25_topk_msm": _msm_sql(),

@@ -123,3 +123,70 @@ def uniform_sample_k(sf_dir: str, k: int = 64, id_col: str = "doc_id"):
         .sort(["h", id_col])
         .limit(k)
     )
+
+
+def group_sample_k(
+    sf_dir: str,
+    k: int = 16,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    num_buckets: int = 32,
+):
+    """Exact-k deterministic sample PER GROUP (k docs per source — the
+    balanced-evaluation-set builder): within each group keep the k rows with
+    the smallest (hash(doc_id), doc_id), rank included.
+
+    Same two-stage grouped-top-k shape as top_orders_per_customer: a
+    per-batch partial top-k per group bounds every block's contribution to
+    k rows per (group, block); the shuffle key is a GROUP-HASH BUCKET (many
+    groups per bucket, one vectorized lexsort + segment-rank pass per
+    bucket), so group cardinality never becomes per-group Python calls."""
+    import polars as pl
+
+    def select(tbl: pa.Table, emit_rank: bool) -> pa.Table:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids.astype(np.uint64) * _KNUTH) % _M32).astype(np.int64)
+        src = tbl[group_col]
+        codes = src.combine_chunks().dictionary_encode() if isinstance(
+            src, pa.ChunkedArray
+        ) else src.dictionary_encode()
+        g = codes.indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, g))
+        g_s = g[order]
+        n = len(g_s)
+        is_new = np.empty(n, dtype=bool)
+        if n:
+            is_new[0] = True
+            np.not_equal(g_s[1:], g_s[:-1], out=is_new[1:])
+        starts = np.flatnonzero(is_new)
+        seg = np.cumsum(is_new, dtype=np.int64) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[seg]
+        keep = rank < k
+        sel = order[keep]
+        cols = {
+            id_col: pa.array(ids[sel], pa.int64()),
+            group_col: src.take(pa.array(sel)),
+            "h": pa.array(h[sel], pa.int64()),
+        }
+        if emit_rank:
+            cols["rk"] = pa.array(rank[keep] + 1, pa.int64())
+        return pa.table(cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = select(batch, emit_rank=False)
+        gh = pl.from_arrow(t.select([group_col]))[group_col].hash(seed=11)
+        return t.append_column(
+            "bucket", pa.array((gh.to_numpy() % num_buckets).astype(np.int64))
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        t = select(group, emit_rank=True)
+        return t.select([id_col, group_col, "rk"])
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=[id_col, group_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(final, batch_format="pyarrow")
+        .sort([group_col, "rk"])
+    )

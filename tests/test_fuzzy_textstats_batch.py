@@ -381,3 +381,30 @@ def test_qld_topk_matches_naive(fuzzy_index):
         want = naive(q, 10)
         assert d.tolist() == [w[0] for w in want]
         np.testing.assert_allclose(s, [w[1] for w in want], rtol=1e-12)
+
+
+def test_group_sample_k_exact_per_group(ray_session, tmp_path):
+    from engine.ops.sampling import _KNUTH, _M32, group_sample_k
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    n = 900
+    sources = ["a", "b", "c"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "source": pa.array([sources[i % 3] for i in range(n)]),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    out = group_sample_k(sf, k=5).to_pandas()
+    ids = np.arange(n, dtype=np.int64)
+    h = ((ids.astype(np.uint64) * _KNUTH) % _M32).astype(np.int64)
+    for gi, src in enumerate(sources):
+        gids = ids[gi::3]
+        want = gids[np.lexsort((gids, h[gids]))[:5]]
+        rows = out[out["source"] == src].sort_values("rk")
+        assert rows["doc_id"].tolist() == want.tolist()
+        assert rows["rk"].tolist() == [1, 2, 3, 4, 5]
