@@ -150,7 +150,9 @@ class _SegmentWriter:
                 self._dl_lookup = ray.get(self.dl_ref)
             dl_lookup = self._dl_lookup
         salt_const = part // self.n_buckets if self.n_buckets else None
+        t0 = time.perf_counter()
         seg = encode_bucket(group, self.avgdl, dl_lookup=dl_lookup, salt_const=salt_const)
+        encode_sec = time.perf_counter() - t0
         path = state.segment_path(self.index_dir, part)
         tmp = path + ".tmp"
         pq.write_table(seg, tmp, row_group_size=16384)
@@ -162,6 +164,11 @@ class _SegmentWriter:
                 "n_terms": seg.num_rows,
                 "n_postings": int(pc.sum(seg["df"]).as_py() or 0),
                 "n_tokens": int(pc.sum(seg["cf"]).as_py() or 0),
+                # per-partition metrics (lineage + cost accounting): rows in,
+                # bytes out, encode wall time on this worker
+                "rows_in": group.num_rows,
+                "payload_bytes": os.path.getsize(path),
+                "encode_sec": round(encode_sec, 4),
             },
         )
         return pa.table(
