@@ -379,33 +379,55 @@ def ngram_novelty(
     appear in NO other document (corpus shingle-df == 1) — the n-gram
     memorization / contamination signal a training-data pipeline filters on.
 
-    Shape: hashed-shingle explode (64-bit, the same scale path as
-    ngram_jaccard_pairs; the DuckDB oracle recomputes over shingle STRINGS,
-    so any hash collision would surface as a value mismatch) ->
-    groupby(sh) df -> hash-partitioned join back -> per-doc Count/Sum.
+    JOIN-FREE shape (a join back to the corpus-sized shingle table measured
+    ~4x the whole pipeline's cost): hashed-shingle explode (64-bit, the same
+    scale path as ngram_jaccard_pairs; the DuckDB oracle recomputes over
+    shingle STRINGS, so any hash collision would surface as a value
+    mismatch) -> groupby(sh) keeping (Count, Min(doc_id)) — a df==1
+    shingle's ONLY owner is its Min — -> unit rows from the df==1 survivors
+    UNIONED with per-batch per-doc size rows -> one doc-keyed Sum/Sum.
     Docs shorter than k tokens emit no row (no shingles), by contract."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count, Min, Sum
 
     from .dedup import _shingle_hash_table
 
     sh = ds.map_batches(
         lambda b: _shingle_hash_table(b, k, id_col, text_col), batch_format="pyarrow"
     ).materialize()
-    df = sh.groupby("sh").aggregate(Count(alias_name="df"))
-    joined = sh.join(df, join_type="inner", num_partitions=num_partitions, on=("sh",))
 
-    def mark(batch: pa.Table) -> pa.Table:
+    def size_rows(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(d, return_counts=True)
         return pa.table(
             {
-                "doc_id": batch["doc_id"],
-                "novel": pc.cast(pc.equal(batch["df"], 1), pa.int64()),
+                "doc_id": pa.array(uniq, pa.int64()),
+                "n_shingles": pa.array(counts.astype(np.int64)),
+                "n_novel": pa.array(np.zeros(len(uniq), dtype=np.int64)),
             }
         )
 
+    def novel_rows(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["df"], 1)
+        owners = batch["owner"].filter(keep).to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(owners, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq.astype(np.int64), pa.int64()),
+                "n_shingles": pa.array(np.zeros(len(uniq), dtype=np.int64)),
+                "n_novel": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    novel = (
+        sh.groupby("sh")
+        .aggregate(Count(alias_name="df"), Min("doc_id", alias_name="owner"))
+        .map_batches(novel_rows, batch_format="pyarrow")
+    )
     return (
-        joined.map_batches(mark, batch_format="pyarrow")
+        sh.map_batches(size_rows, batch_format="pyarrow")
+        .union(novel)
         .groupby("doc_id")
-        .aggregate(Count(alias_name="n_shingles"), Sum("novel", alias_name="n_novel"))
+        .aggregate(Sum("n_shingles", alias_name="n_shingles"), Sum("n_novel", alias_name="n_novel"))
     )
 
 
