@@ -528,10 +528,11 @@ def substring_dup_stats(
     win = ds.map_batches(
         lambda b: _window_hash_table(b, k, id_col, text_col), batch_format="pyarrow"
     ).materialize()
-    wc = win.groupby("h").aggregate(Count(alias_name="cnt"))
-    dup = win.join(wc, join_type="inner", num_partitions=num_partitions, on=("h",)).filter(
-        expr="cnt >= 2"
-    )
+    # push the cnt>=2 filter ABOVE the join: the right side then carries only
+    # the (typically tiny) duplicated-hash set, so the join is a semi-join of
+    # the corpus-sized window table against a small key table
+    wc = win.groupby("h").aggregate(Count(alias_name="cnt")).filter(expr="cnt >= 2")
+    dup = win.join(wc, join_type="inner", num_partitions=num_partitions, on=("h",))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy(zero_copy_only=False)
