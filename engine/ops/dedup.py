@@ -308,7 +308,7 @@ def minhash_lsh_pairs(
     -> vectorized exact verification against broadcast shingle sets.
     """
     import ray
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Max
 
     rows_per_band = num_perm // bands
     sig_ds = ds.map_batches(
@@ -397,17 +397,15 @@ def minhash_lsh_pairs(
 
     def shingles_of_needed(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch[id_col].cast(pa.int64()), value_set=pa.array(ray.get(need_ref)))
-        return _shingle_hash_table(batch.filter(mask), k, id_col, text_col)
+        t = _shingle_hash_table(batch.filter(mask), k, id_col, text_col)
+        # carry each doc's set size on its rows (doc never splits batches) —
+        # the same no-broadcast trick as ngram_jaccard_pairs
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(d, return_counts=True)
+        n = counts[np.searchsorted(uniq, d)] if len(d) else d
+        return t.append_column("n", pa.array(n.astype(np.int64), pa.int64()))
 
     sh_needed = ds.map_batches(shingles_of_needed, batch_format="pyarrow").materialize()
-    sizes = sh_needed.groupby("doc_id").aggregate(Count(alias_name="n_shingles")).to_pandas()
-    sizes = sizes.sort_values("doc_id")
-    size_ref = ray.put(
-        (
-            sizes["doc_id"].to_numpy().astype(np.int64),
-            sizes["n_shingles"].to_numpy().astype(np.int64),
-        )
-    )
 
     sh_joined = sh_needed.join(
         sh_needed,
@@ -417,24 +415,41 @@ def minhash_lsh_pairs(
         left_suffix="_a",
         right_suffix="_b",
     )
+
+    def ordered_pairs_sized(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_id_b"].to_numpy(zero_copy_only=False)
+        m = a < b
+        return pa.table(
+            {
+                "doc_a": pa.array(a[m], pa.int64()),
+                "doc_b": pa.array(b[m], pa.int64()),
+                "n_a": batch["n_a"].filter(pa.array(m)).cast(pa.int64()),
+                "n_b": batch["n_b"].filter(pa.array(m)).cast(pa.int64()),
+            }
+        )
+
     common = (
-        sh_joined.map_batches(ordered_pairs, batch_format="pyarrow")
+        sh_joined.map_batches(ordered_pairs_sized, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="common"))
+        .aggregate(
+            Count(alias_name="common"),
+            Max("n_a", alias_name="n_a"),  # group-constant
+            Max("n_b", alias_name="n_b"),
+        )
     )
 
     def verify(batch: pa.Table) -> pa.Table:
         cand_df = ray.get(cand_ref)
-        ids, sz = ray.get(size_ref)
-        df = batch.select(["doc_a", "doc_b", "common"]).to_pandas()
+        df = batch.select(["doc_a", "doc_b", "common", "n_a", "n_b"]).to_pandas()
         df = df.merge(cand_df, on=["doc_a", "doc_b"], how="inner")  # LSH candidates only
         if df.empty:
             return empty
         da = df["doc_a"].to_numpy().astype(np.int64)
         db = df["doc_b"].to_numpy().astype(np.int64)
         cm = df["common"].to_numpy().astype(np.int64)
-        na = sz[np.searchsorted(ids, da)]
-        nb = sz[np.searchsorted(ids, db)]
+        na = df["n_a"].to_numpy().astype(np.int64)
+        nb = df["n_b"].to_numpy().astype(np.int64)
         union = na + nb - cm
         keep = (cm * threshold_den >= threshold_num * union) & (union > 0)
         return pa.table(
