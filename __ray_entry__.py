@@ -352,6 +352,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def kwic(sf_dir):
+        """Keyword-in-context: ±2-token snippets around every positional-index
+        occurrence of each highlight term; text sliced in one streamed pass."""
+        from engine.query import Bm25Index, kwic_snippets
+
+        bm = Bm25Index(_documents_posindex(sf_dir))
+        hits = []
+        for qid, term in HIGHLIGHT_QUERIES:
+            d, p = bm.term_positions(term)
+            hits.append((qid, d, p))
+        return _collect(
+            kwic_snippets(_docs(sf_dir, ["doc_id", "text"]), hits, w=2)
+        ).sort_by([("query_id", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")])
+
     def term_positions(sf_dir):
         """Highlight primitive: every (doc, token-position) occurrence of a
         term, read from the positional postings (ArrayBucket.identifierData
@@ -965,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_daily": rel.distinct_users_daily,
         "grouped_price_quantiles": rel.grouped_price_quantiles,
         "term_positions": term_positions,
+        "kwic": kwic,
         "events_hourly": events_hourly,
         "sessionize": rel.sessionize,
         "events_type_stats": events_type_stats,
@@ -1471,6 +1486,23 @@ FROM ranked WHERE rank <= k
 """
 
 
+def _kwic_sql() -> str:
+    """KWIC oracle: ±2-token windows via DuckDB's clamping 1-based inclusive
+    list slice; positions 0-based to match the engine's postings."""
+    parts = [
+        f"SELECT '{qid}' AS query_id, doc_id, (i - 1)::BIGINT AS pos,"
+        f" array_to_string(l[greatest(i - 2, 1):i + 2], ' ') AS snippet"
+        f" FROM toks WHERE tok = '{term}'"
+        for qid, term in HIGHLIGHT_QUERIES
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH lt AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),
+toks AS (SELECT doc_id, l, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM lt)
+{union}
+"""
+
+
 def _fuzzy_sql() -> str:
     """Fuzzy oracle: each query term's slot is ALL vocabulary terms within
     Levenshtein distance 1 (DuckDB levenshtein over the df term dictionary —
@@ -1873,6 +1905,7 @@ WHERE text IS NOT NULL
             FROM r GROUP BY l_returnflag
         """,
         "term_positions": _positions_sql(),
+        "kwic": _kwic_sql(),
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    round(sum(value), 2) AS total_value, count(*) AS n_events

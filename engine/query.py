@@ -992,3 +992,70 @@ def facet_counts(
         .aggregate(Sum("n", alias_name="n_docs"))
         .sort(["query_id", facet_col])
     )
+
+
+def kwic_snippets(docs_ds, hits, w: int = 2, id_col: str = "doc_id", text_col: str = "text"):
+    """Keyword-in-context snippet extraction: ±``w``-token windows around
+    POSITIONAL-INDEX hits, sliced from the source text in ONE streamed pass
+    over the documents table (the index supplies (doc, pos); the text is
+    never scanned for matches).
+
+    ``hits``: list of (query_id, doc_ids ndarray, positions ndarray) — the
+    output shape of ``Bm25Index.term_positions``. The hit list is broadcast
+    once via ``ray.put`` (bounded by occurrence count, not corpus size); the
+    per-batch body tokenizes each document once and then walks only the hits
+    that live in that batch (loop bounded by hit count — the snippet strings
+    themselves are inherently per-hit output)."""
+    import ray
+
+    from .tokenize import _explode_tokens
+
+    ref = ray.put(hits)
+    schema = pa.schema(
+        [
+            ("query_id", pa.string()),
+            ("doc_id", pa.int64()),
+            ("pos", pa.int64()),
+            ("snippet", pa.string()),
+        ]
+    )
+
+    def snip(batch: pa.Table) -> pa.Table:
+        h = ray.get(ref)
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        flat, parent, dl = _explode_tokens(batch[text_col])
+        starts = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(dl, out=starts[1:])
+        toks = flat.to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids_sorted = ids[order]
+        out_q: list[str] = []
+        out_d: list[int] = []
+        out_p: list[int] = []
+        out_s: list[str] = []
+        for qid, d_arr, p_arr in h:
+            if len(d_arr) == 0 or len(ids_sorted) == 0:
+                continue
+            pos_idx = np.searchsorted(ids_sorted, d_arr)
+            valid = pos_idx < len(ids_sorted)
+            valid &= ids_sorted[np.minimum(pos_idx, len(ids_sorted) - 1)] == d_arr
+            for j in np.flatnonzero(valid):
+                row = int(order[pos_idx[j]])
+                p = int(p_arr[j])
+                lo = starts[row] + max(p - w, 0)
+                hi = starts[row] + min(p + w + 1, int(dl[row]))
+                out_q.append(qid)
+                out_d.append(int(d_arr[j]))
+                out_p.append(p)
+                out_s.append(" ".join(toks[lo:hi]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "pos": pa.array(out_p, pa.int64()),
+                "snippet": pa.array(out_s, pa.string()),
+            },
+            schema=schema,
+        )
+
+    return docs_ds.map_batches(snip, batch_format="pyarrow")

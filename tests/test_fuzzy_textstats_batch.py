@@ -408,3 +408,34 @@ def test_group_sample_k_exact_per_group(ray_session, tmp_path):
         rows = out[out["source"] == src].sort_values("rk")
         assert rows["doc_id"].tolist() == want.tolist()
         assert rows["rk"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_kwic_snippets_windows_and_clamping(ray_session, tmp_path):
+    """±w windows clamp at both doc edges; positions come from the positional
+    index, text slicing from a streamed pass; multi-occurrence docs emit one
+    row per occurrence."""
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import Bm25Index, kwic_snippets
+
+    texts = ["x a y z w", "a b a", "q r s"]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    ds = ray.data.from_arrow(tbl)
+    idx = str(tmp_path / "kwic_idx")
+    build_index(ds, idx, id_col="doc_id", n_buckets=4, n_salts=2, positions=True)
+    bm = Bm25Index(idx)
+    d, p = bm.term_positions("a")
+    out = (
+        kwic_snippets(ray.data.from_arrow(tbl), [("Q", d, p)], w=2)
+        .to_pandas()
+        .sort_values(["doc_id", "pos"], ignore_index=True)
+    )
+    got = list(zip(out["doc_id"], out["pos"], out["snippet"]))
+    assert got == [
+        (0, 1, "x a y z"),      # left edge clamps to doc start
+        (1, 0, "a b a"),        # window clamps both sides
+        (1, 2, "a b a"),        # second occurrence, right edge clamps
+    ]
