@@ -62,6 +62,11 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="re-encode segments under live stats")
     c.add_argument("index_dir")
 
+    mg = sub.add_parser("merge", help="merge two indexes (segment concat; same routing, disjoint docIDs)")
+    mg.add_argument("index_a")
+    mg.add_argument("index_b")
+    mg.add_argument("out_dir")
+
     q = sub.add_parser("query", help="top-k BM25 query")
     q.add_argument("index_dir")
     q.add_argument("text")
@@ -138,6 +143,11 @@ def main(argv: list[str] | None = None) -> int:
         from .update import compact_index
 
         print(json.dumps(compact_index(args.index_dir)))
+    elif args.cmd == "merge":
+        _ray()
+        from .merge import merge_indexes
+
+        print(json.dumps(merge_indexes(args.index_a, args.index_b, args.out_dir)))
     elif args.cmd == "query":
         from .query import Bm25Index, write_hits_csv
 

@@ -439,3 +439,53 @@ def test_kwic_snippets_windows_and_clamping(ray_session, tmp_path):
         (1, 0, "a b a"),        # window clamps both sides
         (1, 2, "a b a"),        # second occurrence, right edge clamps
     ]
+
+
+def test_merge_indexes_bit_identical_to_full_build(ray_session, tmp_path):
+    """Two half-corpus indexes merged == a from-scratch build over the union:
+    same top-k docs AND bit-identical BM25 scores; refusal paths fire on
+    overlapping docIDs and on routing mismatch."""
+    import ray.data
+
+    from engine.build import build_index
+    from engine.merge import merge_indexes
+    from engine.query import Bm25Index
+
+    base = [
+        "alpha beta gamma", "beta gamma delta", "gamma delta epsilon",
+        "alpha alpha zeta", "eta theta beta", "iota kappa gamma",
+    ] * 4  # repetition makes hot-term detection identical across halves
+    n = len(base)
+    t_a = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(base)})
+    t_b = pa.table(
+        {"doc_id": pa.array(range(n, 2 * n), pa.int64()), "text": pa.array(base)}
+    )
+    full = pa.concat_tables([t_a, t_b])
+    d_a, d_b, d_f, d_m = (str(tmp_path / x) for x in ("ia", "ib", "ifull", "imerged"))
+    kw = dict(id_col="doc_id", n_buckets=4, n_salts=2, hot_fraction=0.1)
+    build_index(ray.data.from_arrow(t_a), d_a, **kw)
+    build_index(ray.data.from_arrow(t_b), d_b, **kw)
+    build_index(ray.data.from_arrow(full), d_f, **kw)
+
+    rep = merge_indexes(d_a, d_b, d_m)
+    assert rep["n_docs"] == 2 * n
+
+    bm_f, bm_m = Bm25Index(d_f), Bm25Index(d_m)
+    assert bm_f.avgdl == bm_m.avgdl
+    for q in ("gamma", "alpha beta", "beta gamma delta", "zeta", "absentterm"):
+        df, sf = bm_f.topk(q, k=20)
+        dm_, sm = bm_m.topk(q, k=20)
+        assert df.tolist() == dm_.tolist()
+        assert sf.tolist() == sm.tolist()  # bit-identical
+        cf, csf = bm_f.conjunctive_topk(q, k=20)
+        cm, csm = bm_m.conjunctive_topk(q, k=20)
+        assert cf.tolist() == cm.tolist() and csf.tolist() == csm.tolist()
+
+    # refusal: overlapping docID spaces
+    with pytest.raises(ValueError, match="overlap"):
+        merge_indexes(d_a, d_a, str(tmp_path / "ix"))
+    # refusal: routing contract mismatch
+    d_c = str(tmp_path / "ic")
+    build_index(ray.data.from_arrow(t_b), d_c, id_col="doc_id", n_buckets=2, n_salts=2)
+    with pytest.raises(ValueError, match="routing"):
+        merge_indexes(d_a, d_c, str(tmp_path / "iy"))
