@@ -517,22 +517,50 @@ def substring_dup_stats(
                   (sorted-positions telescoping: first window k, then
                   min(gap, k) each — no interval materialization)
 
-    Shape: positional window-hash explode -> groupby(h) occurrence count ->
-    hash-partitioned join back -> hash-BUCKET groupby (each group holds MANY
-    docs; a per-doc map_groups would pay a Python call per doc at corpus
-    scale) with a fully vectorized per-bucket body (lexsort + segment
-    reduceat). The oracle recomputes over window STRINGS, so any 64-bit hash
-    collision surfaces as a value mismatch."""
-    from ray.data.aggregate import Count
+    Shape: positional window-hash explode (stamping ``hbucket = h % HB`` in
+    the same batch pass) -> ONE corpus-wide groupby(hbucket) whose vectorized
+    per-bucket body sorts by h, run-length-encodes, and keeps only rows in
+    runs of >= 2 (the duplicated windows) -> hash-BUCKET doc groupby (each
+    group holds MANY docs; a per-doc map_groups would pay a Python call per
+    doc at corpus scale) with a fully vectorized per-bucket body (lexsort +
+    segment reduceat). Compared to the groupby-Count + join-back plan this
+    moves the full window table through a single exchange instead of two and
+    needs no mid-pipeline materialize; only the (small) duplicated subset
+    crosses the second, doc-keyed exchange. The oracle recomputes over window
+    STRINGS, so any 64-bit hash collision surfaces as a value mismatch."""
+    n_hash_buckets = max(64, num_partitions * 8)
 
-    win = ds.map_batches(
-        lambda b: _window_hash_table(b, k, id_col, text_col), batch_format="pyarrow"
-    ).materialize()
-    # push the cnt>=2 filter ABOVE the join: the right side then carries only
-    # the (typically tiny) duplicated-hash set, so the join is a semi-join of
-    # the corpus-sized window table against a small key table
-    wc = win.groupby("h").aggregate(Count(alias_name="cnt")).filter(expr="cnt >= 2")
-    dup = win.join(wc, join_type="inner", num_partitions=num_partitions, on=("h",))
+    def win_with_bucket(batch: pa.Table) -> pa.Table:
+        t = _window_hash_table(batch, k, id_col, text_col)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "hbucket", pa.array((h % n_hash_buckets).astype(np.int64))
+        )
+
+    def keep_dup_runs(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False)
+        if len(h) < 2:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        order = np.argsort(h, kind="stable")
+        h_s = h[order]
+        first = np.empty(len(h_s), dtype=bool)
+        first[0] = True
+        np.not_equal(h_s[1:], h_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.r_[starts, len(h_s)])
+        sel = order[np.repeat(runlen >= 2, runlen)]
+        take = pa.array(sel)
+        return pa.table(
+            {"doc_id": group["doc_id"].take(take), "pos": group["pos"].take(take)}
+        )
+
+    dup = (
+        ds.map_batches(win_with_bucket, batch_format="pyarrow")
+        .groupby("hbucket")
+        .map_groups(keep_dup_runs, batch_format="pyarrow")
+    )
 
     def bucketize(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy(zero_copy_only=False)
