@@ -32,6 +32,29 @@ from .segments import SegmentReader
 from .tokenize import tokenize_text
 
 
+def build_deletion_index(terms) -> dict[str, set[str]]:
+    """FastSS deletion-neighborhood index over a vocabulary slice:
+    variant -> terms producing it by 0 or 1 character deletions. Shared by
+    the whole-vocab path (Bm25Index._deletion_index) and the per-shard path
+    (serve._ShardActor), so both expand identically over their slices."""
+    idx: dict[str, set[str]] = {}
+    for t in terms:
+        idx.setdefault(t, set()).add(t)
+        for i in range(len(t)):
+            idx.setdefault(t[:i] + t[i + 1 :], set()).add(t)
+    return idx
+
+
+def fuzzy_candidates(idx: dict[str, set[str]], term: str) -> set[str]:
+    """ed<=1 vocab neighbors of ``term`` via the deletion index: candidate
+    generation (every ed<=1 pair shares a deletion variant) + exact O(len)
+    verification — the share test alone over-matches (e.g. 'ab' vs 'ba')."""
+    cands: set[str] = set()
+    for v in [term] + [term[:i] + term[i + 1 :] for i in range(len(term))]:
+        cands |= idx.get(v, set())
+    return {t for t in cands if _within_ed1(term, t)}
+
+
 def _within_ed1(a: str, b: str) -> bool:
     """Exact Levenshtein-distance <= 1 test in one O(len) pass (no DP):
     equal | one substitution (same length) | one indel (length differs by 1)."""
@@ -570,12 +593,9 @@ class Bm25Index:
         sizes build it per postings shard (ShardedQueryService already
         partitions the vocab by term hash) instead of whole-vocab."""
         if getattr(self, "_del_idx", None) is None:
-            idx: dict[str, set[str]] = {}
-            for t in self.reader.vocab_df()["term"].to_pylist():
-                idx.setdefault(t, set()).add(t)
-                for i in range(len(t)):
-                    idx.setdefault(t[:i] + t[i + 1 :], set()).add(t)
-            self._del_idx = idx
+            self._del_idx = build_deletion_index(
+                self.reader.vocab_df()["term"].to_pylist()
+            )
         return self._del_idx
 
     def fuzzy_terms(self, term: str, max_terms: int = 64) -> list[str]:
@@ -587,11 +607,7 @@ class Bm25Index:
         Candidate generation via the deletion index (every ed<=1 pair shares
         a deletion variant), then an exact O(len) ed<=1 verification — the
         deletion-share test alone over-matches (e.g. 'ab' vs 'ba')."""
-        idx = self._deletion_index()
-        cands: set[str] = set()
-        for v in [term] + [term[:i] + term[i + 1 :] for i in range(len(term))]:
-            cands |= idx.get(v, set())
-        out = sorted(t for t in cands if _within_ed1(term, t))
+        out = sorted(fuzzy_candidates(self._deletion_index(), term))
         if len(out) > max_terms:
             raise ValueError(f"'{term}' expands to {len(out)} > {max_terms} terms")
         return out

@@ -106,6 +106,8 @@ class _ShardActor:
 
         self.reader = SegmentReader(index_dir)
         self.parts = sorted(parts)
+        self._vocab: set[str] | None = None
+        self._del_idx: dict[str, set[str]] | None = None
 
     def fetch(self, terms: list[str]) -> dict[str, list[dict]]:
         """All runs of the given terms that live in this shard's parts."""
@@ -114,6 +116,40 @@ class _ShardActor:
             runs = self.reader.run_payloads(t, self.parts)
             if runs:
                 out[t] = runs
+        return out
+
+    def _shard_vocab(self) -> set[str]:
+        """Terms present in this shard's parts — a metadata-only read (the
+        per-part term->rows maps), never payload blobs. The shard vocab
+        slices partition the whole vocab up to salted hot terms, which
+        appear on every shard owning one of their salt parts (deduped by
+        the coordinator's set union)."""
+        if self._vocab is None:
+            v: set[str] = set()
+            for p in self.parts:
+                self.reader._load_meta(p)
+                v.update(self.reader._term_rows[p].keys())
+            self._vocab = v
+        return self._vocab
+
+    def expand_fuzzy(self, terms: list[str]) -> dict[str, list[str]]:
+        """ed<=1 neighbors of each query term within THIS shard's vocab
+        slice (the per-shard FastSS build the whole-vocab docstring in
+        Bm25Index._deletion_index names as the 100-TB path). The deletion
+        index is built lazily once per actor, O(shard_vocab x avg_len)."""
+        from .query import build_deletion_index, fuzzy_candidates
+
+        if self._del_idx is None:
+            self._del_idx = build_deletion_index(self._shard_vocab())
+        return {t: sorted(fuzzy_candidates(self._del_idx, t)) for t in terms}
+
+    def expand_prefix(self, prefix: str, cap: int) -> list[str]:
+        """Terms in this shard's vocab starting with ``prefix``, capped —
+        the cap bounds the RPC payload; the coordinator re-checks the
+        global cap over the union."""
+        out = sorted(t for t in self._shard_vocab() if t.startswith(prefix))
+        if len(out) > cap:
+            raise ValueError(f"prefix '{prefix}' expands to > {cap} terms in one shard")
         return out
 
 
@@ -216,17 +252,10 @@ class ShardedQueryService:
             for s, ts in sorted(by_shard.items())
         ]
 
-    def topk(
-        self,
-        text: str,
-        k: int,
-        conjunctive: bool = False,
-        timeout_s: float | None = None,
-        rank_round: int | None = None,
-    ):
-        from .tokenize import tokenize_text
-
-        terms = sorted(set(tokenize_text(text)))
+    def _gather(self, terms: list[str], timeout_s: float | None = None):
+        """Scatter the terms, gather their runs, return a Bm25Index clone
+        whose reader is the per-query gathered view (shares the coordinator's
+        docmap arrays + global stats; holds only these terms' runs)."""
         pending = self._scatter(terms)
         try:
             fetched = ray.get([ref for _, ref in pending], timeout=timeout_s)
@@ -238,11 +267,73 @@ class ShardedQueryService:
         for part_map in fetched:
             for t, rs in part_map.items():
                 runs_by_term.setdefault(t, []).extend(rs)
-        bm = copy.copy(self._bm)  # shares docmap arrays + global stats
+        bm = copy.copy(self._bm)
         bm.reader = _GatheredView(runs_by_term)
+        return bm
+
+    def topk(
+        self,
+        text: str,
+        k: int,
+        conjunctive: bool = False,
+        timeout_s: float | None = None,
+        rank_round: int | None = None,
+    ):
+        from .tokenize import tokenize_text
+
+        terms = sorted(set(tokenize_text(text)))
+        bm = self._gather(terms, timeout_s)
         if conjunctive:
             return bm.conjunctive_topk(text, k)
         return bm.topk(text, k, rank_round=rank_round)
+
+    def fuzzy_topk(
+        self,
+        text: str,
+        k: int,
+        max_terms: int = 64,
+        timeout_s: float | None = None,
+        rank_round: int | None = None,
+    ):
+        """Sharded fuzzy search: expansion fans out to EVERY shard (each
+        scans only its vocab slice — no shard ever holds the whole vocab),
+        the per-term neighborhoods are unioned, then the variant union goes
+        through the ordinary scatter/gather and the unchanged slot-MaxScore
+        expanded_topk. Bit-identical to Bm25Index.fuzzy_topk (tested)."""
+        from .tokenize import tokenize_text
+
+        terms = sorted(set(tokenize_text(text)))
+        maps = ray.get(
+            [s.expand_fuzzy.remote(terms) for s in self._shards], timeout=timeout_s
+        )
+        slots = []
+        for t in terms:
+            neigh = sorted(set().union(*(set(m.get(t, ())) for m in maps)))
+            if len(neigh) > max_terms:
+                raise ValueError(f"'{t}' expands to {len(neigh)} > {max_terms} terms")
+            if neigh:
+                slots.append(neigh)
+        variants = sorted({v for s in slots for v in s})
+        bm = self._gather(variants, timeout_s)
+        return bm.expanded_topk(slots, k, rank_round=rank_round)
+
+    def qld_topk(
+        self,
+        text: str,
+        k: int,
+        mu: float = 2000.0,
+        timeout_s: float | None = None,
+        rank_round: int | None = None,
+    ):
+        """Sharded query-likelihood (Dirichlet) retrieval: the LM scorer
+        reads only gathered postings plus coordinator-resident docmap/stats,
+        so it runs over the scatter/gather view unchanged. Bit-identical to
+        Bm25Index.qld_topk (tested)."""
+        from .tokenize import tokenize_text
+
+        terms = sorted(set(tokenize_text(text)))
+        bm = self._gather(terms, timeout_s)
+        return bm.qld_topk(terms, k, mu=mu, rank_round=rank_round)
 
     def shutdown(self) -> None:
         for s in self._shards:

@@ -98,3 +98,37 @@ def test_shards_partition_all_parts(sharded):
     assign = [p % sharded.n_shards for p in range(n_parts)]
     assert sorted(set(assign)) == list(range(sharded.n_shards))
     assert owned is not None  # actors alive and responsive
+
+
+def test_sharded_fuzzy_bit_identity(sharded, tiny_index):
+    """Per-shard vocab expansion + scatter/gather == whole-vocab fuzzy path.
+    Union of the shard vocab slices covers the full vocab (salted hot terms
+    appear on several shards; the coordinator's set union dedupes), so the
+    expanded slots — and therefore ranks and scores — are identical."""
+    from engine.query import Bm25Index
+    from engine.tokenize import tokenize_text
+
+    bm = Bm25Index(tiny_index)
+    for text in ["w00000", "w00777 w00123", "zzzabsentzzz", "w0000"]:
+        terms = sorted(set(tokenize_text(text)))
+        d1, s1 = bm.fuzzy_topk(terms, 10)
+        d2, s2 = sharded.fuzzy_topk(text, 10)
+        np.testing.assert_array_equal(d1, d2, err_msg=text)
+        np.testing.assert_array_equal(
+            np.asarray(s1).view(np.uint64), np.asarray(s2).view(np.uint64)
+        )
+
+
+def test_sharded_qld_bit_identity(sharded, tiny_index):
+    from engine.query import Bm25Index
+    from engine.tokenize import tokenize_text
+
+    bm = Bm25Index(tiny_index)
+    for text in [q["text"] for q in QUERY_SET[:4]] + ["zzzabsentzzz"]:
+        terms = sorted(set(tokenize_text(text)))
+        d1, s1 = bm.qld_topk(terms, 10)
+        d2, s2 = sharded.qld_topk(text, 10)
+        np.testing.assert_array_equal(d1, d2, err_msg=text)
+        np.testing.assert_array_equal(
+            np.asarray(s1).view(np.uint64), np.asarray(s2).view(np.uint64)
+        )
