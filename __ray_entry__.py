@@ -366,6 +366,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             kwic_snippets(_docs(sf_dir, ["doc_id", "text"]), hits, w=2)
         ).sort_by([("query_id", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")])
 
+    def kwic_stored(sf_dir):
+        """Keyword-in-context hydrated from the DOC STORE (the reference's
+        renumbered-data hit hydration, DefaultStructureDataProvider.java:
+        106-112): snippet actors fetch only the hit documents' stored text,
+        row-group pruned — work scales with hit count, not corpus size.
+        Same oracle as `kwic`; the two paths must emit identical rows."""
+        from engine.query import Bm25Index, kwic_snippets_stored
+
+        idx = _documents_posindex(sf_dir)
+        bm = Bm25Index(idx)
+        hits = []
+        for qid, term in HIGHLIGHT_QUERIES:
+            d, p = bm.term_positions(term)
+            hits.append((qid, d, p))
+        return _collect(kwic_snippets_stored(idx, hits, w=2)).sort_by(
+            [("query_id", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")]
+        )
+
     def term_positions(sf_dir):
         """Highlight primitive: every (doc, token-position) occurrence of a
         term, read from the positional postings (ArrayBucket.identifierData
@@ -980,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_price_quantiles": rel.grouped_price_quantiles,
         "term_positions": term_positions,
         "kwic": kwic,
+        "kwic_stored": kwic_stored,
         "events_hourly": events_hourly,
         "sessionize": rel.sessionize,
         "events_type_stats": events_type_stats,
@@ -1906,6 +1925,7 @@ WHERE text IS NOT NULL
         """,
         "term_positions": _positions_sql(),
         "kwic": _kwic_sql(),
+        "kwic_stored": _kwic_sql(),
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    round(sum(value), 2) AS total_value, count(*) AS n_events

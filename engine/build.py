@@ -192,6 +192,7 @@ def build_index(
     sample_docs: int = DEFAULT_SAMPLE_DOCS,
     resume: bool = True,
     positions: bool = False,
+    store_text: bool = True,
 ) -> dict:
     """Build (or resume) the inverted index. Returns a build report dict.
 
@@ -231,30 +232,39 @@ def build_index(
 
         def docmap_fn(b: pa.Table) -> pa.Table:
             dl = doc_length_batch(b, id_col="doc_id", text_col=text_col)
-            return pa.table(
-                {
-                    "doc_id": dl["doc_id"],
-                    "conv_id": b["conv_id"],
-                    "turn_idx": b["turn_idx"],
-                    "dl": dl["dl"],
-                    # content revision (known.list (major, minor) analog,
-                    # io/DefaultStateRepository.java:57-61): lets ADD detect
-                    # re-submitted docs whose text changed
-                    "content_hash": pa.array(
-                        hash64_text(b[text_col]).astype(np.int64), pa.int64()
-                    ),
-                }
-            )
+            cols = {
+                "doc_id": dl["doc_id"],
+                "conv_id": b["conv_id"],
+                "turn_idx": b["turn_idx"],
+                "dl": dl["dl"],
+                # content revision (known.list (major, minor) analog,
+                # io/DefaultStateRepository.java:57-61): lets ADD detect
+                # re-submitted docs whose text changed
+                "content_hash": pa.array(
+                    hash64_text(b[text_col]).astype(np.int64), pa.int64()
+                ),
+            }
+            if store_text:
+                # doc store (renumbered-data analog, S2: the reference always
+                # persists renumbered structure files it serves hits from,
+                # CORE/io/DefaultStructureDataProvider.java). An extra parquet
+                # COLUMN, so stats/length readers that project
+                # ["doc_id","dl"] never pay for it; DocStore row-group-prunes.
+                cols["text"] = b[text_col]
+            return pa.table(cols)
 
     else:
         ds = ds.select_columns([id_col, text_col])
 
         def docmap_fn(b: pa.Table) -> pa.Table:
             dl = doc_length_batch(b, id_col=id_col, text_col=text_col)
-            return dl.append_column(
+            out = dl.append_column(
                 "content_hash",
                 pa.array(hash64_text(b[text_col]).astype(np.int64), pa.int64()),
             )
+            if store_text:
+                out = out.append_column("text", b[text_col])
+            return out
 
     # docmap pass is itself checkpointed: a _SUCCESS marker makes it resumable
     docmap_dir = os.path.join(index_dir, "docmap")

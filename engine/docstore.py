@@ -1,0 +1,98 @@
+"""Doc store: serve stored document text by docID, row-group pruned.
+
+The reference always persists renumbered per-structure data files next to the
+index and serves hit content from them rather than from the original corpus
+(CORE/io/DefaultStructureDataProvider.java:106-112 — the S2 "normalized doc
+store"; hits are hydrated from the store, never by re-reading the archive).
+Analog here: the docmap parquet carries an optional ``text`` column
+(``build_index(store_text=True)``, the default). Because parquet is columnar,
+every existing reader that projects ``["doc_id", "dl"]`` is untouched; this
+module is the one consumer of the ``text`` column.
+
+Scale shape: one ``DocStore`` per query/snippet ACTOR (T1 per-worker cache
+analog). Init reads only the parquet FOOTERS (per-row-group doc_id min/max —
+bytes per row group, not rows); a lookup reads only the row groups whose
+doc_id range covers the requested ids, and caches them per actor. Resident
+set is bounded by the row groups the actor's queries have touched, 1/N of the
+store under any reasonable doc_id partitioning — never the whole corpus.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class DocStore:
+    """Row-group-pruned (doc_id -> text) lookups over the docmap parquet."""
+
+    def __init__(self, index_dir: str):
+        root = os.path.join(index_dir, "docmap")
+        # include ADD-generation delta subdirs (docmap/delta-NNNN/*.parquet)
+        paths = sorted(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+        self._rgs: list[tuple[str, int]] = []  # (path, row_group)
+        lo, hi = [], []
+        found_text = False
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            if "text" not in names:
+                continue
+            found_text = True
+            id_idx = names.index("doc_id")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(id_idx).statistics
+                if st is None or st.min is None:  # no stats: never prune it
+                    self._rgs.append((p, g))
+                    lo.append(-(2**62))
+                    hi.append(2**62)
+                else:
+                    self._rgs.append((p, g))
+                    lo.append(int(st.min))
+                    hi.append(int(st.max))
+        if not found_text:
+            raise FileNotFoundError(
+                f"no stored text in {root} — index was built with store_text=False"
+            )
+        self._lo = np.array(lo, dtype=np.int64)
+        self._hi = np.array(hi, dtype=np.int64)
+        self._cache: dict[tuple[str, int], tuple[np.ndarray, pa.Array]] = {}
+
+    def _row_group(self, key: tuple[str, int]) -> tuple[np.ndarray, pa.Array]:
+        hit = self._cache.get(key)
+        if hit is None:
+            path, g = key
+            t = pq.ParquetFile(path).read_row_group(g, columns=["doc_id", "text"])
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(ids, kind="stable")
+            hit = (ids[order], t["text"].combine_chunks().take(pa.array(order)))
+            self._cache[key] = hit
+        return hit
+
+    def texts(self, doc_ids: np.ndarray) -> dict[int, str]:
+        """Texts of the given docIDs ({id: text}; absent ids are omitted).
+        Reads only row groups whose [min, max] doc_id range intersects the
+        request — at most a handful per call for clustered hit sets."""
+        ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        if not len(ids):
+            return {}
+        out: dict[int, str] = {}
+        want = (self._lo <= ids.max()) & (self._hi >= ids.min())
+        for ri in np.flatnonzero(want):
+            # refine: does this row group's range contain ANY requested id?
+            a = np.searchsorted(ids, self._lo[ri])
+            b = np.searchsorted(ids, self._hi[ri], side="right")
+            if a == b:
+                continue
+            rg_ids, rg_text = self._row_group(self._rgs[ri])
+            sub = ids[a:b]
+            pos = np.searchsorted(rg_ids, sub)
+            ok = pos < len(rg_ids)
+            ok &= rg_ids[np.minimum(pos, len(rg_ids) - 1)] == sub
+            for j in np.flatnonzero(ok):
+                out[int(sub[j])] = rg_text[int(pos[j])].as_py()
+        return out

@@ -269,6 +269,8 @@ def add_documents(
         delta_ds = delta.drop_columns(["old_doc_id"]).materialize()
 
     # --- stage 3: docmap delta (streaming write) ---------------------------
+    has_text = "text" in dm_schema.names  # index built with a doc store
+
     def docmap_fn(b: pa.Table) -> pa.Table:
         dl = doc_length_batch(b, id_col=id_col, text_col=text_col)
         cols = {"doc_id": dl["doc_id"]}
@@ -276,6 +278,8 @@ def add_documents(
             cols.update(conv_id=b["conv_id"], turn_idx=b["turn_idx"])
         cols["dl"] = dl["dl"]
         cols["content_hash"] = pa.array(hash64_text(b[text_col]).astype(np.int64), pa.int64())
+        if has_text:
+            cols["text"] = b[text_col]
         return pa.table(cols)
 
     delta_dir = os.path.join(_docmap_dir(index_dir), f"delta-{generation:04d}")

@@ -489,3 +489,73 @@ def test_merge_indexes_bit_identical_to_full_build(ray_session, tmp_path):
     build_index(ray.data.from_arrow(t_b), d_c, id_col="doc_id", n_buckets=2, n_salts=2)
     with pytest.raises(ValueError, match="routing"):
         merge_indexes(d_a, d_c, str(tmp_path / "iy"))
+
+
+def test_docstore_roundtrip_and_delta(ray_session, tmp_path):
+    """DocStore returns exactly the stored text, including docs added by a
+    later ADD generation (delta docmap subdir), and prunes absent ids."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.build import build_index
+    from engine.docstore import DocStore
+    from engine.update import add_documents
+
+    idx = str(tmp_path / "ds_idx")
+    base = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["alpha beta", "gamma", "delta epsilon zeta"]),
+        }
+    )
+    build_index(ray.data.from_arrow(base), idx, id_col="doc_id", n_buckets=4, n_salts=2)
+    delta = pa.table(
+        {"doc_id": pa.array([7], pa.int64()), "text": pa.array(["added later doc"])}
+    )
+    assert add_documents(idx, ray.data.from_arrow(delta), id_col="doc_id")["added"] == 1
+    store = DocStore(idx)
+    got = store.texts(np.array([0, 2, 7, 99]))
+    assert got == {0: "alpha beta", 2: "delta epsilon zeta", 7: "added later doc"}
+
+
+def test_kwic_stored_matches_corpus_scan(ray_session, tmp_path):
+    """Doc-store hydration and the full-corpus streamed pass emit identical
+    snippet rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import Bm25Index, kwic_snippets, kwic_snippets_stored
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a quick brown cat",
+        "no match here",
+        "quick quick quick",
+    ]
+    docs = pa.table(
+        {"doc_id": pa.array(list(range(len(texts))), pa.int64()), "text": pa.array(texts)}
+    )
+    idx = str(tmp_path / "kw_idx")
+    build_index(
+        ray.data.from_arrow(docs), idx, id_col="doc_id", n_buckets=4, n_salts=2,
+        positions=True,
+    )
+    bm = Bm25Index(idx)
+    hits = []
+    for qid, term in [("q_quick", "quick"), ("q_brown", "brown"), ("q_none", "zzz")]:
+        d, p = bm.term_positions(term)
+        hits.append((qid, d, p))
+    import ray
+
+    def collect(ds):
+        return pa.concat_tables(
+            [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+        ).sort_by(
+            [("query_id", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")]
+        )
+
+    a = collect(kwic_snippets(ray.data.from_arrow(docs), hits, w=2))
+    b = collect(kwic_snippets_stored(idx, hits, w=2))
+    assert a.to_pydict() == b.select(a.column_names).to_pydict()
