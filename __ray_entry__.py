@@ -602,6 +602,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             svc.shutdown()
         return _round_scores(res, "score", "score_r", SCORE_ROUND)
 
+    def more_like_this_stored(sf_dir):
+        """Doc-as-query hydrated from the DOC STORE: the query doc's text
+        comes from the index's stored-text column (row-group pruned), never
+        from a corpus re-read — the reference's query-structure load path.
+        Same oracle as `more_like_this`; results must be identical."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        tables = []
+        for qid, src_doc, k in MLT_QUERIES:
+            d, s = bm.more_like_this_id(src_doc, k, m=MLT_M, rank_round=RANK_ROUND)
+            tables.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * len(d), pa.string()),
+                        "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
+                        "doc_id": pa.array(d, pa.int64()),
+                        "score": pa.array(s, pa.float64()),
+                    }
+                )
+            )
+        res = pa.concat_tables(tables)
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
     def more_like_this(sf_dir):
         """Doc-as-query: the source doc's top-m tf*idf terms (rounded select,
         term-ascending ties) feed the standard exact top-k — the analog of
@@ -960,6 +984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_sharded": bm25_topk_sharded,
         "qld_topk": qld_topk,
         "more_like_this": more_like_this,
+        "more_like_this_stored": more_like_this_stored,
         "phrase_match": phrase_match,
         "percolate_conjunctive": percolate_conjunctive,
         "normalize_docs": normalize_docs,
@@ -1647,6 +1672,7 @@ WHERE text IS NOT NULL
         "bm25_topk_sharded": _bm25_sql(conjunctive=False),
         "qld_topk": _qld_sql(),
         "more_like_this": _mlt_sql(),
+        "more_like_this_stored": _mlt_sql(),
         "phrase_match": _phrase_sql(),
         "hash_split": """
             SELECT doc_id,

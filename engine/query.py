@@ -85,6 +85,7 @@ class Bm25Index:
     """Query-side handle: segment reader + docmap lengths + global stats."""
 
     def __init__(self, index_dir: str):
+        self.index_dir = index_dir
         self.reader = SegmentReader(index_dir)
         self.n_docs = int(self.reader.stats["n_docs"])
         self.avgdl = float(self.reader.stats["avgdl"])
@@ -803,6 +804,30 @@ class Bm25Index:
         if not terms:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         return self.topk(" ".join(terms), k, rank_round=rank_round)
+
+    def more_like_this_id(
+        self,
+        doc_id: int,
+        k: int,
+        m: int = 6,
+        rank_round: int | None = None,
+        select_round: int = 6,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Doc-as-query by docID: hydrate the query document's text from the
+        DOC STORE (the reference loads the query structure from its own
+        renumbered data file the same way — the archive is never re-read)
+        and run :meth:`more_like_this`. Requires store_text=True at build;
+        an id absent from the store returns no hits."""
+        if getattr(self, "_docstore", None) is None:
+            from .docstore import DocStore
+
+            self._docstore = DocStore(self.index_dir)
+        text = self._docstore.texts(np.array([doc_id], dtype=np.int64)).get(int(doc_id))
+        if not text:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        return self.more_like_this(
+            text, k, m=m, rank_round=rank_round, select_round=select_round
+        )
 
     def _probe_blocks(
         self, term: str, candidates: np.ndarray

@@ -559,3 +559,28 @@ def test_kwic_stored_matches_corpus_scan(ray_session, tmp_path):
     a = collect(kwic_snippets(ray.data.from_arrow(docs), hits, w=2))
     b = collect(kwic_snippets_stored(idx, hits, w=2))
     assert a.to_pydict() == b.select(a.column_names).to_pydict()
+
+
+def test_more_like_this_id_matches_text(ray_session, tmp_path):
+    """Doc-store hydration == passing the doc's text directly; absent id
+    (or store) yields no hits rather than an error."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import Bm25Index
+
+    texts = ["alpha beta gamma", "beta gamma delta", "alpha alpha zeta", "gamma"]
+    docs = pa.table(
+        {"doc_id": pa.array(list(range(len(texts))), pa.int64()), "text": pa.array(texts)}
+    )
+    idx = str(tmp_path / "mlt_idx")
+    build_index(ray.data.from_arrow(docs), idx, id_col="doc_id", n_buckets=4, n_salts=2)
+    bm = Bm25Index(idx)
+    d1, s1 = bm.more_like_this(texts[1], 4)
+    d2, s2 = bm.more_like_this_id(1, 4)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(np.asarray(s1).view(np.uint64), np.asarray(s2).view(np.uint64))
+    d3, _ = bm.more_like_this_id(99, 4)
+    assert len(d3) == 0
