@@ -202,6 +202,39 @@ def decode_posting(doc_ids_enc: bytes, tfs_enc: bytes) -> tuple[np.ndarray, np.n
     return doc_ids, tfs
 
 
+def decode_position_run(doc_blob: bytes, tf_blob: bytes, pos_blob: bytes):
+    """Decode one positional run: (docIDs, per-doc value bounds, absolute
+    positions). Within-doc position deltas are recovered with one cumsum
+    + one per-doc correction gather. Module-level so the scatter/gather
+    coordinator (serve._GatheredView) decodes shipped runs identically."""
+    d, t = decode_posting(doc_blob, tf_blob)
+    deltas = varint_decode(pos_blob).astype(np.int64)
+    vb = np.zeros(len(d) + 1, dtype=np.int64)
+    np.cumsum(t, out=vb[1:])
+    c = np.cumsum(deltas)
+    corr = np.zeros(len(d), dtype=np.int64)
+    corr[1:] = c[vb[1:-1] - 1]  # cumsum just before each doc's first value
+    abs_pos = c - np.repeat(corr, t)
+    return d, vb, abs_pos
+
+
+def resolve_positions(decoded, cand: np.ndarray) -> list[np.ndarray]:
+    """Per-candidate ascending position arrays over decoded runs (empty
+    array when the doc lacks the term)."""
+    empty = np.empty(0, dtype=np.int64)
+    out = [empty] * len(cand)
+    for d, vb, abs_pos in decoded:
+        if not len(d):
+            continue
+        pos = np.searchsorted(d, cand)
+        pos_c = np.minimum(pos, len(d) - 1)
+        hit = d[pos_c] == cand
+        for j in np.flatnonzero(hit):
+            r = int(pos_c[j])
+            out[j] = abs_pos[vb[r] : vb[r + 1]]
+    return out
+
+
 class SegmentReader:
     """Read-side of the bundle (DefaultInvertedIndex.select analog, :307-320).
 
@@ -405,41 +438,37 @@ class SegmentReader:
                         "positions_lookup requires an index built with positions=True"
                     )
                 c = self._cols(p, ("doc_ids_enc", "tfs_enc", "pos_enc"))
-                d, t = decode_posting(c["doc_ids_enc"][i].as_py(), c["tfs_enc"][i].as_py())
-                deltas = varint_decode(c["pos_enc"][i].as_py()).astype(np.int64)
-                vb = np.zeros(len(d) + 1, dtype=np.int64)
-                np.cumsum(t, out=vb[1:])
-                c = np.cumsum(deltas)
-                corr = np.zeros(len(d), dtype=np.int64)
-                corr[1:] = c[vb[1:-1] - 1]  # cumsum just before each doc's first value
-                abs_pos = c - np.repeat(corr, t)
-                decoded.append((d, vb, abs_pos))
+                decoded.append(
+                    decode_position_run(
+                        c["doc_ids_enc"][i].as_py(),
+                        c["tfs_enc"][i].as_py(),
+                        c["pos_enc"][i].as_py(),
+                    )
+                )
             cache[term] = decoded
-        empty = np.empty(0, dtype=np.int64)
-        out = [empty] * len(cand)
-        for d, vb, abs_pos in decoded:
-            if not len(d):
-                continue
-            pos = np.searchsorted(d, cand)
-            pos_c = np.minimum(pos, len(d) - 1)
-            hit = d[pos_c] == cand
-            for j in np.flatnonzero(hit):
-                r = int(pos_c[j])
-                out[j] = abs_pos[vb[r] : vb[r + 1]]
-        return out
+        return resolve_positions(decoded, cand)
 
-    def run_payloads(self, term: str, parts=None) -> list[dict]:
+    def run_payloads(self, term: str, parts=None, positions: bool = False) -> list[dict]:
         """``run_blocks`` entries tagged with their ``(part, row)`` coordinate,
         optionally restricted to a subset of parts — the unit a postings-shard
         actor ships to the scatter/gather coordinator (engine.serve sharded
         mode). Uncached: shard actors serve many terms once per query; the
-        coordinator's gathered view does its own per-query reuse."""
+        coordinator's gathered view does its own per-query reuse.
+
+        ``positions=True`` additionally ships each run's ``pos_enc`` blob
+        (phrase / highlight queries); plain scoring fetches must not pay the
+        position-stream bytes, so it is opt-in per fetch. Raises if requested
+        on a non-positional index."""
         owned = None if parts is None else set(parts)
         out = []
         for p in self.parts_of(term):
             if owned is not None and p not in owned:
                 continue
             self._load_meta(p)
+            if positions and self._term_rows[p] and "pos_enc" not in self._part_colnames[p]:
+                raise ValueError(
+                    "run_payloads(positions=True) requires an index built with positions=True"
+                )
             for i in self._term_rows[p].get(term, []):
                 c = self._cols(
                     p,
@@ -450,7 +479,8 @@ class SegmentReader:
                         "block_max_impact",
                         "block_doc_off",
                         "block_tf_off",
-                    ),
+                    )
+                    + (("pos_enc",) if positions else ()),
                 )
                 out.append(
                     {
@@ -458,6 +488,7 @@ class SegmentReader:
                         "row": i,
                         "doc_blob": c["doc_ids_enc"][i].as_py(),
                         "tf_blob": c["tfs_enc"][i].as_py(),
+                        **({"pos_blob": c["pos_enc"][i].as_py()} if positions else {}),
                         "last_doc": np.asarray(c["block_last_doc"][i].as_py(), dtype=np.int64),
                         "bmax": np.asarray(c["block_max_impact"][i].as_py(), dtype=np.float64),
                         "doc_off": np.asarray(c["block_doc_off"][i].as_py(), dtype=np.int64),

@@ -109,11 +109,12 @@ class _ShardActor:
         self._vocab: set[str] | None = None
         self._del_idx: dict[str, set[str]] | None = None
 
-    def fetch(self, terms: list[str]) -> dict[str, list[dict]]:
-        """All runs of the given terms that live in this shard's parts."""
+    def fetch(self, terms: list[str], positions: bool = False) -> dict[str, list[dict]]:
+        """All runs of the given terms that live in this shard's parts.
+        ``positions=True`` ships the position streams too (phrase mode)."""
         out = {}
         for t in terms:
-            runs = self.reader.run_payloads(t, self.parts)
+            runs = self.reader.run_payloads(t, self.parts, positions=positions)
             if runs:
                 out[t] = runs
         return out
@@ -202,10 +203,28 @@ class _GatheredView:
         return max(float(max(r["bmax"], default=0.0)) for r in runs)
 
     def positions_lookup(self, term: str, cand):
-        raise NotImplementedError(
-            "phrase queries are not routed through the sharded service; "
-            "use Bm25Index on a positional index"
-        )
+        """Same decode as SegmentReader.positions_lookup over the SHIPPED
+        position streams (pos_blob present only on positions=True fetches).
+        Run order matches the single reader's, so results are identical."""
+        from .segments import decode_position_run, resolve_positions
+
+        cache = getattr(self, "_posdec_cache", None)
+        if cache is None:
+            cache = self._posdec_cache = {}
+        decoded = cache.get(term)
+        if decoded is None:
+            runs = self._runs.get(term, ())
+            if any("pos_blob" not in r for r in runs):
+                raise ValueError(
+                    "positions_lookup over a gathered view requires a "
+                    "positions=True fetch on a positional index"
+                )
+            decoded = [
+                decode_position_run(r["doc_blob"], r["tf_blob"], r["pos_blob"])
+                for r in runs
+            ]
+            cache[term] = decoded
+        return resolve_positions(decoded, np.asarray(cand, dtype=np.int64))
 
 
 class ShardedQueryService:
@@ -242,21 +261,26 @@ class ShardedQueryService:
             for s in range(n_shards)
         ]
 
-    def _scatter(self, terms: list[str]):
+    def _scatter(self, terms: list[str], positions: bool = False):
         by_shard: dict[int, list[str]] = {}
         for t in terms:
             for p in self._bm.reader.parts_of(t):
                 by_shard.setdefault(p % self.n_shards, []).append(t)
         return [
-            (s, self._shards[s].fetch.remote(sorted(set(ts))))
+            (s, self._shards[s].fetch.remote(sorted(set(ts)), positions))
             for s, ts in sorted(by_shard.items())
         ]
 
-    def _gather(self, terms: list[str], timeout_s: float | None = None):
+    def _gather(
+        self,
+        terms: list[str],
+        timeout_s: float | None = None,
+        positions: bool = False,
+    ):
         """Scatter the terms, gather their runs, return a Bm25Index clone
         whose reader is the per-query gathered view (shares the coordinator's
         docmap arrays + global stats; holds only these terms' runs)."""
-        pending = self._scatter(terms)
+        pending = self._scatter(terms, positions=positions)
         try:
             fetched = ray.get([ref for _, ref in pending], timeout=timeout_s)
         except ray.exceptions.GetTimeoutError as e:
@@ -334,6 +358,25 @@ class ShardedQueryService:
         terms = sorted(set(tokenize_text(text)))
         bm = self._gather(terms, timeout_s)
         return bm.qld_topk(terms, k, mu=mu, rank_round=rank_round)
+
+    def phrase_match(self, phrase_text: str, timeout_s: float | None = None):
+        """Sharded exact-phrase matching: a positions=True scatter/gather
+        ships the phrase terms' position streams alongside the postings, then
+        the unchanged positional intersection runs at the coordinator.
+        Integer-exact, identical to Bm25Index.phrase_match (tested)."""
+        from .tokenize import tokenize_text
+
+        terms = sorted(set(tokenize_text(phrase_text)))
+        bm = self._gather(terms, timeout_s, positions=True)
+        return bm.phrase_match(phrase_text)
+
+    def term_positions(self, term: str, timeout_s: float | None = None):
+        """Sharded highlight primitive: every (doc, position) occurrence of
+        one term, from shipped position streams."""
+        from .tokenize import tokenize_text
+
+        bm = self._gather(sorted(set(tokenize_text(term))), timeout_s, positions=True)
+        return bm.term_positions(term)
 
     def shutdown(self) -> None:
         for s in self._shards:

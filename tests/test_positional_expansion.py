@@ -296,3 +296,32 @@ def test_term_positions_vs_tokens(pos_index, doc_tokens):
     assert len(d) == 0 and len(p) == 0
     with pytest.raises(ValueError):
         bm.term_positions("two words")
+
+
+def test_sharded_phrase_and_positions_bit_identity(ray_session, pos_index):
+    """Positions=True scatter/gather ships the phrase terms' position streams;
+    the coordinator's positional intersection must equal the single reader's
+    exactly. Plain (non-positional) fetches must NOT pay the position bytes."""
+    from engine.query import Bm25Index
+    from engine.serve import ShardedQueryService
+
+    bm = Bm25Index(pos_index)
+    svc = ShardedQueryService(pos_index, n_shards=3, num_cpus=0.25)
+    try:
+        phrases = ["w00000 w00001", "w00777", "w00001 w00000 w00002", "zzz qqq"]
+        for ph in phrases:
+            d1, c1 = bm.phrase_match(ph)
+            d2, c2 = svc.phrase_match(ph)
+            np.testing.assert_array_equal(d1, d2, err_msg=ph)
+            np.testing.assert_array_equal(c1, c2, err_msg=ph)
+        d1, p1 = bm.term_positions("w00000")
+        d2, p2 = svc.term_positions("w00000")
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_array_equal(p1, p2)
+        # a plain scoring fetch over the same positional index ships no
+        # position payloads — the gathered view must refuse the lookup
+        plain = svc._gather(["w00000"])
+        with pytest.raises(ValueError, match="positions=True"):
+            plain.reader.positions_lookup("w00000", np.array([0], dtype=np.int64))
+    finally:
+        svc.shutdown()
