@@ -866,6 +866,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["n_dup", "dup_cover"],
         )
 
+    def doc_repetition(sf_dir):
+        """Per-doc bigram repetition counters (repeated-n-gram quality rule):
+        total bigrams and the most frequent bigram's occurrence count."""
+        from engine.ops.textstats import doc_repetition as _dr
+
+        return _i64(
+            _collect(_dr(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id"),
+            ["n_bigrams", "max_rep"],
+        )
+
+    def doc_ttr(sf_dir):
+        """Per-doc type-token-ratio counters: distinct tokens and length."""
+        from engine.ops.textstats import doc_ttr as _dt
+
+        return _i64(
+            _collect(_dt(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id"),
+            ["n_distinct", "dl"],
+        )
+
+    def decontaminate(sf_dir):
+        """Train/eval shingle-overlap scan: train docs sharing >= 1 distinct
+        3-gram shingle with the deterministic eval slice (doc_id % 100 == 0),
+        with shared-shingle and total-shingle counts."""
+        from engine.ops.dedup import decontaminate as _dc
+
+        return _i64(
+            _collect(_dc(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id"),
+            ["n_contaminated", "n_shingles"],
+        )
+
     def uniform_sample_k(sf_dir):
         """Exact-k deterministic uniform sample: k smallest (hash, doc_id)."""
         from engine.ops.sampling import uniform_sample_k as _usk
@@ -1003,6 +1033,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": bigram_counts,
         "bigram_pmi": bigram_pmi,
         "ngram_novelty": ngram_novelty,
+        "doc_repetition": doc_repetition,
+        "doc_ttr": doc_ttr,
+        "decontaminate": decontaminate,
         "lang_confusion": lang_confusion,
         "label_centroids": label_centroids,
         "bpe_token_counts": bpe_token_counts,
@@ -1810,6 +1843,34 @@ WHERE text IS NOT NULL
             SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
                    sum(CASE WHEN sdf.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
             FROM sh JOIN sdf USING (shingle) GROUP BY sh.doc_id
+        """,
+        "doc_repetition": f"""
+            WITH toks AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),
+            pos AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM toks),
+            bg0 AS (SELECT doc_id, tok,
+                           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t2
+                    FROM pos),
+            bg AS (SELECT doc_id, tok || ' ' || t2 AS bigram FROM bg0 WHERE t2 IS NOT NULL),
+            cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram)
+            SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c)::BIGINT AS max_rep
+            FROM cnt GROUP BY doc_id
+        """,
+        "doc_ttr": f"""
+            WITH toks AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),
+            pos AS (SELECT doc_id, unnest(l) AS tok FROM toks)
+            SELECT doc_id, count(DISTINCT tok)::BIGINT AS n_distinct,
+                   count(*)::BIGINT AS dl
+            FROM pos GROUP BY doc_id
+        """,
+        "decontaminate": f"""
+            WITH {_SHINGLE_CTE},
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0),
+            hits AS (SELECT s.doc_id, count(*) AS n_contaminated
+                     FROM sh s JOIN ev USING (shingle)
+                     WHERE s.doc_id % 100 <> 0 GROUP BY s.doc_id)
+            SELECT h.doc_id, h.n_contaminated::BIGINT AS n_contaminated,
+                   z.n::BIGINT AS n_shingles
+            FROM hits h JOIN sz z USING (doc_id)
         """,
         "dedup_embedding": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,

@@ -688,3 +688,94 @@ def dedup_clusters(
             "cluster_rep": pa.array(nodes[label], pa.int64()),
         }
     )
+
+
+def decontaminate(
+    ds,
+    *,
+    k: int = 3,
+    eval_mod: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+):
+    """Train/eval overlap scan (decontamination): flag TRAIN docs sharing at
+    least one distinct word-``k``-gram shingle with ANY doc of the EVAL
+    slice (``doc_id % eval_mod == 0`` — a deterministic held-out slice; for
+    a real benchmark corpus, union the two tables with the same eval flag).
+    The standard pre-training hygiene pass: held-out contamination inflates
+    eval scores, so contaminated training docs are dropped or audited.
+
+    Returns (doc_id, n_contaminated, n_shingles) per contaminated train doc:
+    how many of its distinct shingles occur anywhere in the eval slice, and
+    its total distinct shingle count.
+
+    Shape: shingle explode (per-doc shingle counts + eval flag + shingle
+    bucket stamped in the same batch pass) -> ONE shingle-bucket groupby
+    whose vectorized body marks hash runs containing >= 1 eval row and emits
+    those runs' train rows -> doc-bucket groupby counting marked shingles
+    per doc. No joins (empty-partition-safe on tiny inputs), no driver-side
+    or broadcast per-doc state; both exchanges carry narrow int64 rows. The
+    oracle recomputes over shingle STRINGS, so a 64-bit hash collision
+    surfaces as a value mismatch."""
+    n_hash_buckets = max(64, num_partitions * 8)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh = _shingle_hash_table(batch, k, id_col, text_col)
+        d = sh["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = sh["sh"].to_numpy(zero_copy_only=False)
+        _ud, inv, cnt = np.unique(d, return_inverse=True, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": sh["doc_id"],
+                "n_sh": pa.array(cnt[inv].astype(np.int64)),
+                "is_eval": pa.array((d % eval_mod == 0).astype(np.int8)),
+                "shbucket": pa.array((h % n_hash_buckets).astype(np.int64)),
+                "sh": sh["sh"],
+            }
+        )
+
+    def mark(group: pa.Table) -> pa.Table:
+        h = group["sh"].to_numpy(zero_copy_only=False)
+        ev = group["is_eval"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h_s = h[order]
+        first = np.empty(len(h_s), dtype=bool)
+        first[0] = True
+        np.not_equal(h_s[1:], h_s[:-1], out=first[1:])
+        seg_starts = np.flatnonzero(first)
+        runlen = np.diff(np.r_[seg_starts, len(h_s)])
+        run_has_eval = np.maximum.reduceat(ev[order], seg_starts) > 0
+        row_flag = np.repeat(run_has_eval, runlen)
+        keep = order[row_flag & (ev[order] == 0)]  # contaminated TRAIN rows
+        take = pa.array(keep)
+        d = group["doc_id"].take(take)
+        db = d.to_numpy(zero_copy_only=False) % num_partitions
+        return pa.table(
+            {
+                "doc_id": d,
+                "n_sh": group["n_sh"].take(take),
+                "docbucket": pa.array(db.astype(np.int64)),
+            }
+        )
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        ud, inv, cnt = np.unique(d, return_inverse=True, return_counts=True)
+        n_sh = np.zeros(len(ud), dtype=np.int64)
+        n_sh[inv] = group["n_sh"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ud),
+                "n_contaminated": pa.array(cnt.astype(np.int64)),
+                "n_shingles": pa.array(n_sh),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shbucket")
+        .map_groups(mark, batch_format="pyarrow")
+        .groupby("docbucket")
+        .map_groups(per_doc, batch_format="pyarrow")
+    )

@@ -708,3 +708,93 @@ def bigram_pmi(
         .sort(["pmi_r", "bigram"], descending=[True, False])
         .limit(topn)
     )
+
+
+def doc_repetition(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc bigram repetition — the classic repeated-n-gram quality filter
+    for LLM training corpora (a doc whose most frequent 2-gram covers a large
+    share of it is boilerplate/spam; cf. the Gopher repetition rules).
+
+    Emits INTEGER-exact counters per doc with >= 1 bigram (the oracle SQL
+    restates them; ratios are derived views): n_bigrams (total, not
+    distinct), max_rep (occurrences of the most frequent bigram).
+
+    Scale shape: pure stateless map — docs never span batches, so bigram
+    counting is in-batch (dictionary-encode the bigram strings: exact codes,
+    no hash-collision risk) with one np.unique over (doc, code) keys. No
+    exchange at any corpus size."""
+
+    def rep(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "max_rep": pa.array([], pa.int64()),
+            }
+        )
+        flat, parent, _dl = _explode_tokens(batch[text_col])
+        n_tok = len(flat)
+        if n_tok < 2:
+            return empty
+        doc_ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(parent[1:] == parent[:-1])
+        if not len(starts):
+            return empty
+        bg = pc.binary_join_element_wise(
+            flat.take(pa.array(starts)), flat.take(pa.array(starts + 1)), " "
+        )
+        dic = bg.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(dic.dictionary)
+        key = parent[starts].astype(np.int64) * v + codes
+        uk, counts = np.unique(key, return_counts=True)
+        owner = (uk // v).astype(np.int64)  # ascending parent within uk
+        bounds = np.flatnonzero(np.diff(owner)) + 1
+        seg_starts = np.r_[0, bounds]
+        max_rep = np.maximum.reduceat(counts, seg_starts)
+        n_bigrams = np.add.reduceat(counts, seg_starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[owner[seg_starts]], pa.int64()),
+                "n_bigrams": pa.array(n_bigrams.astype(np.int64)),
+                "max_rep": pa.array(max_rep.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+def doc_ttr(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc type-token ratio counters: n_distinct (distinct tokens) and
+    dl (token count) for every doc with >= 1 token. Low TTR = repetitive
+    text; a standard training-data quality signal. Stateless in-batch map
+    (dictionary-encode + one np.unique), no exchange."""
+
+    def ttr(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "dl": pa.array([], pa.int64()),
+            }
+        )
+        flat, parent, dl = _explode_tokens(batch[text_col])
+        if not len(flat):
+            return empty
+        doc_ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dic = flat.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(dic.dictionary)
+        uk = np.unique(parent.astype(np.int64) * v + codes)
+        owner = (uk // v).astype(np.int64)
+        live = np.flatnonzero(dl > 0)
+        n_distinct = np.bincount(owner, minlength=len(doc_ids))[live]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[live], pa.int64()),
+                "n_distinct": pa.array(n_distinct.astype(np.int64)),
+                "dl": pa.array(dl[live].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(ttr, batch_format="pyarrow")

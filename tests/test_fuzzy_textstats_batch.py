@@ -584,3 +584,47 @@ def test_more_like_this_id_matches_text(ray_session, tmp_path):
     np.testing.assert_array_equal(np.asarray(s1).view(np.uint64), np.asarray(s2).view(np.uint64))
     d3, _ = bm.more_like_this_id(99, 4)
     assert len(d3) == 0
+
+
+def test_doc_repetition_and_ttr_hand_computed(ray_session):
+    from engine.ops.textstats import doc_repetition, doc_ttr
+
+    rep = (
+        doc_repetition(_docs_ds(["a b a b a", "x", "", "c c c"]))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    # doc0 bigrams: ab ba ab ba -> 4 total, max 2; doc1/doc2 none; doc3: cc cc
+    assert list(zip(rep["doc_id"], rep["n_bigrams"], rep["max_rep"])) == [
+        (0, 4, 2),
+        (3, 2, 2),
+    ]
+    ttr = (
+        doc_ttr(_docs_ds(["a b a b a", "x", "", "c c c"]))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(zip(ttr["doc_id"], ttr["n_distinct"], ttr["dl"])) == [
+        (0, 2, 5),
+        (1, 1, 1),
+        (3, 1, 3),
+    ]
+
+
+def test_decontaminate_hand_computed(ray_session):
+    """doc_id 0 is the eval slice (eval_mod=100 over 4 docs): doc1 shares
+    'a b c', doc3 shares 'b c d' (1 of its 3 distinct shingles), doc2 clean.
+    Eval docs themselves are never emitted."""
+    from engine.ops.dedup import decontaminate
+
+    out = (
+        decontaminate(
+            _docs_ds(["a b c d", "a b c x", "z z z z", "b c d b c d"])
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(zip(out["doc_id"], out["n_contaminated"], out["n_shingles"])) == [
+        (1, 1, 2),
+        (3, 1, 3),
+    ]
