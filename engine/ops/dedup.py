@@ -3,11 +3,12 @@ embedding-cosine.
 
 Design per the ray guide's aggregation-at-scale pattern: hash/shingle/signature
 computation is a vectorized ``map_batches`` stage; candidate-pair generation is
-a hash-partitioned SELF-JOIN on the blocking key (``Dataset.join`` — shingle
-hash / LSH bucket / simhash chunk) rather than per-group Python (a
-``map_groups`` over millions of tiny groups pays per-group overhead; a join +
-vectorized Count aggregate does not); verification is vectorized integer/float
-math inside ``map_batches``.
+either a hash-partitioned SELF-JOIN on the blocking key (``Dataset.join`` —
+shingle hash / simhash chunk) or a BUCKETED groupby whose vectorized body does
+run-segmented all-pairs expansion (MinHash: each group holds many LSH buckets,
+so per-group overhead amortizes and the join's fixed actor setup is avoided);
+never per-key Python (a ``map_groups`` over millions of tiny groups pays a
+Python call per key); verification is vectorized integer math.
 
 The reference's only dedup is exact idempotent-ADD skip
 (UPD/StrucmotifUpdate.java:229-233 anti-join vs known.list) and HashSet dedup
@@ -35,6 +36,29 @@ _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+def _segment_pairs(starts: np.ndarray, runlen: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-segment index pairs (i, j), i < j, over segments of a sorted
+    array — vectorized triangular-number decode, no per-segment Python loop.
+    Segment r contributes L*(L-1)/2 pairs; pair t of a segment decodes to
+    q = row of the triangle, p = offset, global (start+p, start+q)."""
+    c2 = runlen * (runlen - 1) // 2
+    total = int(c2.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    seg = np.repeat(np.arange(len(runlen)), c2)
+    off = np.concatenate(([0], np.cumsum(c2)[:-1]))
+    t = np.arange(total, dtype=np.int64) - off[seg]
+    q = ((1.0 + np.sqrt(1.0 + 8.0 * t)) // 2).astype(np.int64)
+    low = q * (q - 1) // 2  # float-sqrt correction to the exact triangle row
+    q = np.where(t < low, q - 1, q)
+    low = q * (q - 1) // 2
+    q = np.where(t >= low + q, q + 1, q)
+    p = t - q * (q - 1) // 2
+    s = starts[seg]
+    return s + p, s + q
 
 
 from ..tokenize import md5_lower64 as _md5_lower64  # shared, oracle-SQL-exact
@@ -304,8 +328,11 @@ def minhash_lsh_pairs(
     ``ngram_jaccard_pairs`` (integer-exact threshold).
 
     Pipeline: signatures (actor pool) -> (band, band_hash, doc) explode ->
-    hash-partitioned self-join on the bucket key -> distinct candidate pairs
-    -> vectorized exact verification against broadcast shingle sets.
+    bucketed groupby expanding LSH-bucket runs to distinct candidate pairs
+    (no hash join: one exchange instead of two, and no join-actor setup) ->
+    join-free distributed exact verification: re-shingle candidate docs, one
+    shingle-bucket groupby emits per-bucket partial intersection counts for
+    the broadcast O(candidates) pair keys, driver merges + thresholds.
     """
     import ray
     from ray.data.aggregate import Count, Max
@@ -349,27 +376,56 @@ def minhash_lsh_pairs(
     # the actor pool on BOTH sides concurrently with the aggregators and
     # deadlock when pool×2 + num_partitions exceeds the CPU budget.
     band_ds = sig_ds.map_batches(to_bands, batch_format="pyarrow").materialize()
-    joined = band_ds.join(
-        band_ds,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("band", "band_hash"),
-        left_suffix="_a",
-        right_suffix="_b",
-    )
+    # --- candidate pairs: LSH-bucket groupby (no hash join) -----------------
+    # Rows sharing (band, band_hash) ARE an LSH bucket; pairs fall out of a
+    # run-segmented all-pairs expansion inside ONE bucketed groupby, replacing
+    # the band self-join + pair-groupby (two exchanges + join-actor setup,
+    # and the schema-less-empty-partition join hazard on tiny inputs). The
+    # only driver-resident artifact is the DISTINCT candidate pair list,
+    # O(LSH candidates) — exactly what the join plan also collected.
+    n_hash_buckets = max(64, num_partitions * 8)
 
-    def ordered_pairs(batch: pa.Table) -> pa.Table:
-        a = batch["doc_id_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_id_b"].to_numpy(zero_copy_only=False)
-        m = a < b
-        return pa.table({"doc_a": pa.array(a[m], pa.int64()), "doc_b": pa.array(b[m], pa.int64())})
+    def band_bucket(batch: pa.Table) -> pa.Table:
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "hbucket", pa.array((bh % n_hash_buckets).astype(np.int64))
+        )
 
-    cand_ds = (
-        joined.map_batches(ordered_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="n_bands_hit"))  # distinct pairs
-        .materialize()
-    )
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = group["band_hash"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, bh, band))
+        band_s, bh_s, d_s = band[order], bh[order], d[order]
+        first = np.empty(len(d_s), dtype=bool)
+        first[0] = True
+        np.logical_or(band_s[1:] != band_s[:-1], bh_s[1:] != bh_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.r_[starts, len(d_s)])
+        i, j = _segment_pairs(starts, runlen)
+        a, b = d_s[i], d_s[j]  # d ascending within a run -> a < b
+        if len(a):
+            # in-group dedupe (a pair can share several buckets of this group)
+            po = np.lexsort((b, a))
+            a, b = a[po], b[po]
+            keep = np.empty(len(a), dtype=bool)
+            keep[0] = True
+            np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=keep[1:])
+            a, b = a[keep], b[keep]
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+        )
+
+    cand_blocks = [
+        t
+        for t in ray.get(
+            band_ds.map_batches(band_bucket, batch_format="pyarrow")
+            .groupby("hbucket")
+            .map_groups(bucket_pairs, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
 
     empty = pa.table(
         {
@@ -380,20 +436,31 @@ def minhash_lsh_pairs(
             "n_b": pa.array([], pa.int64()),
         }
     )
-    if cand_ds.count() == 0:
-        return empty
+    if not cand_blocks:
+        return ray.data.from_arrow(empty)
+    cand_all = pa.concat_tables(cand_blocks)
+    ca = cand_all["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cb = cand_all["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # cross-bucket distinct (same lexsort dedupe as in-group)
+    po = np.lexsort((cb, ca))
+    ca, cb = ca[po], cb[po]
+    keep = np.empty(len(ca), dtype=bool)
+    keep[0] = True
+    np.logical_or(ca[1:] != ca[:-1], cb[1:] != cb[:-1], out=keep[1:])
+    ca, cb = ca[keep], cb[keep]
 
-    # Distributed exact verification. The only driver-resident artifact is the
-    # candidate PAIR list itself — O(LSH candidates), bounded by band
-    # selectivity, NOT by corpus size — broadcast once via ray.put. Shingle
-    # sets stay distributed: re-shingle only candidate docs (pc.is_in filter
-    # inside map_batches), self-join on shingle hash, Count per pair ==
-    # intersection size, then a vectorized merge against the broadcast
-    # candidate set + integer threshold. No per-pair Python loop anywhere.
-    cand_pairs = cand_ds.select_columns(["doc_a", "doc_b"]).to_pandas()
-    need = np.unique(np.concatenate([cand_pairs["doc_a"].to_numpy(), cand_pairs["doc_b"].to_numpy()]))
+    # Distributed exact verification, join-free: re-shingle only candidate
+    # docs, then ONE shingle-bucket groupby whose body expands per-shingle
+    # runs to pairs, keeps the (broadcast, O(candidates)) candidate keys, and
+    # emits per-bucket partial intersection counts; the driver merges a
+    # bounded O(candidates x buckets) partial set. Precision stays exact: the
+    # integer Jaccard threshold is applied to exact shingle-set counts.
+    need = np.unique(np.concatenate([ca, cb]))
+    n_need = len(need)
+    cand_keys = np.searchsorted(need, ca) * n_need + np.searchsorted(need, cb)
+    # cand_keys is sorted: ca groups ascending, cb ascending within
     need_ref = ray.put(need)
-    cand_ref = ray.put(cand_pairs)
+    ckey_ref = ray.put(cand_keys)
 
     def shingles_of_needed(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch[id_col].cast(pa.int64()), value_set=pa.array(ray.get(need_ref)))
@@ -403,66 +470,93 @@ def minhash_lsh_pairs(
         d = t["doc_id"].to_numpy(zero_copy_only=False)
         uniq, counts = np.unique(d, return_counts=True)
         n = counts[np.searchsorted(uniq, d)] if len(d) else d
-        return t.append_column("n", pa.array(n.astype(np.int64), pa.int64()))
-
-    sh_needed = ds.map_batches(shingles_of_needed, batch_format="pyarrow").materialize()
-
-    sh_joined = sh_needed.join(
-        sh_needed,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("sh",),
-        left_suffix="_a",
-        right_suffix="_b",
-    )
-
-    def ordered_pairs_sized(batch: pa.Table) -> pa.Table:
-        a = batch["doc_id_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_id_b"].to_numpy(zero_copy_only=False)
-        m = a < b
+        h = t["sh"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_a": pa.array(a[m], pa.int64()),
-                "doc_b": pa.array(b[m], pa.int64()),
-                "n_a": batch["n_a"].filter(pa.array(m)).cast(pa.int64()),
-                "n_b": batch["n_b"].filter(pa.array(m)).cast(pa.int64()),
+                "doc_id": t["doc_id"],
+                "sh": t["sh"],
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "shbucket": pa.array((h % n_hash_buckets).astype(np.int64)),
             }
         )
 
-    common = (
-        sh_joined.map_batches(ordered_pairs_sized, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(
-            Count(alias_name="common"),
-            Max("n_a", alias_name="n_a"),  # group-constant
-            Max("n_b", alias_name="n_b"),
+    def verify_group(group: pa.Table) -> pa.Table:
+        needs = ray.get(need_ref)
+        ckeys = ray.get(ckey_ref)
+        sh = group["sh"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, sh))
+        sh_s, d_s, n_s = sh[order], d[order], n[order]
+        first = np.empty(len(sh_s), dtype=bool)
+        first[0] = True
+        np.not_equal(sh_s[1:], sh_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.r_[starts, len(sh_s)])
+        i, j = _segment_pairs(starts, runlen)
+        out = pa.table(
+            {
+                "key": pa.array([], pa.int64()),
+                "common": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+            }
         )
-    )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        cand_df = ray.get(cand_ref)
-        df = batch.select(["doc_a", "doc_b", "common", "n_a", "n_b"]).to_pandas()
-        df = df.merge(cand_df, on=["doc_a", "doc_b"], how="inner")  # LSH candidates only
-        if df.empty:
-            return empty
-        da = df["doc_a"].to_numpy().astype(np.int64)
-        db = df["doc_b"].to_numpy().astype(np.int64)
-        cm = df["common"].to_numpy().astype(np.int64)
-        na = df["n_a"].to_numpy().astype(np.int64)
-        nb = df["n_b"].to_numpy().astype(np.int64)
-        union = na + nb - cm
-        keep = (cm * threshold_den >= threshold_num * union) & (union > 0)
+        if not len(i):
+            return out
+        key = (
+            np.searchsorted(needs, d_s[i]) * len(needs) + np.searchsorted(needs, d_s[j])
+        )
+        pos = np.searchsorted(ckeys, key)
+        hit = pos < len(ckeys)
+        hit &= ckeys[np.minimum(pos, len(ckeys) - 1)] == key
+        if not hit.any():
+            return out
+        kk, inv, cnt = np.unique(key[hit], return_index=True, return_counts=True)
+        ii, jj = i[hit][inv], j[hit][inv]
         return pa.table(
             {
-                "doc_a": pa.array(da[keep], pa.int64()),
-                "doc_b": pa.array(db[keep], pa.int64()),
-                "common": pa.array(cm[keep], pa.int64()),
-                "n_a": pa.array(na[keep], pa.int64()),
-                "n_b": pa.array(nb[keep], pa.int64()),
+                "key": pa.array(kk),
+                "common": pa.array(cnt.astype(np.int64)),
+                "n_a": pa.array(n_s[ii].astype(np.int64)),
+                "n_b": pa.array(n_s[jj].astype(np.int64)),
             }
         )
 
-    return common.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+    partial_blocks = [
+        t
+        for t in ray.get(
+            ds.map_batches(shingles_of_needed, batch_format="pyarrow")
+            .groupby("shbucket")
+            .map_groups(verify_group, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not partial_blocks:
+        return ray.data.from_arrow(empty)
+    part = pa.concat_tables(partial_blocks)
+    pk = part["key"].to_numpy(zero_copy_only=False)
+    ppos = np.searchsorted(cand_keys, pk)  # every partial key is a candidate
+    common = np.zeros(len(cand_keys), dtype=np.int64)
+    np.add.at(common, ppos, part["common"].to_numpy(zero_copy_only=False))
+    n_a = np.zeros(len(cand_keys), dtype=np.int64)
+    n_b = np.zeros(len(cand_keys), dtype=np.int64)
+    n_a[ppos] = part["n_a"].to_numpy(zero_copy_only=False)  # doc-constant
+    n_b[ppos] = part["n_b"].to_numpy(zero_copy_only=False)
+    union = n_a + n_b - common
+    keep = (common * threshold_den >= threshold_num * union) & (union > 0)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(ca[keep], pa.int64()),
+                "doc_b": pa.array(cb[keep], pa.int64()),
+                "common": pa.array(common[keep], pa.int64()),
+                "n_a": pa.array(n_a[keep], pa.int64()),
+                "n_b": pa.array(n_b[keep], pa.int64()),
+            }
+        )  # (ca, cb) lexsorted above == the old sort(["doc_a", "doc_b"])
+    )
 
 
 # --------------------------------------------------------------------------
