@@ -102,6 +102,24 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats", help="print index stats.json")
     s.add_argument("index_dir")
 
+    dc = sub.add_parser("doc", help="fetch stored document text by docID (doc store)")
+    dc.add_argument("index_dir")
+    dc.add_argument("doc_ids", type=int, nargs="+")
+
+    ml = sub.add_parser("mlt", help="more-like-this: docID as the query (doc store)")
+    ml.add_argument("index_dir")
+    ml.add_argument("doc_id", type=int)
+    ml.add_argument("-k", type=int, default=10)
+    ml.add_argument("-m", type=int, default=6, help="query terms extracted from the doc")
+
+    sn = sub.add_parser(
+        "snippets", help="KWIC snippets of a term's occurrences (positional index + doc store)"
+    )
+    sn.add_argument("index_dir")
+    sn.add_argument("term")
+    sn.add_argument("-w", type=int, default=2, help="context window in tokens")
+    sn.add_argument("--limit", type=int, default=20)
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -221,6 +239,38 @@ def main(argv: list[str] | None = None) -> int:
         from .state import read_stats
 
         print(json.dumps(read_stats(args.index_dir), indent=2))
+    elif args.cmd == "doc":
+        import numpy as np
+
+        from .docstore import DocStore
+
+        texts = DocStore(args.index_dir).texts(np.asarray(args.doc_ids, dtype=np.int64))
+        for did in args.doc_ids:
+            print(json.dumps({"doc_id": did, "text": texts.get(did)}))
+    elif args.cmd == "mlt":
+        from .query import Bm25Index
+
+        bm = Bm25Index(args.index_dir)
+        d, s = bm.more_like_this_id(args.doc_id, args.k, m=args.m)
+        for i, (doc, sc) in enumerate(zip(d.tolist(), s.tolist()), start=1):
+            print(json.dumps({"rank": i, "doc_id": doc, "score": round(sc, 6)}))
+    elif args.cmd == "snippets":
+        _ray()
+        from .query import Bm25Index, kwic_snippets_stored
+
+        bm = Bm25Index(args.index_dir)
+        d, pos = bm.term_positions(args.term)
+        tbl = (
+            kwic_snippets_stored(args.index_dir, [("cli", d, pos)], w=args.w)
+            .limit(args.limit)
+            .take_all()
+        )
+        for row in tbl:
+            print(
+                json.dumps(
+                    {"doc_id": row["doc_id"], "pos": row["pos"], "snippet": row["snippet"]}
+                )
+            )
     return 0
 
 

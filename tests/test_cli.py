@@ -108,3 +108,30 @@ def test_cli_qld(ray_session, tiny_index, capsys):
     assert rc == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert lines and lines[0]["rank"] == 1 and lines[0]["score"] < 0  # log-probs
+
+
+def test_cli_doc_and_mlt(ray_session, tiny_index, capsys):
+    """Doc-store surfaces: fetch stored text by id; docID-as-query ranks the
+    source doc itself first (it always matches its own top terms best)."""
+    from engine.cli import main
+
+    assert main(["doc", tiny_index, "0", "999999999"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows[0]["doc_id"] == 0 and rows[0]["text"]
+    assert rows[1]["text"] is None  # absent id -> null, not an error
+
+    assert main(["mlt", tiny_index, "0", "-k", "3"]) == 0
+    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert hits and hits[0]["doc_id"] == 0 and hits[0]["rank"] == 1
+
+
+def test_cli_snippets(ray_session, tiny_corpus, tmp_path, capsys):
+    from engine.build import build_index
+    from engine.cli import main
+
+    idx = str(tmp_path / "pos_sn")
+    build_index(tiny_corpus, idx, n_buckets=8, n_salts=2, positions=True)
+    capsys.readouterr()
+    assert main(["snippets", idx, "w00000", "--limit", "5"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all("w00000" in r["snippet"] for r in rows)
