@@ -896,6 +896,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["n_contaminated", "n_shingles"],
         )
 
+    def winnow_fingerprints(sf_dir):
+        """Winnowing (MOSS) fingerprint selection: distinct per-doc window
+        minima over word-3-gram md5 hashes, window 4 — hash AND min choice
+        restated exactly by the oracle (md5_number_lower parity)."""
+        from engine.ops.textstats import winnow_fingerprints as _wf
+
+        return _i64(
+            _collect(_wf(_docs(sf_dir, ["doc_id", "text"]))).sort_by(
+                [("doc_id", "ascending"), ("fp", "ascending")]
+            ),
+            ["fp"],
+        )
+
     def uniform_sample_k(sf_dir):
         """Exact-k deterministic uniform sample: k smallest (hash, doc_id)."""
         from engine.ops.sampling import uniform_sample_k as _usk
@@ -1034,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": bigram_pmi,
         "ngram_novelty": ngram_novelty,
         "doc_repetition": doc_repetition,
+        "winnow_fingerprints": winnow_fingerprints,
         "doc_ttr": doc_ttr,
         "decontaminate": decontaminate,
         "lang_confusion": lang_confusion,
@@ -1843,6 +1857,27 @@ WHERE text IS NOT NULL
             SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
                    sum(CASE WHEN sdf.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
             FROM sh JOIN sdf USING (shingle) GROUP BY sh.doc_id
+        """,
+        "winnow_fingerprints": f"""
+            WITH toks AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),
+            pos AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM toks),
+            sh0 AS (SELECT doc_id, i, tok,
+                           lead(tok, 1) OVER win AS t2,
+                           lead(tok, 2) OVER win AS t3
+                    FROM pos WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+            h AS (SELECT doc_id, i,
+                         md5_number_lower(tok || ' ' || t2 || ' ' || t3)::UBIGINT AS h
+                  FROM sh0 WHERE t3 IS NOT NULL),
+            wmin AS (SELECT doc_id,
+                            least(h, lead(h, 1) OVER win2, lead(h, 2) OVER win2,
+                                  lead(h, 3) OVER win2) AS fp,
+                            lead(h, 3) OVER win2 AS guard
+                     FROM h WINDOW win2 AS (PARTITION BY doc_id ORDER BY i))
+            SELECT DISTINCT doc_id,
+                   (fp::HUGEINT - CASE WHEN fp >= 9223372036854775808::HUGEINT
+                                  THEN 18446744073709551616::HUGEINT
+                                  ELSE 0::HUGEINT END)::BIGINT AS fp
+            FROM wmin WHERE guard IS NOT NULL
         """,
         "doc_repetition": f"""
             WITH toks AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),

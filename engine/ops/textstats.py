@@ -798,3 +798,65 @@ def doc_ttr(ds, id_col: str = "doc_id", text_col: str = "text"):
         )
 
     return ds.map_batches(ttr, batch_format="pyarrow")
+
+
+def winnow_fingerprints(
+    ds, k: int = 3, w: int = 4, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS local fingerprinting scheme): hash every word ``k``-gram, slide
+    a ``w``-hash window, select each window's MINIMUM hash, emit the DISTINCT
+    (doc_id, fp) selections. Guarantees every shared substring of length
+    >= k + w - 1 tokens contributes at least one shared fingerprint, at
+    ~2/(w+1) the density of full k-gram sets.
+
+    Hashes are ``md5_lower64`` (bit-identical to DuckDB md5_number_lower), so
+    the window-minimum choice — not just the set — is restated exactly by the
+    oracle SQL; fp is emitted as the int64 two's-complement view.
+
+    Scale shape: stateless in-batch map (docs never span batches), one
+    sliding-window minimum over the k-gram hash sequence per batch; no
+    exchange at any corpus size."""
+    from ..tokenize import md5_lower64
+
+    def winnow(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "fp": pa.array([], pa.int64())}
+        )
+        flat, parent, _dl = _explode_tokens(batch[text_col])
+        n_tok = len(flat)
+        if n_tok < k:
+            return empty
+        doc_ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        valid = np.ones(n_tok - k + 1, dtype=bool)
+        for j in range(1, k):
+            valid &= parent[j : n_tok - k + 1 + j] == parent[: n_tok - k + 1]
+        starts = np.flatnonzero(valid)
+        if len(starts) < w:
+            return empty
+        cols = [flat.take(pa.array(starts + j)) for j in range(k)]
+        shingle = cols[0]
+        for c in cols[1:]:
+            shingle = pc.binary_join_element_wise(shingle, c, " ")
+        h = md5_lower64(shingle)  # uint64, oracle-exact
+        kg_parent = parent[starts]
+        # full windows only: k-gram rows j..j+w-1 must share a doc
+        full = kg_parent[w - 1 :] == kg_parent[: len(kg_parent) - w + 1]
+        if not full.any():
+            return empty
+        wmin = h[: len(h) - w + 1].copy()
+        for j in range(1, w):
+            np.minimum(wmin, h[j : len(h) - w + 1 + j], out=wmin)
+        d = doc_ids[kg_parent[: len(kg_parent) - w + 1][full]]
+        fp = wmin[full].view(np.int64)
+        # distinct (doc, fp)
+        order = np.lexsort((fp, d))
+        d, fp = d[order], fp[order]
+        keep = np.empty(len(d), dtype=bool)
+        keep[0] = True
+        np.logical_or(d[1:] != d[:-1], fp[1:] != fp[:-1], out=keep[1:])
+        return pa.table(
+            {"doc_id": pa.array(d[keep], pa.int64()), "fp": pa.array(fp[keep])}
+        )
+
+    return ds.map_batches(winnow, batch_format="pyarrow")

@@ -628,3 +628,38 @@ def test_decontaminate_hand_computed(ray_session):
         (1, 1, 2),
         (3, 1, 3),
     ]
+
+
+def test_winnow_fingerprints_guarantee_and_brute(ray_session):
+    """Brute-force oracle: per doc, fp set == distinct window-4 minima over
+    3-gram md5 hashes; and the winnowing guarantee — two docs sharing a
+    >= k+w-1 = 6-token run share at least one fingerprint."""
+    import hashlib
+
+    from engine.ops.textstats import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    texts = [
+        f"one two {shared} three",
+        f"{shared} nine ten eleven",
+        "unrelated words only here today extra padding tokens",
+        "short doc",  # < k tokens -> no k-grams, no row
+    ]
+
+    def brute(text, k=3, w=4):
+        toks = text.split()
+        hs = [
+            int.from_bytes(
+                hashlib.md5(" ".join(toks[i : i + k]).encode()).digest()[8:], "little"
+            )
+            for i in range(len(toks) - k + 1)
+        ]
+        mins = {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+        return {m - (1 << 64) if m >= 1 << 63 else m for m in mins}
+
+    out = winnow_fingerprints(_docs_ds(texts)).to_pandas()
+    got = {d: set(g["fp"]) for d, g in out.groupby("doc_id")}
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == brute(t), i
+    assert got[0] & got[1]          # guarantee: shared 6-token run
+    assert not (got[0] & got[2])    # no shared content -> disjoint (whp)
