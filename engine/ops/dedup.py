@@ -3,12 +3,13 @@ embedding-cosine.
 
 Design per the ray guide's aggregation-at-scale pattern: hash/shingle/signature
 computation is a vectorized ``map_batches`` stage; candidate-pair generation is
-either a hash-partitioned SELF-JOIN on the blocking key (``Dataset.join`` —
-shingle hash / simhash chunk) or a BUCKETED groupby whose vectorized body does
-run-segmented all-pairs expansion (MinHash: each group holds many LSH buckets,
-so per-group overhead amortizes and the join's fixed actor setup is avoided);
-never per-key Python (a ``map_groups`` over millions of tiny groups pays a
-Python call per key); verification is vectorized integer math.
+a BUCKETED groupby whose vectorized body does run-segmented all-pairs
+expansion over the blocking key (shingle hash / LSH bucket — each group holds
+MANY keys, so per-group overhead amortizes and a hash join's fixed actor setup
+and schema-less-empty-partition hazard are avoided; simhash keeps the
+``Dataset.join`` on its 16-bit chunk key, whose value space is too small to
+bucket) — never per-key Python (a ``map_groups`` over millions of tiny groups
+pays a Python call per key); verification is vectorized integer math.
 
 The reference's only dedup is exact idempotent-ADD skip
 (UPD/StrucmotifUpdate.java:229-233 anti-join vs known.list) and HashSet dedup
@@ -170,100 +171,124 @@ def ngram_jaccard_pairs(
 
     shingle-hash explode (each row CARRYING its doc's set size ``n``, computed
     in-batch — a doc never splits across batches, so no sizes table, no
-    O(n_docs) driver broadcast, no extra join) -> hash-partitioned SELF-JOIN
-    on shingle -> per-(doc_a, doc_b) Count = intersection size with the sizes
-    riding along as group-constant Max aggregates -> integer threshold test.
-    Returns (doc_a, doc_b, common, n_a, n_b) — all int64, doc_a < doc_b.
+    O(n_docs) driver broadcast, no extra join) -> shingle-BUCKET groupby whose
+    vectorized body expands per-shingle runs to ordered pairs (segmented
+    triangular decode) and pre-aggregates per-pair partial counts -> pair-
+    BUCKET groupby summing partials + integer threshold test. Two bucketed
+    exchanges, no hash join (no join-actor setup, no schema-less-empty-
+    partition hazard, no mid-pipeline materialize). Returns
+    (doc_a, doc_b, common, n_a, n_b) — all int64, doc_a < doc_b, sorted.
 
-    ``max_shingle_df``: skew guard for the self-join. A single stop-shingle
-    appearing in f docs emits f^2 join rows; with the cap, shingles with
-    df > max_shingle_df are dropped from BOTH join sides (the carried per-doc
-    set sizes are untouched — they were stamped at emit time), bounding join
-    fan-out at num_shingles * cap^2. Effect is one-sided: ``common`` can only
-    shrink, so precision is intact and only recall is reduced (a pair must
-    now clear the threshold using non-hot shingles alone). None = exact (the
-    oracle-checked default).
+    ``max_shingle_df``: skew guard. A stop-shingle appearing in f docs
+    expands to f^2/2 pairs; every copy of a shingle hash lands in ONE group,
+    so its run length IS its global df and runs longer than the cap are
+    dropped inside the group body — zero extra exchange (the old join plan
+    needed a df-count groupby + driver broadcast for the same cap). Effect is
+    one-sided: ``common`` can only shrink, so precision is intact and only
+    recall is reduced. None = exact (the oracle-checked default).
     """
-    import ray
-    from ray.data.aggregate import Count, Max
+    n_hash_buckets = max(64, num_partitions * 8)
 
     def shingles_sized(batch: pa.Table) -> pa.Table:
         t = _shingle_hash_table(batch, k, id_col, text_col)
         d = t["doc_id"].to_numpy(zero_copy_only=False)
         uniq, counts = np.unique(d, return_counts=True)
         n = counts[np.searchsorted(uniq, d)] if len(d) else d
-        return t.append_column("n", pa.array(n.astype(np.int64), pa.int64()))
-
-    # Materialized: consumed by both sides of the self-join (without this the
-    # lazy upstream is scheduled twice concurrently with the join aggregators
-    # and can deadlock on a small CPU budget). Fixed-width int64 triples — a
-    # small multiple of the token count, spills to disk if large.
-    shingles = ds.map_batches(shingles_sized, batch_format="pyarrow").materialize()
-
-    join_input = shingles
-    if max_shingle_df is not None:
-        # Distributed df count; only the HOT hash values (tiny by definition
-        # of a skew cap) come to the driver for the broadcast filter.
-        sh_df = shingles.groupby("sh").aggregate(Count(alias_name="df"))
-        hot = sh_df.filter(expr=f"df > {int(max_shingle_df)}").select_columns(["sh"]).to_pandas()
-        hot_ref = ray.put(hot["sh"].to_numpy().astype(np.int64))
-
-        def drop_hot(batch: pa.Table) -> pa.Table:
-            hot_vals = ray.get(hot_ref)
-            mask = pc.invert(pc.is_in(batch["sh"], value_set=pa.array(hot_vals, pa.int64())))
-            return batch.filter(mask)
-
-        join_input = shingles.map_batches(drop_hot, batch_format="pyarrow").materialize()
-
-    joined = join_input.join(
-        join_input,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("sh",),
-        left_suffix="_a",
-        right_suffix="_b",
-    )
-
-    def ordered_pairs(batch: pa.Table) -> pa.Table:
-        a = batch["doc_id_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_id_b"].to_numpy(zero_copy_only=False)
-        m = a < b
+        h = t["sh"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_a": pa.array(a[m], pa.int64()),
-                "doc_b": pa.array(b[m], pa.int64()),
-                "n_a": batch["n_a"].filter(pa.array(m)).cast(pa.int64()),
-                "n_b": batch["n_b"].filter(pa.array(m)).cast(pa.int64()),
+                "doc_id": t["doc_id"],
+                "sh": t["sh"],
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "shbucket": pa.array((h % n_hash_buckets).astype(np.int64)),
             }
         )
 
-    common = (
-        joined.map_batches(ordered_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(
-            Count(alias_name="common"),
-            Max("n_a", alias_name="n_a"),  # group-constant: every row agrees
-            Max("n_b", alias_name="n_b"),
+    def expand_pairs(group: pa.Table) -> pa.Table:
+        sh = group["sh"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, sh))
+        sh_s, d_s, n_s = sh[order], d[order], n[order]
+        first = np.empty(len(sh_s), dtype=bool)
+        first[0] = True
+        np.not_equal(sh_s[1:], sh_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.r_[starts, len(sh_s)])
+        if max_shingle_df is not None:
+            live = runlen <= int(max_shingle_df)  # run length == global df
+            starts, runlen = starts[live], runlen[live]
+        i, j = _segment_pairs(starts, runlen)
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "common": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+                "pairbucket": pa.array([], pa.int64()),
+            }
         )
-    )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        cm = batch["common"].to_numpy(zero_copy_only=False).astype(np.int64)
-        na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nb = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        union = na + nb - cm
-        keep = pa.array(cm * threshold_den >= threshold_num * union)  # integer-exact
+        if not len(i):
+            return empty
+        a, b = d_s[i], d_s[j]  # d ascending within a run -> a < b
+        na, nb = n_s[i], n_s[j]
+        # in-group partial aggregation: one row per (a, b) with its count
+        po = np.lexsort((b, a))
+        a, b, na, nb = a[po], b[po], na[po], nb[po]
+        pf = np.empty(len(a), dtype=bool)
+        pf[0] = True
+        np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=pf[1:])
+        ps = np.flatnonzero(pf)
+        cnt = np.diff(np.r_[ps, len(a)])
+        a, b, na, nb = a[ps], b[ps], na[ps], nb[ps]
         return pa.table(
             {
-                "doc_a": batch["doc_a"].cast(pa.int64()),
-                "doc_b": batch["doc_b"].cast(pa.int64()),
-                "common": pa.array(cm),
-                "n_a": pa.array(na),
-                "n_b": pa.array(nb),
+                "doc_a": pa.array(a.astype(np.int64)),
+                "doc_b": pa.array(b.astype(np.int64)),
+                "common": pa.array(cnt.astype(np.int64)),
+                "n_a": pa.array(na.astype(np.int64)),
+                "n_b": pa.array(nb.astype(np.int64)),
+                "pairbucket": pa.array(
+                    ((a * 31 + b) % num_partitions).astype(np.int64)
+                ),
             }
-        ).filter(keep)
+        )
 
-    return common.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+    def merge_pairs(group: pa.Table) -> pa.Table:
+        a = group["doc_a"].to_numpy(zero_copy_only=False)
+        b = group["doc_b"].to_numpy(zero_copy_only=False)
+        cm = group["common"].to_numpy(zero_copy_only=False)
+        na = group["n_a"].to_numpy(zero_copy_only=False)
+        nb = group["n_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, cm, na, nb = a[order], b[order], cm[order], na[order], nb[order]
+        pf = np.empty(len(a), dtype=bool)
+        pf[0] = True
+        np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=pf[1:])
+        ps = np.flatnonzero(pf)
+        common = np.add.reduceat(cm, ps)
+        a, b, na, nb = a[ps], b[ps], na[ps], nb[ps]
+        union = na + nb - common
+        keep = common * threshold_den >= threshold_num * union  # integer-exact
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep].astype(np.int64)),
+                "doc_b": pa.array(b[keep].astype(np.int64)),
+                "common": pa.array(common[keep].astype(np.int64)),
+                "n_a": pa.array(na[keep].astype(np.int64)),
+                "n_b": pa.array(nb[keep].astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(shingles_sized, batch_format="pyarrow")
+        .groupby("shbucket")
+        .map_groups(expand_pairs, batch_format="pyarrow")
+        .groupby("pairbucket")
+        .map_groups(merge_pairs, batch_format="pyarrow")
+        .sort(["doc_a", "doc_b"])
+    )
 
 
 # --------------------------------------------------------------------------

@@ -549,3 +549,33 @@ def test_multimodal_real_decode_is_marked(ray_session):
     for cls in (MediaFeaturizer, ImageResizer, FrameSampler):
         with _pytest.raises(NotImplementedError):
             cls(decode="real")
+
+
+def test_jaccard_hot_shingle_cap(ray_session):
+    """max_shingle_df drops stop-shingle runs inside the group body (run
+    length == global df): docs related ONLY through the hot shingle stop
+    pairing; near-identical docs still pair, their `common` reduced by
+    exactly the dropped shingle."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.dedup import ngram_jaccard_pairs
+
+    hot = "the quick brown"  # one 3-gram shared by ALL docs
+    texts = [
+        f"{hot} fox jumps high",          # 0: near-dup of 1
+        f"{hot} fox jumps high today",    # 1
+        f"{hot} entirely different words here",  # 2: only the hot shingle shared
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": pa.array(texts)})
+    )
+    exact = ngram_jaccard_pairs(ds, threshold_num=1, threshold_den=2).to_pandas()
+    capped = ngram_jaccard_pairs(
+        ds, threshold_num=1, threshold_den=2, max_shingle_df=2
+    ).to_pandas()
+    e = {(r.doc_a, r.doc_b): r.common for r in exact.itertuples()}
+    c = {(r.doc_a, r.doc_b): r.common for r in capped.itertuples()}
+    assert (0, 1) in e and (0, 1) in c
+    assert c[(0, 1)] == e[(0, 1)] - 1  # hot shingle no longer counted
+    assert all(p == (0, 1) for p in c)  # hot-only relations gone
