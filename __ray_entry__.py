@@ -1062,6 +1062,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_featurize": multimodal_featurize,
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
+        "revenue_by_part_type": rel.revenue_by_part_type,
+        "top_suppliers": rel.top_suppliers,
         "top_orders": rel.top_orders,
         "top_orders_per_customer": rel.top_orders_per_customer,
         "customers_without_orders": rel.customers_without_orders,
@@ -1977,6 +1979,25 @@ WHERE text IS NOT NULL
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_part_type": """
+            SELECT p.p_type,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT AS revenue_c4,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_type
+        """,
+        "top_suppliers": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS revenue_c4
+              FROM lineitem GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, n.n_name, r.revenue_c4
+            FROM rev r
+            JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            ORDER BY r.revenue_c4 DESC, s.s_suppkey LIMIT 10
         """,
         "revenue_by_nation": """
             SELECT n.n_name,

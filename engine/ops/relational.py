@@ -821,3 +821,102 @@ def extract_props_k(sf_dir: str):
         .map_batches(ex, batch_format="pyarrow")
         .sort("event_id")
     )
+
+
+def revenue_by_part_type(sf_dir: str):
+    """Revenue per part type: lineitem with the part dim BROADCAST (ray.put
+    once, searchsorted gather per batch — the part table is the classic
+    small side; shipping it per-batch or shuffling the fact for a join would
+    be the 100-TB mistake) and per-batch partial aggregation before one tiny
+    groupby over the handful of type labels. Integer fixed-point revenue
+    (1e-4 units) — exact, order-independent."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    p_sorted = part.sort_values("p_partkey")
+    dim_ref = ray.put(
+        (p_sorted["p_partkey"].to_numpy(), p_sorted["p_type"].to_numpy())
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk, ptype = ray.get(dim_ref)
+        price_c = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        key = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "p_type": pa.array(ptype[np.searchsorted(pk, key)], pa.string()),
+                "revenue": pa.array(price_c * (100 - disc_c)),
+                "n": pa.array(np.ones(len(key), dtype=np.int64)),
+            }
+        )
+        return t.group_by(["p_type"], use_threads=False).aggregate(
+            [("revenue", "sum"), ("n", "sum")]
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_type")
+        .aggregate(
+            Sum("revenue_sum", alias_name="revenue_c4"),
+            Sum("n_sum", alias_name="n_items"),
+        )
+        .sort("p_type")
+    )
+
+
+def top_suppliers(sf_dir: str, k: int = 10):
+    """Top-k suppliers by lineitem revenue, with supplier + nation dims
+    broadcast onto the pre-aggregated fact: per-batch partial sum per
+    l_suppkey -> one groupby over the supplier-key space (small) -> dim
+    gather -> deterministic top-k (revenue desc, suppkey asc). The fact
+    table is never joined or shuffled wide."""
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    s_sorted = sup.sort_values("s_suppkey")
+    n_sorted = nation.sort_values("n_nationkey")
+    dim_ref = ray.put(
+        (
+            s_sorted["s_suppkey"].to_numpy(),
+            s_sorted["s_name"].to_numpy(),
+            s_sorted["s_nationkey"].to_numpy(),
+            n_sorted["n_nationkey"].to_numpy(),
+            n_sorted["n_name"].to_numpy(),
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_c = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table(
+            {
+                "l_suppkey": batch["l_suppkey"],
+                "revenue": pa.array(price_c * (100 - disc_c)),
+            }
+        )
+        return t.group_by(["l_suppkey"], use_threads=False).aggregate([("revenue", "sum")])
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("revenue_sum", alias_name="revenue_c4"))
+    )
+
+    def hydrate(batch: pa.Table) -> pa.Table:
+        sk, sname, snat, nk, nname = ray.get(dim_ref)
+        key = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sk, key)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(key, pa.int64()),
+                "s_name": pa.array(sname[pos], pa.string()),
+                "n_name": pa.array(nname[np.searchsorted(nk, snat[pos])], pa.string()),
+                "revenue_c4": batch["revenue_c4"],
+            }
+        )
+
+    return (
+        agg.map_batches(hydrate, batch_format="pyarrow")
+        .sort(["revenue_c4", "s_suppkey"], descending=[True, False])
+        .limit(k)
+    )
