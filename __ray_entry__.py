@@ -1063,6 +1063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
         "revenue_by_part_type": rel.revenue_by_part_type,
+        "funnel_counts": lambda sf_dir: _i64(_collect(rel.funnel_counts(sf_dir)), ["stage_idx", "n_users"]),
+        "cohort_retention": lambda sf_dir: _i64(_collect(rel.cohort_retention(sf_dir)), ["day_offset", "n_users"]),
         "top_suppliers": rel.top_suppliers,
         "top_orders": rel.top_orders,
         "top_orders_per_customer": rel.top_orders_per_customer,
@@ -1979,6 +1981,28 @@ WHERE text IS NOT NULL
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "funnel_counts": """
+            WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t1 USING (user_id)
+                   WHERE e.event_type = 'view' AND e.ts > t1.t GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY e.user_id)
+            SELECT 1::BIGINT AS stage_idx, 'signup' AS stage, count(*)::BIGINT AS n_users FROM t1
+            UNION ALL
+            SELECT 2::BIGINT, 'view', count(*)::BIGINT FROM t2
+            UNION ALL
+            SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM t3
+        """,
+        "cohort_retention": """
+            WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+            cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+            SELECT c.cohort_day,
+                   datediff('day', c.cohort_day, d.day)::BIGINT AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM days d JOIN cohort c USING (user_id)
+            GROUP BY c.cohort_day, day_offset
         """,
         "revenue_by_part_type": """
             SELECT p.p_type,

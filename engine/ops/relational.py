@@ -920,3 +920,151 @@ def top_suppliers(sf_dir: str, k: int = 10):
         .sort(["revenue_c4", "s_suppkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def funnel_counts(
+    sf_dir: str,
+    stages: tuple[str, ...] = ("signup", "view", "purchase"),
+    num_buckets: int = 32,
+):
+    """Ordered funnel over the events stream: per user, the earliest
+    stage-1 event, then the earliest stage-2 event STRICTLY after it, and so
+    on; emits (stage_idx, stage, n_users) — how many users reach each stage
+    in order. The classic product-analytics sequence query; at engine level
+    a per-user ordered scan, which Ray Data has no native operator for.
+
+    Shape: pruned read filtered to funnel stages -> user-hash bucket groupby
+    (each bucket holds MANY users) with a fully vectorized body (lexsort +
+    per-stage masked segment-min via reduceat, one pass per stage) emitting
+    per-bucket partial stage counts -> tiny stage groupby Sum."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b["event_type"], value_set=pa.array(list(stages)))
+        t = b.filter(mask)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        code = (
+            pc.index_in(t["event_type"], value_set=pa.array(list(stages)))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "stage": pa.array(code),
+                "bucket": pa.array((u % num_buckets).astype(np.int64)),
+            }
+        )
+
+    def funnel(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        st = group["stage"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u_s, ts_s, st_s = u[order], ts[order], st[order]
+        first = np.empty(len(u_s), dtype=bool)
+        first[0] = True
+        np.not_equal(u_s[1:], u_s[:-1], out=first[1:])
+        seg = np.cumsum(first) - 1  # user segment id per row
+        starts = np.flatnonzero(first)
+        n_users = len(starts)
+        INF = np.int64(2**62)
+        prev_t = np.full(n_users, -INF)  # stage-0 threshold: any event counts
+        counts = np.zeros(len(stages), dtype=np.int64)
+        for s in range(len(stages)):
+            cand = np.where((st_s == s) & (ts_s > prev_t[seg]), ts_s, INF)
+            seg_min = np.minimum.reduceat(cand, starts)
+            reached = seg_min < INF
+            counts[s] = int(reached.sum())
+            prev_t = np.where(reached, seg_min, INF)  # unreachable users stay stuck
+        return pa.table(
+            {
+                "stage_idx": pa.array(np.arange(1, len(stages) + 1, dtype=np.int64)),
+                "stage": pa.array(list(stages), pa.string()),
+                "n_users": pa.array(counts),
+            }
+        )
+
+    return (
+        ev.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel, batch_format="pyarrow")
+        .groupby(["stage_idx", "stage"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort("stage_idx")
+    )
+
+
+def cohort_retention(sf_dir: str, num_buckets: int = 32):
+    """Cohort retention: users grouped by FIRST-activity day (their cohort),
+    counted on each later day they were active — (cohort_day, day_offset,
+    n_users). The standard engagement matrix.
+
+    Shape: pruned read -> in-batch (user, day) distinct partial -> user-hash
+    bucket groupby whose vectorized body computes each user's cohort day and
+    emits per-bucket (cohort, offset) partial counts -> small (cohort,
+    offset) groupby Sum. Exchange rows are bounded by users x active-days,
+    already deduped in-batch."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial_days(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        day = (
+            b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype(np.int64)
+        )
+        key = np.unique(u * np.int64(1 << 20) + day)  # day fits far below 2^20
+        uu, dd = key >> 20, key & ((1 << 20) - 1)
+        return pa.table(
+            {
+                "user_id": pa.array(uu),
+                "day": pa.array(dd),
+                "bucket": pa.array((uu % num_buckets).astype(np.int64)),
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        day = group["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, u))
+        u_s, d_s = u[order], day[order]
+        first = np.empty(len(u_s), dtype=bool)
+        first[0] = True
+        np.not_equal(u_s[1:], u_s[:-1], out=first[1:])
+        # batches may re-emit the same (user, day): dedupe within the bucket
+        dup = np.empty(len(u_s), dtype=bool)
+        dup[0] = True
+        np.logical_or(first[1:], d_s[1:] != d_s[:-1], out=dup[1:])
+        u_s, d_s, first = u_s[dup], d_s[dup], first[dup]
+        seg = np.cumsum(first) - 1
+        cohort = d_s[np.flatnonzero(first)][seg]  # each user's min day
+        off = d_s - cohort
+        key = cohort * np.int64(1 << 20) + off
+        kk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "cohort": pa.array(kk >> 20),
+                "day_offset": pa.array(kk & ((1 << 20) - 1)),
+                "n_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def to_ts(b: pa.Table) -> pa.Table:
+        cohort_day = b["cohort"].to_numpy(zero_copy_only=False).astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table(
+            {
+                "cohort_day": pa.array(cohort_day),
+                "day_offset": b["day_offset"],
+                "n_users": b["n_users"],
+            }
+        )
+
+    return (
+        ev.map_batches(partial_days, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(to_ts, batch_format="pyarrow")
+        .sort(["cohort_day", "day_offset"])
+    )

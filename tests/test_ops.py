@@ -579,3 +579,86 @@ def test_jaccard_hot_shingle_cap(ray_session):
     assert (0, 1) in e and (0, 1) in c
     assert c[(0, 1)] == e[(0, 1)] - 1  # hot shingle no longer counted
     assert all(p == (0, 1) for p in c)  # hot-only relations gone
+
+
+def _events_sf(tmp_path, rows):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    ts = [pa.scalar(t, pa.timestamp("us")) for t in rows["ts"]]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(ts)), pa.int64()),
+            "ts": pa.array([t.as_py() for t in ts], pa.timestamp("us")),
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "value": pa.array([1.0] * len(ts), pa.float64()),
+            "props": pa.array(["{}"] * len(ts), pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{sf}/events.parquet")
+    return sf
+
+
+def test_funnel_counts_order_sensitivity(ray_session, tmp_path):
+    """u1 completes signup->view->purchase in order; u2 has all three but the
+    purchase PRECEDES the view (stage 3 not reached); u3 only signs up."""
+    import numpy as np
+
+    from engine.ops.relational import funnel_counts
+
+    d = np.datetime64("2024-01-01T00:00", "us")
+    m = np.timedelta64(1, "m")
+    sf = _events_sf(
+        tmp_path,
+        {
+            "ts": [d, d + m, d + 2 * m, d, d + m, d + 2 * m, d],
+            "user_id": [1, 1, 1, 2, 2, 2, 3],
+            "event_type": [
+                "signup", "view", "purchase",
+                "signup", "purchase", "view",
+                "signup",
+            ],
+        },
+    )
+    out = funnel_counts(sf).to_pandas()
+    assert list(zip(out["stage_idx"], out["stage"], out["n_users"])) == [
+        (1, "signup", 3),
+        (2, "view", 2),
+        (3, "purchase", 1),
+    ]
+
+
+def test_cohort_retention_offsets(ray_session, tmp_path):
+    """u1 cohort day0 active days {0,2}; u2 cohort day0 active {0}; u3 cohort
+    day2 active {2,3}; duplicate same-day events count once."""
+    import numpy as np
+
+    from engine.ops.relational import cohort_retention
+
+    day = lambda k, h=0: np.datetime64("2024-01-01T00:00", "us") + np.timedelta64(
+        k * 24 + h, "h"
+    )
+    sf = _events_sf(
+        tmp_path,
+        {
+            "ts": [day(0), day(0, 5), day(2), day(0), day(2), day(3)],
+            "user_id": [1, 1, 1, 2, 3, 3],
+            "event_type": ["view"] * 6,
+        },
+    )
+    out = cohort_retention(sf).to_pandas()
+    got = [
+        (str(r.cohort_day)[:10], int(r.day_offset), int(r.n_users))
+        for r in out.itertuples()
+    ]
+    assert got == [
+        ("2024-01-01", 0, 2),
+        ("2024-01-01", 2, 1),
+        ("2024-01-03", 0, 1),
+        ("2024-01-03", 1, 1),
+    ]
