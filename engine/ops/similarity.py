@@ -375,3 +375,58 @@ def label_centroids(sf_dir: str, round_to: int = 6):
         .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def sq8_topk(
+    ds,
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    margin: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rank_round: int | None = None,
+) -> pa.Table:
+    """Scalar-quantized (SQ8) cosine top-k with exact in-batch re-rank.
+
+    The memory-bandwidth scale path for brute-force ANN: vectors are
+    normalized then quantized to int8 (symmetric, scale 127 — exact range
+    for unit vectors), candidate SELECTION runs on the 4x-smaller float32
+    view of the codes, and the selected ``k + margin`` per query per batch
+    are re-scored from the batch's own float64 vectors before the partial
+    merge — so emitted cosines carry full float precision (differing from
+    brute_topk only by summation-order ULPs) and only selection is
+    approximate (recall gated in pytest vs ``brute_topk``; margin trades
+    recall for compute). Same partial-merge discipline as brute_topk."""
+    import ray
+
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qq = np.round(q * 127.0).astype(np.int8).astype(np.float32)
+    qref = ray.put((q, qq))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, qmq = ray.get(qref)
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mat = _normalize(_stack(batch[vec_col]))
+        mat_q = np.round(mat * 127.0).astype(np.int8).astype(np.float32)
+        approx = qmq @ mat_q.T  # (nq, nb) int8-domain scores
+        nb = approx.shape[1]
+        kk = min(k + margin, nb)
+        part = np.argpartition(-approx, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qm)), kk)
+        cols = part.ravel()
+        # exact re-rank of the selected candidates only (vectors in-batch)
+        exact = np.einsum("ij,ij->i", qm[rows], mat[cols])
+        return pa.table(
+            {
+                "qi": pa.array(rows.astype(np.int32)),
+                "vec_id": pa.array(ids[cols], pa.int64()),
+                "cosine": pa.array(exact, pa.float64()),
+            }
+        )
+
+    parts = [
+        ray.get(r)
+        for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+    ]
+    return _merge_partials(parts, query_ids, k, rank_round)

@@ -662,3 +662,41 @@ def test_cohort_retention_offsets(ray_session, tmp_path):
         ("2024-01-03", 0, 1),
         ("2024-01-03", 1, 1),
     ]
+
+
+def test_sq8_topk_recall_vs_brute(ray_session, tmp_path):
+    """SQ8 selection + exact re-rank: recall@10 vs brute >= 0.95 and every
+    returned cosine is the EXACT float value (re-ranked), not a quantized
+    approximation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.similarity import brute_topk, sq8_topk
+
+    rng = np.random.default_rng(7)
+    n, d = 600, 32
+    mat = rng.normal(size=(n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    qv, qi = mat[:5], np.arange(5)
+    b = brute_topk(ds, qv, qi, k=10).to_pandas()
+    s = sq8_topk(ds, qv, qi, k=10).to_pandas()
+    recalls = []
+    for qid in range(5):
+        bs = set(b[b.query_id == qid].vec_id)
+        ss = set(s[s.query_id == qid].vec_id)
+        recalls.append(len(bs & ss) / len(bs))
+    assert np.mean(recalls) >= 0.95, recalls
+    # exact re-rank: overlapping hits agree with brute to accumulation-order
+    # ULPs (einsum vs matmul sum the same float64 products in different
+    # order), far below any quantization error (~1e-2)
+    m = b.merge(s, on=["query_id", "vec_id"], suffixes=("_b", "_s"))
+    np.testing.assert_allclose(
+        m["cosine_b"].to_numpy(), m["cosine_s"].to_numpy(), rtol=0, atol=1e-12
+    )
