@@ -1048,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": ngram_novelty,
         "doc_repetition": doc_repetition,
         "winnow_fingerprints": winnow_fingerprints,
+        "kmv_distinct_shingles": lambda sf_dir: __import__("engine.ops.sketch", fromlist=["x"]).kmv_distinct_shingles(_docs(sf_dir, ["doc_id", "text"])),
         "doc_ttr": doc_ttr,
         "decontaminate": decontaminate,
         "lang_confusion": lang_confusion,
@@ -1861,6 +1862,21 @@ WHERE text IS NOT NULL
             SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
                    sum(CASE WHEN sdf.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
             FROM sh JOIN sdf USING (shingle) GROUP BY sh.doc_id
+        """,
+        "kmv_distinct_shingles": f"""
+            WITH {_SHINGLE_CTE},
+            u AS (SELECT DISTINCT shingle FROM sh),
+            hh AS (SELECT md5_number_lower(shingle)::UBIGINT AS h FROM u),
+            mins AS (SELECT h FROM hh ORDER BY h LIMIT 256),
+            agg AS (SELECT count(*) AS kk, max(h) AS kth FROM mins)
+            SELECT kk::BIGINT AS k,
+                   (kth::HUGEINT - CASE WHEN kth >= 9223372036854775808::HUGEINT
+                                   THEN 18446744073709551616::HUGEINT
+                                   ELSE 0::HUGEINT END)::BIGINT AS kth_min,
+                   CASE WHEN kk < 256 THEN kk::DOUBLE
+                        ELSE (kk - 1)::DOUBLE * 18446744073709551616.0 / kth::DOUBLE
+                   END AS est
+            FROM agg
         """,
         "winnow_fingerprints": f"""
             WITH toks AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),

@@ -700,3 +700,50 @@ def test_sq8_topk_recall_vs_brute(ray_session, tmp_path):
     np.testing.assert_allclose(
         m["cosine_b"].to_numpy(), m["cosine_s"].to_numpy(), rtol=0, atol=1e-12
     )
+
+
+def test_kmv_distinct_sketch(ray_session):
+    """Below k distinct values the sketch is EXACT; above, the estimate is
+    within ~3/sqrt(k) of truth and deterministic across block layouts
+    (mergeability: per-batch k-minima union to the global k-minima)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.sketch import kmv_distinct_shingles
+
+    # 2 docs, 5 distinct 3-gram shingles total -> exact
+    small = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a b c d e", "c d e f g"]),
+            }
+        )
+    )
+    row = kmv_distinct_shingles(small).to_pandas()
+    assert row["k"].iloc[0] == 5 and row["est"].iloc[0] == 5.0
+
+    # ~2000 distinct shingles, far above k=256: estimate within 3/sqrt(k)
+    rng = np.random.default_rng(3)
+    texts = [" ".join(f"w{rng.integers(0, 400)}" for _ in range(60)) for _ in range(80)]
+    ds1 = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(80), pa.int64()), "text": pa.array(texts)})
+    )
+    import duckdb
+
+    truth = duckdb.sql(
+        "SELECT count(DISTINCT t1 || ' ' || t2 || ' ' || t3) FROM ("
+        " SELECT doc_id, tok AS t1, lead(tok,1) OVER w AS t2, lead(tok,2) OVER w AS t3"
+        " FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,"
+        "       generate_subscripts(string_split(text, ' '), 1) AS i"
+        "       FROM (SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+        + ") v(doc_id, text)))"
+        " WINDOW w AS (PARTITION BY doc_id ORDER BY i)) WHERE t3 IS NOT NULL"
+    ).fetchone()[0]
+    est1 = kmv_distinct_shingles(ds1).to_pandas()["est"].iloc[0]
+    assert abs(est1 - truth) / truth < 3 / np.sqrt(256), (est1, truth)
+    # block-layout independence (mergeable partials): same estimate at 8 blocks
+    est2 = kmv_distinct_shingles(ds1.repartition(8)).to_pandas()["est"].iloc[0]
+    assert est1 == est2
