@@ -119,8 +119,13 @@ def _documents_index(sf_dir: str) -> str:
     if not os.path.exists(os.path.join(idx, "stats.json")):
         import ray.data
 
-        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        build_index(ds, idx, id_col="doc_id", n_buckets=8, n_salts=4, hot_fraction=0.05)
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        build_index(
+            ds, idx, id_col="doc_id", n_buckets=8, n_salts=4, hot_fraction=0.05,
+            category_col="source",
+        )
     return idx
 
 
@@ -274,6 +279,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .astype(np.int64)
         )
         allowed = ids[ids % 3 == 0]
+        tables = [
+            bm.topk_table(qid, text, k, rank_round=RANK_ROUND, allowed=allowed)
+            for qid, text, k in DOC_QUERIES
+        ]
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        res = _round_scores(res, "score", "score_r", SCORE_ROUND)
+        return _i64(res, ["rank"])
+
+    def bm25_topk_category(sf_dir):
+        """Query-time content-class filter: the docmap category sets (the
+        resultsContentType experimental/computational filter,
+        DefaultStructureIndexProvider.java:36-89) restrict hits to
+        source='src1' docs via the precomputed allowed set."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        allowed = bm.category_docs("src1")
         tables = [
             bm.topk_table(qid, text, k, rank_round=RANK_ROUND, allowed=allowed)
             for qid, text, k in DOC_QUERIES
@@ -1014,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
         "bm25_topk_filtered": bm25_topk_filtered,
+        "bm25_topk_category": bm25_topk_category,
         "bm25_topk_incremental": bm25_topk_incremental,
         "bm25_topk_expanded": bm25_topk_expanded,
         "bm25_topk_fuzzy": bm25_topk_fuzzy,
@@ -1716,6 +1739,10 @@ WHERE text IS NOT NULL
   AND regexp_replace(trim(lower(nfc_normalize(text))), '\\s+', ' ', 'g') <> ''
 """,
         "bm25_topk_filtered": _bm25_sql(conjunctive=False, doc_filter="scores.doc_id % 3 = 0"),
+        "bm25_topk_category": _bm25_sql(
+            conjunctive=False,
+            doc_filter="scores.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src1')",
+        ),
         # incremental half-build + ADD must equal the full-corpus build
         "bm25_topk_incremental": _bm25_sql(conjunctive=False),
         "bm25_topk_expanded": _expanded_sql(),

@@ -193,6 +193,7 @@ def build_index(
     resume: bool = True,
     positions: bool = False,
     store_text: bool = True,
+    category_col: str | None = None,
 ) -> dict:
     """Build (or resume) the inverted index. Returns a build report dict.
 
@@ -225,7 +226,9 @@ def build_index(
 
     # --- docID assignment + docmap + global stats ---------------------------
     if transcripts:
-        ds = ds.select_columns(["conv_id", "turn_idx", "text"])
+        ds = ds.select_columns(
+            ["conv_id", "turn_idx", "text"] + ([category_col] if category_col else [])
+        )
         convs, base = conv_base_offsets(ds)
         ds = add_doc_ids(ds, convs, base)
         id_col = "doc_id"
@@ -251,10 +254,17 @@ def build_index(
                 # COLUMN, so stats/length readers that project
                 # ["doc_id","dl"] never pay for it; DocStore row-group-prunes.
                 cols["text"] = b[text_col]
+            if category_col:
+                # per-doc class label (the experimental/computational content-
+                # type sets of DefaultStructureIndexProvider.java:36-89):
+                # query-time category filters resolve against the docmap
+                cols["category"] = b[category_col].cast(pa.string())
             return pa.table(cols)
 
     else:
-        ds = ds.select_columns([id_col, text_col])
+        ds = ds.select_columns(
+            [id_col, text_col] + ([category_col] if category_col else [])
+        )
 
         def docmap_fn(b: pa.Table) -> pa.Table:
             dl = doc_length_batch(b, id_col=id_col, text_col=text_col)
@@ -264,6 +274,8 @@ def build_index(
             )
             if store_text:
                 out = out.append_column("text", b[text_col])
+            if category_col:
+                out = out.append_column("category", b[category_col].cast(pa.string()))
             return out
 
     # docmap pass is itself checkpointed: a _SUCCESS marker makes it resumable
@@ -474,6 +486,7 @@ def build_index(
         "inputs": lineage_inputs,
         "transcripts_mode": transcripts,
         "positional": positions,
+        "category_col": category_col,
         "timings_sec": {
             "docmap": round(t_docmap - t0, 3),
             "hot_detect": round(t_hot - t_docmap, 3),

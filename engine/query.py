@@ -829,6 +829,40 @@ class Bm25Index:
             text, k, m=m, rank_round=rank_round, select_round=select_round
         )
 
+    def category_docs(self, value) -> np.ndarray:
+        """Sorted docIDs whose docmap ``category`` equals ``value`` (a string
+        or an iterable of strings) — the analog of the reference's resident
+        experimental/computational content-type ID sets
+        (DefaultStructureIndexProvider.java:36-89; queries filter hits by
+        ``resultsContentType`` against them). Resolved ONCE per index handle
+        per value set (columnar docmap read, cached) and fed to
+        ``topk(allowed=...)``, so per-query cost is the existing J3 filter.
+        Requires ``build_index(category_col=...)``."""
+        vals = sorted({value} if isinstance(value, str) else set(value))
+        key = tuple(vals)
+        cache = getattr(self, "_cat_cache", None)
+        if cache is None:
+            cache = self._cat_cache = {}
+        hit = cache.get(key)
+        if hit is None:
+            import pyarrow.compute as _pc
+
+            try:
+                dm = pq.read_table(
+                    os.path.join(self.index_dir, "docmap"),
+                    columns=["doc_id", "category"],
+                )
+            except Exception as e:
+                raise ValueError(
+                    "index has no category column — build with category_col="
+                ) from e
+            mask = _pc.is_in(dm["category"], value_set=pa.array(vals, pa.string()))
+            hit = np.sort(
+                dm.filter(mask)["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            cache[key] = hit
+        return hit
+
     def _probe_blocks(
         self, term: str, candidates: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:

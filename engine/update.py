@@ -187,17 +187,20 @@ def add_documents(
         )
     )
     has_hash = "content_hash" in dm_schema.names
+    cat_col = stats.get("category_col") if "category" in dm_schema.names else None
     if transcripts:
         cols = ["conv_id", "turn_idx", "doc_id"] + (["content_hash"] if has_hash else [])
         known = _read_docmap(index_dir, columns=cols)
         keys = _key_strings(known["conv_id"], known["turn_idx"])
-        ds = ds.select_columns(["conv_id", "turn_idx", text_col])
+        ds = ds.select_columns(
+            ["conv_id", "turn_idx", text_col] + ([cat_col] if cat_col else [])
+        )
     else:
         id_col = id_col or "doc_id"
         cols = ["doc_id"] + (["content_hash"] if has_hash else [])
         known = _read_docmap(index_dir, columns=cols)
         keys = known["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ds = ds.select_columns([id_col, text_col])
+        ds = ds.select_columns([id_col, text_col] + ([cat_col] if cat_col else []))
     order = np.argsort(keys, kind="stable")
     keys_sorted = keys[order]
     docid_sorted = known["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
@@ -280,6 +283,8 @@ def add_documents(
         cols["content_hash"] = pa.array(hash64_text(b[text_col]).astype(np.int64), pa.int64())
         if has_text:
             cols["text"] = b[text_col]
+        if cat_col:
+            cols["category"] = b[cat_col].cast(pa.string())
         return pa.table(cols)
 
     delta_dir = os.path.join(_docmap_dir(index_dir), f"delta-{generation:04d}")

@@ -260,3 +260,51 @@ def test_prefix_terms_and_cap(tiny_index, oracle):
     if len(vocab) > 1:
         with pytest.raises(ValueError):
             bm.prefix_terms("", max_terms=1)
+
+
+def test_category_filter_and_incremental(ray_session, tmp_path):
+    """Docmap category sets (resultsContentType analog): category_docs
+    resolves the class -> docID set once; filtered top-k equals an explicit
+    allowed-set query; ADD carries the category column through the delta."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.update import add_documents
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["apple pie", "apple tart", "apple cake", "banana pie"]),
+            "kind": pa.array(["exp", "comp", "exp", "exp"]),
+        }
+    )
+    idx = str(tmp_path / "cat_idx")
+    build_index(
+        ray.data.from_arrow(docs), idx, id_col="doc_id", n_buckets=4, n_salts=2,
+        category_col="kind",
+    )
+    bm = Bm25Index(idx)
+    np.testing.assert_array_equal(bm.category_docs("exp"), [0, 2, 3])
+    d1, s1 = bm.topk("apple", 10, allowed=bm.category_docs("exp"))
+    d2, s2 = bm.topk("apple", 10, allowed=np.array([0, 2, 3]))
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(np.asarray(s1).view(np.uint64), np.asarray(s2).view(np.uint64))
+    assert set(d1) == {0, 2}  # doc 1 is comp, doc 3 has no 'apple'
+    # multi-class union
+    assert set(bm.category_docs({"exp", "comp"})) == {0, 1, 2, 3}
+
+    delta = pa.table(
+        {
+            "doc_id": pa.array([9], pa.int64()),
+            "text": pa.array(["apple strudel"]),
+            "kind": pa.array(["comp"]),
+        }
+    )
+    assert add_documents(idx, ray.data.from_arrow(delta), id_col="doc_id")["added"] == 1
+    bm2 = Bm25Index(idx)
+    assert set(bm2.category_docs("comp")) == {1, 9}
+    d3, _ = bm2.topk("apple", 10, allowed=bm2.category_docs("comp"))
+    assert set(d3) == {1, 9}
