@@ -27,6 +27,7 @@ from __future__ import annotations
 import copy
 
 import numpy as np
+import pyarrow as pa
 import ray
 
 
@@ -245,15 +246,31 @@ class ShardedQueryService:
     >>> doc_ids, scores = svc.topk("some query", k=10)
     """
 
-    def __init__(self, index_dir: str, n_shards: int = 4, num_cpus: float = 1):
+    def __init__(
+        self,
+        index_dir: str,
+        n_shards: int = 4,
+        num_cpus: float = 1,
+        shards: list | None = None,
+    ):
         from .query import Bm25Index
 
         # template index: docmap + stats resident once; its reader serves only
         # term->part routing (metadata), never payloads
         self._bm = Bm25Index(index_dir)
-        self.n_shards = n_shards
         r = self._bm.reader
         n_parts = r.n_buckets * r.n_salts
+        if shards is not None:
+            # adopt an existing shard pool (round-robin part assignment
+            # assumed): N coordinators can share one set of shard actors —
+            # the distributed batch-eval shape (batch_topk_sharded). Adopted
+            # pools are NOT killed by shutdown().
+            self.n_shards = len(shards)
+            self._shards = list(shards)
+            self._owns_shards = False
+            return
+        self.n_shards = n_shards
+        self._owns_shards = True
         self._shards = [
             _ShardActor.options(num_cpus=num_cpus).remote(
                 index_dir, [p for p in range(n_parts) if p % n_shards == s]
@@ -379,6 +396,121 @@ class ShardedQueryService:
         return bm.term_positions(term)
 
     def shutdown(self) -> None:
-        for s in self._shards:
-            ray.kill(s)
+        if getattr(self, "_owns_shards", True):
+            for s in self._shards:
+                ray.kill(s)
         self._shards = []
+
+
+def spawn_shard_pool(index_dir: str, n_shards: int = 4, num_cpus: float = 1) -> list:
+    """A standalone postings-shard actor pool (round-robin part assignment)
+    that several ShardedQueryService coordinators can share — payload bytes
+    live ONCE per shard regardless of coordinator count. Caller owns the
+    handles (ray.kill when done)."""
+    from .query import Bm25Index
+
+    r = Bm25Index(index_dir).reader
+    n_parts = r.n_buckets * r.n_salts
+    return [
+        _ShardActor.options(num_cpus=num_cpus).remote(
+            index_dir, [p for p in range(n_parts) if p % n_shards == s]
+        )
+        for s in range(n_shards)
+    ]
+
+
+def batch_topk_sharded(
+    query_items,
+    index_dir: str,
+    n_shards: int = 4,
+    concurrency: int = 2,
+    shard_num_cpus: float = 1,
+    coord_num_cpus: float = 1,
+    conjunctive: bool = False,
+    rank_round: int | None = None,
+) -> "pa.Table":
+    """Distributed batch evaluation over a SHARDED index: one shared shard
+    pool (payloads resident once, 1/n_shards each) + ``concurrency``
+    coordinator actors, each holding only docmap arrays + global stats and
+    streaming its queries through the ordinary scatter/gather. The serving
+    analog of ``query.batch_topk`` without any whole-index replica — at
+    100x corpus the replica model's per-actor resident set breaks and this
+    is the shape that remains.
+
+    CPU budgeting: besides the two actor pools, the Dataset's
+    read/repartition TASKS need a full CPU each — on a small budget leave
+    >= 1 CPU unreserved or the executor deadlocks silently.
+
+    ``query_items``: iterable of dicts with ``query_id``/``text``/``k``
+    (the ``QUERY_SET`` shape). Returns (query_id, rank, doc_id, score), sorted by
+    (query_id, rank) — bit-identical to the replica path (tested)."""
+    import numpy as np
+    import ray.data
+
+    shards = spawn_shard_pool(index_dir, n_shards=n_shards, num_cpus=shard_num_cpus)
+
+    class _Coordinator:
+        def __init__(self):
+            self.svc = ShardedQueryService(index_dir, shards=shards)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            qids, ranks, docs, scores = [], [], [], []
+            for qid, text, k in zip(
+                batch["query_id"].to_pylist(),
+                batch["text"].to_pylist(),
+                batch["k"].to_pylist(),
+            ):
+                d, s = self.svc.topk(
+                    text, int(k), conjunctive=conjunctive, rank_round=rank_round
+                )
+                qids.extend([qid] * len(d))
+                ranks.append(np.arange(1, len(d) + 1, dtype=np.int32))
+                docs.append(d)
+                scores.append(s)
+            cat = lambda xs, dt: (  # noqa: E731
+                np.concatenate(xs) if xs else np.empty(0, dtype=dt)
+            )
+            return pa.table(
+                {
+                    "query_id": pa.array(qids, pa.string()),
+                    "rank": pa.array(cat(ranks, np.int32)),
+                    "doc_id": pa.array(cat(docs, np.int64), pa.int64()),
+                    "score": pa.array(cat(scores, np.float64), pa.float64()),
+                }
+            )
+
+    items = pa.table(
+        {
+            "query_id": pa.array([q["query_id"] for q in query_items], pa.string()),
+            "text": pa.array([q["text"] for q in query_items], pa.string()),
+            "k": pa.array([int(q["k"]) for q in query_items], pa.int64()),
+        }
+    )
+    try:
+        blocks = ray.get(
+            ray.data.from_arrow(items)
+            .repartition(max(concurrency, 1))
+            .map_batches(
+                _Coordinator,
+                batch_format="pyarrow",
+                concurrency=(1, max(concurrency, 1)),
+                num_cpus=coord_num_cpus,
+            )
+            .to_arrow_refs()
+        )
+    finally:
+        for s in shards:
+            ray.kill(s)
+    live = [t for t in blocks if t.num_rows]
+    if not live:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int32()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    return pa.concat_tables(live).sort_by(
+        [("query_id", "ascending"), ("rank", "ascending")]
+    )

@@ -132,3 +132,4 @@ def test_sharded_qld_bit_identity(sharded, tiny_index):
         np.testing.assert_array_equal(
             np.asarray(s1).view(np.uint64), np.asarray(s2).view(np.uint64)
         )
+
