@@ -48,6 +48,14 @@ def main(argv: list[str] | None = None) -> int:
         "--positions", action="store_true",
         help="store per-occurrence token positions (enables phrase queries)",
     )
+    b.add_argument(
+        "--format", choices=["parquet", "csv", "json"], default="parquet",
+        help="corpus file format (column pruning only applies to parquet)",
+    )
+    b.add_argument(
+        "--category-col", default=None,
+        help="store this column as the per-doc class label (query-time filters)",
+    )
 
     a = sub.add_parser("add", help="incrementally add documents")
     a.add_argument("index_dir")
@@ -124,16 +132,24 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "build":
         _ray()
+        import ray.data as rd
+
         from .build import build_index
 
+        corpus = args.corpus
+        if args.format == "csv":
+            corpus = rd.read_csv(args.corpus)
+        elif args.format == "json":
+            corpus = rd.read_json(args.corpus)
         rep = build_index(
-            args.corpus,
+            corpus,
             args.index_dir,
             id_col=args.id_col,
             n_buckets=args.buckets,
             n_salts=args.salts,
             resume=not args.no_resume,
             positions=args.positions,
+            category_col=args.category_col,
         )
         print(json.dumps({k: rep[k] for k in ("n_docs", "n_parts", "n_postings", "timings_sec", "parts_written_this_run")}))
     elif args.cmd == "add":

@@ -135,3 +135,22 @@ def test_cli_snippets(ray_session, tiny_corpus, tmp_path, capsys):
     assert main(["snippets", idx, "w00000", "--limit", "5"]) == 0
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert rows and all("w00000" in r["snippet"] for r in rows)
+
+
+def test_cli_build_from_csv(ray_session, tmp_path, capsys):
+    """Non-parquet ingestion: the same build pipeline over a CSV corpus."""
+    import numpy as np
+
+    csv_path = str(tmp_path / "docs.csv")
+    with open(csv_path, "w") as f:
+        f.write("doc_id,text\n0,apple pie crust\n1,banana bread loaf\n2,apple cake\n")
+    idx = str(tmp_path / "csv_idx")
+    from engine.cli import main
+
+    assert main(["build", csv_path, idx, "--buckets", "4", "--salts", "2",
+                 "--id-col", "doc_id", "--format", "csv"]) == 0
+    capsys.readouterr()
+    from engine.query import Bm25Index
+
+    d, s = Bm25Index(idx).topk("apple", 5)
+    assert set(d) == {0, 2} and (np.asarray(s) > 0).all()
