@@ -110,6 +110,11 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("stats", help="print index stats.json")
     s.add_argument("index_dir")
 
+    vf = sub.add_parser(
+        "verify", help="integrity check: per-part CRC vs manifest (read-error-strategy analog)"
+    )
+    vf.add_argument("index_dir")
+
     dc = sub.add_parser("doc", help="fetch stored document text by docID (doc store)")
     dc.add_argument("index_dir")
     dc.add_argument("doc_ids", type=int, nargs="+")
@@ -255,6 +260,20 @@ def main(argv: list[str] | None = None) -> int:
         from .state import read_stats
 
         print(json.dumps(read_stats(args.index_dir), indent=2))
+    elif args.cmd == "verify":
+        from .state import committed_parts, read_stats
+
+        all_parts = committed_parts(args.index_dir)
+        ok = committed_parts(args.index_dir, verify_checksum=True)
+        bad = sorted(set(all_parts) - set(ok))
+        report = {
+            "parts_committed": len(all_parts),
+            "parts_ok": len(ok),
+            "parts_corrupt": bad,
+            "n_docs": read_stats(args.index_dir).get("n_docs"),
+        }
+        print(json.dumps(report))
+        return 1 if bad else 0
     elif args.cmd == "doc":
         import numpy as np
 

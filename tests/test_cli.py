@@ -154,3 +154,28 @@ def test_cli_build_from_csv(ray_session, tmp_path, capsys):
 
     d, s = Bm25Index(idx).topk("apple", 5)
     assert set(d) == {0, 2} and (np.asarray(s) > 0).all()
+
+
+def test_cli_verify_detects_corruption(ray_session, tiny_index, tmp_path, capsys):
+    """Integrity gate (read-error-strategy analog): clean index verifies rc=0;
+    a flipped byte in one segment is caught by its manifest CRC, rc=1."""
+    import glob
+    import shutil
+
+    from engine.cli import main
+
+    assert main(["verify", tiny_index]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["parts_corrupt"] == [] and rep["parts_ok"] == rep["parts_committed"] > 0
+
+    idx = str(tmp_path / "corrupt")
+    shutil.copytree(tiny_index, idx)
+    seg = sorted(glob.glob(f"{idx}/segment-*.parquet"))[0]
+    with open(seg, "r+b") as f:
+        f.seek(100)
+        b = f.read(1)
+        f.seek(100)
+        f.write(bytes([b[0] ^ 0xFF]))
+    assert main(["verify", idx]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["parts_corrupt"]) == 1
