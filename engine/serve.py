@@ -10,8 +10,9 @@ per-query executor with a deadline (DefaultStrucmotifRuntime.java:244-278,
   — the T3 stateful-stage pattern). Queries round-robin across replicas;
   ``timeout_s`` maps to ``ray.get(ref, timeout=...)`` and raises
   ``QueryTimeout`` (the reference throws on deadline, :269-277).
-- Batch evaluation stays on the ``Bm25Queryer`` actor-pool ``map_batches``
-  path in engine.query; this module is the latency path.
+- Batch evaluation: the replica-model path is ``Bm25Queryer`` actor-pool
+  ``map_batches`` in engine.query; ``batch_topk_sharded`` here is the
+  sharded-index equivalent (N coordinator actors over ONE shard pool).
 
 Beyond the replica model, ``ShardedQueryService`` is the 100x-corpus mode the
 replica model cannot reach (VERDICT r1 "What's missing" #5): each shard actor
