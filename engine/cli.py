@@ -115,6 +115,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     vf.add_argument("index_dir")
 
+    pc_ = sub.add_parser(
+        "percolate", help="stream a parquet of docs through stored queries (detect-motifs analog)"
+    )
+    pc_.add_argument("index_dir")
+    pc_.add_argument("parquet")
+    pc_.add_argument(
+        "--query", action="append", required=True, metavar="ID:TEXT",
+        help="stored query as 'id:text' (repeatable)",
+    )
+    pc_.add_argument("--mode", choices=["any", "all"], default="any")
+    pc_.add_argument("--id-col", default="doc_id")
+    pc_.add_argument("--text-col", default="text")
+
     dc = sub.add_parser("doc", help="fetch stored document text by docID (doc store)")
     dc.add_argument("index_dir")
     dc.add_argument("doc_ids", type=int, nargs="+")
@@ -274,6 +287,29 @@ def main(argv: list[str] | None = None) -> int:
         }
         print(json.dumps(report))
         return 1 if bad else 0
+    elif args.cmd == "percolate":
+        _ray()
+        import ray.data
+
+        from .percolate import percolate_dataset
+
+        stored = []
+        for spec in args.query:
+            qid, _, text = spec.partition(":")
+            if not text:
+                p.error(f"--query must be 'id:text', got {spec!r}")
+            stored.append({"query_id": qid, "text": text})
+        out = percolate_dataset(
+            ray.data.read_parquet(args.parquet),
+            args.index_dir,
+            stored,
+            mode=args.mode,
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        for batch in out.iter_batches(batch_format="pyarrow"):
+            for row in batch.to_pylist():
+                print(json.dumps(row))
     elif args.cmd == "doc":
         import numpy as np
 

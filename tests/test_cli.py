@@ -179,3 +179,27 @@ def test_cli_verify_detects_corruption(ray_session, tiny_index, tmp_path, capsys
     assert main(["verify", idx]) == 1
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rep["parts_corrupt"]) == 1
+
+
+def test_cli_percolate(ray_session, tiny_index, tmp_path, capsys):
+    """Streamed percolation from the command line: stored queries match the
+    docs that contain their terms; scores are positive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["w00000 w00001", "w00777 only", "nothing relevant"]),
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, path)
+    from engine.cli import main
+
+    rc = main(["percolate", tiny_index, path, "--query", "q_a:w00000", "--query", "q_b:w00777"])
+    assert rc == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    got = {(r["doc_id"], r["query_id"]) for r in rows}
+    assert got == {(0, "q_a"), (1, "q_b")}
+    assert all(r["score"] > 0 for r in rows)
