@@ -931,6 +931,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["fp"],
         )
 
+    def redact_text(sf_dir):
+        """Regex scrub (PII-redaction shape): RE2 replace + match counts."""
+        from engine.ops.textstats import redact_text as _rt
+
+        return _i64(
+            _collect(_rt(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id"),
+            ["n_matches"],
+        )
+
+    def pack_sequences(sf_dir):
+        """Greedy token-budget packing via a distributed ordered prefix sum."""
+        from engine.ops.textstats import pack_sequences as _ps
+
+        return _i64(
+            _collect(_ps(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id"),
+            ["n_tok", "pack_id"],
+        )
+
     def uniform_sample_k(sf_dir):
         """Exact-k deterministic uniform sample: k smallest (hash, doc_id)."""
         from engine.ops.sampling import uniform_sample_k as _usk
@@ -1073,6 +1091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprints": winnow_fingerprints,
         "kmv_distinct_shingles": lambda sf_dir: __import__("engine.ops.sketch", fromlist=["x"]).kmv_distinct_shingles(_docs(sf_dir, ["doc_id", "text"])),
         "doc_ttr": doc_ttr,
+        "redact_text": redact_text,
+        "pack_sequences": pack_sequences,
         "decontaminate": decontaminate,
         "lang_confusion": lang_confusion,
         "label_centroids": label_centroids,
@@ -1925,6 +1945,18 @@ WHERE text IS NOT NULL
                                   THEN 18446744073709551616::HUGEINT
                                   ELSE 0::HUGEINT END)::BIGINT AS fp
             FROM wmin WHERE guard IS NOT NULL
+        """,
+        "redact_text": """
+            SELECT doc_id,
+                   regexp_replace(text, '(spark|vector)', '[TOOL]', 'g') AS text_redacted,
+                   len(regexp_extract_all(text, '(spark|vector)'))::BIGINT AS n_matches
+            FROM documents
+        """,
+        "pack_sequences": f"""
+            WITH t AS (SELECT doc_id, len({_TOKEN_SQL})::BIGINT AS n_tok FROM documents)
+            SELECT doc_id, n_tok,
+                   ((sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 256)::BIGINT AS pack_id
+            FROM t
         """,
         "doc_repetition": f"""
             WITH toks AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),

@@ -860,3 +860,80 @@ def winnow_fingerprints(
         )
 
     return ds.map_batches(winnow, batch_format="pyarrow")
+
+
+def redact_text(
+    ds,
+    pattern: str = "(spark|vector)",
+    replacement: str = "[TOOL]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Regex redaction — the PII/sensitive-pattern scrub every training-data
+    pipeline runs before tokenization. Pure stateless map: RE2 via
+    ``pc.replace_substring_regex`` (one streaming pass, the same engine class
+    DuckDB uses, so the oracle's regexp_replace agrees byte-for-byte).
+    Emits (doc_id, text_redacted, n_matches)."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "text_redacted": pc.replace_substring_regex(
+                    batch[text_col], pattern=pattern, replacement=replacement
+                ),
+                "n_matches": pc.count_substring_regex(
+                    batch[text_col], pattern=pattern
+                ).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def pack_sequences(ds, budget: int = 256, id_col: str = "doc_id", text_col: str = "text"):
+    """Greedy sequence packing by cumulative token budget: docs in ascending
+    docID order are assigned ``pack_id = tokens_before // budget`` — the
+    deterministic approximation of packing short documents into fixed-size
+    training sequences (boundary docs may straddle two packs; exact bin
+    packing is order-dependent and irreproducible across engines).
+
+    Scale shape: the interesting primitive is a DISTRIBUTED ORDERED PREFIX
+    SUM — per-block token sums after a range sort, an O(#blocks) driver
+    prefix over the block totals, then a per-block offset stamp (the same
+    two-phase shape as docID minting, engine/docids.py). No all-to-all
+    beyond the sort; the driver holds one int per block."""
+    import ray
+    import ray.data
+
+    from ..tokenize import doc_length_batch
+
+    counted = ds.map_batches(
+        lambda b: doc_length_batch(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+    )
+    blocks = counted.sort(id_col).to_arrow_refs()
+
+    @ray.remote
+    def block_sum(t: pa.Table) -> int:
+        import pyarrow.compute as _pc
+
+        return int(_pc.sum(t["dl"]).as_py() or 0)
+
+    sums = ray.get([block_sum.remote(r) for r in blocks])
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1]))
+
+    @ray.remote
+    def stamp(t: pa.Table, offset: int, budget_: int) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        before = offset + np.cumsum(dl) - dl
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pa.array(dl),
+                "pack_id": pa.array(before // budget_),
+            }
+        )
+
+    out = [stamp.remote(r, int(o), budget) for r, o in zip(blocks, offsets)]
+    return ray.data.from_arrow_refs(out)

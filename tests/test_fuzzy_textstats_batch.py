@@ -663,3 +663,37 @@ def test_winnow_fingerprints_guarantee_and_brute(ray_session):
         assert got.get(i, set()) == brute(t), i
     assert got[0] & got[1]          # guarantee: shared 6-token run
     assert not (got[0] & got[2])    # no shared content -> disjoint (whp)
+
+
+def test_pack_sequences_prefix_sum_across_blocks(ray_session):
+    """The ordered prefix sum must be exact ACROSS block boundaries: with
+    many small blocks, pack assignment equals the single-process cumsum."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.textstats import pack_sequences
+
+    rng = np.random.default_rng(5)
+    lens = rng.integers(1, 40, size=300)
+    texts = [" ".join("w" + str(j) for j in range(n)) for n in lens]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(300), pa.int64()), "text": pa.array(texts)})
+    ).repartition(16)
+    out = pack_sequences(ds, budget=100).to_pandas().sort_values("doc_id", ignore_index=True)
+    before = np.cumsum(lens) - lens
+    np.testing.assert_array_equal(out["n_tok"].to_numpy(), lens)
+    np.testing.assert_array_equal(out["pack_id"].to_numpy(), before // 100)
+
+
+def test_redact_text_counts_and_replacement(ray_session):
+    from engine.ops.textstats import redact_text
+
+    out = (
+        redact_text(_docs_ds(["spark and vector soup", "no match", "sparkspark"]))
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(out["n_matches"]) == [2, 0, 2]
+    assert out["text_redacted"][0] == "[TOOL] and [TOOL] soup"
+    assert out["text_redacted"][2] == "[TOOL][TOOL]"
