@@ -73,3 +73,27 @@ def test_delta_rejects_unsorted_and_negative():
 def test_truncated_stream_raises():
     with pytest.raises(ValueError):
         varint_decode(bytes([0x80]))  # continuation bit with no next byte
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=12)
+)
+@settings(max_examples=200, deadline=None)
+def test_segment_pairs_matches_bruteforce(lens):
+    """dedup._segment_pairs (vectorized triangular decode) == the nested-loop
+    definition of all within-segment (i < j) pairs, for any segment layout
+    including empty and size-1 segments."""
+    import numpy as np
+
+    from engine.ops.dedup import _segment_pairs
+
+    lens = np.asarray(lens, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    i, j = _segment_pairs(starts, lens)
+    want = sorted(
+        (s + p, s + q)
+        for s, L in zip(starts, lens)
+        for q in range(1, int(L))
+        for p in range(q)
+    )
+    assert sorted(zip(i.tolist(), j.tolist())) == want
