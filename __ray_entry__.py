@@ -1090,6 +1090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": doc_repetition,
         "winnow_fingerprints": winnow_fingerprints,
         "kmv_distinct_shingles": lambda sf_dir: __import__("engine.ops.sketch", fromlist=["x"]).kmv_distinct_shingles(_docs(sf_dir, ["doc_id", "text"])),
+        "kmv_users_daily": lambda sf_dir: __import__("engine.ops.sketch", fromlist=["x"]).kmv_distinct_by_group(sf_dir),
         "doc_ttr": doc_ttr,
         "redact_text": redact_text,
         "pack_sequences": pack_sequences,
@@ -1909,6 +1910,31 @@ WHERE text IS NOT NULL
             SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
                    sum(CASE WHEN sdf.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
             FROM sh JOIN sdf USING (shingle) GROUP BY sh.doc_id
+        """,
+        "kmv_users_daily": """
+            WITH pairs AS (
+              SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+                     md5_number_lower(strftime(ts, '%Y-%m-%d') || chr(31) || user_id::BIGINT::VARCHAR)::UBIGINT AS h
+              FROM events
+            ),
+            ranked AS (
+              SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+                     count(*) OVER (PARTITION BY day) AS nd
+              FROM pairs
+            ),
+            agg AS (
+              SELECT day, min(nd) AS nd,
+                     max(CASE WHEN rn = least(nd, 64) THEN h END) AS kth
+              FROM ranked GROUP BY day
+            )
+            SELECT day, least(nd, 64)::BIGINT AS k_used,
+                   (kth::HUGEINT - CASE WHEN kth >= 9223372036854775808::HUGEINT
+                                   THEN 18446744073709551616::HUGEINT
+                                   ELSE 0::HUGEINT END)::BIGINT AS kth_min,
+                   CASE WHEN nd < 64 THEN nd::DOUBLE
+                        ELSE 63.0 * 18446744073709551616.0 / kth::DOUBLE
+                   END AS est
+            FROM agg
         """,
         "kmv_distinct_shingles": f"""
             WITH {_SHINGLE_CTE},

@@ -93,3 +93,81 @@ def kmv_distinct_shingles(
             "est": pa.array([est], pa.float64()),
         }
     )
+
+
+def kmv_distinct_by_group(
+    sf_dir: str,
+    k: int = 64,
+    table: str = "events",
+    group_expr: str = "day",
+    key_col: str = "user_id",
+) -> pa.Table:
+    """GROUPED KMV distinct-count: approximate distinct ``key_col`` per day
+    over the events table — the sketch as a mergeable grouped AGGREGATE
+    (each batch emits at most k hash rows PER GROUP; the per-group union of
+    partials is the exact same sketch a single pass would build, so block
+    layout cannot change the answer).
+
+    Exchange rows are bounded by groups x k x blocks — at a million groups
+    still orders of magnitude below the raw event count a naive
+    count-distinct shuffle would move. The per-group body unions partials,
+    takes the k minima, and emits (day, k_used, kth_min, est): one IEEE
+    multiply/divide, restated bit-for-bit by the oracle SQL."""
+    import ray
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=["ts", key_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        day = pc_.strftime(batch["ts"], format="%Y-%m-%d")
+        keys = pc_.binary_join_element_wise(
+            day, batch[key_col].cast(pa.int64()).cast(pa.string()), "\x1f"
+        )
+        # one md5 per DISTINCT (day, key) pair in the batch
+        t = pa.table({"day": day, "h": pa.array(md5_lower64(keys).view(np.int64))})
+        t = t.group_by(["day", "h"], use_threads=False).aggregate([])
+        d = t["day"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h.view(np.uint64), d))
+        d_s, h_s = d[order], h[order]
+        first = np.empty(len(d_s), dtype=bool)
+        if not len(d_s):
+            return pa.table({"day": pa.array([], pa.string()), "h": pa.array([], pa.int64())})
+        first[0] = True
+        np.not_equal(d_s[1:], d_s[:-1], out=first[1:])
+        rank = np.arange(len(d_s)) - np.maximum.accumulate(
+            np.where(first, np.arange(len(d_s)), 0)
+        )
+        keep = rank < k  # k smallest per group in this batch
+        return pa.table(
+            {"day": pa.array(d_s[keep], pa.string()), "h": pa.array(h_s[keep])}
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        h = np.unique(group["h"].to_numpy(zero_copy_only=False).view(np.uint64))
+        kk = min(k, len(h))
+        kth = h[kk - 1]
+        est = float(kk) if len(h) < k else (k - 1) * float(2**64) / float(kth)
+        return pa.table(
+            {
+                "day": group["day"].slice(0, 1),
+                "k_used": pa.array([kk], pa.int64()),
+                "kth_min": pa.array([kth.astype(np.int64)], pa.int64()),
+                "est": pa.array([est], pa.float64()),
+            }
+        )
+
+    return pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("day")
+                .map_groups(finish, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+    ).sort_by("day")

@@ -798,3 +798,46 @@ def test_partitioned_sink_resume(ray_session, tmp_path):
     back = read_partitioned_parquet(out).to_pandas().sort_values("doc_id", ignore_index=True)
     assert len(back) == n
     assert (back["val"].to_numpy() == back["doc_id"].to_numpy() * 3).all()
+
+
+def test_kmv_grouped_block_layout_independent(ray_session, tmp_path):
+    """Grouped KMV (distinct users per day): mergeable partials — the answer
+    is identical across block layouts, and for groups under k it is EXACT
+    (equals the true distinct count)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    from engine.ops.sketch import kmv_distinct_by_group
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    rng = np.random.default_rng(11)
+    n = 3000
+    days = rng.integers(0, 3, size=n)
+    users = rng.integers(0, 40, size=n)
+    base = np.datetime64("2024-02-01T00:00", "us")
+    tbl = pa.table(
+        {
+            "ts": pa.array(base + days * np.timedelta64(24, "h") + np.arange(n) % 7200,
+                           pa.timestamp("us")),
+            "user_id": pa.array(users, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{sf}/events.parquet")
+    out = kmv_distinct_by_group(sf, k=64).to_pandas()
+    truth = {
+        f"2024-02-0{d+1}": len(set(users[days == d])) for d in range(3)
+    }
+    assert len(out) == 3
+    for r in out.itertuples():
+        assert r.k_used == truth[r.day] and r.est == float(truth[r.day])  # < k: exact
+    # same rows split across 6 files (events.parquet as a DIRECTORY — the
+    # reader takes both layouts): partials merge to the identical sketch
+    os.remove(f"{sf}/events.parquet")
+    os.makedirs(f"{sf}/events.parquet")
+    for i in range(6):
+        pq.write_table(tbl.slice(i * 500, 500), f"{sf}/events.parquet/part{i}.parquet")
+    out2 = kmv_distinct_by_group(sf, k=64).to_pandas()
+    assert out.equals(out2)
