@@ -949,6 +949,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["n_tok", "pack_id"],
         )
 
+    def clean_corpus(sf_dir):
+        """Composite pre-training prep: quality gate -> exact dedup (lowest
+        docID per surviving text) -> regex redaction, ONE exchange end to
+        end (engine/pipelines.py). The whole chain is restated by the
+        oracle SQL."""
+        from engine.pipelines import clean_corpus as _cc
+
+        return _i64(
+            _collect(_cc(_docs(sf_dir, ["doc_id", "text"]))),
+            ["dl", "n_copies", "n_matches"],
+        )
+
     def uniform_sample_k(sf_dir):
         """Exact-k deterministic uniform sample: k smallest (hash, doc_id)."""
         from engine.ops.sampling import uniform_sample_k as _usk
@@ -1094,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ttr": doc_ttr,
         "redact_text": redact_text,
         "pack_sequences": pack_sequences,
+        "clean_corpus": clean_corpus,
         "decontaminate": decontaminate,
         "lang_confusion": lang_confusion,
         "label_centroids": label_centroids,
@@ -1971,6 +1984,22 @@ WHERE text IS NOT NULL
                                   THEN 18446744073709551616::HUGEINT
                                   ELSE 0::HUGEINT END)::BIGINT AS fp
             FROM wmin WHERE guard IS NOT NULL
+        """,
+        "clean_corpus": f"""
+            WITH gated AS (
+              SELECT doc_id, text, len({_TOKEN_SQL})::BIGINT AS dl
+              FROM documents
+              WHERE len({_TOKEN_SQL}) >= 5 AND length(text) <= 400
+            ),
+            dedup AS (
+              SELECT min(doc_id) AS doc_id, min(dl) AS dl,
+                     count(*) AS n_copies, text
+              FROM gated GROUP BY text
+            )
+            SELECT doc_id, dl::BIGINT AS dl, n_copies::BIGINT AS n_copies,
+                   len(regexp_extract_all(text, '(spark|vector)'))::BIGINT AS n_matches,
+                   regexp_replace(text, '(spark|vector)', '[TOOL]', 'g') AS text_clean
+            FROM dedup
         """,
         "redact_text": """
             SELECT doc_id,

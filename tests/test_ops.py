@@ -841,3 +841,28 @@ def test_kmv_grouped_block_layout_independent(ray_session, tmp_path):
         pq.write_table(tbl.slice(i * 500, 500), f"{sf}/events.parquet/part{i}.parquet")
     out2 = kmv_distinct_by_group(sf, k=64).to_pandas()
     assert out.equals(out2)
+
+
+def test_clean_corpus_chain(ray_session):
+    """Composite prep chain: the short doc is gated out, the duplicate text
+    keeps its lowest docID with n_copies=2, and redaction applies to the
+    survivors only."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.pipelines import clean_corpus
+
+    texts = [
+        "spark engine turns rows into vector columns fast",   # 0: kept, 2 hits
+        "tiny",                                               # 1: gated (dl<5)
+        "plain words that survive the quality gate easily",   # 2: kept
+        "plain words that survive the quality gate easily",   # 3: dup of 2
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    )
+    out = clean_corpus(ds).to_pandas()
+    assert list(out["doc_id"]) == [0, 2]
+    assert list(out["n_copies"]) == [1, 2]
+    assert list(out["n_matches"]) == [2, 0]
+    assert "[TOOL]" in out["text_clean"][0] and "spark" not in out["text_clean"][0]
