@@ -13,6 +13,7 @@ calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 from collections.abc import Callable
@@ -144,8 +145,16 @@ def _transcripts_index(sf_dir: str) -> str:
 
     corpus = _transcripts_corpus(sf_dir)
     idx = _cache(sf_dir, "transcripts_index")
-    if not os.path.exists(os.path.join(idx, "stats.json")):
-        build_index(corpus, idx, n_buckets=16, n_salts=4)
+    stats_path = os.path.join(idx, "stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            if json.load(f).get("category_col") == "role":
+                return idx
+        # stale cache from a pre-category build: rebuild under the new contract
+        import shutil
+
+        shutil.rmtree(idx)
+    build_index(corpus, idx, n_buckets=16, n_salts=4, category_col="role")
     return idx
 
 
@@ -990,6 +999,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _transcripts_index(sf_dir)
         return batch_topk(QUERY_SET, idx, concurrency=2)
 
+    def transcripts_bm25_topk_role(sf_dir):
+        """Content-class filter on the TRANSCRIPTS surface: the docmap
+        ``category`` column (built with category_col='role') restricts hits to
+        assistant turns — the searchable-content-subset semantics of the
+        reference's experimental/computational structure sets
+        (DefaultStructureIndexProvider.java:36-89) applied to the flagship
+        corpus instead of the relational one."""
+        from engine.queries import QUERY_SET
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_transcripts_index(sf_dir))
+        allowed = bm.category_docs("assistant")
+        tables = [
+            bm.topk_table(q["query_id"], q["text"], q["k"], allowed=allowed)
+            for q in QUERY_SET
+        ]
+        return pa.concat_tables([t for t in tables if t.num_rows])
+
     def transcripts_index_stats(sf_dir):
         from engine import state
 
@@ -1116,6 +1143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": fingerprint,
         "token_count_by_source": token_count_by_source,
         "transcripts_bm25_topk": transcripts_bm25_topk,
+        "transcripts_bm25_topk_role": transcripts_bm25_topk_role,
         "transcripts_index_stats": transcripts_index_stats,
         "multimodal_featurize": multimodal_featurize,
         "q1_pricing_summary": rel.q1_pricing_summary,

@@ -85,6 +85,33 @@ def test_rank_identity_all_queries(tiny_index, oracle):
         assert score.tolist() == [s for _, s in want], q["query_id"]
 
 
+def test_role_category_filter_matches_oracle(tiny_index, oracle):
+    """Transcripts content-class filter: restricting hits to assistant turns
+    via the docmap category column equals the oracle's full scoring filtered
+    to the same docID set (rank + bit-identical scores)."""
+    from engine.oracle import bm25_scores
+
+    idx = Bm25Index(tiny_index)
+    allowed = idx.category_docs("assistant")
+    assert len(allowed) > 0
+    dm = pq.read_table(tiny_index + "/docmap", columns=["doc_id", "category"])
+    want_allowed = sorted(
+        d for d, c in zip(dm["doc_id"].to_pylist(), dm["category"].to_pylist())
+        if c == "assistant"
+    )
+    assert allowed.tolist() == want_allowed
+    allowed_set = set(want_allowed)
+    for q in QUERY_SET:
+        doc, score = idx.topk(q["text"], q["k"], allowed=allowed)
+        scores = bm25_scores(oracle, q["text"])
+        ranked = sorted(
+            ((d, s) for d, s in scores.items() if d in allowed_set),
+            key=lambda it: (-it[1], it[0]),
+        )[: q["k"]]
+        assert doc.tolist() == [d for d, _ in ranked], q["query_id"]
+        assert score.tolist() == [s for _, s in ranked], q["query_id"]
+
+
 def test_tie_break_is_doc_ascending(tiny_index, oracle):
     idx = Bm25Index(tiny_index)
     doc, score = idx.topk("w00002", 25)
