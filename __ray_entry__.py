@@ -718,6 +718,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return exact_dedup(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
 
+    def dedup_passages(sf_dir):
+        from engine.ops.dedup import passage_dedup
+
+        return passage_dedup(_docs(sf_dir, ["doc_id", "text"]), window=16).sort(
+            ["doc_id", "passage_idx"]
+        )
+
+    def tfidf_similar_pairs(sf_dir):
+        from engine.ops.similarity import tfidf_similar_pairs as _tfidf
+
+        return _tfidf(_docs(sf_dir, ["doc_id", "text"]), threshold=0.85)
+
     def ngram_jaccard(sf_dir):
         from engine.ops.dedup import ngram_jaccard_pairs
 
@@ -1112,7 +1124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_conjunctive": percolate_conjunctive,
         "normalize_docs": normalize_docs,
         "dedup_exact": dedup_exact,
+        "dedup_passages": dedup_passages,
         "ngram_jaccard": ngram_jaccard,
+        "tfidf_similar_pairs": tfidf_similar_pairs,
         "dedup_clusters": dedup_clusters,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1849,6 +1863,43 @@ WHERE text IS NOT NULL
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "dedup_passages": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({tok}) AS term,
+                     generate_subscripts({tok}, 1) - 1 AS pos
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id, pos // 16 AS pidx,
+                     string_agg(term, ' ' ORDER BY pos) AS passage
+              FROM toks GROUP BY doc_id, pos // 16
+            ),
+            d AS (
+              SELECT min(doc_id * 1048576 + pidx) AS packed, count(*) AS n_copies
+              FROM p GROUP BY passage
+            )
+            SELECT (packed // 1048576)::BIGINT AS doc_id,
+                   (packed % 1048576)::BIGINT AS passage_idx,
+                   n_copies::BIGINT AS n_copies
+            FROM d
+        """,
+        "tfidf_similar_pairs": f"""
+            WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+            w AS (SELECT tf.doc_id, tf.term,
+                         tf.tf * ln(n.n_docs::DOUBLE / df.df) AS w
+                  FROM tf JOIN df USING (term) CROSS JOIN n),
+            nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id),
+            wn AS (SELECT w.doc_id, w.term, w.w / nrm.nrm AS wn
+                   FROM w JOIN nrm USING (doc_id)),
+            sim AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           round(sum(a.wn * b.wn), 4) AS cosine_r
+                    FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+                    GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b, cosine_r FROM sim WHERE cosine_r >= 0.85
         """,
         "ngram_jaccard": _jaccard_sql(),
         "dedup_clusters": _clusters_sql(),

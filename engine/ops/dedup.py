@@ -111,6 +111,100 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text", num_buckets:
 
 
 # --------------------------------------------------------------------------
+# passage-level exact dedup
+# --------------------------------------------------------------------------
+
+#: packed (doc_id, passage_idx) key: 2^20 passages/doc leaves 2^43 docs in
+#: int64 — both far beyond any real corpus (a 200-token cap per passage makes
+#: 2^20 passages ~ a 10^8-token document)
+_PASSAGE_PACK = 1 << 20
+
+
+def passage_dedup(
+    ds, window: int = 16, id_col: str = "doc_id", text_col: str = "text",
+    num_buckets: int = 64,
+):
+    """Passage-level exact dedup: sub-document granularity duplicate removal
+    (boilerplate/chunk reuse detection — repeated license headers, templated
+    paragraphs — the standard pre-training cleanup one level below
+    ``exact_dedup``).
+
+    Each document splits into consecutive NON-overlapping ``window``-token
+    passages (trailing partial passage included); the keeper of each distinct
+    passage string is the minimum (doc_id, passage_idx). Same scale shape as
+    ``exact_dedup``: passage construction is one vectorized ``map_batches``
+    stage (token explode -> boundary detection -> ``binary_join`` — no
+    per-passage Python), dedup is a text-hash BUCKETED groupby whose per-group
+    body is an Arrow ``group_by`` on the true passage string, so hash
+    collisions cannot merge distinct passages and no group holds more than
+    1/num_buckets of the corpus in expectation.
+
+    Returns (doc_id, passage_idx, n_copies) rows for every KEPT passage.
+    """
+
+    def passages(batch: pa.Table) -> pa.Table:
+        flat, parent, dl = _explode_tokens(batch[text_col])
+        if len(parent) == 0:
+            return pa.table(
+                {
+                    "packed": pa.array([], pa.int64()),
+                    "passage": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        doc_ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        row_starts = np.zeros(len(dl) + 1, dtype=np.int64)
+        np.cumsum(dl, out=row_starts[1:])
+        pos = np.arange(len(parent), dtype=np.int64) - row_starts[parent]
+        pidx = pos // window
+        if pidx.max() >= _PASSAGE_PACK:
+            raise ValueError("document exceeds 2^20 passages; raise window")
+        new_passage = np.empty(len(parent), dtype=bool)
+        new_passage[0] = True
+        np.logical_or(
+            parent[1:] != parent[:-1], pidx[1:] != pidx[:-1], out=new_passage[1:]
+        )
+        p_starts = np.flatnonzero(new_passage)
+        offsets = np.empty(len(p_starts) + 1, dtype=np.int32)
+        offsets[:-1] = p_starts
+        offsets[-1] = len(parent)
+        ptext = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), flat), " "
+        )
+        packed = doc_ids[parent[p_starts]] * _PASSAGE_PACK + pidx[p_starts]
+        import polars as pl
+
+        h = pl.from_arrow(pa.table({"p": ptext}))["p"].hash(seed=42)
+        return pa.table(
+            {
+                "packed": pa.array(packed, pa.int64()),
+                "passage": ptext,
+                "bucket": pa.array((h.to_numpy() % num_buckets).astype(np.int64)),
+            }
+        )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        agg = group.group_by(["passage"], use_threads=False).aggregate(
+            [("packed", "min"), ("packed", "count")]
+        )
+        packed = agg["packed_min"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(packed // _PASSAGE_PACK, pa.int64()),
+                "passage_idx": pa.array(packed % _PASSAGE_PACK, pa.int64()),
+                "n_copies": agg["packed_count"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(passages, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(keep_first, batch_format="pyarrow")
+        .select_columns(["doc_id", "passage_idx", "n_copies"])
+    )
+
+
+# --------------------------------------------------------------------------
 # shingles (shared by Jaccard + MinHash)
 # --------------------------------------------------------------------------
 

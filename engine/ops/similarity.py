@@ -430,3 +430,196 @@ def sq8_topk(
         for r in ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
     ]
     return _merge_partials(parts, query_ids, k, rank_round)
+
+
+# --------------------------------------------------------------------------
+# sparse TF-IDF all-pairs similarity (text-side similarity search)
+# --------------------------------------------------------------------------
+
+def tfidf_similar_pairs(
+    ds,
+    threshold: float = 0.85,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+    max_df: int | None = None,
+    round_to: int = 4,
+):
+    """EXACT all-pairs TF-IDF cosine similarity >= ``threshold`` over the text
+    column — the sparse-vector counterpart of ``embedding_dup_pairs`` (finds
+    near-duplicate / templated documents without an embedding model).
+
+    Same two-exchange shape as ``ngram_jaccard_pairs`` (the Bayardo/WSDM'07
+    all-pairs pattern): a vectorized weights stage computes each doc's
+    L2-normalized tf-idf vector IN BATCH (idf = ln(N/df) from a broadcast
+    vocab-sized df table — ray.put once, shared-memory per task; a doc's rows
+    never split across batches, so norms need no extra exchange), a term-hash
+    BUCKETED groupby expands per-term runs to ordered pair contributions
+    w_a*w_b (segmented triangular decode, in-group partial sum per pair), and
+    a pair-bucket groupby sums partials into the final dot product = cosine.
+
+    ``max_df``: skew/volume guard (the WSDM'07 frequency prune). Terms in
+    more than ``max_df`` docs are excluded from the VECTOR DEFINITION itself
+    (not just candidate generation), so the result is still exact for the
+    documented similarity measure; a term in f docs otherwise expands to
+    f^2/2 pairs. None = every term participates.
+
+    Returns (doc_a, doc_b, cosine_r) rows, doc_a < doc_b, cosine rounded to
+    ``round_to`` (cross-engine float parity: engine and SQL oracle sum float
+    products in different orders; 1e-15 drift rounds away at 4 decimals).
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..tokenize import _explode_tokens
+    from .dedup import _segment_pairs as _dedup_segment_pairs
+    from ..segments import term_bucket_array as _crc_bucket
+
+    # --- pass 1: vocab-sized df table (distinct-doc term counts) ----------
+    def partial_df(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _explode_tokens(batch[text_col])
+        if len(parent) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        t = pa.table({"term": flat, "p": pa.array(parent)})
+        dedup = t.group_by(["term", "p"], use_threads=False).aggregate([])
+        g = dedup.group_by(["term"], use_threads=False).aggregate([("p", "count")])
+        return pa.table({"term": g["term"], "df": g["p_count"].cast(pa.int64())})
+
+    df_tbl = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    n_docs = int(ds.count())
+    if max_df is not None:
+        df_tbl = df_tbl[df_tbl["df"] <= int(max_df)]
+    df_terms = np.asarray(df_tbl["term"], dtype=object)
+    o = np.argsort(df_terms, kind="stable")
+    df_ref = ray.put((df_terms[o], np.asarray(df_tbl["df"])[o].astype(np.int64)))
+
+    n_term_buckets = max(64, num_partitions * 8)
+
+    # --- pass 2: per-doc normalized weights (one batch = whole docs) ------
+    def weights(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "wn": pa.array([], pa.float64()),
+                "termbucket": pa.array([], pa.int64()),
+            }
+        )
+        flat, parent, _ = _explode_tokens(batch[text_col])
+        if len(parent) == 0:
+            return empty
+        doc_ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"term": flat, "p": pa.array(parent)})
+        g = t.group_by(["p", "term"], use_threads=False).aggregate([("term", "count")])
+        p = g["p"].to_numpy(zero_copy_only=False)
+        tf = g["term_count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        terms = g["term"].to_numpy(zero_copy_only=False).astype(object)
+        vocab, df_vals = ray.get(df_ref)
+        pos = np.searchsorted(vocab, terms)
+        inb = pos < len(vocab)
+        hit = np.zeros(len(terms), dtype=bool)
+        if inb.any():
+            hit[inb] = vocab[pos[inb]] == terms[inb]
+        if not hit.any():
+            return empty
+        p, tf, terms, pos = p[hit], tf[hit], terms[hit], pos[hit]
+        w = tf * np.log(float(n_docs) / df_vals[pos])
+        # in-batch per-doc L2 norm (rows of a doc all live in this batch)
+        sq = np.bincount(p, weights=w * w, minlength=len(doc_ids))
+        wn = w / np.sqrt(sq[p])
+        term_arr = pa.array(terms, pa.string())
+        # deterministic cross-worker bucket (never Python's randomized hash());
+        # the bucket only COLOCATES a term's rows — pair runs are keyed by the
+        # term string itself via in-group dictionary codes
+        tb = _crc_bucket(term_arr, n_term_buckets)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[p], pa.int64()),
+                "term": term_arr,
+                "wn": pa.array(wn, pa.float64()),
+                "termbucket": pa.array(tb.astype(np.int64)),
+            }
+        )
+
+    def expand_pairs(group: pa.Table) -> pa.Table:
+        term_col = group["term"]
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        codes = term_col.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        wn = group["wn"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, codes))
+        c_s, d_s, w_s = codes[order], d[order], wn[order]
+        first = np.empty(len(c_s), dtype=bool)
+        first[0] = True
+        np.not_equal(c_s[1:], c_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.r_[starts, len(c_s)])
+        i, j = _dedup_segment_pairs(starts, runlen)
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "dot": pa.array([], pa.float64()),
+                "pairbucket": pa.array([], pa.int64()),
+            }
+        )
+        if not len(i):
+            return empty
+        a, b = d_s[i], d_s[j]
+        contrib = w_s[i] * w_s[j]
+        # in-group partial sum per (a, b)
+        po = np.lexsort((b, a))
+        a, b, contrib = a[po], b[po], contrib[po]
+        pf = np.empty(len(a), dtype=bool)
+        pf[0] = True
+        np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=pf[1:])
+        ps = np.flatnonzero(pf)
+        dot = np.add.reduceat(contrib, ps)
+        a, b = a[ps], b[ps]
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "dot": pa.array(dot, pa.float64()),
+                "pairbucket": pa.array(((a * 31 + b) % num_partitions).astype(np.int64)),
+            }
+        )
+
+    def merge_pairs(group: pa.Table) -> pa.Table:
+        a = group["doc_a"].to_numpy(zero_copy_only=False)
+        b = group["doc_b"].to_numpy(zero_copy_only=False)
+        dt = group["dot"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, dt = a[order], b[order], dt[order]
+        pf = np.empty(len(a), dtype=bool)
+        pf[0] = True
+        np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=pf[1:])
+        ps = np.flatnonzero(pf)
+        cos = np.round(np.add.reduceat(dt, ps), round_to)
+        a, b = a[ps], b[ps]
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], pa.int64()),
+                "doc_b": pa.array(b[keep], pa.int64()),
+                "cosine_r": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(weights, batch_format="pyarrow")
+        .groupby("termbucket")
+        .map_groups(expand_pairs, batch_format="pyarrow")
+        .groupby("pairbucket")
+        .map_groups(merge_pairs, batch_format="pyarrow")
+        .sort(["doc_a", "doc_b"])
+    )

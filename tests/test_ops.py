@@ -866,3 +866,72 @@ def test_clean_corpus_chain(ray_session):
     assert list(out["n_copies"]) == [1, 2]
     assert list(out["n_matches"]) == [2, 0]
     assert "[TOOL]" in out["text_clean"][0] and "spark" not in out["text_clean"][0]
+
+
+def test_passage_dedup_window_semantics(ray_session):
+    """Sub-document dedup: window-4 passages dedup across docs; keeper is the
+    minimum (doc_id, passage_idx); trailing partials are separate passages."""
+    from engine.ops.dedup import passage_dedup
+
+    texts = [
+        "a b c d e f g h",      # 0: passages [a b c d] [e f g h]
+        "e f g h a b c d",      # 1: same two passages, swapped order
+        "a b c d x",            # 2: dup head passage + partial [x]
+        "x",                    # 3: partial equal to doc2's tail
+    ]
+    out = (
+        passage_dedup(_docs_ds(texts), window=4)
+        .to_pandas()
+        .sort_values(["doc_id", "passage_idx"], ignore_index=True)
+    )
+    rows = {(r.doc_id, r.passage_idx): r.n_copies for r in out.itertuples()}
+    # [a b c d] appears in docs 0/1/2 -> kept at (0, 0) with 3 copies
+    # [e f g h] appears in docs 0/1 -> kept at (0, 1) with 2 copies
+    # [x] appears in docs 2/3 -> kept at (2, 1) with 2 copies
+    assert rows == {(0, 0): 3, (0, 1): 2, (2, 1): 2}
+
+
+def test_tfidf_similar_pairs_vs_numpy(ray_session):
+    """Distributed sparse all-pairs cosine == dense numpy tf-idf reference
+    (same idf = ln(N/df), same L2 norm, rounded to 4)."""
+    import re
+
+    from engine.ops.similarity import tfidf_similar_pairs
+
+    texts = [
+        "apple banana apple cherry",
+        "apple banana cherry",
+        "dog cat mouse",
+        "dog cat mouse dog",
+        "apple dog zebra",
+        "",
+    ]
+    got = (
+        tfidf_similar_pairs(_docs_ds(texts), threshold=0.5, round_to=4)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    # dense reference
+    toks = [re.findall(r"[a-z0-9]+", t.lower()) for t in texts]
+    vocab = sorted({w for t in toks for w in t})
+    n = len(texts)
+    df = {w: sum(w in set(t) for t in toks) for w in vocab}
+    mat = np.zeros((n, len(vocab)))
+    for i, t in enumerate(toks):
+        for w in t:
+            mat[i, vocab.index(w)] += 1
+    for j, w in enumerate(vocab):
+        if df[w]:
+            mat[:, j] *= np.log(n / df[w])
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(nrm == 0, 1.0, nrm)
+    want = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            c = round(float(mat[a] @ mat[b]), 4)
+            if c >= 0.5:
+                want[(a, b)] = c
+    got_pairs = {(r.doc_a, r.doc_b): r.cosine_r for r in got.itertuples()}
+    assert set(got_pairs) == set(want)
+    for k in want:
+        assert got_pairs[k] == pytest.approx(want[k], abs=2e-4), k
