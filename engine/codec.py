@@ -33,34 +33,42 @@ def varint_nbytes(values: np.ndarray) -> np.ndarray:
     return nbytes
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64 array as concatenated unsigned LEB128 varints."""
+def varint_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes:
+    """Encode a uint64 array as concatenated unsigned LEB128 varints.
+
+    ``nbytes``: optional precomputed :func:`varint_nbytes` result — callers
+    that already need the per-value lengths (to slice the flat buffer into
+    per-group binaries) pass it in so the length pass runs once, not twice."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     n = a.size
     if n == 0:
         return b""
-    # bytes needed per value: ceil(bit_length / 7), min 1
-    nbytes = np.ones(n, dtype=np.int64)
-    v = a >> _U64_7
-    while v.any():
-        nbytes += v > 0
-        v >>= _U64_7
+    if nbytes is None:
+        # bytes needed per value: ceil(bit_length / 7), min 1
+        nbytes = np.ones(n, dtype=np.int64)
+        v = a >> _U64_7
+        while v.any():
+            nbytes += v > 0
+            v >>= _U64_7
+    max_nb = int(nbytes.max())
+    if max_nb == 1:  # all values < 128 (typical tf stream): one cast, done
+        return a.astype(np.uint8).tobytes()
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
-    out = np.zeros(int(ends[-1]), dtype=np.uint8)
-    vals = a.copy()
-    pos = starts.copy()
-    remaining = nbytes.copy()
-    for _ in range(10):  # uint64 -> max 10 LEB128 bytes
-        active = remaining > 0
-        if not active.any():
-            break
-        b = (vals[active] & _U64_127).astype(np.uint8)
-        b |= (remaining[active] > 1).astype(np.uint8) << 7  # continuation bit
-        out[pos[active]] = b
-        vals[active] >>= _U64_7
-        pos[active] += 1
-        remaining[active] -= 1
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    # byte-position formulation: byte k of every value with nbytes > k, one
+    # shrinking masked pass per k — no working copies of (vals, pos,
+    # remaining), ~3 ops/pass instead of 6 (this encoder is on the
+    # bandwidth-bound build hot path)
+    b0 = (a & _U64_127).astype(np.uint8)
+    b0 |= (nbytes > 1).astype(np.uint8) << 7
+    out[starts] = b0  # byte 0 of every value
+    for k in range(1, max_nb):
+        m = nbytes > k
+        av = a[m] >> np.uint64(7 * k)
+        b = (av & _U64_127).astype(np.uint8)
+        b |= (nbytes[m] > k + 1).astype(np.uint8) << 7
+        out[starts[m] + k] = b
     return out.tobytes()
 
 

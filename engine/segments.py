@@ -85,48 +85,86 @@ def encode_bucket(
         if pa.types.is_dictionary(term_col.type)
         else term_col.dictionary_encode()
     )
-    tcodes0 = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    doc0 = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    if "salt" in group.column_names:
-        salt0 = group["salt"].to_numpy(zero_copy_only=False).astype(np.int32)
-        order = np.lexsort((doc0, salt0, tcodes0))
-        salt = salt0[order]
-    else:
-        order = np.lexsort((doc0, tcodes0))
-        salt = np.full(len(doc0), 0 if salt_const is None else salt_const, dtype=np.int32)
-    tcodes = tcodes0[order]
-    doc = doc0[order]
-    tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    if "dl" in group.column_names:
-        dl = group["dl"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    else:
-        ids_sorted, dl_vals = dl_lookup
-        dl = dl_vals[doc] if ids_sorted is None else dl_vals[np.searchsorted(ids_sorted, doc)]
-        dl = dl.astype(np.int64)
-    n = len(doc)
+    tcodes0 = np.asarray(dic.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    doc0 = np.asarray(group["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    has_salt_col = "salt" in group.column_names
+    salt0 = (
+        np.asarray(group["salt"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        if has_salt_col
+        else None
+    )
+    n = len(doc0)
 
-    # group boundaries on (term, salt)
-    key = (tcodes << np.int64(20)) | salt.astype(np.int64)
-    is_start = np.empty(n, dtype=bool)
-    is_start[0] = True
-    np.not_equal(key[1:], key[:-1], out=is_start[1:])
+    # ONE packed int64 sort key (tcode | salt | doc) instead of a 2-3 key
+    # lexsort: a k-key lexsort runs k full stable mergesorts (each moving
+    # 8B key + 8B permutation per pass) and then needs separate gathers of
+    # every key column — under 32 concurrent encoders this stage is memory-
+    # bandwidth-bound (measured 13x degradation vs single-process), so one
+    # unstable argsort + ONE gather of the packed key, with doc/group
+    # recovered by mask/shift, roughly halves the sort-phase traffic.
+    # Unstable is sound: (term, salt, doc) rows are unique, so keys are
+    # unique (equal adjacent keys after the sort = duplicate rows = error).
+    db = max(int(doc0.max()).bit_length(), 1)
+    sb = max(int(salt0.max()).bit_length(), 1) if has_salt_col else 0
+    tb = max(int(tcodes0.max()).bit_length(), 1)
+    if doc0.min() >= 0 and db + sb + tb <= 63:
+        key64 = (tcodes0 << np.int64(db + sb)) | doc0
+        if has_salt_col:
+            key64 |= salt0 << np.int64(db)
+        order = np.argsort(key64)
+        ks = key64[order]
+        doc = ks & np.int64((1 << db) - 1)
+        gkey = ks >> np.int64(db)  # (tcode, salt) group id
+        if int(ks[0]) < 0 or bool((ks[1:] == ks[:-1]).any()):
+            raise ValueError("duplicate (term, doc) rows reached encode_bucket")
+        if has_salt_col:
+            salt = (gkey & np.int64((1 << sb) - 1)).astype(np.int32) if sb else np.zeros(n, np.int32)
+            tcodes = gkey >> np.int64(sb)
+        else:
+            salt = np.full(n, 0 if salt_const is None else salt_const, dtype=np.int32)
+            tcodes = gkey
+        is_start = np.empty(n, dtype=bool)
+        is_start[0] = True
+        np.not_equal(gkey[1:], gkey[:-1], out=is_start[1:])
+        # within a group the packed-key diff IS the doc diff (high bits equal)
+        deltas = np.empty(n, dtype=np.uint64)
+        np.subtract(ks[1:], ks[:-1], out=deltas[1:], casting="unsafe")
+    else:  # >63-bit key space: fall back to the stable multi-key sort
+        if has_salt_col:
+            order = np.lexsort((doc0, salt0, tcodes0))
+            salt = salt0[order].astype(np.int32)
+        else:
+            order = np.lexsort((doc0, tcodes0))
+            salt = np.full(n, 0 if salt_const is None else salt_const, dtype=np.int32)
+        tcodes = tcodes0[order]
+        doc = doc0[order]
+        gkey = (tcodes << np.int64(20)) | salt.astype(np.int64)
+        is_start = np.empty(n, dtype=bool)
+        is_start[0] = True
+        np.not_equal(gkey[1:], gkey[:-1], out=is_start[1:])
+        deltas = np.empty(n, dtype=np.uint64)
+        np.subtract(doc[1:], doc[:-1], out=deltas[1:], casting="unsafe")
+        inner = np.flatnonzero(~is_start)
+        if len(inner) and not (doc[inner] > doc[inner - 1]).all():
+            raise ValueError("duplicate (term, doc) rows reached encode_bucket")
     starts = np.flatnonzero(is_start)
     ends = np.append(starts[1:], n)
     group_of_row = np.cumsum(is_start) - 1
-
-    # delta-encode docIDs with per-group reset; verify strict sortedness
-    deltas = np.empty(n, dtype=np.uint64)
-    deltas[0] = np.uint64(doc[0])
-    np.subtract(doc[1:], doc[:-1], out=deltas[1:], casting="unsafe")
     deltas[starts] = doc[starts].astype(np.uint64)
-    inner = ~is_start
-    if inner.any() and not (doc[inner.nonzero()[0]] > doc[inner.nonzero()[0] - 1]).all():
-        raise ValueError("duplicate (term, doc) rows reached encode_bucket")
+
+    tf = group["tf"].to_numpy(zero_copy_only=False)[order].astype(np.int64, copy=False)
+    if "dl" in group.column_names:
+        dl = group["dl"].to_numpy(zero_copy_only=False)[order].astype(np.int64, copy=False)
+    else:
+        ids_sorted, dl_vals = dl_lookup
+        dl = dl_vals[doc] if ids_sorted is None else dl_vals[np.searchsorted(ids_sorted, doc)]
+        dl = dl.astype(np.int64, copy=False)
 
     doc_nb = varint_nbytes(deltas)
-    doc_flat = varint_encode(deltas)
-    tf_nb = varint_nbytes(tf)
-    tf_flat = varint_encode(tf.astype(np.uint64))
+    doc_flat = varint_encode(deltas, nbytes=doc_nb)
+    tf_u = tf.astype(np.uint64)
+    tf_nb = varint_nbytes(tf_u)
+    tf_flat = varint_encode(tf_u, nbytes=tf_nb)
     doc_ids_enc = _pack_binary(doc_flat, doc_nb, starts, ends)
     tfs_enc = _pack_binary(tf_flat, tf_nb, starts, ends)
 

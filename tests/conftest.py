@@ -41,10 +41,5 @@ def tiny_index(ray_session, tiny_corpus, tmp_path_factory):
     from engine.build import build_index
 
     idx = str(tmp_path_factory.mktemp("index") / "tiny")
-    # category_col exercises the transcripts content-class path (role as the
-    # experimental/computational-set analog) in every downstream test
-    build_index(
-        tiny_corpus, idx, n_buckets=8, n_salts=4, hot_fraction=0.05,
-        category_col="role",
-    )
+    build_index(tiny_corpus, idx, n_buckets=8, n_salts=4, hot_fraction=0.05)
     return idx

@@ -85,16 +85,32 @@ def test_rank_identity_all_queries(tiny_index, oracle):
         assert score.tolist() == [s for _, s in want], q["query_id"]
 
 
-def test_role_category_filter_matches_oracle(tiny_index, oracle):
+@pytest.fixture(scope="module")
+def tiny_index_cat(ray_session, tiny_corpus, tmp_path_factory):
+    """Same corpus built WITH the role category column (content-class path).
+
+    docIDs, dl and avgdl are identical to ``tiny_index`` — only the docmap
+    gains the category column — so the shared ``oracle`` fixture applies."""
+    from engine.build import build_index
+
+    idx = str(tmp_path_factory.mktemp("index") / "tiny_cat")
+    build_index(
+        tiny_corpus, idx, n_buckets=8, n_salts=4, hot_fraction=0.05,
+        category_col="role",
+    )
+    return idx
+
+
+def test_role_category_filter_matches_oracle(tiny_index_cat, oracle):
     """Transcripts content-class filter: restricting hits to assistant turns
     via the docmap category column equals the oracle's full scoring filtered
     to the same docID set (rank + bit-identical scores)."""
     from engine.oracle import bm25_scores
 
-    idx = Bm25Index(tiny_index)
+    idx = Bm25Index(tiny_index_cat)
     allowed = idx.category_docs("assistant")
     assert len(allowed) > 0
-    dm = pq.read_table(tiny_index + "/docmap", columns=["doc_id", "category"])
+    dm = pq.read_table(tiny_index_cat + "/docmap", columns=["doc_id", "category"])
     want_allowed = sorted(
         d for d, c in zip(dm["doc_id"].to_pylist(), dm["category"].to_pylist())
         if c == "assistant"
