@@ -33,12 +33,17 @@ def varint_nbytes(values: np.ndarray) -> np.ndarray:
     return nbytes
 
 
-def varint_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes:
+def varint_encode(
+    values: np.ndarray,
+    nbytes: np.ndarray | None = None,
+    byte_ends: np.ndarray | None = None,
+) -> bytes:
     """Encode a uint64 array as concatenated unsigned LEB128 varints.
 
-    ``nbytes``: optional precomputed :func:`varint_nbytes` result — callers
-    that already need the per-value lengths (to slice the flat buffer into
-    per-group binaries) pass it in so the length pass runs once, not twice."""
+    ``nbytes``: optional precomputed :func:`varint_nbytes` result;
+    ``byte_ends``: optional precomputed ``np.cumsum(nbytes)``. Callers that
+    already need per-value lengths and offsets (to slice the flat buffer into
+    per-group binaries) pass them in so each pass runs once, not twice."""
     a = np.ascontiguousarray(values, dtype=np.uint64)
     n = a.size
     if n == 0:
@@ -53,7 +58,7 @@ def varint_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes
     max_nb = int(nbytes.max())
     if max_nb == 1:  # all values < 128 (typical tf stream): one cast, done
         return a.astype(np.uint8).tobytes()
-    ends = np.cumsum(nbytes)
+    ends = np.cumsum(nbytes) if byte_ends is None else byte_ends
     starts = ends - nbytes
     out = np.empty(int(ends[-1]), dtype=np.uint8)
     # byte-position formulation: byte k of every value with nbytes > k, one

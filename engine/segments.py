@@ -34,17 +34,26 @@ from .codec import varint_decode, varint_encode, varint_nbytes
 from .schema import BLOCK_SIZE, BM25_B, BM25_K1, POSITIONAL_SEGMENT_SCHEMA, SEGMENT_SCHEMA
 
 
-def _pack_binary(flat: bytes, value_nbytes: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> pa.Array:
-    """Slice one concatenated varint buffer into a per-group binary array."""
-    byte_ends = np.cumsum(value_nbytes)
-    byte_starts = byte_ends - value_nbytes
+def _pack_binary(
+    flat: bytes,
+    value_nbytes: np.ndarray,
+    starts: np.ndarray,
+    byte_ends: np.ndarray | None = None,
+) -> pa.Array:
+    """Slice one concatenated varint buffer into a per-group binary array.
+
+    ``byte_ends``: optional precomputed ``np.cumsum(value_nbytes)`` (shared
+    with the encoder to avoid recomputing the pass)."""
+    if byte_ends is None:
+        byte_ends = np.cumsum(value_nbytes)
     # groups are contiguous ascending row ranges, so their byte ranges tile the
-    # flat buffer exactly: the binary array is just (group-start offsets, buffer)
+    # flat buffer exactly: the binary array is just (group-start offsets, buffer);
+    # a row's byte start is byte_ends - nbytes, evaluated at group starts only
     total = int(byte_ends[-1]) if len(byte_ends) else 0
     if total >= 2**31:
         raise ValueError("bucket payload exceeds 2 GiB; raise n_buckets")
     offsets = np.empty(len(starts) + 1, dtype=np.int32)
-    offsets[:-1] = byte_starts[starts]
+    offsets[:-1] = byte_ends[starts] - value_nbytes[starts]
     offsets[-1] = total
     return pa.Array.from_buffers(
         pa.binary(),
@@ -149,7 +158,6 @@ def encode_bucket(
             raise ValueError("duplicate (term, doc) rows reached encode_bucket")
     starts = np.flatnonzero(is_start)
     ends = np.append(starts[1:], n)
-    group_of_row = np.cumsum(is_start) - 1
     deltas[starts] = doc[starts].astype(np.uint64)
 
     tf = group["tf"].to_numpy(zero_copy_only=False)[order].astype(np.int64, copy=False)
@@ -160,36 +168,64 @@ def encode_bucket(
         dl = dl_vals[doc] if ids_sorted is None else dl_vals[np.searchsorted(ids_sorted, doc)]
         dl = dl.astype(np.int64, copy=False)
 
+    # one cumsum of each byte-length array, shared by the encoder (output
+    # size + write offsets), the per-group binary slicing, and the per-block
+    # byte offsets — this function is bandwidth-bound at full concurrency,
+    # and each redundant n-length pass shows up directly in build wall time
     doc_nb = varint_nbytes(deltas)
-    doc_flat = varint_encode(deltas, nbytes=doc_nb)
+    doc_bends = np.cumsum(doc_nb)
+    doc_flat = varint_encode(deltas, nbytes=doc_nb, byte_ends=doc_bends)
     tf_u = tf.astype(np.uint64)
     tf_nb = varint_nbytes(tf_u)
-    tf_flat = varint_encode(tf_u, nbytes=tf_nb)
-    doc_ids_enc = _pack_binary(doc_flat, doc_nb, starts, ends)
-    tfs_enc = _pack_binary(tf_flat, tf_nb, starts, ends)
+    tf_bends = np.cumsum(tf_nb)
+    tf_flat = varint_encode(tf_u, nbytes=tf_nb, byte_ends=tf_bends)
+    doc_ids_enc = _pack_binary(doc_flat, doc_nb, starts, byte_ends=doc_bends)
+    tfs_enc = _pack_binary(tf_flat, tf_nb, starts, byte_ends=tf_bends)
 
     df = (ends - starts).astype(np.int64)
     cf = np.add.reduceat(tf, starts).astype(np.int64)
 
-    # block annotations: skip pointer (last doc) + max BM25 tf-part per block
-    local = np.arange(n, dtype=np.int64) - starts[group_of_row]
-    block_start_mask = (local % BLOCK_SIZE) == 0
-    b_starts = np.flatnonzero(block_start_mask)
-    b_group = group_of_row[b_starts]
-    b_last = np.minimum(b_starts + BLOCK_SIZE - 1, ends[b_group] - 1)
-    impact = tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
-    b_max = np.maximum.reduceat(impact, b_starts) * (1.0 + 1e-6)  # round-up guard
-    nblocks = np.ceil(df / BLOCK_SIZE).astype(np.int64)
+    # block annotations: skip pointer (last doc) + max BM25 tf-part per block.
+    # Block coordinates derive from per-GROUP arithmetic (~n/BLOCK_SIZE
+    # entries), never from n-length row arrays.
+    nblocks = ((df + (BLOCK_SIZE - 1)) // BLOCK_SIZE).astype(np.int64)
     b_offsets = np.empty(len(starts) + 1, dtype=np.int32)
     b_offsets[0] = 0
     np.cumsum(nblocks, out=b_offsets[1:])
+    b_group = np.repeat(np.arange(len(starts), dtype=np.int64), nblocks)
+    b_idx = np.arange(int(b_offsets[-1]), dtype=np.int64) - np.repeat(
+        b_offsets[:-1].astype(np.int64), nblocks
+    )
+    b_starts = starts[b_group] + b_idx * BLOCK_SIZE
+    b_last = np.minimum(b_starts + BLOCK_SIZE - 1, ends[b_group] - 1)
+    # float32 impact: the stored bound is float32 anyway, and the 1+1e-6
+    # round-up guard (~17 float32 ulp) dominates the <=4-ulp error of doing
+    # the arithmetic in float32 — half the bandwidth of the float64 path
+    tf32 = tf.astype(np.float32)
+    impact = (
+        tf32
+        * np.float32(BM25_K1 + 1.0)
+        / (
+            tf32
+            + np.float32(BM25_K1 * (1.0 - BM25_B))
+            + np.float32(BM25_K1 * BM25_B / avgdl) * dl.astype(np.float32)
+        )
+    )
+    b_max = np.maximum.reduceat(impact, b_starts) * np.float32(1.0 + 1e-6)
     block_last_doc = pa.ListArray.from_arrays(pa.array(b_offsets), pa.array(doc[b_last], pa.int64()))
-    block_max_impact = pa.ListArray.from_arrays(pa.array(b_offsets), pa.array(b_max.astype(np.float32)))
-    # byte offset of each block within its run's payload -> random block decode
-    doc_byte_starts = np.concatenate(([0], np.cumsum(doc_nb)))[:-1]
-    tf_byte_starts = np.concatenate(([0], np.cumsum(tf_nb)))[:-1]
-    doc_off = (doc_byte_starts[b_starts] - doc_byte_starts[starts[b_group]]).astype(np.int32)
-    tf_off = (tf_byte_starts[b_starts] - tf_byte_starts[starts[b_group]]).astype(np.int32)
+    block_max_impact = pa.ListArray.from_arrays(pa.array(b_offsets), pa.array(b_max))
+    # byte offset of each block within its run's payload -> random block
+    # decode; row r's varint starts at byte_ends[r] - nbytes[r], evaluated
+    # only at the (small) block/run coordinate arrays — no n-length pass
+    g_starts = starts[b_group]
+    doc_off = (
+        (doc_bends[b_starts] - doc_nb[b_starts])
+        - (doc_bends[g_starts] - doc_nb[g_starts])
+    ).astype(np.int32)
+    tf_off = (
+        (tf_bends[b_starts] - tf_nb[b_starts])
+        - (tf_bends[g_starts] - tf_nb[g_starts])
+    ).astype(np.int32)
     block_doc_off = pa.ListArray.from_arrays(pa.array(b_offsets), pa.array(doc_off, pa.int32()))
     block_tf_off = pa.ListArray.from_arrays(pa.array(b_offsets), pa.array(tf_off, pa.int32()))
 
@@ -224,9 +260,10 @@ def encode_bucket(
             row_start_v = vstarts_rows[:-1]
             deltas[row_start_v] = pos_vals[row_start_v].astype(np.uint64)
         pos_nb = varint_nbytes(deltas)
-        pos_flat = varint_encode(deltas)
+        pos_bends = np.cumsum(pos_nb)
+        pos_flat = varint_encode(deltas, nbytes=pos_nb, byte_ends=pos_bends)
         cols["pos_enc"] = _pack_binary(
-            pos_flat, pos_nb, vstarts_rows[starts], vstarts_rows[ends]
+            pos_flat, pos_nb, vstarts_rows[starts], byte_ends=pos_bends
         )
         return pa.table(cols, schema=POSITIONAL_SEGMENT_SCHEMA)
     return pa.table(cols, schema=SEGMENT_SCHEMA)
