@@ -773,6 +773,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _round_scores(res, "cosine", "cosine_r", SCORE_ROUND)
 
     # ---- similarity -----------------------------------------------------
+    def kmeans_embeddings(sf_dir):
+        """Distributed Lloyd k-means over the embeddings table (broadcast
+        centroids, per-batch partial sufficient statistics, tiny driver
+        fold). Iterative ML — no SQL oracle; pytest-gated vs a numpy Lloyd
+        reference with identical seeded init (test_ops.py)."""
+        from engine.ops.similarity import kmeans_train
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        t = kmeans_train(ds, k=8, n_iter=4, seed=7).sort_by("centroid_id")
+        # scalarize the centroid vector for the driver's value-hash (list
+        # columns are unsortable there); the full vectors stay on the
+        # library surface
+        norms = np.array(
+            [float(np.linalg.norm(np.asarray(c))) for c in t["centroid"].to_pylist()]
+        )
+        return t.drop_columns(["centroid"]).append_column(
+            "centroid_norm_r", pa.array(np.round(norms, 6), pa.float64())
+        )
+
     def ann_cosine_topk(sf_dir):
         import pyarrow.parquet as pq
 
@@ -1132,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "ann_cosine_topk": ann_cosine_topk,
+        "kmeans_embeddings": kmeans_embeddings,
         "ann_ivf_topk": ann_ivf_topk,
         "text_quality": text_quality,
         "lang_id": lang_id,

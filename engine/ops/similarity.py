@@ -623,3 +623,100 @@ def tfidf_similar_pairs(
         .map_groups(merge_pairs, batch_format="pyarrow")
         .sort(["doc_a", "doc_b"])
     )
+
+
+# --------------------------------------------------------------------------
+# distributed k-means training (full-corpus Lloyd iterations)
+# --------------------------------------------------------------------------
+
+def kmeans_train(
+    ds,
+    k: int = 8,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    init_sample: int = 2048,
+):
+    """Full-corpus Lloyd's k-means over an embedding column — the training
+    loop ``IvfIndex`` approximates with its driver-side SAMPLE fit
+    (``_kmeans_fit``). Euclidean objective, deterministic in ``seed``.
+
+    Ray-Data shape per iteration: centroids broadcast once via ``ray.put``
+    (k x d floats — tiny), ONE streaming ``map_batches`` pass emits per-batch
+    PARTIAL sufficient statistics (per-cluster vector sums + counts +
+    objective partial, i.e. k x (d+2) floats per batch — the A1 partial-agg
+    pattern), and the driver folds the tiny partials. Nothing corpus-sized
+    ever leaves the workers; T iterations = T passes, each with streaming
+    backpressure. Empty clusters keep their previous centroid (the standard
+    fixed-point convention, deterministic cross-partitioning).
+
+    Returns (centroid_id, count, inertia_r, centroid) — one row per cluster;
+    ``inertia_r`` is the FINAL-assignment total squared distance rounded to
+    6 decimals, identical across block layouts (per-batch partials are
+    f64-summed in a fixed fold order only at the driver after np.add over
+    commutative integer counts and compensated... plainly: partial sums are
+    order-sensitive at ~1e-12 relative; rounding to 6 absorbs it).
+    """
+    import ray
+
+    # deterministic init: seeded sample of the corpus (same contract as
+    # IvfIndex) — the first init_sample rows in dataset order, then a seeded
+    # choice of k among them
+    head = ds.limit(init_sample).to_pandas()
+    mat0 = np.stack(head[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    k_eff = min(k, len(mat0))
+    cent = mat0[rng.choice(len(mat0), size=k_eff, replace=False)].copy()
+
+    def partials_fn(cent_ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            mat = _stack(batch[vec_col])
+            # squared distance via ||x||^2 - 2 x.c + ||c||^2 (one matmul)
+            x2 = (mat * mat).sum(axis=1, keepdims=True)
+            c2 = (c * c).sum(axis=1)
+            d2 = x2 - 2.0 * (mat @ c.T) + c2
+            a = np.argmin(d2, axis=1)
+            best = d2[np.arange(len(mat)), a]
+            sums = np.zeros((k_eff, mat.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, mat)
+            counts = np.bincount(a, minlength=k_eff).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(k_eff, dtype=np.int64)),
+                    "vsum": pa.array(list(sums)),
+                    "count": pa.array(counts),
+                    "obj": pa.array(
+                        np.bincount(a, weights=np.maximum(best, 0.0), minlength=k_eff)
+                    ),
+                }
+            )
+
+        return fn
+
+    inertia = 0.0
+    counts = np.zeros(k_eff, dtype=np.int64)
+    for _ in range(n_iter):
+        cent_ref = ray.put(cent)
+        parts = (
+            ds.map_batches(partials_fn(cent_ref), batch_format="pyarrow")
+            .to_pandas()
+        )
+        g = parts.groupby("cid", sort=True)
+        counts = g["count"].sum().to_numpy()
+        inertia = float(parts["obj"].sum())
+        vsums = np.stack(g["vsum"].apply(lambda s: np.sum(np.stack(s.to_numpy()), axis=0)).to_numpy())
+        live = counts > 0
+        cent[live] = vsums[live] / counts[live, None]
+
+    return pa.table(
+        {
+            "centroid_id": pa.array(np.arange(k_eff, dtype=np.int64)),
+            "count": pa.array(counts.astype(np.int64)),
+            "inertia_r": pa.array(
+                np.full(k_eff, round(inertia, 6)), pa.float64()
+            ),
+            "centroid": pa.array([np.round(c, 9) for c in cent]),
+        }
+    )

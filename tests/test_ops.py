@@ -935,3 +935,41 @@ def test_tfidf_similar_pairs_vs_numpy(ray_session):
     assert set(got_pairs) == set(want)
     for k in want:
         assert got_pairs[k] == pytest.approx(want[k], abs=2e-4), k
+
+
+def test_kmeans_train_matches_numpy_lloyd(ray_session):
+    """Distributed Lloyd (broadcast centroids + per-batch partial sufficient
+    statistics) == single-machine numpy Lloyd with the same seeded init and
+    empty-cluster convention, independent of block layout."""
+    import ray.data
+
+    from engine.ops.similarity import kmeans_train
+
+    rng = np.random.default_rng(3)
+    n, d, k = 400, 8, 5
+    mat = np.concatenate(
+        [rng.normal(loc=c * 3.0, scale=0.5, size=(n // 4, d)) for c in range(4)]
+    )
+    ids = np.arange(len(mat), dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids), "embedding": pa.array(list(mat))})
+    ds = ray.data.from_arrow(tbl).repartition(3)  # multi-block on purpose
+
+    got = kmeans_train(ds, k=k, n_iter=4, seed=7, init_sample=2048).to_pandas()
+
+    # numpy reference: identical init (first init_sample rows in ds order ==
+    # original order for a from_arrow dataset), identical update rule
+    rng2 = np.random.default_rng(7)
+    cent = mat[rng2.choice(len(mat), size=k, replace=False)].copy()
+    for _ in range(4):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        inertia = float(d2[np.arange(len(mat)), a].sum())
+        counts = np.bincount(a, minlength=k)
+        for c in range(k):
+            if counts[c]:
+                cent[c] = mat[a == c].mean(axis=0)
+    got = got.sort_values("centroid_id", ignore_index=True)
+    assert got["count"].to_numpy().tolist() == counts.tolist()
+    assert got["inertia_r"].iloc[0] == pytest.approx(inertia, rel=1e-9)
+    got_cent = np.stack(got["centroid"].to_numpy())
+    np.testing.assert_allclose(got_cent, np.round(cent, 9), atol=1e-8)
