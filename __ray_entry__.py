@@ -737,6 +737,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir, ["doc_id", "text"]), threshold_num=4, threshold_den=5
         )
 
+    def ngram_containment(sf_dir):
+        from engine.ops.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), containment=True
+        )
+
     def dedup_clusters(sf_dir):
         """Connected components over the exact-Jaccard dup-pair graph:
         (doc_id, cluster_rep = component min) for every doc in a
@@ -1147,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact,
         "dedup_passages": dedup_passages,
         "ngram_jaccard": ngram_jaccard,
+        "ngram_containment": ngram_containment,
         "tfidf_similar_pairs": tfidf_similar_pairs,
         "dedup_clusters": dedup_clusters,
         "dedup_minhash": dedup_minhash,
@@ -1924,6 +1932,19 @@ WHERE text IS NOT NULL
             SELECT doc_a, doc_b, cosine_r FROM sim WHERE cosine_r >= 0.85
         """,
         "ngram_jaccard": _jaccard_sql(),
+        "ngram_containment": f"""
+            WITH {_SHINGLE_CTE},
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b
+            )
+            SELECT p.doc_a, p.doc_b, p.common, sa.n AS n_a, sb.n AS n_b
+            FROM pairs p
+            JOIN sz sa ON p.doc_a = sa.doc_id
+            JOIN sz sb ON p.doc_b = sb.doc_id
+            WHERE p.common * 5 >= 4 * least(sa.n, sb.n)
+        """,
         "dedup_clusters": _clusters_sql(),
         "dedup_minhash": _jaccard_sql(),
         "dedup_simhash": _simhash_sql(max_hamming=3),

@@ -259,6 +259,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     num_partitions: int = 8,
     max_shingle_df: int | None = None,
+    containment: bool = False,
 ):
     """EXACT all-pairs Jaccard >= threshold_num/threshold_den over distinct
     word k-gram shingle sets.
@@ -363,8 +364,14 @@ def ngram_jaccard_pairs(
         ps = np.flatnonzero(pf)
         common = np.add.reduceat(cm, ps)
         a, b, na, nb = a[ps], b[ps], na[ps], nb[ps]
-        union = na + nb - common
-        keep = common * threshold_den >= threshold_num * union  # integer-exact
+        if containment:
+            # asymmetric near-dup: the SMALLER shingle set is mostly inside
+            # the other (boilerplate / quote / template inclusion — pairs a
+            # symmetric Jaccard cut misses when sizes differ a lot)
+            denom = np.minimum(na, nb)
+        else:
+            denom = na + nb - common  # union
+        keep = common * threshold_den >= threshold_num * denom  # integer-exact
         return pa.table(
             {
                 "doc_a": pa.array(a[keep].astype(np.int64)),

@@ -973,3 +973,19 @@ def test_kmeans_train_matches_numpy_lloyd(ray_session):
     assert got["inertia_r"].iloc[0] == pytest.approx(inertia, rel=1e-9)
     got_cent = np.stack(got["centroid"].to_numpy())
     np.testing.assert_allclose(got_cent, np.round(cent, 9), atol=1e-8)
+
+
+def test_ngram_containment_asymmetric(ray_session):
+    """Containment mode flags small-in-big inclusion pairs that the symmetric
+    Jaccard threshold misses (|common|/min >= t vs |common|/union >= t)."""
+    from engine.ops.dedup import ngram_jaccard_pairs
+
+    big = "a b c d e f g h i j k l m n o p q r s t"
+    small = "a b c d e f g"  # 5 of big's 3-gram shingles, tiny union share
+    texts = [big, small, "x y z w v u t s"]
+    ds = _docs_ds(texts)
+    jac = ngram_jaccard_pairs(ds, 4, 5).to_pandas()
+    cont = ngram_jaccard_pairs(ds, 4, 5, containment=True).to_pandas()
+    assert len(jac) == 0  # union-based threshold misses it
+    pairs = {(r.doc_a, r.doc_b) for r in cont.itertuples()}
+    assert pairs == {(0, 1)}  # small's shingles are 100% inside big
