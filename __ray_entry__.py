@@ -1037,7 +1037,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from engine.query import batch_topk
 
         idx = _transcripts_index(sf_dir)
-        return batch_topk(QUERY_SET, idx, concurrency=2)
+        res = batch_topk(QUERY_SET, idx, concurrency=2, rank_round=RANK_ROUND)
+        res = _round_scores(res, "score", "score_r", SCORE_ROUND)
+        return _i64(res, ["rank"])
 
     def transcripts_bm25_topk_role(sf_dir):
         """Content-class filter on the TRANSCRIPTS surface: the docmap
@@ -1052,10 +1054,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bm = Bm25Index(_transcripts_index(sf_dir))
         allowed = bm.category_docs("assistant")
         tables = [
-            bm.topk_table(q["query_id"], q["text"], q["k"], allowed=allowed)
+            bm.topk_table(
+                q["query_id"], q["text"], q["k"],
+                rank_round=RANK_ROUND, allowed=allowed,
+            )
             for q in QUERY_SET
         ]
-        return pa.concat_tables([t for t in tables if t.num_rows])
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        res = _round_scores(res, "score", "score_r", SCORE_ROUND)
+        return _i64(res, ["rank"])
 
     def transcripts_index_stats(sf_dir):
         from engine import state
@@ -1463,6 +1470,68 @@ sh0 AS (SELECT doc_id, tok,
         FROM pos),
 sh AS (SELECT DISTINCT doc_id, tok || ' ' || t2 || ' ' || t3 AS shingle FROM sh0 WHERE t3 IS NOT NULL),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def _transcripts_bm25_sql(role: str | None = None) -> str:
+    """Full-SQL BM25 oracle for the TRANSCRIPTS flagship (the driver's
+    correctness gate runs at sf=0.01, whose deterministic synthetic corpus the
+    engine materializes at this fixed cache path before any oracle runs —
+    DuckDB recomputes docIDs, stats and scores from the raw parquet text).
+    ``role`` restricts hits to that content class (the docmap category set)."""
+    from engine.queries import QUERY_SET
+    from engine.tokenize import tokenize_text
+
+    vals = ",\n      ".join(
+        f"('{q['query_id']}', '{t}', {q['k']})"
+        for q in QUERY_SET
+        for t in sorted(set(tokenize_text(q["text"])))
+    )
+    role_join = (
+        f"JOIN corpus c ON scores.doc_id = c.doc_id AND c.role = '{role}'"
+        if role
+        else ""
+    )
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         role, text
+  FROM read_parquet('/tmp/graft_cache/sf0.01/transcripts_2000/part-*.parquet')
+),
+-- MATERIALIZED throughout: at 47k docs / 2.3M tokens the planner otherwise
+-- re-inlines the window-function corpus CTE into every consumer and the
+-- plan blows past 70 GB; materialized, the whole oracle runs in ~1.5s
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM corpus
+),
+dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS MATERIALIZED (SELECT c.doc_id, coalesce(dl.dl, 0) AS dl FROM corpus c LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, k) AS (VALUES
+      {vals}),
+scores AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, tf.doc_id
+),
+hits AS (
+  SELECT scores.query_id, scores.k, scores.doc_id, scores.score FROM scores {role_join}
+),
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM hits
+)
+SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= k
 """
 
 
@@ -1890,6 +1959,8 @@ WHERE text IS NOT NULL
         "bm25_topk_must_not": _must_not_sql(),
         "bm25_topk_prefix": _prefix_sql(),
         "percolate_conjunctive": _percolate_sql(),
+        "transcripts_bm25_topk": _transcripts_bm25_sql(),
+        "transcripts_bm25_topk_role": _transcripts_bm25_sql(role="assistant"),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text
