@@ -1496,7 +1496,7 @@ def _transcripts_bm25_sql(role: str | None = None) -> str:
 WITH corpus AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
          role, text
-  FROM read_parquet('/tmp/graft_cache/sf0.01/transcripts_2000/part-*.parquet')
+  FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
 ),
 -- MATERIALIZED throughout: at 47k docs / 2.3M tokens the planner otherwise
 -- re-inlines the window-function corpus CTE into every consumer and the
