@@ -303,6 +303,7 @@ def build_index(
     else:
         o = np.argsort(dm_ids, kind="stable")
         dl_ref = ray.put((dm_ids[o], dm_dls[o]))
+    ids_fit_int32 = bool(n_docs) and dm_ids.min() >= 0 and dm_ids.max() < 2**31
     del dm, dm_ids, dm_dls
     t_docmap = time.perf_counter()
 
@@ -364,9 +365,14 @@ def build_index(
     # broadcast docmap at encode time, salt is constant per part. Tokenize and
     # route are consecutive map_batches, fused into ONE task by Ray Data (one
     # object-store write for the routed rows).
+    # int32 docIDs in the exchange: guaranteed by the docmap's ACTUAL id
+    # range (dense transcripts ids satisfy it whenever n_docs < 2^31; sparse
+    # external id spaces only when their max fits)
+    compact_ids = ids_fit_int32
     tokenized = ds.map_batches(
         lambda b: tokenize_batch(
-            b, id_col=id_col, text_col=text_col, positions=positions, with_dl=False
+            b, id_col=id_col, text_col=text_col, positions=positions,
+            with_dl=False, compact_ids=compact_ids,
         ),
         batch_format="pyarrow",
     ).map_batches(
@@ -386,7 +392,10 @@ def build_index(
         tbl = live[0] if len(live) == 1 else pa.concat_tables(live)
         part = tbl["part"].to_numpy(zero_copy_only=False)
         order = np.argsort(part, kind="stable")
-        s = tbl.take(pa.array(order))
+        # the routing column has served its purpose once the rows are sliced
+        # by part — dropping it BEFORE the take saves 4 bytes/posting in the
+        # second object-store copy (every slice shipped to an encode task)
+        s = tbl.drop_columns(["part"]).take(pa.array(order))
         bounds = np.searchsorted(part[order], np.arange(n_parts_total + 1))
         term_idx = s.schema.get_field_index("term")
         tcol = s["term"]

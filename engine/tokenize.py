@@ -49,7 +49,7 @@ def _explode_tokens(text: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndar
 
 def tokenize_batch(
     batch: pa.Table, id_col: str = "doc_id", text_col: str = "text",
-    positions: bool = False, with_dl: bool = True,
+    positions: bool = False, with_dl: bool = True, compact_ids: bool = False,
 ) -> pa.Table:
     """One Arrow batch of docs -> exploded (term, doc_id, tf[, dl]) table.
 
@@ -72,7 +72,7 @@ def tokenize_batch(
     if len(flat) == 0:
         cols = {
             "term": pa.array([], pa.string()),
-            "doc_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int32() if compact_ids else pa.int64()),
             "tf": pa.array([], pa.int32()),
         }
         if with_dl:
@@ -82,10 +82,17 @@ def tokenize_batch(
         return pa.table(cols)
     doc_ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
     doc_ids_np = doc_ids.to_numpy(zero_copy_only=False).astype(np.int64)
+    # compact_ids: ship docIDs as int32 through the exchange when the CALLER
+    # knows the whole corpus fits (build passes n_docs < 2^31) — 4 bytes/
+    # posting saved in every object-store copy; the encoder upcasts once
+    compact = compact_ids and (
+        len(doc_ids_np) == 0 or (doc_ids_np.min() >= 0 and doc_ids_np.max() < 2**31)
+    )
     if not positions:
+        gathered = doc_ids_np[parent]
         exp_cols = {
             "term": flat,
-            "doc_id": pa.array(doc_ids_np[parent], pa.int64()),
+            "doc_id": pa.array(gathered.astype(np.int32) if compact else gathered),
         }
         if with_dl:
             exp_cols["dl"] = pa.array(dl[parent], pa.int32())
