@@ -208,6 +208,20 @@ def run_scaling() -> None:
                     str(n_lo): [r["build_turns_per_sec"] for r in legs[n_lo]],
                     str(n_hi): [r["build_turns_per_sec"] for r in legs[n_hi]],
                 },
+                # per-pair ratios: run i of each leg executed back-to-back in
+                # the SAME host window (legs interleave lo,hi,lo,hi), so the
+                # pairwise ratio cancels the minute-scale capacity drift that
+                # the cross-window best-of ratio is exposed to; reported for
+                # transparency alongside the headline estimator
+                "pair_effs": [
+                    round(
+                        (legs[n_hi][i]["build_turns_per_sec"]
+                         / legs[n_lo][i]["build_turns_per_sec"])
+                        / (n_hi / n_lo),
+                        3,
+                    )
+                    for i in range(len(legs[n_lo]))
+                ],
             }
         )
     )
