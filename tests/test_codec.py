@@ -97,3 +97,80 @@ def test_segment_pairs_matches_bruteforce(lens):
         for p in range(q)
     )
     assert sorted(zip(i.tolist(), j.tolist())) == want
+
+
+def test_encode_bucket_packed_and_fallback_agree():
+    """encode_bucket's packed single-key sort path and its >63-bit lexsort
+    fallback must produce IDENTICAL segments up to the docID shift that
+    selects the path: same grouping, df/cf, tf streams, block metadata, and
+    decoded docIDs differing by exactly the shift."""
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.segments import decode_posting, encode_bucket
+
+    rng = np.random.default_rng(11)
+    n_terms, n_rows = 300, 20_000
+    t = rng.integers(0, n_terms, n_rows)
+    d = rng.integers(0, 500_000, n_rows)
+    key = t * 1_000_000 + d
+    _, idx = np.unique(key, return_index=True)
+    t, d = t[idx], d[idx]
+    tf = np.minimum(rng.zipf(1.5, len(t)), 300).astype(np.int32)
+    salt = (d % 3).astype(np.int32)
+    terms = np.array([f"t{i:04d}" for i in range(n_terms)])
+
+    def build(shift: int) -> pa.Table:
+        return pa.table(
+            {
+                "term": pa.array(terms[t]),
+                "salt": pa.array(salt),
+                "doc_id": pa.array(d.astype(np.int64) + shift, pa.int64()),
+                "tf": pa.array(tf),
+                "dl": pa.array(np.full(len(t), 37, dtype=np.int32)),
+            }
+        )
+
+    seg_packed = encode_bucket(build(0), 40.0)
+    # shift pushes doc bits past the 63-bit packed budget -> lexsort fallback
+    shift = 1 << 52
+    seg_fb = encode_bucket(build(shift), 40.0)
+
+    assert seg_packed.num_rows == seg_fb.num_rows
+    assert seg_packed["term"].to_pylist() == seg_fb["term"].to_pylist()
+    assert seg_packed["run"].to_pylist() == seg_fb["run"].to_pylist()
+    assert seg_packed["df"].to_pylist() == seg_fb["df"].to_pylist()
+    assert seg_packed["cf"].to_pylist() == seg_fb["cf"].to_pylist()
+    # block-max impacts identical (same tf/dl); docIDs differ by the shift
+    assert seg_packed["block_max_impact"].to_pylist() == seg_fb["block_max_impact"].to_pylist()
+    for i in range(seg_packed.num_rows):
+        dp, tp = decode_posting(
+            seg_packed["doc_ids_enc"][i].as_py(), seg_packed["tfs_enc"][i].as_py()
+        )
+        df_, tf_ = decode_posting(
+            seg_fb["doc_ids_enc"][i].as_py(), seg_fb["tfs_enc"][i].as_py()
+        )
+        np.testing.assert_array_equal(dp + shift, df_)
+        np.testing.assert_array_equal(tp, tf_)
+
+
+def test_encode_bucket_rejects_duplicate_rows():
+    """Equal (term, salt, doc) rows must raise, in BOTH sort paths."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from engine.segments import encode_bucket
+
+    for shift in (0, 1 << 52):
+        tbl = pa.table(
+            {
+                "term": pa.array(["a", "a", "b"]),
+                "salt": pa.array(np.zeros(3, dtype=np.int32)),
+                "doc_id": pa.array(np.array([5, 5, 7], dtype=np.int64) + shift),
+                "tf": pa.array(np.array([1, 2, 1], dtype=np.int32)),
+                "dl": pa.array(np.array([4, 4, 4], dtype=np.int32)),
+            }
+        )
+        with _pytest.raises(ValueError, match="duplicate"):
+            encode_bucket(tbl, 4.0)
