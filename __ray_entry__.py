@@ -1224,6 +1224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [f"n_{t}" for t in rel.EVENT_TYPES],
         ),
         "extract_props_k": lambda sf_dir: _collect(rel.extract_props_k(sf_dir)),
+        "value_outliers": lambda sf_dir: _collect(
+            rel.value_outliers(sf_dir, threshold=2.5)
+        ),
     }
 
 
@@ -2416,6 +2419,17 @@ WHERE text IS NOT NULL
         "term_positions": _positions_sql(),
         "kwic": _kwic_sql(),
         "kwic_stored": _kwic_sql(),
+        "value_outliers": """
+            WITH s AS (
+              SELECT event_id, user_id, value,
+                     avg(value) OVER (PARTITION BY user_id) AS m,
+                     stddev_pop(value) OVER (PARTITION BY user_id) AS sd
+              FROM events
+            )
+            SELECT event_id, user_id, value, round((value - m) / sd, 6) AS z_r
+            FROM s
+            WHERE sd > 0 AND abs(round((value - m) / sd, 6)) >= 2.5
+        """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    round(sum(value), 2) AS total_value, count(*) AS n_events

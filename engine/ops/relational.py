@@ -1068,3 +1068,69 @@ def cohort_retention(sf_dir: str, num_buckets: int = 32):
         .map_batches(to_ts, batch_format="pyarrow")
         .sort(["cohort_day", "day_offset"])
     )
+
+
+def value_outliers(sf_dir: str, threshold: float = 2.5, num_buckets: int = 32):
+    """Per-user anomaly detection: events whose ``value`` deviates from the
+    user's mean by >= ``threshold`` population standard deviations (the
+    classic per-entity z-score screen a training-data pipeline runs over
+    telemetry/quality columns before aggregation).
+
+    Same bucketed-groupby shape as ``event_gaps``: users hash to
+    ``num_buckets`` groups (each group holds MANY users), the per-bucket body
+    is one lexsort by user + segment sum/sumsq via ``np.add.reduceat`` —
+    sufficient statistics, no second pass, no per-user Python. z is rounded
+    to 6 decimals BEFORE the threshold test on both engine and oracle sides
+    (cross-engine float-sum-order parity; users with zero variance emit
+    nothing). Returns (event_id, user_id, value, z_r) sorted by event_id.
+    """
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        key = b["user_id"].cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "user_id": key,
+                "value": b["value"].cast(pa.float64()),
+                "bucket": pa.array(
+                    key.to_numpy(zero_copy_only=False) % num_buckets, pa.int64()
+                ),
+            }
+        )
+
+    def zscore(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        v = group["value"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, u))
+        u_s, v_s, e_s = u[order], v[order], eid[order]
+        first = np.empty(len(u_s), dtype=bool)
+        first[0] = True
+        np.not_equal(u_s[1:], u_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        n = np.diff(np.r_[starts, len(u_s)]).astype(np.float64)
+        seg = np.cumsum(first) - 1
+        m = np.add.reduceat(v_s, starts) / n
+        var = np.add.reduceat(v_s * v_s, starts) / n - m * m
+        sd = np.sqrt(np.maximum(var, 0.0))
+        live = sd[seg] > 0
+        z = np.zeros(len(v_s))
+        z[live] = np.round((v_s[live] - m[seg][live]) / sd[seg][live], 6)
+        keep = live & (np.abs(z) >= threshold)
+        return pa.table(
+            {
+                "event_id": pa.array(e_s[keep], pa.int64()),
+                "user_id": pa.array(u_s[keep], pa.int64()),
+                "value": pa.array(v_s[keep], pa.float64()),
+                "z_r": pa.array(z[keep], pa.float64()),
+            }
+        )
+
+    return (
+        ev.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(zscore, batch_format="pyarrow")
+        .select_columns(["event_id", "user_id", "value", "z_r"])
+        .sort("event_id")
+    )

@@ -989,3 +989,30 @@ def test_ngram_containment_asymmetric(ray_session):
     assert len(jac) == 0  # union-based threshold misses it
     pairs = {(r.doc_a, r.doc_b) for r in cont.itertuples()}
     assert pairs == {(0, 1)}  # small's shingles are 100% inside big
+
+
+def test_value_outliers_zscore_semantics(ray_session, tmp_path, monkeypatch):
+    """Per-user z-score screen: flags exactly the events >= T population
+    stddevs from that user's own mean; zero-variance users emit nothing."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import value_outliers
+
+    vals_u1 = [10.0, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0, 100.0]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(12), pa.int64()),
+            "user_id": pa.array([1] * 10 + [2, 2], pa.int64()),
+            "value": pa.array(vals_u1 + [5.0, 5.0], pa.float64()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    out = value_outliers(str(d), threshold=2.5).to_pandas()
+    # user 1: mean 19, sd = sqrt(sum((x-m)^2)/10) -> only the 100.0 event is
+    # >= 2.5 sd out; user 2 has zero variance -> excluded entirely
+    arr = np.array(vals_u1)
+    z = (100.0 - arr.mean()) / arr.std()
+    assert out["event_id"].tolist() == [9]
+    assert out["z_r"].iloc[0] == pytest.approx(round(z, 6), abs=1e-9)
