@@ -1875,6 +1875,15 @@ def oracle_sql() -> dict[str, str]:
     from engine.ops.relational import EVENT_TYPES
     from engine.ops.sampling import DEFAULT_RATE_PERMILLE, STRATA_RATES_PERMILLE
 
+    # the transcripts oracles read the deterministic synthetic corpus parquet
+    # by path; materialize it here (idempotent, numpy-only — no Ray session
+    # needed) so the oracle is self-sufficient even if the harness evaluates
+    # SQL before running the corresponding queries() callables
+    try:
+        _transcripts_corpus("/root/testdata/sf0.01")
+    except Exception:
+        pass  # queries() will (re)create it; the SQL then errors visibly
+
     tok = _TOKEN_SQL
     strata_case = "CASE source {} ELSE {} END".format(
         " ".join(f"WHEN '{s}' THEN {r}" for s, r in sorted(STRATA_RATES_PERMILLE.items())),
