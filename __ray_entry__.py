@@ -1227,6 +1227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": lambda sf_dir: _collect(
             rel.value_outliers(sf_dir, threshold=2.5)
         ),
+        "grouped_quantile_sketch": lambda sf_dir: __import__(
+            "engine.ops.sketch", fromlist=["grouped_quantile_sketch"]
+        ).grouped_quantile_sketch(sf_dir, qs=(50, 90, 99), eps=0.02),
     }
 
 
@@ -2428,6 +2431,29 @@ WHERE text IS NOT NULL
         "term_positions": _positions_sql(),
         "kwic": _kwic_sql(),
         "kwic_stored": _kwic_sql(),
+        "grouped_quantile_sketch": """
+            WITH b AS (
+              SELECT event_type, floor(ln(value) / ln(1.02))::BIGINT AS bin
+              FROM events
+            ),
+            c AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+            t AS (SELECT event_type, sum(n)::BIGINT AS total FROM c GROUP BY 1),
+            r AS (
+              SELECT c.event_type, c.bin, sum(c.n) OVER (
+                       PARTITION BY c.event_type ORDER BY c.bin) AS cum, t.total
+              FROM c JOIN t USING (event_type)
+            ),
+            q(q) AS (VALUES (50), (90), (99)),
+            pick AS (
+              SELECT event_type, q, min(bin) AS bin
+              FROM r CROSS JOIN q
+              WHERE cum >= (total - 1) * q // 100 + 1
+              GROUP BY event_type, q
+            )
+            SELECT event_type, q::BIGINT AS q, bin,
+                   round(power(1.02, bin), 6) AS est_r
+            FROM pick
+        """,
         "value_outliers": """
             WITH s AS (
               SELECT event_id, user_id, value,

@@ -171,3 +171,87 @@ def kmv_distinct_by_group(
             if t.num_rows
         ]
     ).sort_by("day")
+
+
+def grouped_quantile_sketch(
+    sf_dir: str,
+    qs: tuple[int, ...] = (50, 90, 99),
+    eps: float = 0.02,
+):
+    """Approximate grouped quantiles as a MERGEABLE log-bin histogram sketch —
+    the bounded-memory scale path beside ``relational.grouped_price_quantiles``
+    (whose exact value-count histogram is only mergeable because money is
+    fixed-point): positive doubles hash to geometric bins
+    ``bin = floor(ln(v) / ln(1+eps))``, so each group's sketch is at most a
+    few hundred (bin, count) pairs regardless of row count, partials merge by
+    addition (A1 partial-agg -> tiny groupby), and the rank-r estimate — the
+    LOWER EDGE (1+eps)^bin of the bin containing rank ``((n-1)*q)//100`` —
+    under-reads the true quantile by at most a factor (1+eps).
+
+    Deterministic and cross-engine exact (same float expressions in the SQL
+    oracle; bin-edge collisions would need ln(v)/ln(1+eps) to be an exact
+    integer). Returns (event_type, q, bin, est_r), sorted.
+    """
+    import ray.data
+
+    ln_base = np.log1p(eps)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        dic = et.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        labels = dic.dictionary
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        if (v <= 0).any():
+            raise ValueError("log-bin quantile sketch requires positive values")
+        b = np.floor(np.log(v) / ln_base).astype(np.int64)
+        packed = codes * (np.int64(1) << 32) + (b + (np.int64(1) << 20))
+        u, counts = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "event_type": labels.take(pa.array((u >> np.int64(32)).astype(np.int64))),
+                "bin": pa.array((u & ((np.int64(1) << 32) - 1)) - (1 << 20), pa.int64()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        et = group["event_type"][0].as_py()
+        b = group["bin"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        o = np.argsort(b)
+        b, n = b[o], n[o]
+        # partials of the same bin from different batches merge by addition
+        first = np.empty(len(b), dtype=bool)
+        first[0] = True
+        np.not_equal(b[1:], b[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        b = b[starts]
+        n = np.add.reduceat(n, starts)
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        rows_q, rows_b = [], []
+        for q in qs:
+            rank = (total - 1) * q // 100  # 0-based nearest-rank-lower
+            i = int(np.searchsorted(cum, rank + 1))
+            rows_q.append(q)
+            rows_b.append(int(b[i]))
+        est = np.power(1.0 + eps, np.array(rows_b, dtype=np.float64))
+        return pa.table(
+            {
+                "event_type": pa.array([et] * len(rows_q), pa.string()),
+                "q": pa.array(rows_q, pa.int64()),
+                "bin": pa.array(rows_b, pa.int64()),
+                "est_r": pa.array(np.round(est, 6), pa.float64()),
+            }
+        )
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pyarrow")
+        .sort(["event_type", "q"])
+    )

@@ -1016,3 +1016,31 @@ def test_value_outliers_zscore_semantics(ray_session, tmp_path, monkeypatch):
     z = (100.0 - arr.mean()) / arr.std()
     assert out["event_id"].tolist() == [9]
     assert out["z_r"].iloc[0] == pytest.approx(round(z, 6), abs=1e-9)
+
+
+def test_grouped_quantile_sketch_error_bound(ray_session, tmp_path):
+    """Log-bin quantile sketch: estimate is the bin lower edge, so it sits
+    within a (1+eps) factor BELOW the exact nearest-rank-lower quantile, for
+    every group and q — and is invariant to block layout (mergeable)."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.sketch import grouped_quantile_sketch
+
+    rng = np.random.default_rng(5)
+    vals = np.abs(rng.lognormal(mean=2.0, sigma=1.0, size=4000)) + 0.001
+    types = np.array(["a", "b"])[rng.integers(0, 2, 4000)]
+    tbl = pa.table(
+        {"event_type": pa.array(types), "value": pa.array(vals, pa.float64())}
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    eps = 0.02
+    out = grouped_quantile_sketch(str(d), qs=(50, 90, 99), eps=eps).to_pandas()
+    assert len(out) == 6
+    for r in out.itertuples():
+        grp = vals[types == r.event_type]
+        grp.sort()
+        exact = grp[(len(grp) - 1) * r.q // 100]
+        assert r.est_r <= exact * (1 + 1e-9)
+        assert r.est_r >= exact / (1 + eps) * (1 - 1e-9)
