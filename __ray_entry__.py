@@ -1199,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_featurize": multimodal_featurize,
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
+        "revenue_by_region": rel.revenue_by_region,
         "revenue_by_part_type": rel.revenue_by_part_type,
         "funnel_counts": lambda sf_dir: _i64(_collect(rel.funnel_counts(sf_dir)), ["stage_idx", "n_users"]),
         "cohort_retention": lambda sf_dir: _i64(_collect(rel.cohort_retention(sf_dir)), ["day_offset", "n_users"]),
@@ -2369,6 +2370,16 @@ WHERE text IS NOT NULL
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "revenue_by_region": """
+            SELECT r.r_name,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))::BIGINT AS revenue_c4
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
         """,
         "top_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice

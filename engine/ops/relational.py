@@ -1134,3 +1134,61 @@ def value_outliers(sf_dir: str, threshold: float = 2.5, num_buckets: int = 32):
         .select_columns(["event_id", "user_id", "value", "z_r"])
         .sort("event_id")
     )
+
+
+def revenue_by_region(sf_dir: str):
+    """TPC-H Q5-style rollup one dim higher than ``revenue_by_nation``:
+    lineitem -> per-order pre-agg -> join orders -> broadcast the THREE-level
+    customer -> nation -> region dim chain (all tiny; composed driver-side
+    into one custkey -> region name lookup, ray.put once) -> revenue per
+    region. Fixed-point 1e-4 money units, exact and order-independent."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price_c = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.round(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": pa.array(price_c * (100 - disc_c))})
+        return t.group_by(["l_orderkey"], use_threads=False).aggregate([("rev", "sum")])
+
+    order_rev = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_sum", alias_name="revenue"))
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = order_rev.join(
+        orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    # compose the dim chain driver-side: custkey -> region name
+    n_sorted = nation.sort_values("n_nationkey")
+    r_sorted = region.sort_values("r_regionkey")
+    c_sorted = cust.sort_values("c_custkey")
+    nat_region = r_sorted["r_name"].to_numpy()[
+        np.searchsorted(
+            r_sorted["r_regionkey"].to_numpy(), n_sorted["n_regionkey"].to_numpy()
+        )
+    ]
+    cust_region = nat_region[
+        np.searchsorted(
+            n_sorted["n_nationkey"].to_numpy(), c_sorted["c_nationkey"].to_numpy()
+        )
+    ]
+    dim_ref = ray.put((c_sorted["c_custkey"].to_numpy(), cust_region))
+
+    def add_region(batch: pa.Table) -> pa.Table:
+        ck, creg = ray.get(dim_ref)
+        custkey = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        name = creg[np.searchsorted(ck, custkey)]
+        t = pa.table({"r_name": pa.array(name, pa.string()), "revenue": batch["revenue"]})
+        return t.group_by(["r_name"], use_threads=False).aggregate([("revenue", "sum")])
+
+    return (
+        joined.map_batches(add_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("revenue_sum", alias_name="revenue_c4"))
+        .sort("r_name")
+    )
