@@ -146,6 +146,24 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("-w", type=int, default=2, help="context window in tokens")
     sn.add_argument("--limit", type=int, default=20)
 
+    dd = sub.add_parser(
+        "dedup", help="corpus dedup report over a parquet of (doc_id, text)"
+    )
+    dd.add_argument("parquet")
+    dd.add_argument(
+        "--mode", choices=["exact", "passage", "jaccard", "containment"],
+        default="exact",
+    )
+    dd.add_argument("--window", type=int, default=16, help="passage token window")
+    dd.add_argument("--limit", type=int, default=50)
+
+    ol = sub.add_parser(
+        "outliers", help="per-user z-score value outliers over an events parquet dir"
+    )
+    ol.add_argument("sf_dir", help="directory containing events.parquet")
+    ol.add_argument("-t", type=float, default=2.5, help="|z| threshold")
+    ol.add_argument("--limit", type=int, default=50)
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -342,6 +360,27 @@ def main(argv: list[str] | None = None) -> int:
                     {"doc_id": row["doc_id"], "pos": row["pos"], "snippet": row["snippet"]}
                 )
             )
+    elif args.cmd == "dedup":
+        _ray()
+        import ray.data
+
+        from .ops.dedup import exact_dedup, ngram_jaccard_pairs, passage_dedup
+
+        ds = ray.data.read_parquet(args.parquet)
+        if args.mode == "exact":
+            out = exact_dedup(ds).sort("doc_id")
+        elif args.mode == "passage":
+            out = passage_dedup(ds, window=args.window).sort(["doc_id", "passage_idx"])
+        else:
+            out = ngram_jaccard_pairs(ds, containment=(args.mode == "containment"))
+        for row in out.limit(args.limit).take_all():
+            print(json.dumps(row))
+    elif args.cmd == "outliers":
+        _ray()
+        from .ops.relational import value_outliers
+
+        for row in value_outliers(args.sf_dir, threshold=args.t).limit(args.limit).take_all():
+            print(json.dumps(row))
     return 0
 
 

@@ -203,3 +203,40 @@ def test_cli_percolate(ray_session, tiny_index, tmp_path, capsys):
     got = {(r["doc_id"], r["query_id"]) for r in rows}
     assert got == {(0, "q_a"), (1, "q_b")}
     assert all(r["score"] > 0 for r in rows)
+
+
+def test_cli_dedup_and_outliers(ray_session, tmp_path, capsys):
+    """dedup (passage mode) and outliers verbs produce JSON-line reports."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.cli import main
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b c d e f g h", "a b c d x y z w"]),
+        }
+    )
+    dpath = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, dpath)
+    assert main(["dedup", dpath, "--mode", "passage", "--window", "4"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert {(r["doc_id"], r["passage_idx"]): r["n_copies"] for r in rows} == {
+        (0, 0): 2, (0, 1): 1, (1, 1): 1,
+    }
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(11), pa.int64()),
+            "user_id": pa.array([1] * 11, pa.int64()),
+            "value": pa.array([10.0] * 10 + [99.0], pa.float64()),
+        }
+    )
+    pq.write_table(ev, str(sf / "events.parquet"))
+    assert main(["outliers", str(sf), "-t", "2.5"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert [r["event_id"] for r in rows] == [10]
