@@ -351,3 +351,17 @@ def test_category_filter_and_incremental(ray_session, tmp_path):
     assert set(bm2.category_docs("comp")) == {1, 9}
     d3, _ = bm2.topk("apple", 10, allowed=bm2.category_docs("comp"))
     assert set(d3) == {1, 9}
+
+
+def test_part_manifest_counts_match_decoded_truth(tiny_index, oracle):
+    """The per-part manifest quantities (what transcripts_index_stats reports)
+    reconcile with ORACLE-verified ground truth: summed across parts,
+    n_postings == sum of oracle df and n_tokens == total token count."""
+    from engine import state
+
+    parts = state.committed_parts(tiny_index)
+    assert parts
+    total_postings = sum(m["n_postings"] for m in parts.values())
+    total_tokens = sum(m["n_tokens"] for m in parts.values())
+    assert total_postings == sum(oracle.df.values())
+    assert total_tokens == sum(oracle.dl.values())
