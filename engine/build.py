@@ -285,6 +285,23 @@ def build_index(
         if os.path.isdir(docmap_dir):
             shutil.rmtree(docmap_dir)
         ds.map_batches(docmap_fn, batch_format="pyarrow").write_parquet(docmap_dir)
+        if not os.path.isdir(docmap_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(docmap_dir)
+        ):
+            # empty corpus: write_parquet emits no files; commit an empty
+            # docmap with the full schema so every reader downstream works
+            os.makedirs(docmap_dir, exist_ok=True)
+            cols = {text_col: pa.array([], pa.string())}
+            if transcripts:
+                cols["conv_id"] = pa.array([], pa.string())
+                cols["turn_idx"] = pa.array([], pa.int32())
+            cols[id_col] = pa.array([], pa.int64())
+            if category_col:
+                cols[category_col] = pa.array([], pa.string())
+            pq.write_table(
+                docmap_fn(pa.table(cols)),
+                os.path.join(docmap_dir, "docmap-0000.parquet"),
+            )
     # one (doc_id, dl) read serves BOTH the global stats and the broadcast dl
     # lookup the slim exchange resolves lengths from at encode time
     dm = pq.read_table(docmap_dir, columns=["doc_id", "dl"])

@@ -56,6 +56,8 @@ def conv_base_offsets(ds: "ray.data.Dataset") -> tuple[np.ndarray, np.ndarray]:
         .to_arrow_refs()
     )
     partials = [t for t in ray.get(partial_refs) if t.num_rows]
+    if not partials:  # empty corpus: zero conversations, base = [0]
+        return np.array([], dtype=str), np.zeros(1, dtype=np.int64)
     tbl = (
         pa.concat_tables(partials)
         .group_by(["conv_id"], use_threads=True)

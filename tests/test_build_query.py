@@ -365,3 +365,26 @@ def test_part_manifest_counts_match_decoded_truth(tiny_index, oracle):
     total_tokens = sum(m["n_tokens"] for m in parts.values())
     assert total_postings == sum(oracle.df.values())
     assert total_tokens == sum(oracle.dl.values())
+
+
+def test_empty_corpus_build_and_query(ray_session, tmp_path):
+    """Zero-row corpus: build commits an empty (schema-complete) docmap and
+    zero parts; queries return empty instead of raising."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.build import build_index
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+    idx = str(tmp_path / "empty_idx")
+    rep = build_index(ray.data.from_arrow(empty), idx, n_buckets=4, n_salts=2, resume=False)
+    assert rep["n_docs"] == 0 and rep["n_parts"] == 0
+    bm = Bm25Index(idx)
+    d, s = bm.topk("anything", 5)
+    assert len(d) == 0
