@@ -289,6 +289,15 @@ def add_documents(
 
     delta_dir = os.path.join(_docmap_dir(index_dir), f"delta-{generation:04d}")
     delta_ds.map_batches(docmap_fn, batch_format="pyarrow").write_parquet(delta_dir)
+    if bounds_avgdl <= 0.0:
+        # base index was EMPTY (avgdl 0): the delta defines the block-max
+        # encoding baseline; persist it so query-time bound scaling
+        # (max(1, avgdl_live / bounds_avgdl)) uses the same value
+        bounds_avgdl = max(
+            1.0, float(pc.mean(pq.read_table(delta_dir, columns=["dl"])["dl"]).as_py() or 0.0)
+        )
+        stats["bounds_avgdl"] = bounds_avgdl
+        state.write_stats(index_dir, stats)
 
     # --- stage 4: tokenize -> committed routing -> per-part merge tasks ---
     hot_ref = ray.put(stats.get("hot_terms", []))

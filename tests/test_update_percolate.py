@@ -323,3 +323,41 @@ def test_revision_aware_add_reindexes_changed_docs(upd_index):
     # 2. resubmitting the SAME edited text again: no-op
     rep2 = add_documents(upd_index, edited)
     assert rep2["added"] == 0 and rep2["replaced"] == 0
+
+
+def test_add_into_empty_index(ray_session, tmp_path):
+    """Bootstrap lifecycle: build over ZERO documents, then incrementally ADD
+    the first real documents — the delta must seed the block-max encoding
+    baseline (bounds_avgdl) instead of dividing by the empty base's avgdl=0,
+    and queries over the grown index must score correctly."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.update import add_documents
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "text": pa.array([], pa.string()),
+        }
+    )
+    idx = str(tmp_path / "bootstrap_idx")
+    build_index(ray.data.from_arrow(empty), idx, n_buckets=4, n_salts=2, resume=False)
+    delta = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1"], pa.string()),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "text": pa.array(["hello world", "goodbye world"], pa.string()),
+        }
+    )
+    assert add_documents(idx, ray.data.from_arrow(delta))["added"] == 2
+    bm = Bm25Index(idx)
+    d, s = bm.topk("world", 5)
+    assert d.tolist() == [0, 1]
+    assert all(x > 0 for x in s)
+    from engine import state
+
+    assert state.read_stats(idx)["bounds_avgdl"] > 0
