@@ -361,3 +361,30 @@ def test_add_into_empty_index(ray_session, tmp_path):
     from engine import state
 
     assert state.read_stats(idx)["bounds_avgdl"] > 0
+
+
+def test_remove_all_then_re_add(ray_session, tmp_path):
+    """Drain-and-refill lifecycle: removing every document leaves a queryable
+    empty index; a subsequent ADD re-mints dense docIDs from zero."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.update import add_documents, remove_documents
+
+    docs = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1", "c2"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "text": pa.array(["hello world", "goodbye world", "other text"], pa.string()),
+        }
+    )
+    idx = str(tmp_path / "drain_idx")
+    build_index(ray.data.from_arrow(docs), idx, n_buckets=4, n_salts=2, resume=False)
+    assert remove_documents(idx, conv_ids=["c1", "c2"])["removed"] == 3
+    d, _ = Bm25Index(idx).topk("world", 5)
+    assert len(d) == 0
+    assert add_documents(idx, ray.data.from_arrow(docs))["added"] == 3
+    d2, _ = Bm25Index(idx).topk("world", 5)
+    assert d2.tolist() == [0, 1]
