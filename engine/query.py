@@ -153,6 +153,7 @@ class Bm25Index:
             # otherwise the unique()-merge path below (O(postings) memory)
             # computes the same bits.
             acc_full = np.zeros(self.n_docs, dtype=np.float64)
+            seen = np.zeros(self.n_docs, dtype=bool)
             for t, doc, tf in postings:  # ascending term order
                 df = len(doc)
                 idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
@@ -160,7 +161,13 @@ class Bm25Index:
                 acc_full[doc] += idf * tff * (BM25_K1 + 1.0) / (
                     tff + BM25_K1 * (1.0 - BM25_B + BM25_B * self._dm_dl[doc] / self.avgdl)
                 )
-            candidates = np.flatnonzero(acc_full)  # ascending docIDs
+                seen[doc] = True
+            # candidate extraction scans the 1-byte mask, not the 8-byte
+            # accumulator (this host is bandwidth-starved; measured ~8 ms per
+            # query at 1.3M docs on the float scan). Identical results: every
+            # posting contribution is strictly positive (idf > 0 for df >= 1),
+            # so seen == (acc_full != 0) exactly.
+            candidates = np.flatnonzero(seen)  # ascending docIDs
             return candidates, acc_full[candidates]
         else:
             # one unique() over the concatenation yields candidates AND every
