@@ -12,7 +12,12 @@ JSON line:
 (GRAFT_SCALING_PAIR, default "2,8" — the N->4N pair inside this host's honest
 scaling region; the 8->32 pair is hard-capped by the shared-tenant host at
 ~0.45-0.72 ceiling efficiency — see tools/cpu_capacity.py and BASELINE.md),
-best-of-2 per leg, and report both throughputs + scaling efficiency.
+best-of-2 per leg, and report both throughputs + scaling efficiency plus
+per-pair same-window ratios (pair_effs). Measurement hygiene: probe
+tools/cpu_capacity.py FIRST and prefer windows where the "2" capacity reads
+< 2.0 — this host grants low-parallelism jobs a 1.3-1.45x burst credit in
+most windows, which deflates the ratio's denominator-side honesty; the one
+no-burst window sampled (BASELINE.md s27) read 0.783 best-of / 0.874 pair.
 
 The transcript corpus is synthesized deterministically (seed=42) into /tmp and
 reused across runs; generation is untimed. One untimed warm read precedes the
