@@ -883,6 +883,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [("doc_id", "ascending"), ("rank", "ascending")]
         )
 
+    def source_top_terms(sf_dir):
+        from engine.ops.textstats import source_top_terms as _stt
+
+        return _stt(_docs(sf_dir, ["doc_id", "source", "text"]), m=5)
+
     def bigram_counts(sf_dir):
         """Corpus top-50 word bigrams (collocations), count desc / bigram asc."""
         from engine.ops.textstats import bigram_top_counts
@@ -1174,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "unigram_lm": unigram_lm,
         "doc_top_terms": doc_top_terms,
+        "source_top_terms": source_top_terms,
         "bigram_counts": bigram_counts,
         "bigram_pmi": bigram_pmi,
         "ngram_novelty": ngram_novelty,
@@ -2047,6 +2053,25 @@ WHERE text IS NOT NULL
             SELECT d.doc_id, coalesce(ll.dl, 0)::BIGINT AS dl,
                    round(coalesce(ll.ll / ll.dl, 0.0), 6) AS avg_logprob_r
             FROM documents d LEFT JOIN ll USING (doc_id)
+        """,
+        "source_top_terms": f"""
+            WITH toks AS (
+              SELECT source, doc_id, unnest({tok}) AS term FROM documents
+            ),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            gt AS (SELECT source, term, count(*) AS gtf FROM toks GROUP BY source, term),
+            sc AS (
+              SELECT source, term, gtf,
+                     round(gtf * ln(n.n_docs::DOUBLE / df.df), 6) AS score_r,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY round(gtf * ln(n.n_docs::DOUBLE / df.df), 6) DESC, term
+                     ) AS rank
+              FROM gt JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT source, rank::BIGINT AS rank, term, gtf::BIGINT AS gtf, score_r
+            FROM sc WHERE rank <= 5
         """,
         "doc_top_terms": f"""
             WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),

@@ -937,3 +937,88 @@ def pack_sequences(ds, budget: int = 256, id_col: str = "doc_id", text_col: str 
 
     out = [stamp.remote(r, int(o), budget) for r, o in zip(blocks, offsets)]
     return ray.data.from_arrow_refs(out)
+
+
+def source_top_terms(ds, m: int = 5, group_col: str = "source", text_col: str = "text"):
+    """Per-GROUP keyword extraction: the top ``m`` terms of each source by
+    aggregate tf-idf (``group_tf * ln(n_docs / df)``) — the corpus-slice
+    profiling view beside the per-document ``doc_top_terms`` (what
+    distinguishes one crawl/source from the rest of the corpus).
+
+    Scale shape: pass 1 builds the vocab-sized df table (distinct-doc counts,
+    partial-agg -> tiny groupby -> ray.put broadcast); pass 2 emits per-batch
+    (group, term, tf) partials and a ``groupby(group)`` whose per-group body
+    is one Arrow group_by + vectorized scoring + an argsort of the group's
+    vocab (thousands of rows, never corpus-sized). Ranking on
+    round(score, 6) DESC, term ASC — the exact contract the SQL oracle
+    mirrors. Returns (group, rank, term, gtf, score_r).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _explode_tokens(batch[text_col])
+        if len(parent) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        t = pa.table({"term": flat, "p": pa.array(parent)})
+        dedup = t.group_by(["term", "p"], use_threads=False).aggregate([])
+        g = dedup.group_by(["term"], use_threads=False).aggregate([("p", "count")])
+        return pa.table({"term": g["term"], "df": g["p_count"].cast(pa.int64())})
+
+    df_tbl = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    n_docs = int(ds.count())
+    vocab = np.asarray(df_tbl["term"], dtype=object)
+    o = np.argsort(vocab, kind="stable")
+    df_ref = ray.put((vocab[o], np.asarray(df_tbl["df"])[o].astype(np.int64)))
+
+    def partial_tf(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _explode_tokens(batch[text_col])
+        if len(parent) == 0:
+            return pa.table(
+                {
+                    "grp": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        grp = batch[group_col].cast(pa.string())
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        t = pa.table({"grp": grp.take(pa.array(parent)), "term": flat})
+        g = t.group_by(["grp", "term"], use_threads=False).aggregate([("term", "count")])
+        return pa.table(
+            {"grp": g["grp"], "term": g["term"], "tf": g["term_count"].cast(pa.int64())}
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        grp = group["grp"][0].as_py()
+        agg = group.group_by(["term"], use_threads=False).aggregate([("tf", "sum")])
+        terms = agg["term"].to_numpy(zero_copy_only=False).astype(object)
+        gtf = agg["tf_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        voc, dfv = ray.get(df_ref)
+        pos = np.searchsorted(voc, terms)
+        score = np.round(gtf * np.log(float(n_docs) / dfv[pos]), 6)
+        order = np.lexsort((terms, -score))[:m]
+        return pa.table(
+            {
+                group_col: pa.array([grp] * len(order), pa.string()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "term": pa.array(terms[order], pa.string()),
+                "gtf": pa.array(gtf[order], pa.int64()),
+                "score_r": pa.array(score[order], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_tf, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(finish, batch_format="pyarrow")
+        .sort([group_col, "rank"])
+    )
