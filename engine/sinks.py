@@ -27,7 +27,6 @@ import glob
 import json
 import os
 import uuid
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -81,7 +80,7 @@ def write_partitioned_parquet(
         key = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         bucket = key % num_buckets
         live = ~np.isin(bucket, skip)
-        out_b, out_r = [], []
+        out_b, out_r, out_p = [], [], []
         if live.any():
             t = batch.append_column("__bucket", pa.array(bucket))
             t = t.filter(pa.array(live))
@@ -97,22 +96,23 @@ def write_partitioned_parquet(
                 tmp_dir = _bucket_dir(out_dir, bk) + ".tmp"
                 os.makedirs(tmp_dir, exist_ok=True)
                 part = sorted_t.slice(s, e - s)
-                # CONTENT-derived file name: a retried / re-executed task
-                # overwrites its own identical file instead of appending a
-                # duplicate (side-effecting map tasks may run more than once)
-                sig = zlib.crc32(
-                    part[key_col].to_numpy(zero_copy_only=False).astype(np.int64).tobytes()
-                )
+                # UNIQUE file name per logical batch: two different batches
+                # whose slice for a bucket shares key values / row count must
+                # NOT collide (a content-only signature loses rows silently).
+                # Duplicate files from retried / re-executed tasks are pruned
+                # at commit time against the accounting set instead.
                 path = os.path.join(
-                    tmp_dir, f"part-{run_id}-{sig:08x}-{part.num_rows}.parquet"
+                    tmp_dir, f"part-{run_id}-{uuid.uuid4().hex}.parquet"
                 )
                 pq.write_table(part, path)
                 out_b.append(bk)
                 out_r.append(int(e - s))
+                out_p.append(path)
         return pa.table(
             {
                 "bucket": pa.array(out_b, pa.int64()),
                 "rows": pa.array(out_r, pa.int64()),
+                "path": pa.array(out_p, pa.string()),
             }
         )
 
@@ -122,15 +122,25 @@ def write_partitioned_parquet(
     acct_ds = ds.map_batches(write_batch, batch_format="pyarrow").materialize()
     acct = [t for t in ray.get(acct_ds.to_arrow_refs()) if t.num_rows]
     rows_by_bucket: dict[int, int] = {}
+    live_paths: set[str] = set()
     for t in acct:
-        for bk, r in zip(t["bucket"].to_pylist(), t["rows"].to_pylist()):
+        for bk, r, p in zip(
+            t["bucket"].to_pylist(), t["rows"].to_pylist(), t["path"].to_pylist()
+        ):
             rows_by_bucket[bk] = rows_by_bucket.get(bk, 0) + r
-    # commit: rename temp dir into place + manifest-last (crash between the
-    # two leaves a bucket uncommitted -> next run rewrites it, never partial)
+            live_paths.add(p)
+    # commit: prune orphan files (failed first attempts of retried tasks write
+    # files the final accounting never lists), then rename temp dir into place
+    # + manifest-last (crash between the two leaves a bucket uncommitted ->
+    # next run rewrites it, never partial)
     committed = []
     for bk in sorted(rows_by_bucket):
         tmp_dir = _bucket_dir(out_dir, bk) + ".tmp"
         final = _bucket_dir(out_dir, bk)
+        for f in os.listdir(tmp_dir):
+            fp = os.path.join(tmp_dir, f)
+            if f.endswith(".parquet") and fp not in live_paths:
+                os.remove(fp)
         if os.path.isdir(final):  # stale partial from a crashed run
             import shutil
 

@@ -800,6 +800,38 @@ def test_partitioned_sink_resume(ray_session, tmp_path):
     assert (back["val"].to_numpy() == back["doc_id"].to_numpy() * 3).all()
 
 
+def test_partitioned_sink_duplicate_key_batches(ray_session, tmp_path):
+    """Regression (ADVICE r2): two different blocks whose slice for a bucket
+    has IDENTICAL key values and row count must not collide on file name —
+    on-disk rows must equal reported rows, and every payload must survive."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.sinks import read_partitioned_parquet, write_partitioned_parquet
+
+    # two 100-row blocks, every row key=5, different payloads
+    t1 = pa.table(
+        {
+            "key": pa.array(np.full(100, 5), pa.int64()),
+            "payload": pa.array(np.arange(100), pa.int64()),
+        }
+    )
+    t2 = pa.table(
+        {
+            "key": pa.array(np.full(100, 5), pa.int64()),
+            "payload": pa.array(np.arange(100, 200), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow([t1, t2])
+    out = str(tmp_path / "dupsink")
+    rep = write_partitioned_parquet(ds, out, "key", num_buckets=8)
+    assert rep["rows_written"] == 200
+    back = read_partitioned_parquet(out).to_pandas()
+    assert len(back) == 200  # was 100 with content-only file names
+    assert sorted(back["payload"].tolist()) == list(range(200))
+
+
 def test_kmv_grouped_block_layout_independent(ray_session, tmp_path):
     """Grouped KMV (distinct users per day): mergeable partials — the answer
     is identical across block layouts, and for groups under k it is EXACT
