@@ -43,7 +43,7 @@ from . import state
 from .docids import add_doc_ids, conv_base_offsets
 from .schema import TRANSCRIPT_SCHEMA
 from .segments import encode_bucket, term_bucket_array
-from .tokenize import doc_length_batch, hash64_text, tokenize_batch
+from .tokenize import doc_length_batch, hash64_text, hash_scheme, tokenize_batch
 
 DEFAULT_N_BUCKETS = 32
 DEFAULT_N_SALTS = 8
@@ -521,6 +521,7 @@ def build_index(
         "transcripts_mode": transcripts,
         "positional": positions,
         "category_col": category_col,
+        "hash_scheme": hash_scheme(),
         "timings_sec": {
             "docmap": round(t_docmap - t0, 3),
             "hot_detect": round(t_hot - t_docmap, 3),

@@ -216,6 +216,21 @@ def md5_lower64(strs: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return uniq[dic.indices.to_numpy(zero_copy_only=False)]
 
 
+def hash_scheme() -> str:
+    """Name of the content-hash scheme :func:`hash64_text` will use in this
+    process. Persisted in stats.json at build time and verified by
+    incremental ADD: content_hash values written by one run are compared
+    against hashes computed by later runs, so a silent scheme flip (polars
+    added/removed from the env) would classify every re-submitted known doc
+    as MODIFIED and trigger a full purge + re-index pass."""
+    try:
+        import polars  # noqa: F401
+
+        return "polars-xxhash64-seed0"
+    except ImportError:  # pragma: no cover - polars is baked into the env
+        return "md5-lower64"
+
+
 def hash64_text(strs: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Vectorized uint64 content hash for docmap revision tracking.
 

@@ -46,7 +46,7 @@ import ray.data
 from . import state
 from .build import _Router
 from .segments import decode_posting, encode_bucket
-from .tokenize import doc_length_batch, hash64_text, tokenize_batch
+from .tokenize import doc_length_batch, hash64_text, hash_scheme, tokenize_batch
 
 
 def _docmap_dir(index_dir: str) -> str:
@@ -171,6 +171,17 @@ def add_documents(
     against the docmap on the same key; stages 2-4 are unchanged.
     """
     stats = state.read_stats(index_dir)
+    # revision hashes written at build time are compared against hashes this
+    # run computes — a scheme flip (e.g. polars removed from the env) would
+    # silently classify every re-submitted known doc as MODIFIED and force a
+    # full purge + re-index pass, so hard-fail instead (ADVICE r2)
+    stored_scheme = stats.get("hash_scheme")
+    if stored_scheme is not None and stored_scheme != hash_scheme():
+        raise RuntimeError(
+            f"content-hash scheme mismatch: index built with {stored_scheme!r} "
+            f"but this environment computes {hash_scheme()!r}; rebuild the "
+            "index or restore the original hash backend"
+        )
     transcripts = bool(stats.get("transcripts_mode"))
     generation = int(stats.get("generation", 0)) + 1
     bounds_avgdl = float(stats.get("bounds_avgdl", stats["avgdl"]))

@@ -97,6 +97,27 @@ def test_add_is_idempotent(upd_index):
     assert state.read_stats(upd_index)["n_postings"] == n_postings_1
 
 
+def test_add_rejects_hash_scheme_mismatch(upd_index):
+    """stats.json persists the content-hash scheme; an ADD run whose
+    environment computes a different scheme must hard-fail (ADVICE r2) —
+    otherwise every re-submitted known doc reads as MODIFIED and triggers a
+    silent full purge + re-index."""
+    import pytest
+    import ray.data
+
+    from engine.tokenize import hash_scheme
+    from engine.update import add_documents
+
+    stats = state.read_stats(upd_index)
+    assert stats["hash_scheme"] == hash_scheme()
+    stats["hash_scheme"] = "md5-lower64-DIFFERENT"
+    state.write_stats(upd_index, stats)
+    with pytest.raises(RuntimeError, match="hash scheme mismatch"):
+        add_documents(upd_index, ray.data.from_arrow(_new_convs_table()))
+    stats["hash_scheme"] = hash_scheme()
+    state.write_stats(upd_index, stats)
+
+
 def test_remove_then_query(upd_index):
     from engine.query import Bm25Index
     from engine.update import remove_documents
