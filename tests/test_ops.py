@@ -189,8 +189,23 @@ def test_dedup_clusters_transitive_chain(ray_session):
         if any(find(o) == r for o in range(5) if o != d):
             want[d] = r
 
-    got_tbl = dedup_clusters(ds, threshold_num=7, threshold_den=10, k=2)
-    got = dict(zip(got_tbl["doc_id"].to_pylist(), got_tbl["cluster_rep"].to_pylist()))
+    import ray.data
+
+    # VERDICT r2 #1: the driver must never materialize the edge list — no
+    # to_arrow_refs / take_all / to_pandas on ANY dataset inside
+    # dedup_clusters (labels + edges stay Datasets; driver sees only the
+    # per-round changed-label count)
+    calls = []
+    orig = ray.data.Dataset.to_arrow_refs
+    ray.data.Dataset.to_arrow_refs = lambda self, *a, **k: (
+        calls.append(1) or orig(self, *a, **k)
+    )
+    try:
+        got_df = dedup_clusters(ds, threshold_num=7, threshold_den=10, k=2).to_pandas()
+    finally:
+        ray.data.Dataset.to_arrow_refs = orig
+    assert not calls, "dedup_clusters pulled blocks to the driver"
+    got = dict(zip(got_df["doc_id"].tolist(), got_df["cluster_rep"].tolist()))
     assert got == want
     # the scenario must actually exercise transitivity: A-C edge absent
     assert (0, 2) not in edges and got.get(2) == 0
