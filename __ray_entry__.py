@@ -779,6 +779,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return _round_scores(res, "cosine", "cosine_r", SCORE_ROUND)
 
+    def dedup_embedding_ivf(sf_dir):
+        """Sub-quadratic embedding near-dup: IVF multi-probe bucketing +
+        exact within-bucket cosine (VERDICT r2 #2). Centroids come from the
+        shared numpy-only helper so the DuckDB oracle can recompute the
+        identical candidate set; cosine values are verified exactly by the
+        oracle's list_cosine_similarity recompute over that set."""
+        from engine.ops.dedup import (
+            deterministic_ivf_centroids,
+            embedding_dup_pairs_ivf,
+        )
+
+        cent = deterministic_ivf_centroids(
+            f"{sf_dir}/embeddings.parquet", n_centroids=8, seed=42
+        )
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        res = _collect(
+            embedding_dup_pairs_ivf(ds, threshold=0.4, centroids=cent, probes=2)
+        )
+        if res.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "cosine_r": pa.array([], pa.float64()),
+                }
+            )
+        return _round_scores(res, "cosine", "cosine_r", SCORE_ROUND)
+
     # ---- similarity -----------------------------------------------------
     def kmeans_embeddings(sf_dir):
         """Distributed Lloyd k-means over the embeddings table (broadcast
@@ -1172,6 +1202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
+        "dedup_embedding_ivf": dedup_embedding_ivf,
         "ann_cosine_topk": ann_cosine_topk,
         "kmeans_embeddings": kmeans_embeddings,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1881,6 +1912,39 @@ FROM documents d LEFT JOIN scg USING (doc_id)
 """
 
 
+def _ivf_assign_oracle(sf_dir: str) -> str:
+    """Numpy-only recompute of the dedup_embedding_ivf candidate bucketing
+    (same shared centroids, same round-before-argsort assignment as
+    engine.ops.dedup.ivf_assign_embeddings) written to a cache parquet the
+    oracle SQL reads — DuckDB then verifies the within-bucket exact-cosine
+    pair values over the engine's own candidate set."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.dedup import deterministic_ivf_centroids
+
+    path = _cache(sf_dir, "ivf_assign.parquet")
+    if not os.path.exists(path):
+        cent = deterministic_ivf_centroids(
+            f"{sf_dir}/embeddings.parquet", n_centroids=8, seed=42
+        )
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = np.round(mat @ cent.T, 6)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :2]
+        ids = t["vec_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, 2), pa.int64()),
+                "centroid": pa.array(order.ravel().astype(np.int32)),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def oracle_sql() -> dict[str, str]:
     from engine.ops.relational import EVENT_TYPES
     from engine.ops.sampling import DEFAULT_RATE_PERMILLE, STRATA_RATES_PERMILLE
@@ -1893,6 +1957,10 @@ def oracle_sql() -> dict[str, str]:
         _transcripts_corpus("/root/testdata/sf0.01")
     except Exception:
         pass  # queries() will (re)create it; the SQL then errors visibly
+    try:
+        _ivf_assign_oracle("/root/testdata/sf0.01")
+    except Exception:
+        pass
 
     tok = _TOKEN_SQL
     strata_case = "CASE source {} ELSE {} END".format(
@@ -2280,6 +2348,27 @@ WHERE text IS NOT NULL
                    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine_r
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        # candidate buckets recomputed numpy-only into the assignment parquet
+        # (shared centroids + round-before-argsort => identical to the Ray
+        # assignment stage); DuckDB then verifies the exact cosine values of
+        # every within-bucket pair — recall vs brute is pytest-gated
+        "dedup_embedding_ivf": f"""
+            WITH assign AS (
+              SELECT vec_id, centroid
+              FROM read_parquet('{CACHE_ROOT}/sf0.01/ivf_assign.parquet')
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+              FROM assign a JOIN assign b
+                ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+            )
+            SELECT ea.vec_id AS doc_a, eb.vec_id AS doc_b,
+                   round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), {SCORE_ROUND}) AS cosine_r
+            FROM cand
+            JOIN embeddings ea ON ea.vec_id = cand.ia
+            JOIN embeddings eb ON eb.vec_id = cand.ib
+            WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.4
         """,
         "ann_cosine_topk": f"""
             WITH sims AS (
