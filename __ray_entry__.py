@@ -809,6 +809,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return _round_scores(res, "cosine", "cosine_r", SCORE_ROUND)
 
+    def kmeans_assign(sf_dir):
+        """One Lloyd assignment step against the seeded init centroids —
+        the SQL-checkable contract for the k-means family (VERDICT r2 #6):
+        DuckDB recomputes argmin distance to the same (shared numpy helper)
+        init centroids; the full T-iteration training loop stays
+        pytest-gated in kmeans_embeddings."""
+        from engine.ops.similarity import deterministic_kmeans_init
+        from engine.ops.similarity import kmeans_assign as _assign
+
+        cent = deterministic_kmeans_init(f"{sf_dir}/embeddings.parquet", k=8, seed=7)
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        return _assign(ds, cent)
+
     # ---- similarity -----------------------------------------------------
     def kmeans_embeddings(sf_dir):
         """Distributed Lloyd k-means over the embeddings table (broadcast
@@ -1205,6 +1220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_ivf": dedup_embedding_ivf,
         "ann_cosine_topk": ann_cosine_topk,
         "kmeans_embeddings": kmeans_embeddings,
+        "kmeans_assign": kmeans_assign,
         "ann_ivf_topk": ann_ivf_topk,
         "text_quality": text_quality,
         "lang_id": lang_id,
@@ -1945,6 +1961,28 @@ def _ivf_assign_oracle(sf_dir: str) -> str:
     return path
 
 
+def _kmeans_init_oracle(sf_dir: str) -> str:
+    """Materialize the shared seeded k-means init centroids as a parquet the
+    kmeans_assign oracle SQL reads (numpy-only, idempotent)."""
+    import pyarrow.parquet as pq
+
+    from engine.ops.similarity import deterministic_kmeans_init
+
+    path = _cache(sf_dir, "kmeans_init.parquet")
+    if not os.path.exists(path):
+        cent = deterministic_kmeans_init(f"{sf_dir}/embeddings.parquet", k=8, seed=7)
+        out = pa.table(
+            {
+                "centroid_id": pa.array(np.arange(len(cent), dtype=np.int64), pa.int64()),
+                "centroid": pa.array(list(cent)),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def oracle_sql() -> dict[str, str]:
     from engine.ops.relational import EVENT_TYPES
     from engine.ops.sampling import DEFAULT_RATE_PERMILLE, STRATA_RATES_PERMILLE
@@ -1959,6 +1997,10 @@ def oracle_sql() -> dict[str, str]:
         pass  # queries() will (re)create it; the SQL then errors visibly
     try:
         _ivf_assign_oracle("/root/testdata/sf0.01")
+    except Exception:
+        pass
+    try:
+        _kmeans_init_oracle("/root/testdata/sf0.01")
     except Exception:
         pass
 
@@ -2369,6 +2411,27 @@ WHERE text IS NOT NULL
             JOIN embeddings ea ON ea.vec_id = cand.ia
             JOIN embeddings eb ON eb.vec_id = cand.ib
             WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.4
+        """,
+        # init centroids recomputed numpy-only into the init parquet (shared
+        # seeded helper); both sides round d2 to 6 decimals before the argmin
+        # so the engine's one-matmul expansion and SQL's list_distance agree
+        "kmeans_assign": f"""
+            WITH init AS (
+              SELECT centroid_id, centroid
+              FROM read_parquet('{CACHE_ROOT}/sf0.01/kmeans_init.parquet')
+            ),
+            d AS (
+              SELECT e.vec_id, i.centroid_id,
+                     round(list_distance(e.embedding::DOUBLE[], i.centroid)^2, 6) AS d2
+              FROM embeddings e CROSS JOIN init i
+            ),
+            ranked AS (
+              SELECT vec_id, centroid_id, d2,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+              FROM d
+            )
+            SELECT vec_id, centroid_id, round(d2, 4) AS d2_r
+            FROM ranked WHERE rn = 1
         """,
         "ann_cosine_topk": f"""
             WITH sims AS (

@@ -629,6 +629,71 @@ def tfidf_similar_pairs(
 # distributed k-means training (full-corpus Lloyd iterations)
 # --------------------------------------------------------------------------
 
+def deterministic_kmeans_init(
+    parquet_path: str,
+    k: int = 8,
+    seed: int = 7,
+    init_sample: int = 2048,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Numpy-only recompute of :func:`kmeans_train`'s seeded init centroids
+    (first ``init_sample`` rows in file order, seeded choice of k) — NO Ray.
+    Shared between the ``kmeans_assign`` entry and its DuckDB-oracle
+    materializer so both sides hold bit-identical init centroids."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[vec_col])
+    mat0 = np.stack(t[vec_col].to_numpy(zero_copy_only=False)[:init_sample]).astype(
+        np.float64
+    )
+    rng = np.random.default_rng(seed)
+    k_eff = min(k, len(mat0))
+    return mat0[rng.choice(len(mat0), size=k_eff, replace=False)].copy()
+
+
+def kmeans_assign(
+    ds,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    d2_round: int = 6,
+):
+    """One Lloyd ASSIGNMENT step against broadcast centroids — the
+    SQL-checkable contract for the iterative :func:`kmeans_train` loop
+    (VERDICT r2 #6): DuckDB recomputes argmin distance to the same init
+    centroids exactly, so this entry gives the k-means family a value
+    oracle while the full T-iteration training stays pytest-gated.
+
+    Squared distances are rounded to ``d2_round`` decimals BEFORE the argmin
+    (ties -> lowest centroid_id) so the engine's one-matmul expansion
+    (||x||^2 - 2 x.c + ||c||^2) and the oracle's per-pair sum-of-squares
+    agree despite last-ULP accumulation differences.
+
+    Returns a Dataset (vec_id, centroid_id, d2_r), sorted by vec_id."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mat = _stack(batch[vec_col])
+        x2 = (mat * mat).sum(axis=1, keepdims=True)
+        c2 = (c * c).sum(axis=1)
+        d2 = np.round(x2 - 2.0 * (mat @ c.T) + c2, d2_round)
+        a = np.argmin(d2, axis=1)  # ties -> lowest centroid_id
+        best = d2[np.arange(len(mat)), a]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "centroid_id": pa.array(a.astype(np.int64), pa.int64()),
+                "d2_r": pa.array(np.round(np.maximum(best, 0.0), 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort("vec_id")
+
+
 def kmeans_train(
     ds,
     k: int = 8,
