@@ -40,7 +40,7 @@ import ray
 import ray.data
 
 from . import state
-from .docids import add_doc_ids, conv_base_offsets
+from .docids import add_doc_ids, build_conv_offset_index
 from .schema import TRANSCRIPT_SCHEMA
 from .segments import encode_bucket, term_bucket_array
 from .tokenize import doc_length_batch, hash64_text, hash_scheme, tokenize_batch
@@ -124,6 +124,94 @@ class _Router:
                     term_col.dictionary_encode(),
                 )
         return batch.append_column("part", pa.array(part, pa.int32()))
+
+
+class ShardedDl:
+    """Range-routed doc-length lookup over per-docmap-file shards.
+
+    Driver/task-resident state is O(#shards): sorted shard minima + one
+    ObjectRef per shard; each shard is ``(ids_sorted_or_None, dls, lo)``
+    (``None`` = ids dense in [lo, lo+len)). ``gather`` fetches only the
+    shards the requested docIDs touch — zero-copy plasma reads, cached per
+    node."""
+
+    def __init__(self, mins: np.ndarray, shard_refs: list):
+        self.mins = mins
+        self.shard_refs = shard_refs
+
+    def gather(self, doc: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(doc), dtype=np.int32)
+        sid = np.searchsorted(self.mins, doc, side="right") - 1
+        for s in np.unique(sid):
+            m = sid == s
+            ids, dls, lo = ray.get(self.shard_refs[int(s)])
+            d = doc[m]
+            out[m] = dls[d - lo] if ids is None else dls[np.searchsorted(ids, d)]
+        return out
+
+
+@ray.remote(num_returns=2)
+def _read_dl_shard(path: str):
+    t = pq.read_table(path, columns=["doc_id", "dl"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dls = t["dl"].to_numpy(zero_copy_only=False).astype(np.int32)
+    o = np.argsort(ids, kind="stable")
+    ids, dls = ids[o], dls[o]
+    n = len(ids)
+    dense = bool(n) and int(ids[-1] - ids[0]) == n - 1
+    meta = {
+        "n": n,
+        "min": int(ids[0]) if n else 0,
+        "max": int(ids[-1]) if n else -1,
+        "dl_sum": float(dls.sum(dtype=np.float64)),
+    }
+    lo = int(ids[0]) if n else 0
+    return meta, ((None if dense else ids), dls, lo)
+
+
+@ray.remote
+def _merge_dl_shards(*shards):
+    """Overlap fallback: assemble the legacy single sorted lookup WORKER-side
+    (the driver never holds the arrays)."""
+    all_ids, all_dls = [], []
+    for ids, dls, lo in shards:
+        all_ids.append(ids if ids is not None else lo + np.arange(len(dls), dtype=np.int64))
+        all_dls.append(dls)
+    ids = np.concatenate(all_ids) if all_ids else np.array([], dtype=np.int64)
+    dls = np.concatenate(all_dls) if all_dls else np.array([], dtype=np.int32)
+    o = np.argsort(ids, kind="stable")
+    return ids[o], dls[o]
+
+
+def _build_dl_lookup(docmap_dir: str):
+    """-> (dl_ref, n_docs, avgdl, ids_fit_int32); see build_index body."""
+    files = sorted(
+        os.path.join(docmap_dir, f)
+        for f in os.listdir(docmap_dir)
+        if f.endswith(".parquet")
+    )
+    meta_refs, data_refs = [], []
+    for p in files:
+        m, d = _read_dl_shard.remote(p)
+        meta_refs.append(m)
+        data_refs.append(d)
+    metas = ray.get(meta_refs)  # O(#files) driver state
+    n_docs = int(sum(m["n"] for m in metas))
+    avgdl = (sum(m["dl_sum"] for m in metas) / n_docs) if n_docs else 0.0
+    live = [(m, r) for m, r in zip(metas, data_refs) if m["n"]]
+    live.sort(key=lambda x: x[0]["min"])
+    disjoint = all(
+        live[i + 1][0]["min"] > live[i][0]["max"] for i in range(len(live) - 1)
+    )
+    if live and disjoint:
+        mins = np.array([m["min"] for m, _ in live], dtype=np.int64)
+        dl_ref = ray.put(ShardedDl(mins, [r for _, r in live]))
+    else:
+        dl_ref = _merge_dl_shards.remote(*[r for _, r in live])
+    gmin = min((m["min"] for m, _ in live), default=0)
+    gmax = max((m["max"] for m, _ in live), default=-1)
+    ids_fit_int32 = bool(n_docs) and gmin >= 0 and gmax < 2**31
+    return dl_ref, n_docs, avgdl, ids_fit_int32
 
 
 class _SegmentWriter:
@@ -229,8 +317,8 @@ def build_index(
         ds = ds.select_columns(
             ["conv_id", "turn_idx", "text"] + ([category_col] if category_col else [])
         )
-        convs, base = conv_base_offsets(ds)
-        ds = add_doc_ids(ds, convs, base)
+        conv_index = build_conv_offset_index(ds)
+        ds = add_doc_ids(ds, conv_index)
         id_col = "doc_id"
 
         def docmap_fn(b: pa.Table) -> pa.Table:
@@ -302,26 +390,19 @@ def build_index(
                 docmap_fn(pa.table(cols)),
                 os.path.join(docmap_dir, "docmap-0000.parquet"),
             )
-    # one (doc_id, dl) read serves BOTH the global stats and the broadcast dl
-    # lookup the slim exchange resolves lengths from at encode time
-    dm = pq.read_table(docmap_dir, columns=["doc_id", "dl"])
-    n_docs = dm.num_rows
-    avgdl = float(pc.mean(dm["dl"]).as_py() or 0.0)
+    # sharded (doc_id, dl) lookup (VERDICT r2 #4): one Ray task per docmap
+    # file reads + sorts its shard and KEEPS the arrays in the object store;
+    # the driver folds only O(#files) metadata rows (n, min/max id, dl sum)
+    # for the global stats — no O(n_docs) driver allocation and no single
+    # O(n_docs) object. Encode tasks gather dl shard-by-shard (plasma-cached
+    # per node). When shard id-ranges overlap (docmap written from a
+    # conv-interleaved layout), a worker-side merge task falls back to the
+    # legacy single sorted lookup — still assembled off-driver.
+    dl_ref, n_docs, avgdl, ids_fit_int32 = _build_dl_lookup(docmap_dir)
     if not os.path.exists(docmap_marker):
         state.atomic_write_bytes(
             json.dumps({"n_docs": n_docs, "avgdl": avgdl}).encode(), docmap_marker
         )
-    dm_ids = dm["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dm_dls = dm["dl"].to_numpy(zero_copy_only=False).astype(np.int32)
-    if n_docs and dm_ids.min() == 0 and dm_ids.max() == n_docs - 1:
-        dense = np.zeros(n_docs, dtype=np.int32)
-        dense[dm_ids] = dm_dls
-        dl_ref = ray.put((None, dense))  # dense docIDs: direct gather
-    else:
-        o = np.argsort(dm_ids, kind="stable")
-        dl_ref = ray.put((dm_ids[o], dm_dls[o]))
-    ids_fit_int32 = bool(n_docs) and dm_ids.min() >= 0 and dm_ids.max() < 2**31
-    del dm, dm_ids, dm_dls
     t_docmap = time.perf_counter()
 
     # --- routing contract (pre-shuffle checkpoint) ---------------------------

@@ -164,8 +164,11 @@ def encode_bucket(
     if "dl" in group.column_names:
         dl = group["dl"].to_numpy(zero_copy_only=False)[order].astype(np.int64, copy=False)
     else:
-        ids_sorted, dl_vals = dl_lookup
-        dl = dl_vals[doc] if ids_sorted is None else dl_vals[np.searchsorted(ids_sorted, doc)]
+        if hasattr(dl_lookup, "gather"):  # sharded lookup (build.ShardedDl)
+            dl = dl_lookup.gather(doc)
+        else:  # legacy single sorted lookup (overlap fallback / delta paths)
+            ids_sorted, dl_vals = dl_lookup
+            dl = dl_vals[doc] if ids_sorted is None else dl_vals[np.searchsorted(ids_sorted, doc)]
         dl = dl.astype(np.int64, copy=False)
 
     # one cumsum of each byte-length array, shared by the encoder (output

@@ -156,13 +156,48 @@ def test_resume_refuses_mismatched_routing_contract(ray_session, tiny_corpus, tm
     assert rep["parts_written_this_run"] == 0
 
 
+def test_conv_offset_index_sharded_matches_rank(ray_session):
+    """The range-sharded conv offset index (VERDICT r2 #4: O(R) driver
+    state, per-range shards in the object store) assigns docID == global
+    rank of (conv_id, turn_idx), across multiple ranges and block layouts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from engine.docids import add_doc_ids, build_conv_offset_index
+
+    rng = np.random.default_rng(5)
+    convs = [f"c{i:03d}" for i in range(40)]
+    rows_c, rows_t = [], []
+    for c in convs:
+        n = int(rng.integers(1, 6))
+        rows_c += [c] * n
+        rows_t += list(range(n))
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(rows_c, pa.string()),
+            "turn_idx": pa.array(rows_t, pa.int32()),
+            "text": pa.array(["t"] * len(rows_c)),
+        }
+    )
+    # shuffle row order so batches interleave conversations across blocks
+    perm = rng.permutation(len(rows_c))
+    shuffled = tbl.take(pa.array(perm))
+    ds = ray.data.from_arrow(shuffled).repartition(7)
+    idx = build_conv_offset_index(ds, n_ranges=4)
+    assert len(idx.shard_refs) == 4 and idx.total == len(rows_c)
+    out = add_doc_ids(ds, idx).to_pandas()
+    out = out.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    assert out["doc_id"].tolist() == list(range(len(rows_c)))
+
+
 def test_docid_assignment_validates_turn_gaps(ray_session):
     """Gapped or duplicated turn_idx must fail the build, not silently
     collide docIDs across conversations."""
     import pyarrow as pa
     import ray.data
 
-    from engine.docids import add_doc_ids, conv_base_offsets
+    from engine.docids import add_doc_ids, build_conv_offset_index
 
     gapped = ray.data.from_arrow(
         pa.table(
@@ -173,9 +208,8 @@ def test_docid_assignment_validates_turn_gaps(ray_session):
             }
         )
     )
-    convs, base = conv_base_offsets(gapped)
     with pytest.raises(Exception, match="turn_idx|out of range"):
-        add_doc_ids(gapped, convs, base).materialize()
+        add_doc_ids(gapped, build_conv_offset_index(gapped)).materialize()
 
     dup = ray.data.from_arrow(
         pa.table(
@@ -186,6 +220,5 @@ def test_docid_assignment_validates_turn_gaps(ray_session):
             }
         )
     )
-    convs, base = conv_base_offsets(dup)
     with pytest.raises(Exception, match="duplicate"):
-        add_doc_ids(dup, convs, base).materialize()
+        add_doc_ids(dup, build_conv_offset_index(dup)).materialize()
