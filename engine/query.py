@@ -82,11 +82,15 @@ def _within_ed1(a: str, b: str) -> bool:
 
 
 class Bm25Index:
-    """Query-side handle: segment reader + docmap lengths + global stats."""
+    """Query-side handle: segment reader + docmap lengths + global stats.
 
-    def __init__(self, index_dir: str):
+    ``read_error_strategy``: "throw" (default) raises SegmentReadError on a
+    corrupt part at query level; "quarantine" serves the remaining parts
+    with a warning (CORE/config/ReadErrorStrategy.java analog)."""
+
+    def __init__(self, index_dir: str, read_error_strategy: str = "throw"):
         self.index_dir = index_dir
-        self.reader = SegmentReader(index_dir)
+        self.reader = SegmentReader(index_dir, read_error_strategy=read_error_strategy)
         self.n_docs = int(self.reader.stats["n_docs"])
         self.avgdl = float(self.reader.stats["avgdl"])
         # block-max bounds were encoded against bounds_avgdl (= build-time

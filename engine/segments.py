@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -313,16 +314,45 @@ def resolve_positions(decoded, cand: np.ndarray) -> list[np.ndarray]:
     return out
 
 
+class SegmentReadError(RuntimeError):
+    """A segment payload failed its read or its CRC check at query time
+    (ReadErrorStrategy.THROW analog, CORE/config/ReadErrorStrategy.java)."""
+
+    def __init__(self, part: int, path: str, reason: str):
+        super().__init__(f"segment part {part} unreadable ({path}): {reason}")
+        self.part = part
+        self.path = path
+
+
 class SegmentReader:
     """Read-side of the bundle (DefaultInvertedIndex.select analog, :307-320).
 
     Lazily loads one Arrow table per bucket file and keeps a term -> row-indices
     dict per bucket (the ffindex offset-TSV analog). ``preload_columns`` keeps
     payload reads columnar: routing metadata only unless postings are needed.
-    """
 
-    def __init__(self, index_dir: str):
+    ``read_error_strategy`` (CORE/io/DefaultInvertedIndex.java:329-338,
+    CORE/config/ReadErrorStrategy.java): what to do when a part's payload is
+    unreadable or fails its manifest CRC at first open —
+    ``"throw"`` (default) raises :class:`SegmentReadError` at query level;
+    ``"quarantine"`` logs a warning once, marks the part dead, and serves the
+    remaining parts (the reference's EXIT mode is the process-supervisor
+    variant; in a Ray actor pool the supervisor IS Ray, so quarantine is the
+    graceful sibling). ``verify_crc`` forces/suppresses the full-payload CRC
+    check at part open; default: on for quarantine (detects silent bit rot
+    parquet may not), off for throw (read errors still surface typed).
+    Offline verification stays in the CLI ``verify`` verb."""
+
+    def __init__(self, index_dir: str, read_error_strategy: str = "throw",
+                 verify_crc: bool | None = None):
         self.index_dir = index_dir
+        if read_error_strategy not in ("throw", "quarantine"):
+            raise ValueError(f"unknown read_error_strategy {read_error_strategy!r}")
+        self.read_error_strategy = read_error_strategy
+        self.verify_crc = (
+            verify_crc if verify_crc is not None else read_error_strategy == "quarantine"
+        )
+        self._quarantined: set[int] = set()
         with open(os.path.join(index_dir, "stats.json")) as f:
             self.stats = json.load(f)
         self.n_buckets = int(self.stats["n_buckets"])
@@ -367,6 +397,46 @@ class SegmentReader:
     def _part_path(self, part: int) -> str:
         return os.path.join(self.index_dir, f"segment-{part:05d}.parquet")
 
+    def _mark_empty(self, part: int) -> None:
+        self._term_rows[part] = {}
+        self._part_df[part] = np.empty(0, dtype=np.int64)
+        self._part_colnames[part] = []
+
+    def _read_error(self, part: int, reason: str) -> None:
+        """THROW raises at query level; QUARANTINE marks the part dead (one
+        warning) and the caller serves what remains."""
+        path = self._part_path(part)
+        if self.read_error_strategy == "throw":
+            raise SegmentReadError(part, path, reason)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "quarantining segment part %d (%s): %s — serving remaining parts",
+            part, path, reason,
+        )
+        self._quarantined.add(part)
+        self._mark_empty(part)
+
+    def _check_crc(self, part: int) -> bool:
+        """Full-payload CRC vs the part manifest at first open. Missing
+        manifest (external/legacy index) = nothing to check. Returns False
+        iff the part was rejected."""
+        mpath = os.path.join(self.index_dir, f"segment-{part:05d}.manifest.json")
+        if not os.path.exists(mpath):
+            return True
+        try:
+            with open(mpath) as f:
+                want = json.load(f).get("checksum")
+            with open(self._part_path(part), "rb") as f:
+                got = zlib.crc32(f.read())
+        except (OSError, json.JSONDecodeError) as e:
+            self._read_error(part, f"manifest/payload unreadable: {e}")
+            return False
+        if want is not None and got != want:
+            self._read_error(part, f"payload CRC {got:#010x} != manifest {want:#010x}")
+            return False
+        return True
+
     def _load_meta(self, part: int) -> None:
         """Metadata-only load: term -> row indices + the df array. Reads just
         the ``term``/``df`` columns (the ffindex offset-TSV analog) — never
@@ -375,12 +445,16 @@ class SegmentReader:
             return
         path = self._part_path(part)
         if not os.path.exists(path):
-            self._term_rows[part] = {}
-            self._part_df[part] = np.empty(0, dtype=np.int64)
-            self._part_colnames[part] = []
+            self._mark_empty(part)
             return
-        self._part_colnames[part] = pq.read_schema(path).names
-        meta = pq.read_table(path, columns=["term", "df"])
+        if self.verify_crc and not self._check_crc(part):
+            return  # quarantined (throw would have raised)
+        try:
+            self._part_colnames[part] = pq.read_schema(path).names
+            meta = pq.read_table(path, columns=["term", "df"])
+        except (OSError, pa.ArrowInvalid) as e:
+            self._read_error(part, f"parquet read failed: {e}")
+            return
         self._part_df[part] = meta["df"].to_numpy(zero_copy_only=False).astype(np.int64)
         # vectorized term->rows: group row indices by dictionary code instead
         # of a per-row Python setdefault loop over to_pylist()
@@ -399,13 +473,20 @@ class SegmentReader:
         missing = [n for n in names if (part, n) not in self._col_cache]
         if missing:
             path = self._part_path(part)
-            if not os.path.exists(path):
+            if not os.path.exists(path) or part in self._quarantined:
                 for n in missing:
                     self._col_cache[(part, n)] = pa.array([], pa.binary())
             else:
-                tbl = pq.read_table(path, columns=missing)
+                try:
+                    tbl = pq.read_table(path, columns=missing)
+                except (OSError, pa.ArrowInvalid) as e:
+                    self._read_error(part, f"parquet payload read failed: {e}")
+                    tbl = None
                 for n in missing:
-                    self._col_cache[(part, n)] = tbl[n].combine_chunks()
+                    self._col_cache[(part, n)] = (
+                        tbl[n].combine_chunks() if tbl is not None
+                        else pa.array([], pa.binary())
+                    )
         return {n: self._col_cache[(part, n)] for n in names}
 
     def _runs(self, term: str) -> list[tuple[int, int]]:
@@ -438,10 +519,14 @@ class SegmentReader:
             parts = []
             for p, i in runs:
                 c = self._cols(p, ("doc_ids_enc", "tfs_enc"))
+                if p in self._quarantined:  # payload died after meta load
+                    continue
                 parts.append(
                     decode_posting(c["doc_ids_enc"][i].as_py(), c["tfs_enc"][i].as_py())
                 )
-            if len(parts) == 1:
+            if not parts:
+                out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+            elif len(parts) == 1:
                 out = parts[0]
             else:
                 doc = np.concatenate([p[0] for p in parts])
@@ -482,6 +567,8 @@ class SegmentReader:
                     "block_tf_off",
                 ),
             )
+            if p in self._quarantined:  # payload died after meta load
+                continue
             out.append(
                 {
                     "doc_blob": c["doc_ids_enc"][i].as_py(),

@@ -388,3 +388,55 @@ def test_empty_corpus_build_and_query(ray_session, tmp_path):
     bm = Bm25Index(idx)
     d, s = bm.topk("anything", 5)
     assert len(d) == 0
+
+
+def test_read_error_strategy_throw_and_quarantine(tiny_index, tmp_path, caplog):
+    """VERDICT r2 #5 (ReadErrorStrategy analog): with one segment file
+    corrupted, THROW raises a typed error at query level while QUARANTINE
+    logs a warning and serves the remaining parts."""
+    import logging
+    import os
+    import shutil
+
+    from engine.segments import SegmentReadError
+
+    # pick a cold term t1 (single part) + a cold term t2 in a DIFFERENT part
+    pristine = SegmentReader(tiny_index)
+    hot = pristine.hot_terms
+    t1 = t2 = None
+    for part in range(pristine.n_buckets * pristine.n_salts):
+        pristine._load_meta(part)
+        cold = sorted(t for t in pristine._term_rows[part] if t not in hot)
+        if not cold:
+            continue
+        if t1 is None:
+            t1, bad_part = cold[0], part
+        elif t2 is None:
+            t2 = cold[0]
+            break
+    assert t1 and t2
+
+    idx = str(tmp_path / "corrupt_idx")
+    shutil.copytree(tiny_index, idx)
+    seg = os.path.join(idx, f"segment-{bad_part:05d}.parquet")
+    with open(seg, "wb") as f:
+        f.write(b"garbage, not a parquet file")
+
+    # (a) THROW (default): typed error at query level
+    bm = Bm25Index(idx)
+    with pytest.raises(SegmentReadError):
+        bm.topk(f"{t1} {t2}", 5)
+
+    # (b) QUARANTINE: one warning, dead part skipped, remaining parts served
+    caplog.set_level(logging.WARNING)
+    bmq = Bm25Index(idx, read_error_strategy="quarantine")
+    d, s = bmq.topk(f"{t1} {t2}", 5)
+    assert any("quarantining segment part" in r.message for r in caplog.records)
+    assert bmq.reader.df(t1) == 0  # dead part's postings gone
+    assert bmq.reader.df(t2) > 0  # other parts still served
+    assert len(d) > 0  # t2 hits still ranked
+    # quarantined result == pristine index queried for t2 alone
+    ref = Bm25Index(tiny_index)
+    d2, s2 = ref.topk(t2, 5)
+    np.testing.assert_array_equal(d, d2)
+    np.testing.assert_allclose(s, s2, rtol=0, atol=0)
