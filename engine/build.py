@@ -222,11 +222,13 @@ class _SegmentWriter:
     task via zero-copy ``ray.get``. ``n_buckets`` reconstitutes the per-part
     constant salt when rows carry no ``salt`` column."""
 
-    def __init__(self, index_dir: str, avgdl: float, dl_ref=None, n_buckets: int | None = None):
+    def __init__(self, index_dir: str, avgdl: float, dl_ref=None, n_buckets: int | None = None,
+                 codec: str = "varint"):
         self.index_dir = index_dir
         self.avgdl = avgdl
         self.dl_ref = dl_ref
         self.n_buckets = n_buckets
+        self.codec = codec
         self._dl_lookup = None
 
     def __call__(self, group: pa.Table, part: int | None = None) -> pa.Table:
@@ -239,7 +241,8 @@ class _SegmentWriter:
             dl_lookup = self._dl_lookup
         salt_const = part // self.n_buckets if self.n_buckets else None
         t0 = time.perf_counter()
-        seg = encode_bucket(group, self.avgdl, dl_lookup=dl_lookup, salt_const=salt_const)
+        seg = encode_bucket(group, self.avgdl, dl_lookup=dl_lookup, salt_const=salt_const,
+                            codec=self.codec)
         encode_sec = time.perf_counter() - t0
         path = state.segment_path(self.index_dir, part)
         tmp = path + ".tmp"
@@ -282,6 +285,7 @@ def build_index(
     positions: bool = False,
     store_text: bool = True,
     category_col: str | None = None,
+    postings_codec: str = "varint",
 ) -> dict:
     """Build (or resume) the inverted index. Returns a build report dict.
 
@@ -420,6 +424,9 @@ def build_index(
         "n_salts": n_salts,
         "hot_fraction": hot_fraction,
         "sample_docs": sample_docs,
+        # parts written by a crashed run and parts encoded by the resumed run
+        # must share one wire format (InvertedIndexBackend analog)
+        "postings_codec": postings_codec,
     }
     if resume and os.path.exists(routing_path):
         with open(routing_path) as f:
@@ -528,7 +535,8 @@ def build_index(
             out.append(sl.set_column(term_idx, "term", compacted))
         return tuple(out)
 
-    writer = _SegmentWriter(index_dir, avgdl, dl_ref=dl_ref, n_buckets=n_buckets)
+    writer = _SegmentWriter(index_dir, avgdl, dl_ref=dl_ref, n_buckets=n_buckets,
+                            codec=postings_codec)
 
     @ray.remote
     def encode_part(part: int, *tables):
@@ -603,6 +611,7 @@ def build_index(
         "positional": positions,
         "category_col": category_col,
         "hash_scheme": hash_scheme(),
+        "postings_codec": postings_codec,
         "timings_sec": {
             "docmap": round(t_docmap - t0, 3),
             "hot_detect": round(t_hot - t_docmap, 3),

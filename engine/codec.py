@@ -100,6 +100,60 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return out
 
 
+class VarintCodec:
+    """Default posting-stream codec: unsigned LEB128 (see module docstring).
+    The ColferCodec analog (CORE/io/codec/ColferCodec.java:118-133) —
+    smaller files, fast vectorized read/write."""
+
+    name = "varint"
+
+    def nbytes(self, values: np.ndarray) -> np.ndarray:
+        return varint_nbytes(values)
+
+    def encode_flat(self, values, nbytes=None, byte_ends=None) -> bytes:
+        return varint_encode(values, nbytes=nbytes, byte_ends=byte_ends)
+
+    def decode(self, buf: bytes) -> np.ndarray:
+        return varint_decode(buf)
+
+
+class Raw64Codec:
+    """Fixed-width little-endian uint64 stream — the JsonCodec analog
+    (CORE/io/codec/JsonCodec.java: 'useful for debugging'): every value is
+    byte-aligned and directly inspectable with ``np.frombuffer(buf, '<u8')``
+    at the cost of ~4-8x the bytes."""
+
+    name = "raw64"
+
+    def nbytes(self, values: np.ndarray) -> np.ndarray:
+        return np.full(np.asarray(values).size, 8, dtype=np.int64)
+
+    def encode_flat(self, values, nbytes=None, byte_ends=None) -> bytes:
+        return np.ascontiguousarray(values, dtype="<u8").tobytes()
+
+    def decode(self, buf: bytes) -> np.ndarray:
+        if len(buf) % 8:
+            raise ValueError("truncated raw64 stream")
+        return np.frombuffer(buf, dtype="<u8").astype(np.uint64)
+
+
+#: registry — the InvertedIndexBackend analog
+#: (CORE/config/InvertedIndexBackend.java:10-18); the codec NAME is persisted
+#: in stats.json at build time and resolved here on every read path, so a
+#: segment bundle is always decoded with the codec that wrote it.
+CODECS = {c.name: c for c in (VarintCodec(), Raw64Codec())}
+DEFAULT_CODEC = "varint"
+
+
+def get_codec(name: str | None):
+    try:
+        return CODECS[name or DEFAULT_CODEC]
+    except KeyError:
+        raise ValueError(
+            f"unknown postings codec {name!r}; available: {sorted(CODECS)}"
+        ) from None
+
+
 def delta_encode(sorted_ids: np.ndarray) -> bytes:
     """Delta + varint encode a strictly-increasing int64 array (docIDs)."""
     a = np.ascontiguousarray(sorted_ids, dtype=np.int64)

@@ -267,18 +267,21 @@ class Bm25Index:
         return doc[order], score[order]
 
     def _block_docs_tfs(self, run: dict, b: int) -> tuple[np.ndarray, np.ndarray]:
-        """Decode ONE 128-doc block out of a run (independent random access)."""
-        from .codec import varint_decode
+        """Decode ONE 128-doc block out of a run (independent random access).
+        Block byte-offsets were recorded by whatever codec wrote the run, so
+        slices decode with that same codec (the run dict carries its name)."""
+        from .codec import get_codec
 
+        cdc = get_codec(run.get("codec"))
         nb = len(run["last_doc"])
         d1 = int(run["doc_off"][b])
         d2 = int(run["doc_off"][b + 1]) if b + 1 < nb else len(run["doc_blob"])
         t1 = int(run["tf_off"][b])
         t2 = int(run["tf_off"][b + 1]) if b + 1 < nb else len(run["tf_blob"])
-        deltas = varint_decode(run["doc_blob"][d1:d2]).astype(np.int64)
+        deltas = cdc.decode(run["doc_blob"][d1:d2]).astype(np.int64)
         base = 0 if b == 0 else int(run["last_doc"][b - 1])
         docs = base + np.cumsum(deltas)
-        tfs = varint_decode(run["tf_blob"][t1:t2]).astype(np.int64)
+        tfs = cdc.decode(run["tf_blob"][t1:t2]).astype(np.int64)
         return docs, tfs
 
     def _contrib(self, idf: float, tf: np.ndarray, dl: np.ndarray) -> np.ndarray:

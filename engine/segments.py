@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from .codec import varint_decode, varint_encode, varint_nbytes
+from .codec import get_codec, varint_decode, varint_encode, varint_nbytes
 from .schema import BLOCK_SIZE, BM25_B, BM25_K1, POSITIONAL_SEGMENT_SCHEMA, SEGMENT_SCHEMA
 
 
@@ -68,6 +68,7 @@ def encode_bucket(
     avgdl: float,
     dl_lookup: tuple[np.ndarray | None, np.ndarray] | None = None,
     salt_const: int | None = None,
+    codec: str = "varint",
 ) -> pa.Table:
     """One bucket's (term[, salt], doc_id, tf[, dl]) rows -> SEGMENT_SCHEMA.
 
@@ -175,14 +176,16 @@ def encode_bucket(
     # one cumsum of each byte-length array, shared by the encoder (output
     # size + write offsets), the per-group binary slicing, and the per-block
     # byte offsets — this function is bandwidth-bound at full concurrency,
-    # and each redundant n-length pass shows up directly in build wall time
-    doc_nb = varint_nbytes(deltas)
+    # and each redundant n-length pass shows up directly in build wall time.
+    # ``cdc`` is the pluggable stream codec (BucketCodec seam, VERDICT r2 #8)
+    cdc = get_codec(codec)
+    doc_nb = cdc.nbytes(deltas)
     doc_bends = np.cumsum(doc_nb)
-    doc_flat = varint_encode(deltas, nbytes=doc_nb, byte_ends=doc_bends)
+    doc_flat = cdc.encode_flat(deltas, nbytes=doc_nb, byte_ends=doc_bends)
     tf_u = tf.astype(np.uint64)
-    tf_nb = varint_nbytes(tf_u)
+    tf_nb = cdc.nbytes(tf_u)
     tf_bends = np.cumsum(tf_nb)
-    tf_flat = varint_encode(tf_u, nbytes=tf_nb, byte_ends=tf_bends)
+    tf_flat = cdc.encode_flat(tf_u, nbytes=tf_nb, byte_ends=tf_bends)
     doc_ids_enc = _pack_binary(doc_flat, doc_nb, starts, byte_ends=doc_bends)
     tfs_enc = _pack_binary(tf_flat, tf_nb, starts, byte_ends=tf_bends)
 
@@ -263,9 +266,9 @@ def encode_bucket(
             np.subtract(pos_vals[1:], pos_vals[:-1], out=deltas[1:], casting="unsafe")
             row_start_v = vstarts_rows[:-1]
             deltas[row_start_v] = pos_vals[row_start_v].astype(np.uint64)
-        pos_nb = varint_nbytes(deltas)
+        pos_nb = cdc.nbytes(deltas)
         pos_bends = np.cumsum(pos_nb)
-        pos_flat = varint_encode(deltas, nbytes=pos_nb, byte_ends=pos_bends)
+        pos_flat = cdc.encode_flat(deltas, nbytes=pos_nb, byte_ends=pos_bends)
         cols["pos_enc"] = _pack_binary(
             pos_flat, pos_nb, vstarts_rows[starts], byte_ends=pos_bends
         )
@@ -273,21 +276,24 @@ def encode_bucket(
     return pa.table(cols, schema=SEGMENT_SCHEMA)
 
 
-def decode_posting(doc_ids_enc: bytes, tfs_enc: bytes) -> tuple[np.ndarray, np.ndarray]:
+def decode_posting(doc_ids_enc: bytes, tfs_enc: bytes,
+                   codec: str = "varint") -> tuple[np.ndarray, np.ndarray]:
     """One run -> (sorted int64 docIDs, int64 tfs)."""
-    deltas = varint_decode(doc_ids_enc)
+    cdc = get_codec(codec)
+    deltas = cdc.decode(doc_ids_enc)
     doc_ids = np.cumsum(deltas.astype(np.int64))
-    tfs = varint_decode(tfs_enc).astype(np.int64)
+    tfs = cdc.decode(tfs_enc).astype(np.int64)
     return doc_ids, tfs
 
 
-def decode_position_run(doc_blob: bytes, tf_blob: bytes, pos_blob: bytes):
+def decode_position_run(doc_blob: bytes, tf_blob: bytes, pos_blob: bytes,
+                        codec: str = "varint"):
     """Decode one positional run: (docIDs, per-doc value bounds, absolute
     positions). Within-doc position deltas are recovered with one cumsum
     + one per-doc correction gather. Module-level so the scatter/gather
     coordinator (serve._GatheredView) decodes shipped runs identically."""
-    d, t = decode_posting(doc_blob, tf_blob)
-    deltas = varint_decode(pos_blob).astype(np.int64)
+    d, t = decode_posting(doc_blob, tf_blob, codec=codec)
+    deltas = get_codec(codec).decode(pos_blob).astype(np.int64)
     vb = np.zeros(len(d) + 1, dtype=np.int64)
     np.cumsum(t, out=vb[1:])
     c = np.cumsum(deltas)
@@ -358,6 +364,10 @@ class SegmentReader:
         self.n_buckets = int(self.stats["n_buckets"])
         self.n_salts = int(self.stats.get("n_salts", 1))
         self.hot_terms = set(self.stats.get("hot_terms", []))
+        # postings stream codec persisted at build time (InvertedIndexBackend
+        # analog): a bundle is always decoded with the codec that wrote it
+        self.codec_name = self.stats.get("postings_codec", "varint")
+        self.codec = get_codec(self.codec_name)
         # Column-lazy part access: the term->row index + df come from a
         # metadata-only parquet read; the binary payload columns (posting
         # blobs, block metadata, positions) are read per column on first use.
@@ -522,7 +532,10 @@ class SegmentReader:
                 if p in self._quarantined:  # payload died after meta load
                     continue
                 parts.append(
-                    decode_posting(c["doc_ids_enc"][i].as_py(), c["tfs_enc"][i].as_py())
+                    decode_posting(
+                        c["doc_ids_enc"][i].as_py(), c["tfs_enc"][i].as_py(),
+                        codec=self.codec_name,
+                    )
                 )
             if not parts:
                 out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
@@ -578,6 +591,7 @@ class SegmentReader:
                     "doc_off": np.asarray(c["block_doc_off"][i].as_py(), dtype=np.int64),
                     "tf_off": np.asarray(c["block_tf_off"][i].as_py(), dtype=np.int64),
                     "df": int(self._part_df[p][i]),
+                    "codec": self.codec_name,
                 }
             )
         self._blocks_cache[term] = out
@@ -608,6 +622,7 @@ class SegmentReader:
                         c["doc_ids_enc"][i].as_py(),
                         c["tfs_enc"][i].as_py(),
                         c["pos_enc"][i].as_py(),
+                        codec=self.codec_name,
                     )
                 )
             cache[term] = decoded
@@ -659,6 +674,7 @@ class SegmentReader:
                         "doc_off": np.asarray(c["block_doc_off"][i].as_py(), dtype=np.int64),
                         "tf_off": np.asarray(c["block_tf_off"][i].as_py(), dtype=np.int64),
                         "df": int(self._part_df[p][i]),
+                        "codec": self.codec_name,
                     }
                 )
         return out

@@ -184,7 +184,7 @@ class _GatheredView:
         if not runs:
             out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         else:
-            parts = [decode_posting(r["doc_blob"], r["tf_blob"]) for r in runs]
+            parts = [decode_posting(r["doc_blob"], r["tf_blob"], codec=r.get("codec", "varint")) for r in runs]
             if len(parts) == 1:
                 out = parts[0]
             else:
@@ -222,7 +222,7 @@ class _GatheredView:
                     "positions=True fetch on a positional index"
                 )
             decoded = [
-                decode_position_run(r["doc_blob"], r["tf_blob"], r["pos_blob"])
+                decode_position_run(r["doc_blob"], r["tf_blob"], r["pos_blob"], codec=r.get("codec", "varint"))
                 for r in runs
             ]
             cache[term] = decoded

@@ -109,7 +109,7 @@ def _assign_delta_ids(tbl: pa.Table, first_id: int) -> pa.Table:
 
 
 @ray.remote
-def _merge_part(index_dir: str, part: int, bounds_avgdl: float, *tables) -> int | None:
+def _merge_part(index_dir: str, part: int, bounds_avgdl: float, codec: str, *tables) -> int | None:
     """One touched part: concat this part's delta sub-tables, encode the delta
     rows as NEW RUNS, append to the existing segment (existing runs are NOT
     decoded — the concat-onto-existing-bucket merge of
@@ -117,7 +117,7 @@ def _merge_part(index_dir: str, part: int, bounds_avgdl: float, *tables) -> int 
     live = [t for t in tables if t is not None and t.num_rows]
     if not live:
         return None
-    delta_seg = encode_bucket(pa.concat_tables(live), bounds_avgdl)
+    delta_seg = encode_bucket(pa.concat_tables(live), bounds_avgdl, codec=codec)
     path = state.segment_path(index_dir, part)
     if os.path.exists(path):
         merged = pa.concat_tables([pq.read_table(path), delta_seg]).sort_by(
@@ -186,6 +186,7 @@ def add_documents(
     generation = int(stats.get("generation", 0)) + 1
     bounds_avgdl = float(stats.get("bounds_avgdl", stats["avgdl"]))
     n_buckets, n_salts = int(stats["n_buckets"]), int(stats["n_salts"])
+    codec = stats.get("postings_codec", "varint")  # delta runs match the bundle
 
     ds = ray.data.read_parquet(source) if isinstance(source, str) else source
 
@@ -266,7 +267,7 @@ def add_documents(
             pa.concat_tables(changed_blocks)["old_doc_id"].to_numpy(zero_copy_only=False)
         )
         replaced = int(len(changed_ids))
-        _purge_doc_ids(index_dir, changed_ids, bounds_avgdl)
+        _purge_doc_ids(index_dir, changed_ids, bounds_avgdl, codec=codec)
 
     # --- stage 2: mint docIDs (key-sorted delta + per-block offsets) ------
     if transcripts:
@@ -348,7 +349,8 @@ def add_documents(
         split_refs = [split_block.remote(r) for r in routed_refs]
     merge_refs = [
         _merge_part.remote(
-            index_dir, p, bounds_avgdl, *[split_refs[i][p] for i in range(len(split_refs))]
+            index_dir, p, bounds_avgdl, codec,
+            *[split_refs[i][p] for i in range(len(split_refs))]
         )
         for p in range(n_parts_total)
     ]
@@ -372,6 +374,7 @@ def _reencode_part(
     dl_lookup: tuple[np.ndarray, np.ndarray],
     collapse_runs: bool = False,
     n_salts: int = 1,
+    codec: str = "varint",
 ) -> dict | None:
     """Decode one part -> exploded rows -> (filter) -> encode -> rewrite.
     Returns the new manifest info, or None if the part becomes empty."""
@@ -386,17 +389,18 @@ def _reencode_part(
     terms_col = tbl["term"].to_pylist()
     has_pos = "pos_enc" in tbl.column_names
     pos_enc_l = tbl["pos_enc"].to_pylist() if has_pos else None
-    from .codec import varint_decode
+    from .codec import get_codec
 
+    cdc = get_codec(codec)
     terms, salts, docs, tfs, pos_vals, pos_counts = [], [], [], [], [], []
     for i in range(tbl.num_rows):
-        d, t = decode_posting(docs_enc[i], tfs_enc[i])
+        d, t = decode_posting(docs_enc[i], tfs_enc[i], codec=codec)
         keep = None
         if remove_ids is not None and len(d):
             keep = ~np.isin(d, remove_ids, assume_unique=True)
         if has_pos and len(d):
             # reconstruct absolute positions, then drop removed docs' spans
-            deltas = varint_decode(pos_enc_l[i]).astype(np.int64)
+            deltas = cdc.decode(pos_enc_l[i]).astype(np.int64)
             vb = np.zeros(len(d) + 1, dtype=np.int64)
             np.cumsum(t, out=vb[1:])
             c = np.cumsum(deltas)
@@ -444,7 +448,7 @@ def _reencode_part(
     # collapsed runs may merge docs of the same (term, salt): encode_bucket
     # requires strictly ascending docs per group, which holds because runs
     # are doc-disjoint and docs are unique per term
-    seg = encode_bucket(rows, avgdl_for_bounds)
+    seg = encode_bucket(rows, avgdl_for_bounds, codec=codec)
     tmp = path + ".tmp"
     pq.write_table(seg, tmp, row_group_size=16384)
     os.replace(tmp, path)
@@ -460,7 +464,8 @@ def _reencode_part(
 _reencode_part_remote = ray.remote(_reencode_part)
 
 
-def _purge_doc_ids(index_dir: str, remove: np.ndarray, bounds_avgdl: float) -> int:
+def _purge_doc_ids(index_dir: str, remove: np.ndarray, bounds_avgdl: float,
+                   codec: str = "varint") -> int:
     """Mask the given doc_ids out of every posting (ONE RAY TASK PER PART —
     the decode->filter->re-encode work is embarrassingly parallel across
     bucket files) and drop them from the docmap (consolidated rewrite).
@@ -482,7 +487,7 @@ def _purge_doc_ids(index_dir: str, remove: np.ndarray, bounds_avgdl: float) -> i
     parts = sorted(state.committed_parts(index_dir))
     results = ray.get(
         [
-            _reencode_part_remote.remote(index_dir, p, bounds_avgdl, rref, lref)
+            _reencode_part_remote.remote(index_dir, p, bounds_avgdl, rref, lref, codec=codec)
             for p in parts
         ]
     )
@@ -518,7 +523,9 @@ def remove_documents(index_dir: str, *, conv_ids=None, doc_ids=None) -> dict:
     if len(remove) == 0:
         return {"removed": 0, "generation": generation - 1}
 
-    parts_touched = _purge_doc_ids(index_dir, remove, bounds_avgdl)
+    parts_touched = _purge_doc_ids(
+        index_dir, remove, bounds_avgdl, codec=stats.get("postings_codec", "varint")
+    )
     n_docs, avgdl = _rewrite_docmap_marker(index_dir)
     _refresh_stats(index_dir, n_docs, avgdl, generation)
     return {
@@ -545,7 +552,8 @@ def compact_index(index_dir: str) -> dict:
     ray.get(
         [
             _reencode_part_remote.remote(
-                index_dir, p, avgdl, None, lref, collapse_runs=True, n_salts=n_salts
+                index_dir, p, avgdl, None, lref, collapse_runs=True,
+                n_salts=n_salts, codec=stats.get("postings_codec", "varint")
             )
             for p in sorted(state.committed_parts(index_dir))
         ]

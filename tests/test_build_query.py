@@ -440,3 +440,24 @@ def test_read_error_strategy_throw_and_quarantine(tiny_index, tmp_path, caplog):
     d2, s2 = ref.topk(t2, 5)
     np.testing.assert_array_equal(d, d2)
     np.testing.assert_allclose(s, s2, rtol=0, atol=0)
+
+
+def test_raw64_backend_rank_identical(tiny_corpus, tiny_index, tmp_path):
+    """Second codec backend end-to-end: an index built with
+    postings_codec="raw64" answers every query with bit-identical docIDs and
+    scores to the default varint index (the JSON-vs-Colfer backend contract,
+    CORE/config/InvertedIndexBackend.java:10-18)."""
+    from engine.build import build_index
+
+    idx = str(tmp_path / "raw64_idx")
+    rep = build_index(tiny_corpus, idx, n_buckets=8, n_salts=4,
+                      hot_fraction=0.05, postings_codec="raw64")
+    assert rep["n_docs"] > 0
+    ref = Bm25Index(tiny_index)
+    raw = Bm25Index(idx)
+    assert raw.reader.codec_name == "raw64"
+    for q in ("the zqmarker0", "zqmarker0 zqmarker1", "table dup"):
+        d1, s1 = ref.topk(q, 10)
+        d2, s2 = raw.topk(q, 10)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)

@@ -174,3 +174,30 @@ def test_encode_bucket_rejects_duplicate_rows():
         )
         with _pytest.raises(ValueError, match="duplicate"):
             encode_bucket(tbl, 4.0)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_codec_seam_roundtrip_property(vals):
+    """Pluggable codec seam (VERDICT r2 #8, InvertedIndexBackend analog):
+    every registered codec round-trips any uint64 stream, and its nbytes()
+    contract matches the bytes actually written (block offsets depend on
+    it)."""
+    from engine.codec import CODECS
+
+    a = np.array(vals, dtype=np.uint64)
+    for name, cdc in CODECS.items():
+        nb = cdc.nbytes(a)
+        buf = cdc.encode_flat(a, nbytes=nb, byte_ends=np.cumsum(nb))
+        assert len(buf) == int(nb.sum()), name
+        out = cdc.decode(buf)
+        np.testing.assert_array_equal(out, a, err_msg=name)
+
+
+def test_unknown_codec_rejected():
+    import pytest
+
+    from engine.codec import get_codec
+
+    with pytest.raises(ValueError, match="unknown postings codec"):
+        get_codec("nope")
