@@ -338,9 +338,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs = ray.data.read_parquet(
                 f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
             )
-            ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"]
-            median = int(ids.median())
-            import pyarrow.compute as pc
+            # split point WITHOUT pulling the id column to the driver: the
+            # parquet footer's per-file row counts + min/max id stats give an
+            # O(#files) approximate median (exactness is irrelevant — the
+            # split only decides which half arrives via incremental ADD)
+            import pyarrow.parquet as _pq
+
+            pf = _pq.ParquetFile(f"{sf_dir}/documents.parquet")
+            ci = pf.schema_arrow.names.index("doc_id")
+            md = pf.metadata
+            lo = min(
+                md.row_group(i).column(ci).statistics.min for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(ci).statistics.max for i in range(md.num_row_groups)
+            )
+            median = int((lo + hi) // 2)
 
             first = docs.filter(expr=f"doc_id <= {median}")
             rest = docs.filter(expr=f"doc_id > {median}")
