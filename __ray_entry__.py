@@ -772,6 +772,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf_dir, ["doc_id", "text"]), threshold_num=4, threshold_den=5
         )
 
+    def dedup_minhash_clusters(sf_dir):
+        """The canonical near-dedup reduction a training pipeline runs:
+        MinHash-LSH candidate pairs -> exact-Jaccard verify -> DISTRIBUTED
+        connected components -> one cluster_rep per near-dup component.
+        Both stages are Dataset-native end to end (no driver edge list);
+        the oracle is the same recursive-CTE closure as dedup_clusters
+        (banding recall is total on this corpus, see _jaccard_sql)."""
+        from engine.ops.dedup import connected_components, minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), threshold_num=4, threshold_den=5
+        ).select_columns(["doc_a", "doc_b"])
+        return connected_components(pairs)
+
     def dedup_simhash(sf_dir):
         from engine.ops.dedup import simhash_pairs
 
@@ -1228,6 +1242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_similar_pairs": tfidf_similar_pairs,
         "dedup_clusters": dedup_clusters,
         "dedup_minhash": dedup_minhash,
+        "dedup_minhash_clusters": dedup_minhash_clusters,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_ivf": dedup_embedding_ivf,
@@ -2163,6 +2178,7 @@ WHERE text IS NOT NULL
         """,
         "dedup_clusters": _clusters_sql(),
         "dedup_minhash": _jaccard_sql(),
+        "dedup_minhash_clusters": _clusters_sql(),
         "dedup_simhash": _simhash_sql(max_hamming=3),
         "lang_id": _lang_id_sql(),
         "unigram_lm": f"""
