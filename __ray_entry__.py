@@ -851,6 +851,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _assign(ds, cent)
 
+    def dedup_embedding_clusters(sf_dir):
+        """Embedding near-dup clusters at the 100-TB shape: sub-quadratic
+        IVF-bucketed pairs -> distributed connected components -> one
+        cluster_rep per component. Oracle: recursive-CTE closure over the
+        same deterministic IVF candidate set."""
+        from engine.ops.dedup import (
+            connected_components,
+            deterministic_ivf_centroids,
+            embedding_dup_pairs_ivf,
+        )
+
+        cent = deterministic_ivf_centroids(
+            f"{sf_dir}/embeddings.parquet", n_centroids=8, seed=42
+        )
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        pairs = embedding_dup_pairs_ivf(
+            ds, threshold=0.4, centroids=cent, probes=2
+        ).select_columns(["doc_a", "doc_b"])
+        return connected_components(pairs)
+
     # ---- similarity -----------------------------------------------------
     def kmeans_embeddings(sf_dir):
         """Distributed Lloyd k-means over the embeddings table (broadcast
@@ -1246,6 +1268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_ivf": dedup_embedding_ivf,
+        "dedup_embedding_clusters": dedup_embedding_clusters,
         "ann_cosine_topk": ann_cosine_topk,
         "kmeans_embeddings": kmeans_embeddings,
         "kmeans_assign": kmeans_assign,
@@ -2461,6 +2484,36 @@ WHERE text IS NOT NULL
             )
             SELECT vec_id, centroid_id, round(d2, 4) AS d2_r
             FROM ranked WHERE rn = 1
+        """,
+        "dedup_embedding_clusters": f"""
+            WITH RECURSIVE assign AS (
+              SELECT vec_id, centroid
+              FROM read_parquet('{CACHE_ROOT}/sf0.01/ivf_assign.parquet')
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+              FROM assign a JOIN assign b
+                ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+            ),
+            base AS (
+              SELECT cand.ia AS doc_a, cand.ib AS doc_b
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = cand.ia
+              JOIN embeddings eb ON eb.vec_id = cand.ib
+              WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.4
+            ),
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM base
+              UNION
+              SELECT doc_b, doc_a FROM base
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+            )
+            SELECT a AS doc_id, least(a, min(b))::BIGINT AS cluster_rep
+            FROM reach GROUP BY a
         """,
         "ann_cosine_topk": f"""
             WITH sims AS (
