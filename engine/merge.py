@@ -85,6 +85,13 @@ def merge_indexes(a_dir: str, b_dir: str, out_dir: str) -> dict:
     sa, sb = state.read_stats(a_dir), state.read_stats(b_dir)
     if bool(sa.get("positional")) != bool(sb.get("positional")):
         raise ValueError("cannot merge positional with non-positional index")
+    # segment-wise merge concatenates encoded runs WITHOUT decoding, so both
+    # bundles must share one wire format (InvertedIndexBackend seam)
+    if sa.get("postings_codec", "varint") != sb.get("postings_codec", "varint"):
+        raise ValueError(
+            f"postings codec mismatch: {sa.get('postings_codec', 'varint')!r} vs "
+            f"{sb.get('postings_codec', 'varint')!r}; re-encode one index first"
+        )
 
     dm_a = _read_docmap(a_dir)
     dm_b = _read_docmap(b_dir)
