@@ -151,7 +151,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     dd.add_argument("parquet")
     dd.add_argument(
-        "--mode", choices=["exact", "passage", "jaccard", "containment"],
+        "--mode",
+        choices=["exact", "passage", "jaccard", "containment", "minhash", "clusters"],
         default="exact",
     )
     dd.add_argument("--window", type=int, default=16, help="passage token window")
@@ -364,13 +365,21 @@ def main(argv: list[str] | None = None) -> int:
         _ray()
         import ray.data
 
-        from .ops.dedup import exact_dedup, ngram_jaccard_pairs, passage_dedup
+        from .ops.dedup import exact_dedup, ngram_jaccard_pairs, passage_dedup  # noqa: F401
 
         ds = ray.data.read_parquet(args.parquet)
         if args.mode == "exact":
             out = exact_dedup(ds).sort("doc_id")
         elif args.mode == "passage":
             out = passage_dedup(ds, window=args.window).sort(["doc_id", "passage_idx"])
+        elif args.mode == "minhash":
+            from .ops.dedup import minhash_lsh_pairs
+
+            out = minhash_lsh_pairs(ds)
+        elif args.mode == "clusters":
+            from .ops.dedup import dedup_clusters
+
+            out = dedup_clusters(ds)
         else:
             out = ngram_jaccard_pairs(ds, containment=(args.mode == "containment"))
         for row in out.limit(args.limit).take_all():
