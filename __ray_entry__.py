@@ -1163,6 +1163,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _round_scores(res, "score", "score_r", SCORE_ROUND)
         return _i64(res, ["rank"])
 
+    def transcripts_conv_stats(sf_dir):
+        """Per-conversation profile over the RAW transcripts table (turn
+        mix, tool-call count, tokenizer token mass, wall-clock span) —
+        bucketed partial-agg shape, exact integer sums."""
+        from engine.ops.transcripts import conv_stats
+
+        ds = ray.data.read_parquet(_transcripts_corpus(sf_dir))
+        return conv_stats(ds)
+
+    def transcripts_response_latency(sf_dir):
+        """user→assistant immediate-successor response latency per
+        conversation (the transcript-domain LAG/window op), exact integer
+        microsecond sums."""
+        from engine.ops.transcripts import response_latency
+
+        ds = ray.data.read_parquet(_transcripts_corpus(sf_dir))
+        return response_latency(ds)
+
     def transcripts_index_stats(sf_dir):
         from engine import state
 
@@ -1300,6 +1318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_bm25_topk": transcripts_bm25_topk,
         "transcripts_bm25_topk_role": transcripts_bm25_topk_role,
         "transcripts_index_stats": transcripts_index_stats,
+        "transcripts_conv_stats": transcripts_conv_stats,
+        "transcripts_response_latency": transcripts_response_latency,
         "multimodal_featurize": multimodal_featurize,
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
@@ -2142,6 +2162,31 @@ WHERE text IS NOT NULL
         "bm25_topk_must_not": _must_not_sql(),
         "bm25_topk_prefix": _prefix_sql(),
         "percolate_conjunctive": _percolate_sql(),
+        "transcripts_conv_stats": f"""
+            SELECT conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS n_assistant,
+                   sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END)::BIGINT AS n_tool_calls,
+                   sum(len({_TOKEN_SQL}))::BIGINT AS total_tokens,
+                   (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us
+            FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+            GROUP BY conv_id
+        """,
+        "transcripts_response_latency": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, role, ts,
+                     lead(role) OVER w AS nrole,
+                     lead(turn_idx) OVER w AS nidx,
+                     lead(ts) OVER w AS nts
+              FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id, count(*)::BIGINT AS n_pairs,
+                   sum(epoch_us(nts) - epoch_us(ts))::BIGINT AS total_latency_us
+            FROM t
+            WHERE role = 'user' AND nrole = 'assistant' AND nidx = turn_idx + 1
+            GROUP BY conv_id
+        """,
         "transcripts_bm25_topk": _transcripts_bm25_sql(),
         "transcripts_bm25_topk_role": _transcripts_bm25_sql(role="assistant"),
         "dedup_exact": """

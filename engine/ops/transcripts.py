@@ -1,0 +1,179 @@
+"""Transcript-table analytics: per-conversation profiling over the raw
+(conv_id, turn_idx, role, text, tool, ts) table — the corpus-side statistics
+a transcript pipeline wants NEXT to the inverted index (turn mix, tool-call
+rate, token mass, wall-clock span, user→assistant response latency).
+
+Shapes: narrow projections pushed into the parquet read; per-batch Arrow
+``group_by`` partial aggregation BEFORE the exchange (conversations are
+contiguous on disk, so partial rows ≈ #convs + #blocks); ONE bucketed
+groupby merges partials (a conversation's rows all land in one bucket, each
+bucket holds many conversations). Sums/extrema are integers (token counts,
+epoch-us timestamps), so results are bit-exact against the SQL oracle.
+
+Reference analog: corpus-level stats the reference tracks per update cycle
+(UPD/StrucmotifUpdate.java context counters + stats.json in our build);
+latency pairing is the transcript-domain positional/windowed operation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _bucket_of(conv: pa.Array, num_partitions: int) -> pa.Array:
+    import polars as pl
+
+    h = pl.from_arrow(pa.table({"c": conv}))["c"].hash(seed=3).to_numpy()
+    return pa.array((h % num_partitions).astype(np.int64))
+
+
+def conv_stats(ds, num_partitions: int = 8):
+    """Per-conversation profile: (conv_id, n_turns, n_assistant,
+    n_tool_calls, total_tokens, duration_us), sorted by conv_id.
+
+    ``total_tokens`` uses the index tokenizer's dl contract (one maximal
+    [a-z0-9] run per token); ``duration_us`` = max(ts) - min(ts) in exact
+    integer microseconds."""
+    from ..schema import TOKEN_MATCH_REGEX
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        dl = pc.coalesce(
+            pc.count_substring_regex(pc.utf8_lower(text), TOKEN_MATCH_REGEX),
+            pa.scalar(0, pa.int32()),
+        ).cast(pa.int64())
+        t = pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "is_assistant": pc.cast(
+                    pc.equal(batch["role"], "assistant"), pa.int64()
+                ),
+                "is_tool": pc.cast(pc.not_equal(batch["tool"], ""), pa.int64()),
+                "dl": dl,
+                "ts_us": batch["ts"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["conv_id"], use_threads=False).aggregate(
+            [
+                ("one", "sum"),
+                ("is_assistant", "sum"),
+                ("is_tool", "sum"),
+                ("dl", "sum"),
+                ("ts_us", "min"),
+                ("ts_us", "max"),
+            ]
+        )
+        return g.append_column("bucket", _bucket_of(g["conv_id"].combine_chunks(), num_partitions))
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.group_by(["conv_id"], use_threads=False).aggregate(
+            [
+                ("one_sum", "sum"),
+                ("is_assistant_sum", "sum"),
+                ("is_tool_sum", "sum"),
+                ("dl_sum", "sum"),
+                ("ts_us_min", "min"),
+                ("ts_us_max", "max"),
+            ]
+        )
+        dur = pc.subtract(g["ts_us_max_max"], g["ts_us_min_min"])
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "n_turns": g["one_sum_sum"].cast(pa.int64()),
+                "n_assistant": g["is_assistant_sum_sum"].cast(pa.int64()),
+                "n_tool_calls": g["is_tool_sum_sum"].cast(pa.int64()),
+                "total_tokens": g["dl_sum_sum"].cast(pa.int64()),
+                "duration_us": dur.cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+        .sort("conv_id")
+    )
+
+
+def response_latency(ds, num_partitions: int = 8):
+    """Per-conversation user→assistant response latency: for every user turn
+    whose IMMEDIATE successor (turn_idx + 1) is an assistant turn, the ts
+    gap; returns (conv_id, n_pairs, total_latency_us) for conversations with
+    at least one such pair, sorted by conv_id. Exact integer sums.
+
+    Shape: narrow projection (no text) -> bucketed groupby; the group body
+    sorts its conversations by (conv, turn) once and pairs adjacent rows
+    vectorized — the transcript-domain windowed/LAG operation."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"].cast(pa.int64()),
+                "is_user": pc.cast(pc.equal(batch["role"], "user"), pa.int8()),
+                "is_assistant": pc.cast(
+                    pc.equal(batch["role"], "assistant"), pa.int8()
+                ),
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "bucket": _bucket_of(
+                    batch["conv_id"].combine_chunks()
+                    if isinstance(batch["conv_id"], pa.ChunkedArray)
+                    else batch["conv_id"],
+                    num_partitions,
+                ),
+            }
+        )
+
+    def pair(group: pa.Table) -> pa.Table:
+        conv = group["conv_id"].combine_chunks().dictionary_encode()
+        codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = group["turn_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, codes))
+        c_s, t_s = codes[order], turn[order]
+        user = group["is_user"].to_numpy(zero_copy_only=False)[order]
+        asst = group["is_assistant"].to_numpy(zero_copy_only=False)[order]
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)[order]
+        ok = (
+            (c_s[1:] == c_s[:-1])
+            & (t_s[1:] == t_s[:-1] + 1)
+            & (user[:-1] == 1)
+            & (asst[1:] == 1)
+        )
+        i = np.flatnonzero(ok)
+        if not len(i):
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "total_latency_us": pa.array([], pa.int64()),
+                }
+            )
+        lat = ts[i + 1] - ts[i]
+        cc = c_s[i]
+        first = np.empty(len(cc), dtype=bool)
+        first[0] = True
+        np.not_equal(cc[1:], cc[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        n_pairs = np.diff(np.r_[starts, len(cc)])
+        return pa.table(
+            {
+                "conv_id": conv.dictionary.take(pa.array(cc[starts])),
+                "n_pairs": pa.array(n_pairs.astype(np.int64)),
+                "total_latency_us": pa.array(np.add.reduceat(lat, starts).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.select_columns(["conv_id", "turn_idx", "role", "ts"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pair, batch_format="pyarrow")
+        .sort("conv_id")
+    )
