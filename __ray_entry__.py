@@ -1181,6 +1181,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(_transcripts_corpus(sf_dir))
         return response_latency(ds)
 
+    def transcripts_tool_usage(sf_dir):
+        """Per-(tool, role) call counts + distinct-conversation reach over
+        the raw transcripts table."""
+        from engine.ops.transcripts import tool_usage
+
+        ds = ray.data.read_parquet(_transcripts_corpus(sf_dir))
+        return tool_usage(ds)
+
     def transcripts_index_stats(sf_dir):
         from engine import state
 
@@ -1320,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_index_stats": transcripts_index_stats,
         "transcripts_conv_stats": transcripts_conv_stats,
         "transcripts_response_latency": transcripts_response_latency,
+        "transcripts_tool_usage": transcripts_tool_usage,
         "multimodal_featurize": multimodal_featurize,
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
@@ -2186,6 +2195,13 @@ WHERE text IS NOT NULL
             FROM t
             WHERE role = 'user' AND nrole = 'assistant' AND nidx = turn_idx + 1
             GROUP BY conv_id
+        """,
+        "transcripts_tool_usage": f"""
+            SELECT tool, role, count(*)::BIGINT AS n_calls,
+                   count(DISTINCT conv_id)::BIGINT AS n_convs
+            FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+            WHERE tool <> ''
+            GROUP BY tool, role
         """,
         "transcripts_bm25_topk": _transcripts_bm25_sql(),
         "transcripts_bm25_topk_role": _transcripts_bm25_sql(role="assistant"),

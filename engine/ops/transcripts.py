@@ -102,6 +102,48 @@ def conv_stats(ds, num_partitions: int = 8):
     )
 
 
+def tool_usage(ds, num_partitions: int = 8):
+    """Per-(tool, role) call counts and distinct-conversation reach over the
+    raw transcripts table (tool rows only). (tool, role, n_calls, n_convs),
+    sorted. Same partial-agg + bucketed-merge shape as :func:`conv_stats`;
+    the distinct-conv count is exact because ALL of a conversation's rows for
+    a (tool, role) land in one bucket (bucket keys on tool)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch["tool"], "")
+        t = batch.select(["conv_id", "role", "tool"]).filter(mask)
+        g = t.group_by(["tool", "role", "conv_id"], use_threads=False).aggregate(
+            [("conv_id", "count")]
+        )
+        return g.append_column(
+            "bucket", _bucket_of(g["tool"].combine_chunks(), num_partitions)
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.group_by(["tool", "role", "conv_id"], use_threads=False).aggregate(
+            [("conv_id_count", "sum")]
+        )
+        g2 = g.group_by(["tool", "role"], use_threads=False).aggregate(
+            [("conv_id_count_sum", "sum"), ("conv_id", "count")]
+        )
+        return pa.table(
+            {
+                "tool": g2["tool"],
+                "role": g2["role"],
+                "n_calls": g2["conv_id_count_sum_sum"].cast(pa.int64()),
+                "n_convs": g2["conv_id_count"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["conv_id", "role", "tool"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+        .sort(["tool", "role"])
+    )
+
+
 def response_latency(ds, num_partitions: int = 8):
     """Per-conversation user→assistant response latency: for every user turn
     whose IMMEDIATE successor (turn_idx + 1) is an assistant turn, the ts
