@@ -41,10 +41,10 @@ class _Replica:
     """One serving replica: whole index resident (the reference's replica=
     one JVM with the full ffindex bundle + structure cache)."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, read_error_strategy: str = "throw"):
         from .query import Bm25Index
 
-        self.bm = Bm25Index(index_dir)
+        self.bm = Bm25Index(index_dir, read_error_strategy=read_error_strategy)
 
     def topk(self, text: str, k: int, conjunctive: bool = False):
         fn = self.bm.conjunctive_topk if conjunctive else self.bm.topk
@@ -103,10 +103,11 @@ class _ShardActor:
     1/n_shards of the index instead of all of it (the scale defect of the
     whole-index replica model at 100x corpus)."""
 
-    def __init__(self, index_dir: str, parts: list[int]):
+    def __init__(self, index_dir: str, parts: list[int],
+                 read_error_strategy: str = "throw"):
         from .segments import SegmentReader
 
-        self.reader = SegmentReader(index_dir)
+        self.reader = SegmentReader(index_dir, read_error_strategy=read_error_strategy)
         self.parts = sorted(parts)
         self._vocab: set[str] | None = None
         self._del_idx: dict[str, set[str]] | None = None
@@ -253,12 +254,13 @@ class ShardedQueryService:
         n_shards: int = 4,
         num_cpus: float = 1,
         shards: list | None = None,
+        read_error_strategy: str = "throw",
     ):
         from .query import Bm25Index
 
         # template index: docmap + stats resident once; its reader serves only
         # term->part routing (metadata), never payloads
-        self._bm = Bm25Index(index_dir)
+        self._bm = Bm25Index(index_dir, read_error_strategy=read_error_strategy)
         r = self._bm.reader
         n_parts = r.n_buckets * r.n_salts
         if shards is not None:
@@ -274,7 +276,8 @@ class ShardedQueryService:
         self._owns_shards = True
         self._shards = [
             _ShardActor.options(num_cpus=num_cpus).remote(
-                index_dir, [p for p in range(n_parts) if p % n_shards == s]
+                index_dir, [p for p in range(n_parts) if p % n_shards == s],
+                read_error_strategy=read_error_strategy,
             )
             for s in range(n_shards)
         ]
