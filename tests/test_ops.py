@@ -1123,3 +1123,44 @@ def test_grouped_quantile_sketch_error_bound(ray_session, tmp_path):
         exact = grp[(len(grp) - 1) * r.q // 100]
         assert r.est_r <= exact * (1 + 1e-9)
         assert r.est_r >= exact / (1 + eps) * (1 - 1e-9)
+
+
+def test_connected_components_random_graphs(ray_session):
+    """Distributed min-label propagation vs a local union-find reference on
+    random graphs of varying density (includes multi-hop chains — the
+    O(diameter) convergence path)."""
+    import ray.data
+
+    from engine.ops.dedup import connected_components
+
+    for seed, n_nodes, n_edges in ((1, 60, 30), (2, 80, 120), (3, 50, 49)):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        keep = a != b
+        lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+        edges = pa.table(
+            {"doc_a": pa.array(lo, pa.int64()), "doc_b": pa.array(hi, pa.int64())}
+        )
+        # local union-find reference
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(lo.tolist(), hi.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        want = {
+            int(v): min(u for u in range(n_nodes) if find(u) == find(v))
+            for v in set(lo.tolist()) | set(hi.tolist())
+        }
+        got_df = connected_components(
+            ray.data.from_arrow(edges).repartition(3), num_partitions=4
+        ).to_pandas()
+        got = dict(zip(got_df["doc_id"].tolist(), got_df["cluster_rep"].tolist()))
+        assert got == want, f"seed {seed}"
