@@ -877,8 +877,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def kmeans_embeddings(sf_dir):
         """Distributed Lloyd k-means over the embeddings table (broadcast
         centroids, per-batch partial sufficient statistics, tiny driver
-        fold). Iterative ML — no SQL oracle; pytest-gated vs a numpy Lloyd
-        reference with identical seeded init (test_ops.py)."""
+        fold). Iterative ML — no SQL oracle for the T-iteration loop itself;
+        pytest-gated vs a numpy Lloyd reference with identical seeded init
+        (test_ops.py). The SQL-checkable contract of the family is the
+        companion ``kmeans_assign`` entry (one seeded assignment step,
+        DuckDB argmin-distance oracle)."""
         from engine.ops.similarity import kmeans_train
 
         ds = ray.data.read_parquet(
