@@ -972,6 +972,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _collect(unigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id")
 
+    def bigram_lm(sf_dir):
+        """Interpolated-bigram-LM mean log-prob per doc (the quality rung
+        above unigram_lm): two streamed counting passes, pruned bigram table
+        broadcast once, stateless scoring pass."""
+        from engine.ops.textstats import bigram_lm_scores
+
+        return _collect(bigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id")
+
     def doc_top_terms(sf_dir):
         """Per-doc top-3 TF-IDF keywords; ties round(score,6) desc, term asc."""
         from engine.ops.textstats import doc_top_terms as _dtt
@@ -1305,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": text_quality,
         "lang_id": lang_id,
         "unigram_lm": unigram_lm,
+        "bigram_lm": bigram_lm,
         "doc_top_terms": doc_top_terms,
         "source_top_terms": source_top_terms,
         "bigram_counts": bigram_counts,
@@ -2298,6 +2307,40 @@ WHERE text IS NOT NULL
             )
             SELECT source, rank::BIGINT AS rank, term, gtf::BIGINT AS gtf, score_r
             FROM sc WHERE rank <= 5
+        """,
+        "bigram_lm": f"""
+            WITH base AS (
+              SELECT doc_id, unnest({tok}) AS term,
+                     generate_subscripts({tok}, 1) AS i
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, term, i,
+                     lag(term) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM base
+            ),
+            uni AS (SELECT term, count(*)::DOUBLE AS cu FROM base GROUP BY term),
+            tot AS (SELECT count(*)::DOUBLE AS n FROM base),
+            bc AS (
+              SELECT prev AS t1, term AS t2, count(*)::DOUBLE AS cb
+              FROM toks WHERE prev IS NOT NULL
+              GROUP BY prev, term HAVING count(*) >= 3
+            ),
+            tokp AS (
+              SELECT t.doc_id,
+                     CASE WHEN t.prev IS NULL THEN (u.cu / tot.n)
+                          ELSE 0.75 * (coalesce(bc.cb, 0) / up.cu)
+                               + 0.25 * (u.cu / tot.n) END AS p
+              FROM toks t
+              JOIN uni u ON u.term = t.term
+              LEFT JOIN uni up ON up.term = t.prev
+              LEFT JOIN bc ON bc.t1 = t.prev AND bc.t2 = t.term
+              CROSS JOIN tot
+            ),
+            d AS (SELECT doc_id, sum(ln(p)) AS ll, count(*) AS dl FROM tokp GROUP BY doc_id)
+            SELECT doc.doc_id, coalesce(d.dl, 0)::BIGINT AS dl,
+                   round(coalesce(d.ll / d.dl, 0.0), 6) AS avg_logprob_r
+            FROM documents doc LEFT JOIN d USING (doc_id)
         """,
         "doc_top_terms": f"""
             WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),

@@ -241,6 +241,113 @@ def unigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text", round_
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def bigram_lm_scores(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    min_count: int = 3,
+    round_to: int = 6,
+):
+    """Per-doc mean token log-probability under an INTERPOLATED BIGRAM LM —
+    the next quality rung above :func:`unigram_lm_scores` (repetitive or
+    scrambled text scores low even when its unigrams are common):
+
+        p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c(w_{i-1})
+                           + (1-lam) * c(w_i)/N        (doc-first token: pure
+                                                        unigram p = c/N)
+
+    Bigrams below ``min_count`` are pruned AFTER the global sum (the standard
+    LM cutoff), so unseen/pruned bigrams back off to the (1-lam) unigram mass
+    — nonzero by construction. ``lam`` defaults to 0.75 (exactly binary-
+    representable: both engines compute the identical double).
+
+    Scale shape: two vocab-sized streamed counting passes (unigram + bigram,
+    partial per-batch group_by before the exchange); the PRUNED bigram table
+    + unigram arrays broadcast once via ``ray.put``; scoring is a stateless
+    per-batch pass with dictionary-encode + searchsorted gathers. At 100-TB
+    scale the prune happens shard-wise under the same ``groupby`` (a bigram's
+    global count lives in one group), keeping the broadcast bounded by the
+    cutoff; raise ``min_count`` to shrink it further."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = corpus_term_counts(ds, text_col).to_pandas()
+    terms = counts["term"].to_numpy()
+    order = np.argsort(terms)
+    terms_sorted = terms[order]
+    u_sorted = counts["n"].to_numpy().astype(np.float64)[order]
+    total = float(u_sorted.sum())
+
+    def pbig(batch: pa.Table) -> pa.Table:
+        flat, parent, _dl = _explode_tokens(batch[text_col])
+        empty = pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        if len(flat) < 2:
+            return empty
+        adj = np.flatnonzero(parent[1:] == parent[:-1]) + 1
+        if not len(adj):
+            return empty
+        bs = pc.binary_join_element_wise(
+            flat.take(pa.array(adj - 1)), flat.take(pa.array(adj)), " "
+        )
+        g = pa.table({"bigram": bs}).group_by(["bigram"], use_threads=False).aggregate(
+            [("bigram", "count")]
+        )
+        return pa.table({"bigram": g["bigram"], "n": g["bigram_count"].cast(pa.int64())})
+
+    big = (
+        ds.map_batches(pbig, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    big = big[big["n"] >= int(min_count)]
+    bigs = big["bigram"].to_numpy()
+    border = np.argsort(bigs)
+    bigs_sorted = bigs[border]
+    b_sorted = big["n"].to_numpy().astype(np.float64)[border]
+    ref = ray.put((terms_sorted, u_sorted, total, bigs_sorted, b_sorted))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ts, cu_s, n_total, bg_s, cb_s = ray.get(ref)
+        flat, parent, dl = _explode_tokens(batch[text_col])
+        n = batch.num_rows
+        if len(flat):
+            dic = flat.dictionary_encode()
+            upos = np.searchsorted(ts, dic.dictionary.to_numpy(zero_copy_only=False))
+            cu = cu_s[upos][dic.indices.to_numpy(zero_copy_only=False)]
+            p = cu / n_total  # unigram p for every token (doc-first keeps it)
+            cont = np.zeros(len(p), dtype=bool)
+            np.equal(parent[1:], parent[:-1], out=cont[1:])
+            ci = np.flatnonzero(cont)
+            if len(ci):
+                bs = pc.binary_join_element_wise(
+                    flat.take(pa.array(ci - 1)), flat.take(pa.array(ci)), " "
+                )
+                bdic = bs.dictionary_encode()
+                bu = bdic.dictionary.to_numpy(zero_copy_only=False)
+                bpos = np.searchsorted(bg_s, bu)
+                hit = (bpos < len(bg_s)) & (
+                    bg_s[np.minimum(bpos, max(len(bg_s) - 1, 0))] == bu
+                ) if len(bg_s) else np.zeros(len(bu), dtype=bool)
+                nb_u = np.where(hit, cb_s[np.minimum(bpos, max(len(bg_s) - 1, 0))], 0.0)
+                nb = nb_u[bdic.indices.to_numpy(zero_copy_only=False)]
+                p[ci] = lam * (nb / cu[ci - 1]) + (1.0 - lam) * (cu[ci] / n_total)
+            ll = np.bincount(parent, weights=np.log(p), minlength=n)
+        else:
+            ll = np.zeros(n, dtype=np.float64)
+        safe = np.maximum(dl.astype(np.float64), 1.0)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "dl": pa.array(dl.astype(np.int64)),
+                "avg_logprob_r": pa.array(np.round(ll / safe, round_to)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def doc_top_terms(
     ds,
     m: int = 3,
