@@ -1273,6 +1273,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths": doc_lengths,
         "term_df": term_df,
         "corpus_stats": corpus_stats,
+        # transcripts = the north-rule input table: keep its entries early so
+        # the driver's (prefix-capped) correctness sweep always covers them
+        "transcripts_index_stats": transcripts_index_stats,
+        "transcripts_conv_stats": transcripts_conv_stats,
+        "transcripts_response_latency": transcripts_response_latency,
+        "transcripts_tool_usage": transcripts_tool_usage,
+
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
         "bm25_topk_filtered": bm25_topk_filtered,
@@ -1337,10 +1344,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_by_source": token_count_by_source,
         "transcripts_bm25_topk": transcripts_bm25_topk,
         "transcripts_bm25_topk_role": transcripts_bm25_topk_role,
-        "transcripts_index_stats": transcripts_index_stats,
-        "transcripts_conv_stats": transcripts_conv_stats,
-        "transcripts_response_latency": transcripts_response_latency,
-        "transcripts_tool_usage": transcripts_tool_usage,
         "multimodal_featurize": multimodal_featurize,
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
