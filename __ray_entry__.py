@@ -786,6 +786,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(["doc_a", "doc_b"])
         return connected_components(pairs)
 
+    def near_dedup_corpus(sf_dir):
+        """End-to-end near-dedup keep-list: one doc per exact-Jaccard
+        cluster (min doc_id) + every unclustered doc — the reduction a
+        training pipeline feeds downstream."""
+        from engine.ops.dedup import near_dedup_keep
+
+        return near_dedup_keep(
+            _docs(sf_dir, ["doc_id", "text"]), threshold_num=4, threshold_den=5
+        )
+
     def dedup_simhash(sf_dir):
         from engine.ops.dedup import simhash_pairs
 
@@ -1309,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup_clusters,
         "dedup_minhash": dedup_minhash,
         "dedup_minhash_clusters": dedup_minhash_clusters,
+        "near_dedup_corpus": near_dedup_corpus,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_ivf": dedup_embedding_ivf,
@@ -2278,6 +2289,14 @@ WHERE text IS NOT NULL
         "dedup_clusters": _clusters_sql(),
         "dedup_minhash": _jaccard_sql(),
         "dedup_minhash_clusters": _clusters_sql(),
+        "near_dedup_corpus": f"""
+            SELECT d.doc_id
+            FROM documents d
+            WHERE d.doc_id NOT IN (
+              SELECT c.doc_id FROM ({_clusters_sql()}) c
+              WHERE c.doc_id <> c.cluster_rep
+            )
+        """,
         "dedup_simhash": _simhash_sql(max_hamming=3),
         "lang_id": _lang_id_sql(),
         "unigram_lm": f"""

@@ -1198,6 +1198,69 @@ def dedup_clusters(
     return connected_components(pairs, num_partitions=num_partitions)
 
 
+def near_dedup_keep(
+    ds,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+):
+    """The end-to-end near-dedup REDUCTION: keep exactly one document per
+    exact-Jaccard near-dup cluster (the cluster's minimum doc_id) plus every
+    unclustered document. Returns a (doc_id) Dataset, sorted — the keep-list
+    a training pipeline feeds downstream.
+
+    Composition: :func:`ngram_jaccard_pairs` -> :func:`connected_components`
+    (both fully distributed) -> the DROP-list (cluster members that are not
+    their cluster's rep) is collected and broadcast — it is bounded by the
+    duplicate mass, the small side by construction (near-dup clusters above
+    a high threshold), the standard broadcast-filter pattern; docs then
+    stream through one ``filter`` pass."""
+    import ray
+    import ray.data  # noqa: F401
+
+    clusters = dedup_clusters(
+        ds,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+        num_partitions=num_partitions,
+    )
+
+    def drop_rows(batch: pa.Table) -> pa.Table:
+        m = pc.not_equal(batch["doc_id"], batch["cluster_rep"])
+        return batch.filter(m).select(["doc_id"])
+
+    drop_ds = clusters.map_batches(drop_rows, batch_format="pyarrow")
+    drop_blocks = [t for t in ray.get(drop_ds.to_arrow_refs()) if t.num_rows]
+    drop = (
+        np.sort(
+            np.concatenate(
+                [t["doc_id"].to_numpy(zero_copy_only=False) for t in drop_blocks]
+            )
+        )
+        if drop_blocks
+        else np.array([], dtype=np.int64)
+    )
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = batch[id_col].cast(pa.int64())
+        if not len(d):
+            return pa.table({"doc_id": ids})
+        arr = ids.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(d, arr)
+        dead = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == arr)
+        return pa.table({"doc_id": pc.filter(ids, pa.array(~dead))})
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
 def decontaminate(
     ds,
     *,
