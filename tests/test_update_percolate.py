@@ -409,3 +409,31 @@ def test_remove_all_then_re_add(ray_session, tmp_path):
     assert add_documents(idx, ray.data.from_arrow(docs))["added"] == 3
     d2, _ = Bm25Index(idx).topk("world", 5)
     assert d2.tolist() == [0, 1]
+
+
+def test_add_into_raw64_backend_matches_varint(ray_session, tiny_corpus, tmp_path):
+    """Codec seam through the WHOLE lifecycle: a raw64-backend index accepts
+    incremental ADD (delta runs encoded with the bundle's own codec, read
+    from stats.json) and answers queries bit-identically to the varint
+    index given the same base + delta."""
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.update import add_documents
+
+    idx_v = str(tmp_path / "vidx")
+    idx_r = str(tmp_path / "ridx")
+    build_index(tiny_corpus, idx_v, n_buckets=4, n_salts=2, hot_fraction=0.05)
+    build_index(tiny_corpus, idx_r, n_buckets=4, n_salts=2, hot_fraction=0.05,
+                postings_codec="raw64")
+    delta = _new_convs_table()
+    add_documents(idx_v, ray.data.from_arrow(delta))
+    add_documents(idx_r, ray.data.from_arrow(delta))
+    bv, br = Bm25Index(idx_v), Bm25Index(idx_r)
+    assert br.reader.codec_name == "raw64"
+    for q in ("zqnewmarker0 added", "w00777", "the zqmarker0"):
+        d1, s1 = bv.topk(q, 10)
+        d2, s2 = br.topk(q, 10)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
