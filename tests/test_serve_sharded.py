@@ -133,3 +133,47 @@ def test_sharded_qld_bit_identity(sharded, tiny_index):
             np.asarray(s1).view(np.uint64), np.asarray(s2).view(np.uint64)
         )
 
+
+
+def test_sharded_quarantine_serves_remaining(ray_session, tiny_index, tmp_path):
+    """Read-error strategy through the sharded service: with one segment
+    file corrupted, quarantine mode answers queries from the remaining
+    parts (shard actors + coordinator both quarantine the dead part);
+    results equal a pristine index queried for the surviving terms."""
+    import os
+    import shutil
+
+    from engine.query import Bm25Index
+    from engine.segments import SegmentReader
+    from engine.serve import ShardedQueryService
+
+    pristine = SegmentReader(tiny_index)
+    hot = pristine.hot_terms
+    t1 = t2 = None
+    for part in range(pristine.n_buckets * pristine.n_salts):
+        pristine._load_meta(part)
+        cold = sorted(t for t in pristine._term_rows[part] if t not in hot)
+        if not cold:
+            continue
+        if t1 is None:
+            t1, bad_part = cold[0], part
+        elif t2 is None:
+            t2 = cold[0]
+            break
+    assert t1 and t2
+
+    idx = str(tmp_path / "sharded_corrupt")
+    shutil.copytree(tiny_index, idx)
+    with open(os.path.join(idx, f"segment-{bad_part:05d}.parquet"), "wb") as f:
+        f.write(b"garbage")
+
+    svc = ShardedQueryService(idx, n_shards=3, num_cpus=0.25,
+                              read_error_strategy="quarantine")
+    try:
+        d, s = svc.topk(f"{t1} {t2}", 5)
+        ref = Bm25Index(tiny_index)
+        d2, s2 = ref.topk(t2, 5)  # t1's only part is dead
+        np.testing.assert_array_equal(d, d2)
+        np.testing.assert_allclose(s, s2, rtol=0, atol=0)
+    finally:
+        svc.shutdown()
