@@ -185,9 +185,11 @@ def _merge_dl_shards(*shards):
 
 def _build_dl_lookup(docmap_dir: str):
     """-> (dl_ref, n_docs, avgdl, ids_fit_int32); see build_index body."""
+    # recursive: incremental ADD appends delta docmaps in subdirectories
     files = sorted(
-        os.path.join(docmap_dir, f)
-        for f in os.listdir(docmap_dir)
+        os.path.join(root, f)
+        for root, _dirs, fs in os.walk(docmap_dir)
+        for f in fs
         if f.endswith(".parquet")
     )
     meta_refs, data_refs = [], []

@@ -58,9 +58,12 @@ def _read_docmap(index_dir: str, columns=None) -> pa.Table:
 
 
 def _rewrite_docmap_marker(index_dir: str) -> tuple[int, float]:
-    dm = _read_docmap(index_dir, columns=["dl"])
-    n_docs = dm.num_rows
-    avgdl = float(pc.mean(dm["dl"]).as_py() or 0.0)
+    # per-file shard tasks fold (n, dl_sum) off-driver — the driver never
+    # reads an O(n_docs) column (same discipline as build._build_dl_lookup;
+    # per-file integer sums are exact in float64, so avgdl is layout-stable)
+    from .build import _build_dl_lookup
+
+    _ref, n_docs, avgdl, _fit = _build_dl_lookup(_docmap_dir(index_dir))
     state.atomic_write_bytes(
         json.dumps({"n_docs": n_docs, "avgdl": avgdl}).encode(),
         os.path.join(_docmap_dir(index_dir), "_SUCCESS.json"),
@@ -523,9 +526,12 @@ def _reencode_part(
         if os.path.exists(mp):
             os.remove(mp)
         return None
-    ids_sorted, dl_sorted = dl_lookup
     doc_all = np.concatenate(docs)
-    dl_all = dl_sorted[np.searchsorted(ids_sorted, doc_all)]
+    if hasattr(dl_lookup, "gather"):  # range-sharded lookup (build.ShardedDl)
+        dl_all = dl_lookup.gather(doc_all).astype(np.int64)
+    else:
+        ids_sorted, dl_sorted = dl_lookup
+        dl_all = dl_sorted[np.searchsorted(ids_sorted, doc_all)]
     cols = {
         "term": pa.array(np.concatenate(terms), pa.string()),
         "salt": pa.array(np.concatenate(salts), pa.int32()),
@@ -567,38 +573,62 @@ def _purge_doc_ids(index_dir: str, remove: np.ndarray, bounds_avgdl: float,
     bucket files) and drop them from the docmap (consolidated rewrite).
     Returns the number of parts touched."""
     remove = np.unique(np.asarray(remove, dtype=np.int64))
-    dm = _read_docmap(index_dir)
-    mask = pc.is_in(dm["doc_id"], value_set=pa.array(remove, pa.int64()))
-    keep_dm = dm.filter(pc.invert(mask))
+    # removed ids may still appear inside postings being decoded; the
+    # range-sharded lookup covers every doc (value unused for removed docs —
+    # they are filtered before encode). O(removal) driver state only.
+    from .build import _build_dl_lookup
 
-    # removed ids may still appear inside postings being decoded; the lookup
-    # covers every doc (value unused for removed docs — they are filtered
-    # before encode)
-    all_order = np.argsort(dm["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
-    lookup = (
-        dm["doc_id"].to_numpy(zero_copy_only=False)[all_order],
-        dm["dl"].to_numpy(zero_copy_only=False)[all_order],
-    )
-    rref, lref = ray.put(remove), ray.put(lookup)
+    ddir = _docmap_dir(index_dir)
+    dl_ref, _n, _avg, _fit = _build_dl_lookup(ddir)
+    rref = ray.put(remove)
     parts = sorted(state.committed_parts(index_dir))
     results = ray.get(
         [
-            _reencode_part_remote.remote(index_dir, p, bounds_avgdl, rref, lref, codec=codec)
+            _reencode_part_remote.remote(index_dir, p, bounds_avgdl, rref, dl_ref, codec=codec)
             for p in parts
         ]
     )
 
-    # rewrite docmap (single consolidated file, delta dirs folded in)
-    ddir = _docmap_dir(index_dir)
+    # rewrite docmap STREAMING (delta dirs folded in): Ray Data filter pass
+    # into a temp dir, then swap — the docmap never passes through the driver
+    import shutil
+
+    files = sorted(
+        os.path.join(root, f)
+        for root, _dirs, fs in os.walk(ddir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    schema = pq.read_schema(files[0])
+
+    def drop_removed(batch: pa.Table) -> pa.Table:
+        rem = ray.get(rref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rem, ids)
+        dead = (pos < len(rem)) & (rem[np.minimum(pos, len(rem) - 1)] == ids)
+        return batch.filter(pa.array(~dead))
+
+    tmp_dir = ddir + ".rewrite"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    ray.data.read_parquet(files).map_batches(
+        drop_removed, batch_format="pyarrow"
+    ).write_parquet(tmp_dir)
+    os.makedirs(tmp_dir, exist_ok=True)  # zero surviving rows: no files emitted
     for name in os.listdir(ddir):
         path = os.path.join(ddir, name)
         if name.endswith(".parquet"):
             os.remove(path)
         elif os.path.isdir(path):
-            import shutil
-
             shutil.rmtree(path)
-    pq.write_table(keep_dm, os.path.join(ddir, "docmap-0000.parquet"))
+    new_files = sorted(f for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
+    if new_files:
+        for i, f in enumerate(new_files):
+            os.replace(
+                os.path.join(tmp_dir, f), os.path.join(ddir, f"docmap-{i:04d}.parquet")
+            )
+    else:  # every doc removed: keep a schema-complete empty docmap
+        pq.write_table(schema.empty_table(), os.path.join(ddir, "docmap-0000.parquet"))
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     return sum(1 for r in results if r is not None)
 
 
@@ -608,14 +638,41 @@ def remove_documents(index_dir: str, *, conv_ids=None, doc_ids=None) -> dict:
     generation = int(stats.get("generation", 0)) + 1
     bounds_avgdl = float(stats.get("bounds_avgdl", stats["avgdl"]))
 
-    dm = _read_docmap(index_dir, columns=["doc_id", "conv_id"] if conv_ids is not None else ["doc_id"])
-    if conv_ids is not None:
-        mask = pc.is_in(dm["conv_id"], value_set=pa.array(list(conv_ids), pa.string()))
-    else:
-        mask = pc.is_in(
-            dm["doc_id"], value_set=pa.array([int(d) for d in doc_ids], pa.int64())
+    # victim resolution STREAMS the docmap; only matching ids (bounded by
+    # the removal size) reach the driver
+    cols = ["doc_id", "conv_id"] if conv_ids is not None else ["doc_id"]
+    conv_set = pa.array(list(conv_ids), pa.string()) if conv_ids is not None else None
+    id_set = (
+        pa.array(sorted(int(d) for d in doc_ids), pa.int64())
+        if doc_ids is not None and conv_ids is None
+        else None
+    )
+
+    def match(batch: pa.Table) -> pa.Table:
+        if conv_set is not None:
+            m = pc.is_in(batch["conv_id"], value_set=conv_set)
+        else:
+            m = pc.is_in(batch["doc_id"], value_set=id_set)
+        return pa.table({"doc_id": batch.filter(m)["doc_id"]})
+
+    hit_blocks = [
+        t
+        for t in ray.get(
+            ray.data.read_parquet(_docmap_dir(index_dir), columns=cols)
+            .map_batches(match, batch_format="pyarrow")
+            .to_arrow_refs()
         )
-    remove = np.sort(dm.filter(mask)["doc_id"].to_numpy(zero_copy_only=False))
+        if t.num_rows
+    ]
+    remove = (
+        np.sort(
+            np.concatenate(
+                [t["doc_id"].to_numpy(zero_copy_only=False) for t in hit_blocks]
+            )
+        )
+        if hit_blocks
+        else np.array([], dtype=np.int64)
+    )
     if len(remove) == 0:
         return {"removed": 0, "generation": generation - 1}
 
@@ -637,14 +694,10 @@ def compact_index(index_dir: str) -> dict:
     (restoring tight block-max bounds), generation resets."""
     stats = state.read_stats(index_dir)
     n_salts = int(stats["n_salts"])
-    dm = _read_docmap(index_dir, columns=["doc_id", "dl"])
-    order = np.argsort(dm["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
-    lookup = (
-        dm["doc_id"].to_numpy(zero_copy_only=False)[order],
-        dm["dl"].to_numpy(zero_copy_only=False)[order],
-    )
+    from .build import _build_dl_lookup
+
+    lref, _n, _avg, _fit = _build_dl_lookup(_docmap_dir(index_dir))
     avgdl = float(stats["avgdl"])
-    lref = ray.put(lookup)
     ray.get(
         [
             _reencode_part_remote.remote(
