@@ -93,6 +93,9 @@ def merge_indexes(a_dir: str, b_dir: str, out_dir: str) -> dict:
             f"{sb.get('postings_codec', 'varint')!r}; re-encode one index first"
         )
 
+    # admin-time exact overlap check (merge is a rare operator-invoked op);
+    # at 10^12-doc scale swap for per-file footer min/max range disjointness
+    # (the build.ShardedDl metadata) + a sampled exact spot-check
     dm_a = _read_docmap(a_dir)
     dm_b = _read_docmap(b_dir)
     ids_a = dm_a["doc_id"].to_numpy(zero_copy_only=False)
