@@ -262,6 +262,7 @@ def add_documents(
     *,
     text_col: str = "text",
     id_col: str | None = None,
+    return_delta: bool = False,
 ) -> dict:
     """Merge new documents into an existing index — a RAY PIPELINE end to end
     (the delta never passes through the driver as data, only as object refs):
@@ -457,12 +458,17 @@ def add_documents(
 
     n_docs, avgdl = _rewrite_docmap_marker(index_dir)
     _refresh_stats(index_dir, n_docs, avgdl, generation)
-    return {
+    report = {
         "added": int(n_delta),
         "replaced": replaced,
         "generation": generation,
         "parts_touched": parts_touched,
     }
+    if return_delta:
+        # the freshly indexed rows (doc_id + text), for post-ADD consumers
+        # (e.g. standing-query percolation — update_and_percolate)
+        report["delta_ds"] = delta_ds
+    return report
 
 
 def _reencode_part(
@@ -711,3 +717,48 @@ def compact_index(index_dir: str) -> dict:
     new_stats["bounds_avgdl"] = avgdl
     state.write_stats(index_dir, new_stats)
     return {"parts": new_stats["n_parts"], "bounds_avgdl": avgdl}
+
+
+def update_and_percolate(
+    index_dir: str,
+    source,
+    queries: list[dict],
+    *,
+    mode: str = "any",
+    text_col: str = "text",
+    id_col: str | None = None,
+    concurrency: int = 4,
+):
+    """Incremental ADD + standing-query alerts over the freshly indexed docs
+    — the detect-motifs-on-update composite (the reference percolates new
+    structures against its motif registry during the update cycle,
+    Strucmotif.detectMotifs + StrucmotifUpdate ADD).
+
+    Runs :func:`add_documents`, then streams ONLY the delta (the docs that
+    were actually indexed this call — re-submitted unchanged docs never
+    re-alert, the idempotent-ADD contract) through the actor-pool percolator
+    against the UPDATED index stats. Returns ``(report, alerts)`` where
+    ``alerts`` is a Dataset of (doc_id, query_id, score) matches.
+    """
+    from .percolate import percolate_dataset
+
+    report = add_documents(
+        index_dir, source, text_col=text_col, id_col=id_col, return_delta=True
+    )
+    delta_ds = report.pop("delta_ds", None)
+    if delta_ds is None or report["added"] == 0:
+        import ray.data as _rd
+
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "query_id": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        return report, _rd.from_arrow(empty)
+    alerts = percolate_dataset(
+        delta_ds, index_dir, queries, mode=mode, concurrency=concurrency,
+        id_col="doc_id", text_col=text_col,
+    )
+    return report, alerts

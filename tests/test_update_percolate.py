@@ -437,3 +437,32 @@ def test_add_into_raw64_backend_matches_varint(ray_session, tiny_corpus, tmp_pat
         d2, s2 = br.topk(q, 10)
         np.testing.assert_array_equal(d1, d2)
         np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
+
+
+def test_update_and_percolate_alerts_on_delta_only(upd_index):
+    """detect-motifs-on-update composite: ADD + standing-query percolation
+    alerts on the freshly indexed docs ONLY — a re-submitted unchanged batch
+    produces zero alerts (idempotent-ADD contract)."""
+    import ray.data
+
+    from engine.update import update_and_percolate
+
+    queries = [
+        {"query_id": "alert_new", "text": "zqnewmarker0 zqnewmarker1"},
+        {"query_id": "alert_never", "text": "qqqabsenttermqqq"},
+    ]
+    new = _new_convs_table()
+    rep, alerts = update_and_percolate(
+        upd_index, ray.data.from_arrow(new), queries, mode="any"
+    )
+    df = alerts.to_pandas()
+    assert rep["added"] == new.num_rows
+    assert set(df["query_id"]) == {"alert_new"}
+    # exactly the zqnewmarker{0,1} turns alert (3 turns per conv)
+    assert len(df) == 6 and df["score"].gt(0).all()
+
+    rep2, alerts2 = update_and_percolate(
+        upd_index, ray.data.from_arrow(new), queries, mode="any"
+    )
+    assert rep2["added"] == 0
+    assert len(alerts2.to_pandas()) == 0  # nothing newly indexed, no alerts
