@@ -270,3 +270,50 @@ def test_sharded_dl_lookup_and_overlap_fallback(ray_session, tmp_path):
     ids_sorted, dls = merged
     got = dls[np.searchsorted(ids_sorted, np.array([7, 0, 11]))]
     np.testing.assert_array_equal(got, np.array([7, 0, 11]) * 2 + 1)
+
+
+def test_known_keys_sharded_and_overlap_fallback(ray_session, tmp_path):
+    """Range-sharded known-key snapshot: disjoint docmap files route by
+    range; overlapping key ranges fall back to the worker-side merged shard.
+    Both paths resolve (found, doc_id, content_hash) exactly."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.update import _build_known_keys, _docmap_dir
+
+    def write_idx(name, key_lists):
+        idx = str(tmp_path / name)
+        dd = os.path.join(idx, "docmap")
+        os.makedirs(dd)
+        for i, keys in enumerate(key_lists):
+            keys = np.asarray(keys, dtype=np.int64)
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(keys, pa.int64()),
+                        "content_hash": pa.array(keys * 7, pa.int64()),
+                    }
+                ),
+                os.path.join(dd, f"docmap-{i:04d}.parquet"),
+            )
+        return idx
+
+    # doc_id-keyed (non-transcripts) index, disjoint file ranges
+    idx = write_idx("kk_disjoint", [[1, 3, 5], [10, 11, 20]])
+    kk, next_id = _build_known_keys(idx, transcripts=False, has_hash=True)
+    assert next_id == 21 and len(kk.shard_refs) == 2
+    found, dids, hsh = kk.lookup(np.array([5, 0, 20, 11, 99], dtype=np.int64))
+    np.testing.assert_array_equal(found, [True, False, True, True, False])
+    np.testing.assert_array_equal(dids[found], [5, 20, 11])
+    np.testing.assert_array_equal(hsh[[0, 2, 3]], [35, 140, 77])
+
+    # overlapping ranges -> single merged shard
+    idx2 = write_idx("kk_overlap", [[1, 9], [4, 12]])
+    kk2, next_id2 = _build_known_keys(idx2, transcripts=False, has_hash=True)
+    assert next_id2 == 13 and len(kk2.shard_refs) == 1
+    found2, dids2, _ = kk2.lookup(np.array([9, 4, 2], dtype=np.int64))
+    np.testing.assert_array_equal(found2, [True, True, False])
+    np.testing.assert_array_equal(dids2[:2], [9, 4])
