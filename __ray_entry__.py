@@ -1125,6 +1125,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         oracle SQL."""
         from engine.pipelines import clean_corpus as _cc
 
+    def clean_corpus_near(sf_dir):
+        """Gate -> NEAR-dup cluster keep (jaccard pairs + distributed CC)
+        -> redact; the clean_corpus chain with exact dedup upgraded to
+        near-dup clustering."""
+        from engine.pipelines import clean_corpus_near as _ccn
+
+        return _ccn(_docs(sf_dir, ["doc_id", "text"]))
+
         return _i64(
             _collect(_cc(_docs(sf_dir, ["doc_id", "text"]))),
             ["dl", "n_copies", "n_matches"],
@@ -1345,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_text": redact_text,
         "pack_sequences": pack_sequences,
         "clean_corpus": clean_corpus,
+        "clean_corpus_near": clean_corpus_near,
         "decontaminate": decontaminate,
         "lang_confusion": lang_confusion,
         "label_centroids": label_centroids,
@@ -2525,6 +2534,51 @@ WHERE text IS NOT NULL
                    len(regexp_extract_all(text, '(spark|vector)'))::BIGINT AS n_matches,
                    regexp_replace(text, '(spark|vector)', '[TOOL]', 'g') AS text_clean
             FROM dedup
+        """,
+        "clean_corpus_near": f"""
+            WITH RECURSIVE g AS (
+              SELECT doc_id, text, len({_TOKEN_SQL})::BIGINT AS dl
+              FROM documents
+              WHERE len({_TOKEN_SQL}) >= 5 AND length(text) <= 400
+            ),
+            toks AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM g),
+            pos AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM toks),
+            sh0 AS (SELECT doc_id, tok,
+                           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t2,
+                           lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t3
+                    FROM pos),
+            sh AS (SELECT DISTINCT doc_id, tok || ' ' || t2 || ' ' || t3 AS shingle FROM sh0 WHERE t3 IS NOT NULL),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs0 AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b
+            ),
+            base AS (
+              SELECT p.doc_a, p.doc_b FROM pairs0 p
+              JOIN sz sa ON p.doc_a = sa.doc_id
+              JOIN sz sb ON p.doc_b = sb.doc_id
+              WHERE p.common * 5 >= 4 * (sa.n + sb.n - p.common)
+            ),
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM base
+              UNION
+              SELECT doc_b, doc_a FROM base
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+            ),
+            clusters AS (
+              SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a
+            ),
+            dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> rep)
+            SELECT g.doc_id, g.dl,
+                   len(regexp_extract_all(g.text, '(spark|vector)'))::BIGINT AS n_matches,
+                   regexp_replace(g.text, '(spark|vector)', '[TOOL]', 'g') AS text_clean
+            FROM g
+            WHERE g.doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "redact_text": """
             SELECT doc_id,
