@@ -990,6 +990,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _collect(bigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id")
 
+    def hashed_vectors(sf_dir):
+        """Feature-hashing doc vectors (signed 64-bucket tf histogram),
+        exploded (doc_id, dim, val) rows — the vocabulary-free embedding
+        bridge; integer-exact vs the md5_number_lower oracle."""
+        from engine.ops.textstats import hashed_doc_vectors
+
+        return _collect(hashed_doc_vectors(_docs(sf_dir, ["doc_id", "text"]))).sort_by(
+            [("doc_id", "ascending"), ("dim", "ascending")]
+        )
+
     def doc_top_terms(sf_dir):
         """Per-doc top-3 TF-IDF keywords; ties round(score,6) desc, term asc."""
         from engine.ops.textstats import doc_top_terms as _dtt
@@ -1340,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lang_id,
         "unigram_lm": unigram_lm,
         "bigram_lm": bigram_lm,
+        "hashed_vectors": hashed_vectors,
         "doc_top_terms": doc_top_terms,
         "source_top_terms": source_top_terms,
         "bigram_counts": bigram_counts,
@@ -2338,6 +2349,19 @@ WHERE text IS NOT NULL
             )
             SELECT source, rank::BIGINT AS rank, term, gtf::BIGINT AS gtf, score_r
             FROM sc WHERE rank <= 5
+        """,
+        "hashed_vectors": f"""
+            WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+            h AS (
+              SELECT doc_id,
+                     (md5_number_lower(term)::UBIGINT % 64)::BIGINT AS dim,
+                     CASE WHEN (md5_number_lower(term)::UBIGINT >> 63) & 1 = 1
+                          THEN -1 ELSE 1 END AS sign
+              FROM toks
+            )
+            SELECT doc_id, dim, sum(sign)::BIGINT AS val
+            FROM h GROUP BY doc_id, dim
+            HAVING sum(sign) <> 0
         """,
         "bigram_lm": f"""
             WITH base AS (

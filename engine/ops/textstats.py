@@ -241,6 +241,49 @@ def unigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text", round_
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def hashed_doc_vectors(ds, dim: int = 64, id_col: str = "doc_id", text_col: str = "text"):
+    """Feature-hashing vectorizer (the hashing trick): each doc's tf counts
+    scatter into a ``dim``-bucket signed histogram — the cheap, vocabulary-
+    free doc embedding that bridges the text ops to the embedding ops
+    (near-dup, ANN, k-means all accept its output).
+
+    bucket = md5_lower64(term) % dim, sign = top hash bit (+1/-1, the
+    standard collision-bias correction). Emitted as EXPLODED
+    (doc_id, dim, val) rows — integer sums, so the DuckDB oracle matches
+    value-exactly; assemble the dense vector with a trivial pivot when a
+    list column is wanted. Stateless per-batch op, no exchange (a doc never
+    splits across batches)."""
+    from ..tokenize import md5_lower64
+
+    def vec(batch: pa.Table) -> pa.Table:
+        flat, parent, _dl = _explode_tokens(batch[text_col])
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if not len(flat):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "val": pa.array([], pa.int64()),
+                }
+            )
+        h = md5_lower64(flat)
+        d = (h % np.uint64(dim)).astype(np.int64)
+        sign = np.where((h >> np.uint64(63)) & np.uint64(1), -1, 1).astype(np.int64)
+        key = parent.astype(np.int64) * dim + d
+        agg = np.zeros(batch.num_rows * dim, dtype=np.int64)
+        np.add.at(agg, key, sign)
+        nz = np.flatnonzero(agg)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz // dim], pa.int64()),
+                "dim": pa.array(nz % dim, pa.int64()),
+                "val": pa.array(agg[nz], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(vec, batch_format="pyarrow")
+
+
 def bigram_lm_scores(
     ds,
     id_col: str = "doc_id",
