@@ -786,6 +786,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(["doc_a", "doc_b"])
         return connected_components(pairs)
 
+    def dedup_pagerank(sf_dir):
+        """PageRank centrality over the exact-Jaccard near-dup graph
+        (3 power iterations, damping 0.85) — the 'most central doc per
+        cluster' signal; per-round rounding makes the iterative float
+        computation layout-independent and SQL-oracle-exact."""
+        from engine.ops.dedup import ngram_jaccard_pairs, pagerank
+
+        pairs = ngram_jaccard_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), threshold_num=4, threshold_den=5
+        ).select_columns(["doc_a", "doc_b"])
+        return pagerank(pairs, damping=0.85, n_iter=3)
+
     def near_dedup_corpus(sf_dir):
         """End-to-end near-dedup keep-list: one doc per exact-Jaccard
         cluster (min doc_id) + every unclustered doc — the reduction a
@@ -1338,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash,
         "dedup_minhash_clusters": dedup_minhash_clusters,
         "near_dedup_corpus": near_dedup_corpus,
+        "dedup_pagerank": dedup_pagerank,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_ivf": dedup_embedding_ivf,
@@ -2309,6 +2322,32 @@ WHERE text IS NOT NULL
         "dedup_clusters": _clusters_sql(),
         "dedup_minhash": _jaccard_sql(),
         "dedup_minhash_clusters": _clusters_sql(),
+        "dedup_pagerank": f"""
+            WITH base AS ({_jaccard_sql()}),
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM base
+              UNION
+              SELECT doc_b, doc_a FROM base
+            ),
+            deg AS (SELECT a, count(*)::DOUBLE AS d FROM sym GROUP BY a),
+            p0 AS (SELECT a AS node, 1.0::DOUBLE AS pr FROM deg),
+            p1 AS (
+              SELECT s.b AS node, round(0.15 + 0.85 * sum(p.pr / g.d), 9) AS pr
+              FROM sym s JOIN p0 p ON p.node = s.a JOIN deg g ON g.a = s.a
+              GROUP BY s.b
+            ),
+            p2 AS (
+              SELECT s.b AS node, round(0.15 + 0.85 * sum(p.pr / g.d), 9) AS pr
+              FROM sym s JOIN p1 p ON p.node = s.a JOIN deg g ON g.a = s.a
+              GROUP BY s.b
+            ),
+            p3 AS (
+              SELECT s.b AS node, round(0.15 + 0.85 * sum(p.pr / g.d), 9) AS pr
+              FROM sym s JOIN p2 p ON p.node = s.a JOIN deg g ON g.a = s.a
+              GROUP BY s.b
+            )
+            SELECT node AS doc_id, round(pr, 6) AS pagerank_r FROM p3
+        """,
         "near_dedup_corpus": f"""
             SELECT d.doc_id
             FROM documents d

@@ -1163,6 +1163,131 @@ def connected_components(pairs, num_partitions: int = 8, max_rounds: int = 64):
     return labels.map_batches(finalize, batch_format="pyarrow").sort("doc_id")
 
 
+def pagerank(pairs, damping: float = 0.85, n_iter: int = 3,
+             num_partitions: int = 8, round_to: int = 9):
+    """Distributed PageRank over an undirected pair Dataset — centrality
+    within the near-dup graph (e.g. pick the most CENTRAL doc of a dup
+    cluster as its representative instead of the min-id).
+
+    Power iteration in the same Dataset-native shape as
+    :func:`connected_components`: per round, union(adjacency, ranks) grouped
+    by source node emits ``pr(u)/deg(u)`` contributions along every edge
+    (the degree is the source's in-group adjacency count — recomputed free,
+    never carried), then a destination-bucket groupby folds
+    ``pr'(v) = (1-d) + d * sum(contribs)``. Ranks are rounded to
+    ``round_to`` decimals each round (and contributions summed in sorted
+    order) so results are deterministic across block layouts AND match the
+    SQL oracle's unrolled fixed-iteration recompute despite float-sum order
+    differences. Driver holds nothing graph-sized.
+
+    Returns (doc_id, pagerank_r) rounded to 6, sorted by doc_id."""
+    import ray.data
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "pagerank_r": pa.array([], pa.float64())}
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "pr": pa.array(np.full(len(src), -1.0), pa.float64()),  # adj marker
+                "kbucket": pa.array((src % num_partitions).astype(np.int64)),
+            }
+        )
+
+    adj = pairs.map_batches(explode, batch_format="pyarrow").materialize()
+    if adj.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def init_ranks(group: pa.Table) -> pa.Table:
+        nodes = np.unique(group["src"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "src": pa.array(nodes, pa.int64()),
+                "dst": pa.array(np.full(len(nodes), -1, dtype=np.int64), pa.int64()),
+                "pr": pa.array(np.ones(len(nodes)), pa.float64()),
+                "kbucket": pa.array((nodes % num_partitions).astype(np.int64)),
+            }
+        )
+
+    ranks = adj.groupby("kbucket").map_groups(init_ranks, batch_format="pyarrow").materialize()
+
+    def push(group: pa.Table) -> pa.Table:
+        src = group["src"].to_numpy(zero_copy_only=False)
+        dst = group["dst"].to_numpy(zero_copy_only=False)
+        pr = group["pr"].to_numpy(zero_copy_only=False)
+        order = np.argsort(src, kind="stable")
+        src_s, dst_s, pr_s = src[order], dst[order], pr[order]
+        first = np.empty(len(src_s), dtype=bool)
+        first[0] = True
+        np.not_equal(src_s[1:], src_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.r_[starts, len(src_s)])
+        seg = np.repeat(np.arange(len(starts)), runlen)
+        is_adj = dst_s >= 0
+        deg_seg = np.bincount(seg, weights=is_adj, minlength=len(starts))
+        pr_seg = np.maximum.reduceat(pr_s, starts)  # the single rank row
+        out_dst = dst_s[is_adj]
+        contrib = pr_seg[seg[is_adj]] / deg_seg[seg[is_adj]]
+        return pa.table(
+            {
+                "node": pa.array(out_dst, pa.int64()),
+                "contrib": pa.array(contrib, pa.float64()),
+                "nbucket": pa.array((out_dst % num_partitions).astype(np.int64)),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False)
+        c = group["contrib"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, node))  # sorted-order sums: layout-independent
+        node_s, c_s = node[order], c[order]
+        first = np.empty(len(node_s), dtype=bool)
+        first[0] = True
+        np.not_equal(node_s[1:], node_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        s = np.add.reduceat(c_s, starts)
+        nodes = node_s[starts]
+        pr = np.round((1.0 - damping) + damping * s, round_to)
+        return pa.table(
+            {
+                "src": pa.array(nodes, pa.int64()),
+                "dst": pa.array(np.full(len(nodes), -1, dtype=np.int64), pa.int64()),
+                "pr": pa.array(pr, pa.float64()),
+                "kbucket": pa.array((nodes % num_partitions).astype(np.int64)),
+            }
+        )
+
+    for _ in range(n_iter):
+        ranks = (
+            adj.union(ranks)
+            .groupby("kbucket")
+            .map_groups(push, batch_format="pyarrow")
+            .groupby("nbucket")
+            .map_groups(fold, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["src"],
+                "pagerank_r": pa.array(
+                    np.round(batch["pr"].to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ranks.map_batches(finalize, batch_format="pyarrow").sort("doc_id")
+
+
 def dedup_clusters(
     ds,
     threshold_num: int = 4,
