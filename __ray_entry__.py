@@ -798,6 +798,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).select_columns(["doc_a", "doc_b"])
         return pagerank(pairs, damping=0.85, n_iter=3)
 
+    def dedup_central_reps(sf_dir):
+        """Per near-dup cluster: the highest-PageRank member (ties round-6
+        desc, doc asc) — CC and PageRank composed off ONE materialized pair
+        pipeline, merged join-free by bucketed groupbys."""
+        from engine.ops.dedup import central_cluster_reps
+
+        return central_cluster_reps(
+            _docs(sf_dir, ["doc_id", "text"]), threshold_num=4, threshold_den=5
+        )
+
     def near_dedup_corpus(sf_dir):
         """End-to-end near-dedup keep-list: one doc per exact-Jaccard
         cluster (min doc_id) + every unclustered doc — the reduction a
@@ -1351,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": dedup_minhash_clusters,
         "near_dedup_corpus": near_dedup_corpus,
         "dedup_pagerank": dedup_pagerank,
+        "dedup_central_reps": dedup_central_reps,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_ivf": dedup_embedding_ivf,
@@ -2347,6 +2358,46 @@ WHERE text IS NOT NULL
               GROUP BY s.b
             )
             SELECT node AS doc_id, round(pr, 6) AS pagerank_r FROM p3
+        """,
+        "dedup_central_reps": f"""
+            WITH RECURSIVE base AS ({_jaccard_sql()}),
+            sym AS (
+              SELECT doc_a AS a, doc_b AS b FROM base
+              UNION
+              SELECT doc_b, doc_a FROM base
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+            ),
+            clusters AS (
+              SELECT a AS doc_id, least(a, min(b))::BIGINT AS rep FROM reach GROUP BY a
+            ),
+            deg AS (SELECT a, count(*)::DOUBLE AS d FROM sym GROUP BY a),
+            p0 AS (SELECT a AS node, 1.0::DOUBLE AS pr FROM deg),
+            p1 AS (
+              SELECT s.b AS node, round(0.15 + 0.85 * sum(p.pr / g.d), 9) AS pr
+              FROM sym s JOIN p0 p ON p.node = s.a JOIN deg g ON g.a = s.a GROUP BY s.b
+            ),
+            p2 AS (
+              SELECT s.b AS node, round(0.15 + 0.85 * sum(p.pr / g.d), 9) AS pr
+              FROM sym s JOIN p1 p ON p.node = s.a JOIN deg g ON g.a = s.a GROUP BY s.b
+            ),
+            p3 AS (
+              SELECT s.b AS node, round(0.15 + 0.85 * sum(p.pr / g.d), 9) AS pr
+              FROM sym s JOIN p2 p ON p.node = s.a JOIN deg g ON g.a = s.a GROUP BY s.b
+            ),
+            ranked AS (
+              SELECT c.rep AS cluster_rep, c.doc_id, p3.pr,
+                     row_number() OVER (
+                       PARTITION BY c.rep
+                       ORDER BY round(p3.pr, 6) DESC, c.doc_id
+                     ) AS rn
+              FROM clusters c JOIN p3 ON p3.node = c.doc_id
+            )
+            SELECT cluster_rep, doc_id AS central_doc, round(pr, 6) AS pagerank_r
+            FROM ranked WHERE rn = 1
         """,
         "near_dedup_corpus": f"""
             SELECT d.doc_id

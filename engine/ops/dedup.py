@@ -1386,6 +1386,114 @@ def near_dedup_keep(
     return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
 
 
+def central_cluster_reps(
+    ds,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+):
+    """Centrality-chosen cluster representatives: for every near-dup
+    component, the member with the highest PageRank (ties: round(pr,6)
+    desc, doc_id asc) — the quality-aware alternative to min-id reps (the
+    most-connected duplicate is usually the canonical copy).
+
+    Composition, all Dataset-native: ONE materialized pair pipeline feeds
+    BOTH :func:`connected_components` and :func:`pagerank` (materialize
+    before the fan-out — a lazy upstream consumed twice re-executes); the
+    two per-doc tables then merge by doc-bucket groupby (union + tag, no
+    join actors) and a cluster-bucket groupby takes the per-component
+    argmax. Returns (cluster_rep, central_doc, pagerank_r) sorted."""
+    pairs = ngram_jaccard_pairs(
+        ds,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        k=k,
+        id_col=id_col,
+        text_col=text_col,
+        num_partitions=num_partitions,
+    ).select_columns(["doc_a", "doc_b"]).materialize()
+    clusters = connected_components(pairs, num_partitions=num_partitions)
+    pr = pagerank(pairs, num_partitions=num_partitions)
+
+    def tag_c(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "cluster_rep": batch["cluster_rep"],
+                "pr": pa.array(np.zeros(len(d)), pa.float64()),
+                "dbucket": pa.array((d % num_partitions).astype(np.int64)),
+            }
+        )
+
+    def tag_p(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "cluster_rep": pa.array(np.full(len(d), -1, dtype=np.int64), pa.int64()),
+                "pr": batch["pagerank_r"],
+                "dbucket": pa.array((d % num_partitions).astype(np.int64)),
+            }
+        )
+
+    def merge_doc(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        rep = group["cluster_rep"].to_numpy(zero_copy_only=False)
+        p = group["pr"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        d_s, rep_s, p_s = d[order], rep[order], p[order]
+        first = np.empty(len(d_s), dtype=bool)
+        first[0] = True
+        np.not_equal(d_s[1:], d_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        rep_d = np.maximum.reduceat(rep_s, starts)  # the cluster row (-1 on pr rows)
+        pr_d = np.maximum.reduceat(p_s, starts)  # the pr row (0.0 on cluster rows)
+        keep = rep_d >= 0  # clustered docs only
+        reps = rep_d[keep]
+        return pa.table(
+            {
+                "cluster_rep": pa.array(reps, pa.int64()),
+                "doc_id": pa.array(d_s[starts][keep], pa.int64()),
+                "pr": pa.array(pr_d[keep], pa.float64()),
+                "cbucket": pa.array((reps % num_partitions).astype(np.int64)),
+            }
+        )
+
+    def argmax_cluster(group: pa.Table) -> pa.Table:
+        rep = group["cluster_rep"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        p = group["pr"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -np.round(p, 6), rep))
+        rep_s, d_s, p_s = rep[order], d[order], p[order]
+        first = np.empty(len(rep_s), dtype=bool)
+        first[0] = True
+        np.not_equal(rep_s[1:], rep_s[:-1], out=first[1:])
+        win = np.flatnonzero(first)
+        return pa.table(
+            {
+                "cluster_rep": pa.array(rep_s[win], pa.int64()),
+                "central_doc": pa.array(d_s[win], pa.int64()),
+                "pagerank_r": pa.array(np.round(p_s[win], 6), pa.float64()),
+            }
+        )
+
+    merged = (
+        clusters.map_batches(tag_c, batch_format="pyarrow")
+        .union(pr.map_batches(tag_p, batch_format="pyarrow"))
+        .groupby("dbucket")
+        .map_groups(merge_doc, batch_format="pyarrow")
+    )
+    return (
+        merged.groupby("cbucket")
+        .map_groups(argmax_cluster, batch_format="pyarrow")
+        .sort("cluster_rep")
+    )
+
+
 def decontaminate(
     ds,
     *,
