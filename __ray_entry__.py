@@ -1157,6 +1157,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         oracle SQL."""
         from engine.pipelines import clean_corpus as _cc
 
+        return _i64(
+            _collect(_cc(_docs(sf_dir, ["doc_id", "text"]))),
+            ["dl", "n_copies", "n_matches"],
+        )
+
     def clean_corpus_near(sf_dir):
         """Gate -> NEAR-dup cluster keep (jaccard pairs + distributed CC)
         -> redact; the clean_corpus chain with exact dedup upgraded to
@@ -1164,11 +1169,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from engine.pipelines import clean_corpus_near as _ccn
 
         return _ccn(_docs(sf_dir, ["doc_id", "text"]))
-
-        return _i64(
-            _collect(_cc(_docs(sf_dir, ["doc_id", "text"]))),
-            ["dl", "n_copies", "n_matches"],
-        )
 
     def uniform_sample_k(sf_dir):
         """Exact-k deterministic uniform sample: k smallest (hash, doc_id)."""
