@@ -152,7 +152,8 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("parquet")
     dd.add_argument(
         "--mode",
-        choices=["exact", "passage", "jaccard", "containment", "minhash", "clusters"],
+        choices=["exact", "passage", "jaccard", "containment", "minhash",
+                 "clusters", "pagerank", "central"],
         default="exact",
     )
     dd.add_argument("--window", type=int, default=16, help="passage token window")
@@ -380,6 +381,14 @@ def main(argv: list[str] | None = None) -> int:
             from .ops.dedup import dedup_clusters
 
             out = dedup_clusters(ds)
+        elif args.mode == "pagerank":
+            from .ops.dedup import ngram_jaccard_pairs, pagerank
+
+            out = pagerank(ngram_jaccard_pairs(ds).select_columns(["doc_a", "doc_b"]))
+        elif args.mode == "central":
+            from .ops.dedup import central_cluster_reps
+
+            out = central_cluster_reps(ds)
         else:
             out = ngram_jaccard_pairs(ds, containment=(args.mode == "containment"))
         for row in out.limit(args.limit).take_all():
