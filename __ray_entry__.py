@@ -1318,20 +1318,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         o_orderkey) so DuckDB's window-rank formulation hashes identically."""
         return _collect(rel.asof_join_events_orders(sf_dir))
 
+    # Entry ORDER is evidence-driven: the driver's correctness sweep verifies
+    # only the FIRST 50 keys. Rounds 1-3 greenlit 65 entries; the 40 below had
+    # never been driver-verified (only local parity), so round 4 rotates them
+    # to the front, followed by 10 core sentinels to fill the 50-entry window,
+    # then the 55 already-driver-green entries.
     return {
+        # ---- never driver-verified before round 4 (40) --------------------
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "revenue_by_nation": rel.revenue_by_nation,
+        "revenue_by_region": rel.revenue_by_region,
+        "revenue_by_part_type": rel.revenue_by_part_type,
+        "sessionize": rel.sessionize,
+        "funnel_counts": lambda sf_dir: _i64(_collect(rel.funnel_counts(sf_dir)), ["stage_idx", "n_users"]),
+        "cohort_retention": lambda sf_dir: _i64(_collect(rel.cohort_retention(sf_dir)), ["day_offset", "n_users"]),
+        "top_suppliers": rel.top_suppliers,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "customers_without_orders": rel.customers_without_orders,
+        "distinct_users_daily": rel.distinct_users_daily,
+        "grouped_price_quantiles": rel.grouped_price_quantiles,
+        "event_gaps": lambda sf_dir: _collect(rel.event_gaps(sf_dir)),
+        "events_type_pivot": lambda sf_dir: _i64(
+            _collect(rel.events_type_pivot(sf_dir)),
+            [f"n_{t}" for t in rel.EVENT_TYPES],
+        ),
+        "extract_props_k": lambda sf_dir: _collect(rel.extract_props_k(sf_dir)),
+        "value_outliers": lambda sf_dir: _collect(
+            rel.value_outliers(sf_dir, threshold=2.5)
+        ),
+        "asof_join": asof_join,
+        "range_join": range_join,
+        "sliding_window": sliding_window,
+        "term_positions": term_positions,
+        "kwic": kwic,
+        "kwic_stored": kwic_stored,
+        "transcripts_bm25_topk": transcripts_bm25_topk,
+        "transcripts_bm25_topk_role": transcripts_bm25_topk_role,
+        "bigram_lm": bigram_lm,
+        "hashed_vectors": hashed_vectors,
+        "redact_text": redact_text,
+        "pack_sequences": pack_sequences,
+        "clean_corpus": clean_corpus,
+        "clean_corpus_near": clean_corpus_near,
+        "decontaminate": decontaminate,
+        "lang_confusion": lang_confusion,
+        "label_centroids": label_centroids,
+        "bpe_token_counts": bpe_token_counts,
+        "substring_dup_stats": substring_dup_stats,
+        "uniform_sample_k": uniform_sample_k,
+        "grouped_quantile_sketch": lambda sf_dir: __import__(
+            "engine.ops.sketch", fromlist=["grouped_quantile_sketch"]
+        ).grouped_quantile_sketch(sf_dir, qs=(50, 90, 99), eps=0.02),
+        "transcripts_index_stats": transcripts_index_stats,
+        "kmeans_embeddings": kmeans_embeddings,
+        "multimodal_featurize": multimodal_featurize,
+        # ---- core sentinels (already green r1-r3; keep in the window) -----
         "tokenize_tf": tokenize_tf,
-        "doc_lengths": doc_lengths,
         "term_df": term_df,
         "corpus_stats": corpus_stats,
-        # transcripts = the north-rule input table: keep its entries early so
-        # the driver's (prefix-capped) correctness sweep always covers them
-        "transcripts_index_stats": transcripts_index_stats,
         "transcripts_conv_stats": transcripts_conv_stats,
-        "transcripts_response_latency": transcripts_response_latency,
-        "transcripts_tool_usage": transcripts_tool_usage,
-
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        "dedup_clusters": dedup_clusters,
+        "ann_cosine_topk": ann_cosine_topk,
+        # ---- driver-green in earlier rounds (55) ---------------------------
+        "doc_lengths": doc_lengths,
+        "transcripts_response_latency": transcripts_response_latency,
+        "transcripts_tool_usage": transcripts_tool_usage,
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_category": bm25_topk_category,
         "bm25_topk_incremental": bm25_topk_incremental,
@@ -1351,13 +1406,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match": phrase_match,
         "percolate_conjunctive": percolate_conjunctive,
         "normalize_docs": normalize_docs,
-        "dedup_exact": dedup_exact,
         "dedup_passages": dedup_passages,
         "ngram_jaccard": ngram_jaccard,
         "ngram_containment": ngram_containment,
         "tfidf_similar_pairs": tfidf_similar_pairs,
-        "dedup_clusters": dedup_clusters,
-        "dedup_minhash": dedup_minhash,
         "dedup_minhash_clusters": dedup_minhash_clusters,
         "near_dedup_corpus": near_dedup_corpus,
         "dedup_pagerank": dedup_pagerank,
@@ -1366,15 +1418,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_ivf": dedup_embedding_ivf,
         "dedup_embedding_clusters": dedup_embedding_clusters,
-        "ann_cosine_topk": ann_cosine_topk,
-        "kmeans_embeddings": kmeans_embeddings,
         "kmeans_assign": kmeans_assign,
         "ann_ivf_topk": ann_ivf_topk,
         "text_quality": text_quality,
         "lang_id": lang_id,
         "unigram_lm": unigram_lm,
-        "bigram_lm": bigram_lm,
-        "hashed_vectors": hashed_vectors,
         "doc_top_terms": doc_top_terms,
         "source_top_terms": source_top_terms,
         "bigram_counts": bigram_counts,
@@ -1385,55 +1433,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_shingles": lambda sf_dir: __import__("engine.ops.sketch", fromlist=["x"]).kmv_distinct_shingles(_docs(sf_dir, ["doc_id", "text"])),
         "kmv_users_daily": lambda sf_dir: __import__("engine.ops.sketch", fromlist=["x"]).kmv_distinct_by_group(sf_dir),
         "doc_ttr": doc_ttr,
-        "redact_text": redact_text,
-        "pack_sequences": pack_sequences,
-        "clean_corpus": clean_corpus,
-        "clean_corpus_near": clean_corpus_near,
-        "decontaminate": decontaminate,
-        "lang_confusion": lang_confusion,
-        "label_centroids": label_centroids,
-        "bpe_token_counts": bpe_token_counts,
-        "substring_dup_stats": substring_dup_stats,
-        "uniform_sample_k": uniform_sample_k,
         "fingerprint": fingerprint,
         "token_count_by_source": token_count_by_source,
-        "transcripts_bm25_topk": transcripts_bm25_topk,
-        "transcripts_bm25_topk_role": transcripts_bm25_topk_role,
-        "multimodal_featurize": multimodal_featurize,
-        "q1_pricing_summary": rel.q1_pricing_summary,
-        "revenue_by_nation": rel.revenue_by_nation,
-        "revenue_by_region": rel.revenue_by_region,
-        "revenue_by_part_type": rel.revenue_by_part_type,
-        "funnel_counts": lambda sf_dir: _i64(_collect(rel.funnel_counts(sf_dir)), ["stage_idx", "n_users"]),
-        "cohort_retention": lambda sf_dir: _i64(_collect(rel.cohort_retention(sf_dir)), ["day_offset", "n_users"]),
-        "top_suppliers": rel.top_suppliers,
-        "top_orders": rel.top_orders,
-        "top_orders_per_customer": rel.top_orders_per_customer,
-        "customers_without_orders": rel.customers_without_orders,
-        "customer_order_counts": rel.customer_order_counts,
-        "distinct_users_daily": rel.distinct_users_daily,
-        "grouped_price_quantiles": rel.grouped_price_quantiles,
-        "term_positions": term_positions,
-        "kwic": kwic,
-        "kwic_stored": kwic_stored,
         "events_hourly": events_hourly,
-        "sessionize": rel.sessionize,
         "events_type_stats": events_type_stats,
-        "asof_join": asof_join,
-        "range_join": range_join,
-        "sliding_window": sliding_window,
-        "event_gaps": lambda sf_dir: _collect(rel.event_gaps(sf_dir)),
-        "events_type_pivot": lambda sf_dir: _i64(
-            _collect(rel.events_type_pivot(sf_dir)),
-            [f"n_{t}" for t in rel.EVENT_TYPES],
-        ),
-        "extract_props_k": lambda sf_dir: _collect(rel.extract_props_k(sf_dir)),
-        "value_outliers": lambda sf_dir: _collect(
-            rel.value_outliers(sf_dir, threshold=2.5)
-        ),
-        "grouped_quantile_sketch": lambda sf_dir: __import__(
-            "engine.ops.sketch", fromlist=["grouped_quantile_sketch"]
-        ).grouped_quantile_sketch(sf_dir, qs=(50, 90, 99), eps=0.02),
+        "top_orders": rel.top_orders,
+        "customer_order_counts": rel.customer_order_counts,
     }
 
 

@@ -41,8 +41,30 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "60000"))  # ~ 1.3M turns
 
 
+def _capacity_probe(levels: tuple[int, ...] = ()) -> dict:
+    """Same-window host-capacity context (tools/cpu_capacity.py). The VM's
+    achievable aggregate throughput swings up to 3.6x between minute-scale
+    windows; embedding the probe in every bench line lets a slow number be
+    attributed to the window vs the code (VERDICT r3 adjudication protocol)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "cpu_capacity.py"),
+             *map(str, levels)],
+            capture_output=True, text=True, check=True, timeout=180,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+    except Exception:
+        return {}
+
+
 def run_bench() -> dict:
     import ray
+
+    # cheap 2-level probe (~15s, untimed) bracketing the timed region;
+    # GRAFT_BENCH_PROBES=0 skips it (run_scaling keeps its legs back-to-back
+    # and probes the full level set around the whole pair loop instead)
+    do_probe = os.environ.get("GRAFT_BENCH_PROBES", "1") != "0"
+    probe_pre = _capacity_probe((2, 8)) if do_probe else {}
 
     ray.init(
         address="local",
@@ -140,6 +162,8 @@ def run_bench() -> dict:
     results["minhash_dedup"] = round(time.perf_counter() - t0, 3)
 
     headline = results["index_build"]
+    ray.shutdown()
+    probe_post = _capacity_probe((2, 8)) if do_probe else {}
     out = {
         "metric": "index_build_sec_plus_query",
         "value": headline,
@@ -150,8 +174,11 @@ def run_bench() -> dict:
         "n_turns": n_turns,
         "build_turns_per_sec": round(build_tps, 1),
         "query_p95_ms": round(p95, 2),
+        # same-window host context: capacity["8"]/4 ≈ 7-8 is a healthy
+        # window; "2" > 2.0 marks low-parallelism burst credit (BASELINE.md)
+        "capacity_probe_pre": probe_pre.get("capacity"),
+        "capacity_probe_post": probe_post.get("capacity"),
     }
-    ray.shutdown()
     return out
 
 
@@ -175,7 +202,8 @@ def run_scaling() -> None:
     )
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_CONVS=scaling_convs)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_CONVS=scaling_convs,
+                   GRAFT_BENCH_PROBES="0")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,
@@ -185,19 +213,9 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def probe() -> dict:
-        """Same-window host-capacity context (tools/cpu_capacity.py): burst
-        credit at low parallelism deflates the ratio — see BASELINE.md."""
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.join(REPO, "tools", "cpu_capacity.py")],
-                capture_output=True, text=True, check=True, timeout=120,
-            ).stdout
-            return json.loads(out.strip().splitlines()[-1])
-        except Exception:
-            return {}
-
-    probe_pre = probe()
+    # full-level probe: burst credit at low parallelism deflates the ratio —
+    # see BASELINE.md
+    probe_pre = _capacity_probe()
     # best-of-2 per leg: this VM shows up to 3x run-to-run noise on identical
     # builds (firecracker I/O + scheduling); the max throughput of repeated
     # runs is the steady-state capability the efficiency criterion is about
@@ -205,7 +223,7 @@ def run_scaling() -> None:
     for _ in range(2):
         for ncpu in (n_lo, n_hi):
             legs[ncpu].append(run(ncpu))
-    probe_post = probe()
+    probe_post = _capacity_probe()
     lo = max(legs[n_lo], key=lambda r: r["build_turns_per_sec"])
     hi = max(legs[n_hi], key=lambda r: r["build_turns_per_sec"])
     tps_lo, tps_hi = lo["build_turns_per_sec"], hi["build_turns_per_sec"]

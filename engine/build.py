@@ -142,11 +142,27 @@ class ShardedDl:
     def gather(self, doc: np.ndarray) -> np.ndarray:
         out = np.zeros(len(doc), dtype=np.int32)
         sid = np.searchsorted(self.mins, doc, side="right") - 1
+        if len(sid) and sid.min() < 0:
+            # mirror KnownKeys.lookup: without this, sid=-1 would negative-
+            # index the LAST shard and silently return a wrong dl
+            raise KeyError(
+                f"doc_id {int(doc[sid.argmin()])} below first docmap shard "
+                f"min {int(self.mins[0])}: unknown document"
+            )
         for s in np.unique(sid):
             m = sid == s
             ids, dls, lo = ray.get(self.shard_refs[int(s)])
             d = doc[m]
-            out[m] = dls[d - lo] if ids is None else dls[np.searchsorted(ids, d)]
+            if ids is None:
+                pos = d - lo
+                if pos.max(initial=-1) >= len(dls):
+                    raise KeyError("doc_id beyond docmap shard range: unknown document")
+                out[m] = dls[pos]
+            else:
+                pos = np.searchsorted(ids, d)
+                if pos.max(initial=-1) >= len(ids) or not np.array_equal(ids[np.minimum(pos, len(ids) - 1)], d):
+                    raise KeyError("doc_id not present in docmap shard: unknown document")
+                out[m] = dls[pos]
         return out
 
 

@@ -39,6 +39,19 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
 
 
+def _require_nonneg_ids(*arrays: np.ndarray) -> None:
+    """Guard for graph ops that reserve negative values as in-band markers
+    (adjacency-row sentinels recovered via maximum.reduceat): a negative
+    doc_id from arbitrary user parquet (engine.cli dedup --mode
+    clusters|pagerank|central) must error, not silently corrupt labels."""
+    for arr in arrays:
+        if len(arr) and arr.min() < 0:
+            raise ValueError(
+                "graph node ids must be nonnegative (negative values are "
+                f"reserved as internal markers); got min id {int(arr.min())}"
+            )
+
+
 def _segment_pairs(starts: np.ndarray, runlen: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """All within-segment index pairs (i, j), i < j, over segments of a sorted
     array — vectorized triangular-number decode, no per-segment Python loop.
@@ -1056,6 +1069,7 @@ def connected_components(pairs, num_partitions: int = 8, max_rounds: int = 64):
     def explode(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _require_nonneg_ids(a, b)  # -1 is the in-band label-row sentinel below
         key = np.concatenate([a, b])
         other = np.concatenate([b, a])
         return pa.table(
@@ -1156,6 +1170,14 @@ def connected_components(pairs, num_partitions: int = 8, max_rounds: int = 64):
         )
         if int(labels.sum("changed") or 0) == 0:
             break
+    else:
+        # Silent non-convergence would return WRONG cluster_rep values and
+        # propagate into every downstream *_clusters / keep-one consumer.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({int(labels.sum('changed') or 0)} labels still changing); "
+            "raise max_rounds for graphs with very deep chains"
+        )
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({"doc_id": batch["key"], "cluster_rep": batch["lab"]})
@@ -1190,6 +1212,7 @@ def pagerank(pairs, damping: float = 0.85, n_iter: int = 3,
     def explode(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _require_nonneg_ids(a, b)  # pr=-1 / dst=-1 are in-band adj markers
         src = np.concatenate([a, b])
         dst = np.concatenate([b, a])
         return pa.table(

@@ -72,12 +72,19 @@ def committed_parts(index_dir: str, verify_checksum: bool = False) -> dict[int, 
 
 
 def recover(index_dir: str) -> list[str]:
-    """Delete orphan payloads (no/invalid manifest) + stale tmp files.
+    """Delete orphan payloads (no/invalid manifest) + stale tmp files, and
+    roll back a docmap swap that crashed mid-flight (update._recover_docmap_swap).
 
     Returns the deleted paths (RECOVER analog: purge lingering entries)."""
     deleted: list[str] = []
     if not os.path.isdir(index_dir):
         return deleted
+    ddir = os.path.join(index_dir, "docmap")
+    if os.path.isdir(ddir + ".old"):
+        from .update import _recover_docmap_swap
+
+        _recover_docmap_swap(ddir)
+        deleted.append(ddir + ".old")
     good = committed_parts(index_dir)
     for name in sorted(os.listdir(index_dir)):
         path = os.path.join(index_dir, name)

@@ -572,12 +572,39 @@ def _reencode_part(
 _reencode_part_remote = ray.remote(_reencode_part)
 
 
+def _recover_docmap_swap(ddir: str) -> None:
+    """Roll back a docmap swap that crashed mid-flight (see _purge_doc_ids).
+
+    No backup dir -> nothing to do. Backup WITHOUT the COMMIT marker ->
+    crash during evacuation: ddir still holds only originals; move the
+    evacuated ones back. Backup WITH the marker -> crash during populate:
+    ddir parquet files are partial new-generation output; drop them and
+    restore the complete originals (postings may already be purged — a
+    docmap superset is query-consistent, and re-running the remove
+    converges). Every path ends with a complete docmap and no backup dir."""
+    import shutil
+
+    backup = ddir + ".old"
+    if not os.path.isdir(backup):
+        return
+    marker = os.path.join(backup, "COMMIT")
+    if os.path.exists(marker):
+        for name in os.listdir(ddir):
+            path = os.path.join(ddir, name)
+            shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
+        os.remove(marker)
+    for name in os.listdir(backup):
+        os.replace(os.path.join(backup, name), os.path.join(ddir, name))
+    os.rmdir(backup)
+
+
 def _purge_doc_ids(index_dir: str, remove: np.ndarray, bounds_avgdl: float,
                    codec: str = "varint") -> int:
     """Mask the given doc_ids out of every posting (ONE RAY TASK PER PART —
     the decode->filter->re-encode work is embarrassingly parallel across
     bucket files) and drop them from the docmap (consolidated rewrite).
     Returns the number of parts touched."""
+    _recover_docmap_swap(_docmap_dir(index_dir))
     remove = np.unique(np.asarray(remove, dtype=np.int64))
     # removed ids may still appear inside postings being decoded; the
     # range-sharded lookup covers every doc (value unused for removed docs —
@@ -620,20 +647,27 @@ def _purge_doc_ids(index_dir: str, remove: np.ndarray, bounds_avgdl: float,
         drop_removed, batch_format="pyarrow"
     ).write_parquet(tmp_dir)
     os.makedirs(tmp_dir, exist_ok=True)  # zero surviving rows: no files emitted
-    for name in os.listdir(ddir):
-        path = os.path.join(ddir, name)
-        if name.endswith(".parquet"):
-            os.remove(path)
-        elif os.path.isdir(path):
-            shutil.rmtree(path)
     new_files = sorted(f for f in os.listdir(tmp_dir) if f.endswith(".parquet"))
-    if new_files:
-        for i, f in enumerate(new_files):
-            os.replace(
-                os.path.join(tmp_dir, f), os.path.join(ddir, f"docmap-{i:04d}.parquet")
-            )
-    else:  # every doc removed: keep a schema-complete empty docmap
-        pq.write_table(schema.empty_table(), os.path.join(ddir, "docmap-0000.parquet"))
+    if not new_files:  # every doc removed: keep a schema-complete empty docmap
+        pq.write_table(schema.empty_table(), os.path.join(tmp_dir, "part-empty.parquet"))
+        new_files = ["part-empty.parquet"]
+    # Crash-safe swap (ADVICE r3): every intermediate state keeps a complete
+    # docmap on disk. Phase 1 renames originals into a backup dir; a COMMIT
+    # marker then declares the backup authoritative; phase 2 renames the
+    # rewrite in; only then is the backup dropped. _recover_docmap_swap
+    # rolls a crashed swap back from whichever side is complete.
+    backup = ddir + ".old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.makedirs(backup)
+    for name in os.listdir(ddir):
+        os.replace(os.path.join(ddir, name), os.path.join(backup, name))
+    with open(os.path.join(backup, "COMMIT"), "w") as f:
+        f.write("docmap evacuation complete; ddir parquet is new-generation\n")
+    for i, f in enumerate(new_files):
+        os.replace(
+            os.path.join(tmp_dir, f), os.path.join(ddir, f"docmap-{i:04d}.parquet")
+        )
+    shutil.rmtree(backup)
     shutil.rmtree(tmp_dir, ignore_errors=True)
     return sum(1 for r in results if r is not None)
 

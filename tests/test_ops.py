@@ -1164,3 +1164,43 @@ def test_connected_components_random_graphs(ray_session):
         ).to_pandas()
         got = dict(zip(got_df["doc_id"].tolist(), got_df["cluster_rep"].tolist()))
         assert got == want, f"seed {seed}"
+
+
+def test_connected_components_nonconvergence_raises(ray_session):
+    """ADVICE r3: a component whose diameter exceeds max_rounds must RAISE,
+    not silently return wrong cluster_rep values (a 12-node path graph needs
+    ~11 hash-to-min rounds; cap at 2)."""
+    import ray.data
+
+    from engine.ops.dedup import connected_components
+
+    n = 12
+    edges = pa.table(
+        {
+            "doc_a": pa.array(np.arange(n - 1, dtype=np.int64)),
+            "doc_b": pa.array(np.arange(1, n, dtype=np.int64)),
+        }
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(ray.data.from_arrow(edges), max_rounds=2).to_pandas()
+    # and with enough rounds the same graph converges to rep 0 everywhere
+    got = connected_components(ray.data.from_arrow(edges), max_rounds=16).to_pandas()
+    assert set(got["cluster_rep"]) == {0} and len(got) == n
+
+
+def test_graph_ops_reject_negative_ids(ray_session):
+    """ADVICE r3: negative node ids collide with the in-band -1 adjacency
+    sentinels; connected_components and pagerank must raise, not corrupt."""
+    import ray.data
+
+    from engine.ops.dedup import connected_components, pagerank
+
+    edges = pa.table(
+        {
+            "doc_a": pa.array([-3, 1], pa.int64()),
+            "doc_b": pa.array([1, 2], pa.int64()),
+        }
+    )
+    for fn in (connected_components, pagerank):
+        with pytest.raises(Exception, match="nonnegative"):
+            fn(ray.data.from_arrow(edges)).to_pandas()

@@ -271,6 +271,75 @@ def test_sharded_dl_lookup_and_overlap_fallback(ray_session, tmp_path):
     got = dls[np.searchsorted(ids_sorted, np.array([7, 0, 11]))]
     np.testing.assert_array_equal(got, np.array([7, 0, 11]) * 2 + 1)
 
+    # ADVICE r3: unknown ids must RAISE, never silently mis-route —
+    # below the first shard (would negative-index the last shard), in a
+    # sparse-shard gap, and past the dense shard's end.
+    d3 = write_docmap("dm_guard", [[5, 6, 7, 8], [20, 22, 29]])
+    ref3, _n3, _a3, _ = _build_dl_lookup(d3)
+    lookup3 = ray.get(ref3) if not isinstance(ref3, ShardedDl) else ref3
+    assert isinstance(lookup3, ShardedDl)
+    for bad in ([1], [21], [9]):
+        with pytest.raises(KeyError):
+            lookup3.gather(np.asarray(bad, dtype=np.int64))
+    np.testing.assert_array_equal(
+        lookup3.gather(np.array([29, 5], dtype=np.int64)),
+        np.array([29, 5]) * 2 + 1,
+    )
+
+
+def test_docmap_swap_crash_recovery(tmp_path):
+    """ADVICE r3: _purge_doc_ids' docmap swap must leave a complete docmap
+    recoverable from EVERY crash state. Simulate a crash during evacuation
+    (no COMMIT marker: originals split across ddir and backup) and during
+    populate (COMMIT present: ddir holds partial new-generation files)."""
+    import os
+    import shutil
+
+    from engine.update import _recover_docmap_swap
+
+    def setup(ddir_files, backup_files, commit):
+        ddir = str(tmp_path / "idx" / "docmap")
+        shutil.rmtree(str(tmp_path / "idx"), ignore_errors=True)
+        os.makedirs(ddir)
+        for name, body in ddir_files:
+            with open(os.path.join(ddir, name), "w") as f:
+                f.write(body)
+        if backup_files is not None:
+            os.makedirs(ddir + ".old")
+            for name, body in backup_files:
+                with open(os.path.join(ddir + ".old", name), "w") as f:
+                    f.write(body)
+            if commit:
+                with open(os.path.join(ddir + ".old", "COMMIT"), "w") as f:
+                    f.write("x")
+        return ddir
+
+    # crash mid-evacuation: union restored
+    ddir = setup(
+        [("docmap-0001.parquet", "orig1")],
+        [("docmap-0000.parquet", "orig0")],
+        commit=False,
+    )
+    _recover_docmap_swap(ddir)
+    assert sorted(os.listdir(ddir)) == ["docmap-0000.parquet", "docmap-0001.parquet"]
+    assert not os.path.isdir(ddir + ".old")
+    assert open(os.path.join(ddir, "docmap-0000.parquet")).read() == "orig0"
+
+    # crash mid-populate: partial new dropped, originals restored
+    ddir = setup(
+        [("docmap-0000.parquet", "NEWGEN")],
+        [("docmap-0000.parquet", "orig0"), ("docmap-0001.parquet", "orig1")],
+        commit=True,
+    )
+    _recover_docmap_swap(ddir)
+    assert sorted(os.listdir(ddir)) == ["docmap-0000.parquet", "docmap-0001.parquet"]
+    assert open(os.path.join(ddir, "docmap-0000.parquet")).read() == "orig0"
+    assert not os.path.isdir(ddir + ".old")
+
+    # no backup: no-op
+    _recover_docmap_swap(ddir)
+    assert sorted(os.listdir(ddir)) == ["docmap-0000.parquet", "docmap-0001.parquet"]
+
 
 def test_known_keys_sharded_and_overlap_fallback(ray_session, tmp_path):
     """Range-sharded known-key snapshot: disjoint docmap files route by
