@@ -134,6 +134,32 @@ def test_unigram_lm_hand_computed(ray_session):
     )
 
 
+def test_unigram_lm_capped_vocab_oov_fold(ray_session):
+    """VERDICT r3 #2: the bounded-vocab collect path. max_vocab=2 on a
+    corpus with counts a=3 b=2 c=1 d=1 keeps {a,b} (top-2 by count, term
+    tie-break) and folds the tail (mass 2 over 2 types -> avg count 1) into
+    one OOV class: c and d score log(1/7)."""
+    from engine.ops.textstats import unigram_lm_scores
+
+    out = (
+        unigram_lm_scores(_docs_ds(["a a a b", "b c d"]), max_vocab=2)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    la, lb, loov = math.log(3 / 7), math.log(2 / 7), math.log(1 / 7)
+    np.testing.assert_allclose(
+        out["avg_logprob_r"].to_numpy(),
+        np.round([(3 * la + lb) / 4, (lb + 2 * loov) / 3], 6),
+        atol=1e-9,
+    )
+    # below the cap the result is identical to the unbounded collect
+    full = unigram_lm_scores(_docs_ds(["a a a b", "b c d"]), max_vocab=None).to_pandas()
+    capped = unigram_lm_scores(_docs_ds(["a a a b", "b c d"]), max_vocab=10).to_pandas()
+    assert full.sort_values("doc_id", ignore_index=True).equals(
+        capped.sort_values("doc_id", ignore_index=True)
+    )
+
+
 def test_doc_top_terms_ranks_and_tie_order(ray_session):
     from engine.ops.textstats import doc_top_terms
 
