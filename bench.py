@@ -268,8 +268,89 @@ def run_scaling() -> None:
     )
 
 
+def run_codecs() -> None:
+    """Codec comparison — the InvertedIndexRunner experiment analog
+    (/root/reference/strucmotif-search-benchmark/.../InvertedIndexRunner.java:
+    56-99 compares uncompressed vs gzip read paths): build the same corpus
+    under each postings codec, report build sec, segment payload bytes and
+    warm query p95, and assert the three rankings are identical."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from engine.build import build_index
+    from engine.queries import QUERY_SET
+    from engine.query import Bm25Index
+
+    convs = int(os.environ.get("GRAFT_CODEC_CONVS", "20000"))
+    corpus = f"/tmp/graft_bench/corpus_{convs}"
+    subprocess.run(
+        [sys.executable, "-c",
+         f"import sys; sys.path.insert(0, {REPO!r}); "
+         f"from engine.synth import write_corpus; "
+         f"write_corpus({corpus!r}, n_convs={convs}, seed=42, n_shards=64)"],
+        check=True,
+    )
+    n_turns = sum(pq.read_metadata(os.path.join(corpus, f)).num_rows
+                  for f in os.listdir(corpus) if f.endswith(".parquet"))
+    rows: dict[str, dict] = {}
+    baseline = None
+    for codec in ("varint", "pfor", "raw64"):
+        idx_dir = f"/tmp/graft_bench/index_codec_{codec}"
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(corpus, idx_dir, n_buckets=32, n_salts=2, resume=False,
+                    postings_codec=codec)
+        t_build = time.perf_counter() - t0
+        seg_bytes = sum(
+            os.path.getsize(os.path.join(idx_dir, f))
+            for f in os.listdir(idx_dir)
+            if f.startswith("segment-") and f.endswith(".parquet")
+        )
+        bm = Bm25Index(idx_dir)
+        res = [bm.topk(q["text"], q["k"]) for q in QUERY_SET]  # warm + verify
+        lat = []
+        for _ in range(5):
+            for q in QUERY_SET:
+                t0 = time.perf_counter()
+                bm.topk(q["text"], q["k"])
+                lat.append((time.perf_counter() - t0) * 1000)
+        lat.sort()
+        if baseline is None:
+            baseline = res
+        else:
+            import numpy as np
+
+            for (d0, s0), (d1, s1) in zip(baseline, res):
+                assert (d0 == d1).all() and (s0 == s1).all(), codec
+        rows[codec] = {
+            "build_sec": round(t_build, 3),
+            "segment_bytes": seg_bytes,
+            "query_p95_ms": round(lat[int(0.95 * len(lat)) - 1], 2),
+        }
+    ray.shutdown()
+    v, p = rows["varint"]["segment_bytes"], rows["pfor"]["segment_bytes"]
+    print(json.dumps({
+        "metric": "codec_comparison",
+        "value": round(p / v, 4),
+        "unit": "pfor_vs_varint_bytes_ratio",
+        "n_turns": n_turns,
+        "num_cpus": NUM_CPUS,
+        "codecs": rows,
+        "rankings_identical": True,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--codecs" in sys.argv:
+        run_codecs()
     else:
         print(json.dumps(run_bench()))

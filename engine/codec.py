@@ -100,7 +100,46 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return out
 
 
-class VarintCodec:
+class _PerValueStream:
+    """Shared stream-level API for codecs whose wire format is a plain
+    concatenation of independently-sized values (varint, raw64): a group's
+    blob is a contiguous slice of the flat encoding, and any value index is
+    a valid decode entry point. Block codecs (Pfor128) override both."""
+
+    def encode_stream(self, values, group_starts, probe_rows=None, probe_gids=None):
+        """Encode ``values`` into per-group blobs.
+
+        Returns ``(flat: bytes, group_ends: int64[n_groups], probe_offs)``
+        where ``flat[group_ends[g-1]:group_ends[g]]`` is group ``g``'s blob
+        (self-describing: ``decode`` accepts it) and ``probe_offs[j]`` is the
+        byte offset INSIDE its group's blob where decoding may start at value
+        ``probe_rows[j]`` (callers guarantee probe rows are block-aligned
+        within their group for block codecs; any row is valid here).
+        ``probe_gids``: the group index of each probe row (callers already
+        have it; passing it avoids a searchsorted)."""
+        values = np.ascontiguousarray(values, dtype=np.uint64)
+        nb = self.nbytes(values)
+        ends = np.cumsum(nb)
+        flat = self.encode_flat(values, nbytes=nb, byte_ends=ends)
+        n = values.size
+        total = int(ends[-1]) if n else 0
+        gs = np.asarray(group_starts, dtype=np.int64)
+        # byte start of each group = byte start of its first value
+        gb_starts = np.where(gs < n, ends[np.minimum(gs, n - 1)] - nb[np.minimum(gs, n - 1)], total) if n else np.zeros(len(gs), dtype=np.int64)
+        group_ends = np.append(gb_starts[1:], total).astype(np.int64)
+        probe_offs = None
+        if probe_rows is not None:
+            pr = np.asarray(probe_rows, dtype=np.int64)
+            if probe_gids is None:
+                probe_gids = np.searchsorted(gs, pr, side="right") - 1
+            probe_offs = (ends[pr] - nb[pr]) - gb_starts[probe_gids]
+        return flat, group_ends, probe_offs
+
+    def decode_block(self, buf: bytes, n_values: int) -> np.ndarray:
+        return self.decode(buf)
+
+
+class VarintCodec(_PerValueStream):
     """Default posting-stream codec: unsigned LEB128 (see module docstring).
     The ColferCodec analog (CORE/io/codec/ColferCodec.java:118-133) —
     smaller files, fast vectorized read/write."""
@@ -117,7 +156,7 @@ class VarintCodec:
         return varint_decode(buf)
 
 
-class Raw64Codec:
+class Raw64Codec(_PerValueStream):
     """Fixed-width little-endian uint64 stream — the JsonCodec analog
     (CORE/io/codec/JsonCodec.java: 'useful for debugging'): every value is
     byte-aligned and directly inspectable with ``np.frombuffer(buf, '<u8')``
@@ -137,11 +176,204 @@ class Raw64Codec:
         return np.frombuffer(buf, dtype="<u8").astype(np.uint64)
 
 
+_BIT = np.arange(64, dtype=np.uint64)
+
+
+def _bit_widths(m: np.ndarray) -> np.ndarray:
+    """Bits needed per value (0 for 0) — floor(log2(v))+1, vectorized."""
+    w = np.zeros(m.size, dtype=np.int64)
+    tmp = m.copy()
+    while tmp.any():
+        w += tmp > 0
+        tmp >>= np.uint64(1)
+    return w
+
+
+class Pfor128Codec:
+    """Frame-of-reference binary packing in 128-value blocks + varint tail —
+    the Lucene-ForUtil-style production alternative to vByte (PFOR family:
+    Zukowski et al., ICDE'06; Lemire & Boytsov, SPE'15 — patched exceptions
+    dropped per the modern practice of per-block exact widths).
+
+    Wire format per group blob (self-describing):
+      [varint F = number of full 128-value blocks]
+      F x [1 byte width b][16*b bytes of 128 values bit-packed LSB-first]
+      [unsigned LEB128 varints for the < 128 tail values]
+
+    Every 128-aligned value index is a decode entry point (block starts),
+    which is exactly the alignment of the segment block-max skip structure
+    (schema.BLOCK_SIZE == 128): ``decode_block`` unpacks one FOR block
+    (n_values == 128) or the varint tail (n_values < 128). Encode and decode
+    are vectorized across blocks grouped by width — no per-value Python.
+
+    Mirrors the second production backend of the reference
+    (CORE/config/InvertedIndexBackend.java:10-18: COLFER | MESSAGE_PACK);
+    ours differ in wire format, same pluggable-seam role."""
+
+    name = "pfor"
+
+    # --- per-value API (used by tests and generic paths; tail-only format
+    # would be wrong for >=128-value streams, so route through the stream
+    # API instead of pretending to be per-value) -------------------------
+    def decode(self, buf: bytes) -> np.ndarray:
+        b = np.frombuffer(buf, dtype=np.uint8)
+        if b.size == 0:
+            return np.empty(0, dtype=np.uint64)
+        # parse header varint F
+        f = 0
+        shift = 0
+        p = 0
+        while True:
+            byte = int(b[p])
+            f |= (byte & 0x7F) << shift
+            p += 1
+            shift += 7
+            if not byte & 0x80:
+                break
+        widths = np.empty(f, dtype=np.int64)
+        offs = np.empty(f, dtype=np.int64)
+        for i in range(f):
+            w = int(b[p])
+            widths[i] = w
+            offs[i] = p + 1
+            p += 1 + 16 * w
+        out = np.zeros(f * 128, dtype=np.uint64)
+        ov = out.reshape(f, 128) if f else out.reshape(0, 128)
+        for w in np.unique(widths) if f else ():
+            w = int(w)
+            rows = np.flatnonzero(widths == w)
+            if w == 0:
+                continue
+            idx = offs[rows, None] + np.arange(16 * w, dtype=np.int64)[None, :]
+            payload = b[idx]  # (k, 16*w)
+            bits = np.unpackbits(payload, axis=1, bitorder="little")  # (k, 128*w)
+            bits = bits.reshape(len(rows), 128, w).astype(np.uint64)
+            ov[rows] = (bits << _BIT[:w]).sum(axis=2, dtype=np.uint64)
+        tail = varint_decode(b[p:].tobytes())
+        return np.concatenate([out, tail]) if len(tail) else out
+
+    def decode_block(self, buf: bytes, n_values: int) -> np.ndarray:
+        if n_values != 128:
+            return varint_decode(buf)
+        b = np.frombuffer(buf, dtype=np.uint8)
+        w = int(b[0])
+        if w == 0:
+            return np.zeros(128, dtype=np.uint64)
+        bits = np.unpackbits(b[1 : 1 + 16 * w], bitorder="little")
+        bits = bits.reshape(128, w).astype(np.uint64)
+        return (bits << _BIT[:w]).sum(axis=1, dtype=np.uint64)
+
+    # --- stream API ------------------------------------------------------
+    def encode_stream(self, values, group_starts, probe_rows=None, probe_gids=None):
+        a = np.ascontiguousarray(values, dtype=np.uint64)
+        n = a.size
+        gs = np.asarray(group_starts, dtype=np.int64)
+        ng = len(gs)
+        ge = np.append(gs[1:], n)
+        glen = ge - gs
+        nfull = glen >> 7  # full 128-blocks per group
+        npacked = nfull << 7
+        # split packed region / tail, per group
+        wi = np.arange(n, dtype=np.int64) - np.repeat(gs, glen)
+        packed_mask = wi < np.repeat(npacked, glen)
+        packed = a[packed_mask]
+        nblocks = int(nfull.sum())
+        pk2 = packed.reshape(nblocks, 128)
+        w = _bit_widths(pk2.max(axis=1)) if nblocks else np.empty(0, dtype=np.int64)
+        bsz = 1 + 16 * w  # width byte + payload
+        # per-group byte accounting
+        bofs = np.zeros(ng + 1, dtype=np.int64)
+        np.cumsum(nfull, out=bofs[1:])  # first block index per group
+        blk_bytes = np.zeros(ng, dtype=np.int64)
+        if nblocks:
+            bgid = np.repeat(np.arange(ng, dtype=np.int64), nfull)
+            blk_bytes = np.bincount(bgid, weights=bsz, minlength=ng).astype(np.int64)
+        tail = a[~packed_mask]
+        tlen = glen - npacked
+        tv_nb = varint_nbytes(tail) if len(tail) else np.empty(0, dtype=np.int64)
+        tail_bytes = np.zeros(ng, dtype=np.int64)
+        if len(tail):
+            tgid = np.repeat(np.arange(ng, dtype=np.int64), tlen)
+            tail_bytes = np.bincount(tgid, weights=tv_nb, minlength=ng).astype(np.int64)
+        hdr_nb = varint_nbytes(nfull.astype(np.uint64))
+        gsize = hdr_nb + blk_bytes + tail_bytes
+        goff = np.zeros(ng + 1, dtype=np.int64)
+        np.cumsum(gsize, out=goff[1:])
+        out = np.zeros(int(goff[-1]), dtype=np.uint8)
+        # headers: varint(F) per group, scattered byte-position-wise
+        hdr_flat = np.frombuffer(
+            varint_encode(nfull.astype(np.uint64), nbytes=hdr_nb), dtype=np.uint8
+        )
+        hdr_ends = np.cumsum(hdr_nb)
+        hdr_starts = hdr_ends - hdr_nb
+        for k in range(int(hdr_nb.max(initial=0))):
+            m = hdr_nb > k
+            out[goff[:-1][m] + k] = hdr_flat[hdr_starts[m] + k]
+        # block byte starts (within flat)
+        within_blk = np.zeros(0, dtype=np.int64)
+        if nblocks:
+            csz = np.cumsum(bsz)
+            base = csz - bsz  # global exclusive prefix
+            first_blk = np.minimum(bofs[:-1], nblocks - 1)
+            within_blk = base - np.repeat(base[first_blk], nfull)
+            blk_start = np.repeat(goff[:-1] + hdr_nb, nfull) + within_blk
+            out[blk_start] = w.astype(np.uint8)
+            for bw in np.unique(w):
+                bw = int(bw)
+                if bw == 0:
+                    continue
+                rows = np.flatnonzero(w == bw)
+                v = pk2[rows]  # (k, 128)
+                bits = ((v[:, :, None] >> _BIT[:bw]) & np.uint64(1)).astype(np.uint8)
+                payload = np.packbits(
+                    bits.reshape(len(rows), 128 * bw), axis=1, bitorder="little"
+                )  # (k, 16*bw)
+                idx = blk_start[rows, None] + 1 + np.arange(16 * bw, dtype=np.int64)[None, :]
+                out[idx] = payload
+        # tail varints, scattered per value
+        if len(tail):
+            tv_flat = np.frombuffer(
+                varint_encode(tail, nbytes=tv_nb), dtype=np.uint8
+            )
+            tv_ends = np.cumsum(tv_nb)
+            tv_base = tv_ends - tv_nb
+            ntail_total = len(tail)
+            first_tail = np.zeros(ng + 1, dtype=np.int64)
+            np.cumsum(tlen, out=first_tail[1:])
+            fb = tv_base[np.minimum(first_tail[:-1], ntail_total - 1)]
+            within_tail = tv_base - np.repeat(fb, tlen)
+            tgt = np.repeat(goff[:-1] + hdr_nb + blk_bytes, tlen) + within_tail
+            for k in range(int(tv_nb.max(initial=0))):
+                m = tv_nb > k
+                out[tgt[m] + k] = tv_flat[tv_base[m] + k]
+        probe_offs = None
+        if probe_rows is not None:
+            pr = np.asarray(probe_rows, dtype=np.int64)
+            if probe_gids is None:
+                probe_gids = np.searchsorted(gs, pr, side="right") - 1
+            pg = np.asarray(probe_gids, dtype=np.int64)
+            pw = pr - gs[pg]
+            if len(pw) and (pw & 127).any():
+                raise ValueError("pfor probe rows must be 128-aligned within their group")
+            j = pw >> 7
+            probe_offs = np.where(
+                j < nfull[pg],
+                hdr_nb[pg]
+                + (
+                    within_blk[np.minimum(bofs[pg] + j, max(nblocks - 1, 0))]
+                    if nblocks
+                    else 0
+                ),
+                hdr_nb[pg] + blk_bytes[pg],
+            ).astype(np.int64)
+        return out.tobytes(), goff[1:].copy(), probe_offs
+
+
 #: registry — the InvertedIndexBackend analog
 #: (CORE/config/InvertedIndexBackend.java:10-18); the codec NAME is persisted
 #: in stats.json at build time and resolved here on every read path, so a
 #: segment bundle is always decoded with the codec that wrote it.
-CODECS = {c.name: c for c in (VarintCodec(), Raw64Codec())}
+CODECS = {c.name: c for c in (VarintCodec(), Raw64Codec(), Pfor128Codec())}
 DEFAULT_CODEC = "varint"
 
 

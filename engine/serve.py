@@ -26,6 +26,7 @@ gathered view. Results are asserted bit-identical to the single-reader engine.
 from __future__ import annotations
 
 import copy
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -41,10 +42,12 @@ class _Replica:
     """One serving replica: whole index resident (the reference's replica=
     one JVM with the full ffindex bundle + structure cache)."""
 
-    def __init__(self, index_dir: str, read_error_strategy: str = "throw"):
+    def __init__(self, index_dir: str, read_error_strategy: str = "throw",
+                 dl_handle=None):
         from .query import Bm25Index
 
-        self.bm = Bm25Index(index_dir, read_error_strategy=read_error_strategy)
+        self.bm = Bm25Index(index_dir, read_error_strategy=read_error_strategy,
+                            dl_handle=dl_handle)
 
     def topk(self, text: str, k: int, conjunctive: bool = False):
         fn = self.bm.conjunctive_topk if conjunctive else self.bm.topk
@@ -65,8 +68,17 @@ class QueryService:
     """
 
     def __init__(self, index_dir: str, n_replicas: int = 2, num_cpus: float = 1):
+        from .build import _build_dl_lookup
+
+        # ONE docmap read for the whole pool: the shards live once in plasma;
+        # every replica routes through the same refs (zero-copy per node)
+        dl_ref, _n, _avg, _fit, meta = _build_dl_lookup(
+            os.path.join(index_dir, "docmap")
+        )
         self._replicas = [
-            _Replica.options(num_cpus=num_cpus).remote(index_dir)
+            _Replica.options(num_cpus=num_cpus).remote(
+                index_dir, dl_handle=(dl_ref, meta)
+            )
             for _ in range(n_replicas)
         ]
         self._next = 0
@@ -240,9 +252,10 @@ class ShardedQueryService:
       query), assembles a :class:`_GatheredView`, and runs the unchanged exact
       Bm25Index paths (block-max / MaxScore / conjunctive block-skip) over it.
     - Resident state: each shard holds ~1/n_shards of payload bytes; the
-      coordinator holds the docmap dl array (4 B/doc — the one full-corpus
-      array; shard it with the same scatter pattern when past that budget)
-      and per-query gathered runs only.
+      coordinator holds O(#docmap files) dl-shard routing refs (the dl
+      arrays themselves are lazy zero-copy plasma views via
+      ``build.ShardedDl`` — no full-corpus array anywhere) and per-query
+      gathered runs only.
 
     >>> svc = ShardedQueryService(index_dir, n_shards=4)
     >>> doc_ids, scores = svc.topk("some query", k=10)

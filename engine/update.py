@@ -63,7 +63,7 @@ def _rewrite_docmap_marker(index_dir: str) -> tuple[int, float]:
     # per-file integer sums are exact in float64, so avgdl is layout-stable)
     from .build import _build_dl_lookup
 
-    _ref, n_docs, avgdl, _fit = _build_dl_lookup(_docmap_dir(index_dir))
+    _ref, n_docs, avgdl, _fit, _meta = _build_dl_lookup(_docmap_dir(index_dir))
     state.atomic_write_bytes(
         json.dumps({"n_docs": n_docs, "avgdl": avgdl}).encode(),
         os.path.join(_docmap_dir(index_dir), "_SUCCESS.json"),
@@ -612,7 +612,7 @@ def _purge_doc_ids(index_dir: str, remove: np.ndarray, bounds_avgdl: float,
     from .build import _build_dl_lookup
 
     ddir = _docmap_dir(index_dir)
-    dl_ref, _n, _avg, _fit = _build_dl_lookup(ddir)
+    dl_ref, _n, _avg, _fit, _meta = _build_dl_lookup(ddir)
     rref = ray.put(remove)
     parts = sorted(state.committed_parts(index_dir))
     results = ray.get(
@@ -736,7 +736,7 @@ def compact_index(index_dir: str) -> dict:
     n_salts = int(stats["n_salts"])
     from .build import _build_dl_lookup
 
-    lref, _n, _avg, _fit = _build_dl_lookup(_docmap_dir(index_dir))
+    lref, _n, _avg, _fit, _meta = _build_dl_lookup(_docmap_dir(index_dir))
     avgdl = float(stats["avgdl"])
     ray.get(
         [

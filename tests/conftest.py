@@ -17,6 +17,11 @@ def ray_session():
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # worker/raylet log lines are forwarded to driver stdout by an
+            # async monitor thread; under capsys they land in whatever test
+            # is capturing at that moment and corrupt JSON-line CLI asserts
+            # (observed as flaky JSONDecodeError in test_cli.py)
+            log_to_driver=False,
         )
     from ray.data import DataContext
 

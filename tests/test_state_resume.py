@@ -255,16 +255,20 @@ def test_sharded_dl_lookup_and_overlap_fallback(ray_session, tmp_path):
 
     # disjoint ranges (one dense, one sparse) -> sharded path
     d1 = write_docmap("dm_disjoint", [[0, 1, 2, 3], [10, 12, 19]])
-    ref, n_docs, avgdl, fit32 = _build_dl_lookup(d1)
+    ref, n_docs, avgdl, fit32, meta1 = _build_dl_lookup(d1)
     lookup = ray.get(ref) if not isinstance(ref, ShardedDl) else ref
     assert isinstance(lookup, ShardedDl) and n_docs == 7 and fit32
     want_ids = np.array([3, 0, 19, 10, 2], dtype=np.int64)
     np.testing.assert_array_equal(lookup.gather(want_ids), want_ids * 2 + 1)
     assert avgdl == pytest.approx(float(np.mean([1, 3, 5, 7, 21, 25, 39])))
+    # meta facts (query side relies on these without touching the docmap):
+    # exact integer dl sum; sparse second shard means NOT dense-from-0
+    assert meta1["dl_total"] == float(sum([1, 3, 5, 7, 21, 25, 39]))
+    assert meta1["dense0"] is False and meta1["n_files"] == 2
 
     # overlapping ranges -> legacy merged tuple assembled worker-side
     d2 = write_docmap("dm_overlap", [[0, 5, 9], [3, 7, 11]])
-    ref2, n2, _avg2, _ = _build_dl_lookup(d2)
+    ref2, n2, _avg2, _, meta2 = _build_dl_lookup(d2)
     merged = ray.get(ref2)
     assert isinstance(merged, tuple) and n2 == 6
     ids_sorted, dls = merged
@@ -275,7 +279,7 @@ def test_sharded_dl_lookup_and_overlap_fallback(ray_session, tmp_path):
     # below the first shard (would negative-index the last shard), in a
     # sparse-shard gap, and past the dense shard's end.
     d3 = write_docmap("dm_guard", [[5, 6, 7, 8], [20, 22, 29]])
-    ref3, _n3, _a3, _ = _build_dl_lookup(d3)
+    ref3, _n3, _a3, _, meta3 = _build_dl_lookup(d3)
     lookup3 = ray.get(ref3) if not isinstance(ref3, ShardedDl) else ref3
     assert isinstance(lookup3, ShardedDl)
     for bad in ([1], [21], [9]):
