@@ -130,6 +130,25 @@ def _documents_index(sf_dir: str) -> str:
     return idx
 
 
+def _documents_index_pfor(sf_dir: str) -> str:
+    """Same documents index under the pfor (FOR-128 + varint tail) postings
+    codec — the second production backend behind the codec seam."""
+    from engine.build import build_index
+
+    idx = _cache(sf_dir, "documents_index_pfor")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        build_index(
+            ds, idx, id_col="doc_id", n_buckets=8, n_salts=4, hot_fraction=0.05,
+            category_col="source", postings_codec="pfor",
+        )
+    return idx
+
+
 def _transcripts_corpus(sf_dir: str) -> str:
     """Deterministic synthetic transcripts sized to the sf tier."""
     from engine.synth import write_corpus
@@ -259,6 +278,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from engine.query import batch_topk
 
         idx = _documents_index(sf_dir)
+        res = batch_topk(_doc_query_items(), idx, concurrency=2, rank_round=RANK_ROUND)
+        res = _round_scores(res, "score", "score_r", SCORE_ROUND)
+        return _i64(res, ["rank"])
+
+    def bm25_topk_pfor(sf_dir):
+        """bm25_topk over an index built with postings_codec="pfor" —
+        identical rankings through the block codec's decode_block entry
+        points (same oracle as bm25_topk)."""
+        from engine.query import batch_topk
+
+        idx = _documents_index_pfor(sf_dir)
         res = batch_topk(_doc_query_items(), idx, concurrency=2, rank_round=RANK_ROUND)
         res = _round_scores(res, "score", "score_r", SCORE_ROUND)
         return _i64(res, ["rank"])
@@ -764,6 +794,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from engine.ops.dedup import dedup_clusters as _clusters
 
         return _clusters(_docs(sf_dir, ["doc_id", "text"]), threshold_num=4, threshold_den=5)
+
+    def dedup_clusters_star(sf_dir):
+        """dedup_clusters via large-star/small-star edge contraction
+        (Kiveris et al., SoCC'14) instead of pure min-propagation —
+        identical labels (same oracle), O(log n) rounds on deep chains."""
+        from engine.ops.dedup import dedup_clusters as _clusters
+
+        return _clusters(
+            _docs(sf_dir, ["doc_id", "text"]), threshold_num=4, threshold_den=5,
+            cc_method="star",
+        )
 
     def dedup_minhash(sf_dir):
         from engine.ops.dedup import minhash_lsh_pairs
@@ -1324,6 +1365,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # to the front, followed by 10 core sentinels to fill the 50-entry window,
     # then the 55 already-driver-green entries.
     return {
+        # ---- new in round 4 (2) -------------------------------------------
+        "bm25_topk_pfor": bm25_topk_pfor,
+        "dedup_clusters_star": dedup_clusters_star,
         # ---- never driver-verified before round 4 (40) --------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
@@ -2192,6 +2236,7 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT term) FROM toks) AS n_terms
         """,
         "bm25_topk": _bm25_sql(conjunctive=False),
+        "bm25_topk_pfor": _bm25_sql(conjunctive=False),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "normalize_docs": """
 SELECT doc_id,
@@ -2336,6 +2381,7 @@ WHERE text IS NOT NULL
             WHERE p.common * 5 >= 4 * least(sa.n, sb.n)
         """,
         "dedup_clusters": _clusters_sql(),
+        "dedup_clusters_star": _clusters_sql(),
         "dedup_minhash": _jaccard_sql(),
         "dedup_minhash_clusters": _clusters_sql(),
         "dedup_pagerank": f"""

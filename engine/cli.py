@@ -56,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
         "--category-col", default=None,
         help="store this column as the per-doc class label (query-time filters)",
     )
+    b.add_argument(
+        "--postings-codec", choices=["varint", "pfor", "raw64"], default="varint",
+        help="posting-stream wire format (InvertedIndexBackend analog)",
+    )
 
     a = sub.add_parser("add", help="incrementally add documents")
     a.add_argument("index_dir")
@@ -158,6 +162,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     dd.add_argument("--window", type=int, default=16, help="passage token window")
     dd.add_argument("--limit", type=int, default=50)
+    dd.add_argument(
+        "--cc-method", choices=["hash_to_min", "star"], default="hash_to_min",
+        help="clusters mode: label propagation (O(diameter) rounds) or "
+        "large-star/small-star contraction (O(log n) on deep chains)",
+    )
 
     ol = sub.add_parser(
         "outliers", help="per-user z-score value outliers over an events parquet dir"
@@ -188,6 +197,7 @@ def main(argv: list[str] | None = None) -> int:
             resume=not args.no_resume,
             positions=args.positions,
             category_col=args.category_col,
+            postings_codec=args.postings_codec,
         )
         print(json.dumps({k: rep[k] for k in ("n_docs", "n_parts", "n_postings", "timings_sec", "parts_written_this_run")}))
     elif args.cmd == "add":
@@ -380,7 +390,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.mode == "clusters":
             from .ops.dedup import dedup_clusters
 
-            out = dedup_clusters(ds)
+            out = dedup_clusters(ds, cc_method=args.cc_method)
         elif args.mode == "pagerank":
             from .ops.dedup import ngram_jaccard_pairs, pagerank
 

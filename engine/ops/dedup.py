@@ -1041,7 +1041,161 @@ def embedding_dup_pairs_ivf(
 # Near-dup clustering (connected components over the dup-pair graph)
 # --------------------------------------------------------------------------
 
-def connected_components(pairs, num_partitions: int = 8, max_rounds: int = 64):
+def _star_contract_labels(adj, num_partitions: int, max_rounds: int):
+    """Alternating large-star / small-star contraction (Kiveris et al.,
+    SoCC'14) over the exploded adjacency ``adj`` (key/other/lab/kbucket) —
+    returns a label Dataset in connected_components' internal schema with
+    one row per ORIGINAL node.
+
+    Each op is one bucketed groupby; the edge set converges to a star forest
+    (every node adjacent to its component min) in O(log n) alternations even
+    on path graphs where min-propagation needs O(n) rounds. Early exit on an
+    edge-set signature (count, sum lo, sum hi) — a signature collision can
+    only cause an EARLY exit, which the caller's hash-to-min verification
+    loop detects and finishes, so correctness never rests on the signature."""
+    import ray.data
+
+    P = num_partitions
+
+    def canon(batch: pa.Table) -> pa.Table:
+        k = batch["key"].to_numpy(zero_copy_only=False)
+        o = batch["other"].to_numpy(zero_copy_only=False)
+        m = k < o  # one canonical row per undirected edge, self-loops dropped
+        return pa.table(
+            {"lo": pa.array(k[m], pa.int64()), "hi": pa.array(o[m], pa.int64())}
+        )
+
+    edges = adj.map_batches(canon, batch_format="pyarrow").materialize()
+
+    def explode_both(batch: pa.Table) -> pa.Table:
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        key = np.concatenate([lo, hi])
+        other = np.concatenate([hi, lo])
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "other": pa.array(other, pa.int64()),
+                "kbucket": pa.array((key % P).astype(np.int64)),
+            }
+        )
+
+    def explode_larger(batch: pa.Table) -> pa.Table:
+        # small-star groups each edge by its LARGER endpoint only
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(hi, pa.int64()),
+                "other": pa.array(lo, pa.int64()),
+                "kbucket": pa.array((hi % P).astype(np.int64)),
+            }
+        )
+
+    def _segments(group: pa.Table):
+        key = group["key"].to_numpy(zero_copy_only=False)
+        other = group["other"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key_s, other_s = key[order], other[order]
+        first = np.empty(len(key_s), dtype=bool)
+        first[0] = True
+        np.not_equal(key_s[1:], key_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.r_[starts, len(key_s)])
+        seg_of = np.repeat(np.arange(len(starts)), runlen)
+        return key_s, other_s, starts, seg_of
+
+    def _emit(lo: np.ndarray, hi: np.ndarray) -> pa.Table:
+        if len(lo):
+            uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
+            lo, hi = uniq[:, 0], uniq[:, 1]
+        return pa.table(
+            {"lo": pa.array(lo, pa.int64()), "hi": pa.array(hi, pa.int64())}
+        )
+
+    def large_star(group: pa.Table) -> pa.Table:
+        """Emit (v, m) for every neighbor v > u, m = min(Gamma(u) + {u})."""
+        key_s, other_s, starts, seg_of = _segments(group)
+        u = key_s[starts]
+        m = np.minimum(np.minimum.reduceat(other_s, starts), u)
+        mask = other_s > key_s
+        v = other_s[mask]
+        mm = m[seg_of[mask]]
+        return _emit(mm, v)  # m <= u < v: already canonical
+
+    def small_star(group: pa.Table) -> pa.Table:
+        """Grouped by larger endpoint: m = min(smaller neighbors); emit
+        (v, m) for v in N-(u) - {m} and (u, m)."""
+        key_s, other_s, starts, seg_of = _segments(group)
+        u = key_s[starts]
+        m = np.minimum.reduceat(other_s, starts)  # all other < u here
+        mm = m[seg_of]
+        mask = other_s != mm
+        v = np.concatenate([other_s[mask], u])
+        mv = np.concatenate([mm[mask], m])
+        return _emit(mv, v)  # m < v always
+
+    sig_prev = None
+    for _ in range(max_rounds):
+        contracted = (
+            edges.map_batches(explode_both, batch_format="pyarrow")
+            .groupby("kbucket")
+            .map_groups(large_star, batch_format="pyarrow")
+            .map_batches(explode_larger, batch_format="pyarrow")
+            .groupby("kbucket")
+            .map_groups(small_star, batch_format="pyarrow")
+            .materialize()
+        )
+        edges = contracted
+        sig = (
+            edges.count(),
+            int(edges.sum("lo") or 0),
+            int(edges.sum("hi") or 0),
+        )
+        if sig == sig_prev:
+            break
+        sig_prev = sig
+
+    # labels over union(contracted adjacency, one node row per ORIGINAL
+    # endpoint): guarantees exactly one label row per node the verification
+    # loop's push stage expects, even if contraction isolated a node
+    def node_rows(group: pa.Table) -> pa.Table:
+        k = np.unique(group["key"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "other": pa.array(np.full(len(k), -1, dtype=np.int64), pa.int64()),
+                "kbucket": pa.array((k % P).astype(np.int64)),
+            }
+        )
+
+    def star_labels(group: pa.Table) -> pa.Table:
+        key_s, other_s, starts, _seg_of = _segments(group)
+        u = key_s[starts]
+        # min over {u} and real neighbors (other == -1 marks node rows)
+        neigh = np.where(other_s >= 0, other_s, np.iinfo(np.int64).max)
+        lab = np.minimum(np.minimum.reduceat(neigh, starts), u)
+        return pa.table(
+            {
+                "key": pa.array(u, pa.int64()),
+                "other": pa.array(np.full(len(u), -1, dtype=np.int64), pa.int64()),
+                "lab": pa.array(lab, pa.int64()),
+                "kbucket": pa.array((u % P).astype(np.int64)),
+            }
+        )
+
+    nodes = adj.groupby("kbucket").map_groups(node_rows, batch_format="pyarrow")
+    return (
+        edges.map_batches(explode_both, batch_format="pyarrow")
+        .union(nodes)
+        .groupby("kbucket")
+        .map_groups(star_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+
+def connected_components(pairs, num_partitions: int = 8, max_rounds: int = 64,
+                         method: str = "hash_to_min"):
     """Distributed connected components over an edge Dataset ``(doc_a,
     doc_b)`` by iterated min-label propagation (hash-to-min): every node's
     label converges to its component's minimum node id.
@@ -1054,6 +1208,17 @@ def connected_components(pairs, num_partitions: int = 8, max_rounds: int = 64):
     groupby takes the min over incoming candidates. Min-propagation over
     adjacency converges in O(component diameter) rounds; near-dup components
     are shallow chains, so rounds stay single-digit in practice.
+
+    ``method="star"`` (VERDICT r3 #8): alternate large-star / small-star
+    edge contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) before labeling — O(log n) rounds on ADVERSARIALLY
+    DEEP graphs (a path of 10k nodes needs ~10 star rounds vs 10k
+    propagation rounds). The star loop early-exits on an edge-set signature
+    (count + endpoint sums); exactness never depends on the signature: the
+    derived labels always pass through the SAME hash-to-min loop below over
+    the ORIGINAL adjacency, which verifies stability (one round when the
+    contraction converged) and finishes propagation otherwise. Output is
+    identical to hash_to_min (both label by component-min id).
 
     Returns a Dataset (doc_id, cluster_rep) for every edge endpoint, sorted
     by doc_id.
@@ -1097,7 +1262,16 @@ def connected_components(pairs, num_partitions: int = 8, max_rounds: int = 64):
             }
         )
 
-    labels = adj.groupby("kbucket").map_groups(init_labels, batch_format="pyarrow").materialize()
+    if method == "star":
+        labels = _star_contract_labels(adj, num_partitions, max_rounds)
+    elif method == "hash_to_min":
+        labels = (
+            adj.groupby("kbucket")
+            .map_groups(init_labels, batch_format="pyarrow")
+            .materialize()
+        )
+    else:
+        raise ValueError(f"unknown connected_components method {method!r}")
 
     def push_labels(group: pa.Table) -> pa.Table:
         """For each node segment (its label row + its adjacency rows): send
@@ -1320,6 +1494,7 @@ def dedup_clusters(
     text_col: str = "text",
     num_partitions: int = 8,
     max_shingle_df: int | None = None,
+    cc_method: str = "hash_to_min",
 ) -> pa.Table:
     """Connected components over the exact n-gram Jaccard dup-pair graph:
     one row per doc in a non-singleton component, ``cluster_rep`` = the
@@ -1343,7 +1518,8 @@ def dedup_clusters(
         num_partitions=num_partitions,
         max_shingle_df=max_shingle_df,
     ).select_columns(["doc_a", "doc_b"])
-    return connected_components(pairs, num_partitions=num_partitions)
+    return connected_components(pairs, num_partitions=num_partitions,
+                                method=cc_method)
 
 
 def near_dedup_keep(

@@ -199,7 +199,13 @@ def test_cli_percolate(ray_session, tiny_index, tmp_path, capsys):
 
     rc = main(["percolate", tiny_index, path, "--query", "q_a:w00000", "--query", "q_b:w00777"])
     assert rc == 0
-    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    # Ray occasionally emits a progress line on stdout under load; parse only
+    # the JSON records the CLI itself prints.
+    rows = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
     got = {(r["doc_id"], r["query_id"]) for r in rows}
     assert got == {(0, "q_a"), (1, "q_b")}
     assert all(r["score"] > 0 for r in rows)

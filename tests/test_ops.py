@@ -1166,6 +1166,49 @@ def test_connected_components_random_graphs(ray_session):
         assert got == want, f"seed {seed}"
 
 
+def test_connected_components_star_matches_and_beats_diameter(ray_session):
+    """VERDICT r3 #8: method="star" (large-star/small-star contraction) —
+    (a) identical output to hash_to_min on random graphs, (b) a 10,000-node
+    PATH graph (diameter 9,999 — hash-to-min would need ~10k rounds) labels
+    correctly within a 20-round cap: star contraction is O(log n) rounds and
+    the built-in hash-to-min verification then exits in one stable round."""
+    import ray.data
+
+    from engine.ops.dedup import connected_components
+
+    for seed, n_nodes, n_edges in ((1, 60, 30), (2, 80, 120)):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        keep = a != b
+        edges = pa.table(
+            {
+                "doc_a": pa.array(np.minimum(a, b)[keep], pa.int64()),
+                "doc_b": pa.array(np.maximum(a, b)[keep], pa.int64()),
+            }
+        )
+        ref = connected_components(
+            ray.data.from_arrow(edges).repartition(3), num_partitions=4
+        ).to_pandas()
+        star = connected_components(
+            ray.data.from_arrow(edges).repartition(3), num_partitions=4,
+            method="star",
+        ).to_pandas()
+        assert ref.equals(star), f"seed {seed}"
+
+    n = 10_000
+    path = pa.table(
+        {
+            "doc_a": pa.array(np.arange(n - 1, dtype=np.int64)),
+            "doc_b": pa.array(np.arange(1, n, dtype=np.int64)),
+        }
+    )
+    got = connected_components(
+        ray.data.from_arrow(path), max_rounds=20, method="star"
+    ).to_pandas()
+    assert len(got) == n and set(got["cluster_rep"]) == {0}
+
+
 def test_connected_components_nonconvergence_raises(ray_session):
     """ADVICE r3: a component whose diameter exceeds max_rounds must RAISE,
     not silently return wrong cluster_rep values (a 12-node path graph needs
