@@ -47,6 +47,17 @@ PHRASE_QUERIES: list[tuple[str, str]] = [
     ("P5_absent", "zzzabsent phrase"),
 ]
 
+# --- phrase queries over the positional TRANSCRIPTS index (tier surface) ----
+# head-of-Zipf bigrams guaranteed by the synthetic generator; TP2 is a
+# repeated-token phrase, exercising overlapping-occurrence counting
+TRANSCRIPT_PHRASES: list[tuple[str, str]] = [
+    ("TP1_head", "w00001 w00000"),
+    ("TP2_repeat", "w00000 w00000"),
+    ("TP3_trigram", "w00002 w00000 w00001"),
+    ("TP4_mid", "w00007 w00004"),
+    ("TP5_absent", "w00000 zzzneverzzz"),
+]
+
 # --- expansion queries: each slot is an OR-group of variants (Q1/Q2 analog) --
 EXPANDED_QUERIES: list[tuple[str, list[list[str]], int]] = [
     ("E1_two_slots", [["key", "table"], ["join", "merge", "hash"]], 10),
@@ -149,6 +160,41 @@ def _documents_index_pfor(sf_dir: str) -> str:
     return idx
 
 
+def _documents_index_removed(sf_dir: str) -> str:
+    """Full documents index, then ``remove_documents`` of every
+    ``doc_id % 7 == 3`` victim and a ``compact_index`` — the REMOVE/COMPACT
+    lifecycle (reference: StrucmotifUpdate REMOVE operation) placed under the
+    driver's value-hash gate. Stats (N, avgdl, df) are recomputed from the
+    surviving corpus, so the oracle is plain BM25 over the filtered table."""
+    from engine.build import build_index
+    from engine.update import compact_index, remove_documents
+
+    idx = _cache(sf_dir, "documents_index_rm")
+    marker = os.path.join(idx, "REMOVED_OK")
+    if os.path.exists(marker):
+        return idx
+    import shutil
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    shutil.rmtree(idx, ignore_errors=True)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    build_index(ds, idx, id_col="doc_id", n_buckets=8, n_salts=4, hot_fraction=0.05)
+    # victim list: bounded driver input by construction (a deletion request)
+    ids = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy(zero_copy_only=False)
+    victims = ids[ids % 7 == 3]
+    remove_documents(idx, doc_ids=victims.tolist())
+    compact_index(idx)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return idx
+
+
 def _transcripts_corpus(sf_dir: str) -> str:
     """Deterministic synthetic transcripts sized to the sf tier."""
     from engine.synth import write_corpus
@@ -174,6 +220,17 @@ def _transcripts_index(sf_dir: str) -> str:
 
         shutil.rmtree(idx)
     build_index(corpus, idx, n_buckets=16, n_salts=4, category_col="role")
+    return idx
+
+
+def _transcripts_posindex(sf_dir: str) -> str:
+    """Positional transcripts index (J4 on the flagship surface)."""
+    from engine.build import build_index
+
+    corpus = _transcripts_corpus(sf_dir)
+    idx = _cache(sf_dir, "transcripts_posindex")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        build_index(corpus, idx, n_buckets=16, n_salts=4, positions=True)
     return idx
 
 
@@ -289,6 +346,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from engine.query import batch_topk
 
         idx = _documents_index_pfor(sf_dir)
+        res = batch_topk(_doc_query_items(), idx, concurrency=2, rank_round=RANK_ROUND)
+        res = _round_scores(res, "score", "score_r", SCORE_ROUND)
+        return _i64(res, ["rank"])
+
+    def bm25_topk_removed(sf_dir):
+        """REMOVE + COMPACT lifecycle under the value-hash gate: build, purge
+        doc_id % 7 == 3, compact, then the standard query set — oracle is BM25
+        over the corpus minus the removed docs (J5/S5 lifecycle analog of the
+        reference's StrucmotifUpdate REMOVE, Operation.java)."""
+        from engine.query import batch_topk
+
+        idx = _documents_index_removed(sf_dir)
         res = batch_topk(_doc_query_items(), idx, concurrency=2, rank_round=RANK_ROUND)
         res = _round_scores(res, "score", "score_r", SCORE_ROUND)
         return _i64(res, ["rank"])
@@ -1242,6 +1311,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _round_scores(res, "score", "score_r", SCORE_ROUND)
         return _i64(res, ["rank"])
 
+    def transcripts_phrase(sf_dir):
+        """Exact-phrase matching over the positional TRANSCRIPTS index —
+        the J4 positional join on the flagship corpus, including a
+        repeated-token phrase (overlapping occurrences count)."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_transcripts_posindex(sf_dir))
+        qids, dids, cnts = [], [], []
+        for qid, phrase in TRANSCRIPT_PHRASES:
+            d, n = bm.phrase_match(phrase)
+            qids.extend([qid] * len(d))
+            dids.extend(d.tolist())
+            cnts.extend(n.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "n_matches": pa.array(cnts, pa.int64()),
+            }
+        )
+
     def transcripts_bm25_topk_role(sf_dir):
         """Content-class filter on the TRANSCRIPTS surface: the docmap
         ``category`` column (built with category_col='role') restricts hits to
@@ -1365,9 +1455,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # to the front, followed by 10 core sentinels to fill the 50-entry window,
     # then the 55 already-driver-green entries.
     return {
-        # ---- new in round 4 (2) -------------------------------------------
+        # ---- new in round 4 (5) -------------------------------------------
         "bm25_topk_pfor": bm25_topk_pfor,
         "dedup_clusters_star": dedup_clusters_star,
+        "bm25_topk_removed": bm25_topk_removed,
+        "transcripts_phrase": transcripts_phrase,
+        "pricing_rollup": rel.pricing_rollup,
         # ---- never driver-verified before round 4 (40) --------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
@@ -1490,7 +1583,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL
 # ===========================================================================
 
-def _bm25_sql(conjunctive: bool, doc_filter: str | None = None) -> str:
+def _bm25_sql(
+    conjunctive: bool, doc_filter: str | None = None, src: str = "documents"
+) -> str:
     vals = ",\n      ".join(
         f"('{qid}', '{t}', {k})"
         for qid, text, k in DOC_QUERIES
@@ -1503,10 +1598,10 @@ def _bm25_sql(conjunctive: bool, doc_filter: str | None = None) -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM {src}
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM {src} d LEFT JOIN dl USING (doc_id)),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -1935,6 +2030,34 @@ toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM l)
 """
 
 
+def _transcripts_phrase_sql() -> str:
+    """Phrase oracle on the TRANSCRIPTS corpus: same k-way positional
+    self-join as :func:`_phrase_sql`, over the row_number-minted doc ids the
+    engine's ConvOffsetIndex assigns. MATERIALIZED CTEs for the same planner
+    reason as _transcripts_bm25_sql."""
+    parts = []
+    for qid, phrase in TRANSCRIPT_PHRASES:
+        terms = phrase.lower().split()
+        froms = ", ".join(f"toks t{i}" for i in range(len(terms)))
+        conds = [f"t{i}.tok = '{t}'" for i, t in enumerate(terms)]
+        conds += [f"t{i}.doc_id = t0.doc_id" for i in range(1, len(terms))]
+        conds += [f"t{i}.i = t0.i + {i}" for i in range(1, len(terms))]
+        parts.append(
+            f"SELECT '{qid}' AS query_id, t0.doc_id, count(*)::BIGINT AS n_matches "
+            f"FROM {froms} WHERE {' AND '.join(conds)} GROUP BY t0.doc_id"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text
+  FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+),
+l AS MATERIALIZED (SELECT doc_id, {_TOKEN_SQL} AS l FROM corpus),
+toks AS MATERIALIZED (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM l)
+{union}
+"""
+
+
 def _positions_sql() -> str:
     """Highlight oracle: token positions restated from the raw text with the
     shared tokenizer SQL; engine reads them from positional postings instead.
@@ -2237,6 +2360,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(conjunctive=False),
         "bm25_topk_pfor": _bm25_sql(conjunctive=False),
+        "bm25_topk_removed": _bm25_sql(
+            conjunctive=False,
+            src="(SELECT * FROM documents WHERE doc_id % 7 <> 3)",
+        ),
+        "transcripts_phrase": _transcripts_phrase_sql(),
+        "pricing_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+                   coalesce(l_linestatus, 'ALL') AS lstatus,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_c,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT AS revenue_c4,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "normalize_docs": """
 SELECT doc_id,

@@ -86,6 +86,86 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"):
     )
 
 
+def pricing_rollup(sf_dir: str, cutoff: str = "1998-09-02"):
+    """GROUPING-SETS aggregate: ``ROLLUP(l_returnflag, l_linestatus)`` —
+    finest level through the same partial-agg exchange as
+    :func:`q1_pricing_summary`; the subtotal and grand-total levels are
+    DERIVED from the finest aggregate (bounded at ``|flags| x |status|``
+    rows), never by re-scanning the fact table, which is the only rollup
+    shape that holds at 100 TB. Rolled-up key slots carry the literal
+    ``'ALL'`` (the synthetic columns are never NULL).
+
+    Integer fixed-point money (1e-4 units) end-to-end, so every level's sum
+    is exact and independent of grouping order."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff_ts = pa.scalar(np.datetime64(cutoff, "us"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff_ts))
+        qty_c = np.round(b["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        price_c = np.round(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.round(b["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table(
+            {
+                "rflag": b["l_returnflag"],
+                "lstatus": b["l_linestatus"],
+                "qty_c": pa.array(qty_c),
+                "rev_c4": pa.array(price_c * (100 - disc_c)),
+            }
+        )
+        return t.group_by(["rflag", "lstatus"], use_threads=False).aggregate(
+            [("qty_c", "sum"), ("rev_c4", "sum"), ("qty_c", "count")]
+        )
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["rflag", "lstatus"])
+        .aggregate(
+            Sum("qty_c_sum", alias_name="sum_qty_c"),
+            Sum("rev_c4_sum", alias_name="revenue_c4"),
+            Sum("qty_c_count", alias_name="count_order"),
+        )
+    )
+
+    def expand_levels(batch: pa.Table) -> pa.Table:
+        # batch == the WHOLE finest aggregate (repartition(1) on <=9 rows)
+        aggs = [("sum_qty_c", "sum"), ("revenue_c4", "sum"), ("count_order", "sum")]
+        lvl1 = batch.group_by(["rflag"], use_threads=False).aggregate(aggs)
+        n_all = pa.array(["ALL"] * len(lvl1), pa.string())
+        out = [
+            batch.select(["rflag", "lstatus", "sum_qty_c", "revenue_c4", "count_order"]),
+            pa.table(
+                {
+                    "rflag": lvl1["rflag"],
+                    "lstatus": n_all,
+                    "sum_qty_c": lvl1["sum_qty_c_sum"],
+                    "revenue_c4": lvl1["revenue_c4_sum"],
+                    "count_order": lvl1["count_order_sum"],
+                }
+            ),
+            pa.table(
+                {
+                    "rflag": pa.array(["ALL"], pa.string()),
+                    "lstatus": pa.array(["ALL"], pa.string()),
+                    "sum_qty_c": pa.array([pc.sum(batch["sum_qty_c"]).as_py()], pa.int64()),
+                    "revenue_c4": pa.array([pc.sum(batch["revenue_c4"]).as_py()], pa.int64()),
+                    "count_order": pa.array([pc.sum(batch["count_order"]).as_py()], pa.int64()),
+                }
+            ),
+        ]
+        return pa.concat_tables(out)
+
+    return (
+        finest.repartition(1)
+        .map_batches(expand_levels, batch_format="pyarrow", batch_size=None)
+        .sort(["rflag", "lstatus"])
+    )
+
+
 def _custkey_revenue(sf_dir: str):
     """Distributed (o_custkey, revenue) rollup shared by the revenue_by_*
     queries: lineitem per-order fixed-point pre-agg -> hash join orders ->

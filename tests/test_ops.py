@@ -1247,3 +1247,49 @@ def test_graph_ops_reject_negative_ids(ray_session):
     for fn in (connected_components, pagerank):
         with pytest.raises(Exception, match="nonnegative"):
             fn(ray.data.from_arrow(edges)).to_pandas()
+
+
+def test_pricing_rollup_levels(ray_session, tmp_path):
+    """ROLLUP(rflag, lstatus): finest rows exact, subtotal rows == sum of
+    their finest children, grand total == sum of all; 'ALL' fills rolled-up
+    key slots; cutoff filter applies to every level."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    sf = str(tmp_path / "sfr")
+    os.makedirs(sf)
+    ts = lambda s: np.datetime64(s, "us")
+    li = pa.table(
+        {
+            "l_returnflag": pa.array(["A", "A", "B", "B", "B"]),
+            "l_linestatus": pa.array(["F", "O", "F", "F", "O"]),
+            "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0, 100.0], pa.float64()),
+            "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0, 999.0], pa.float64()),
+            "l_discount": pa.array([0.10, 0.00, 0.05, 0.00, 0.0], pa.float64()),
+            "l_shipdate": pa.array(
+                [ts("1998-01-01")] * 4 + [ts("1998-12-31")],  # last row cut off
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(li, f"{sf}/lineitem.parquet")
+    out = rel.pricing_rollup(sf).to_pandas()
+    got = {
+        (r.rflag, r.lstatus): (int(r.sum_qty_c), int(r.revenue_c4), int(r.count_order))
+        for r in out.itertuples()
+    }
+    # rev_c4 = price_cents * (100 - disc_cents)
+    assert got[("A", "F")] == (100, 1000 * 90, 1)
+    assert got[("A", "O")] == (200, 2000 * 100, 1)
+    assert got[("B", "F")] == (700, 3000 * 95 + 4000 * 100, 2)
+    assert got[("A", "ALL")] == (300, 1000 * 90 + 2000 * 100, 2)
+    assert got[("B", "ALL")] == got[("B", "F")]
+    assert got[("ALL", "ALL")] == (
+        1000,
+        1000 * 90 + 2000 * 100 + 3000 * 95 + 4000 * 100,
+        4,
+    )
+    assert len(got) == 6  # 3 finest + 2 subtotal + 1 grand total

@@ -99,6 +99,7 @@ def test_phrase_match_vs_oracle(pos_index, doc_tokens):
         " ".join(some[0:2]),
         " ".join(some[1:4]),
         "w00000 w00001",
+        "w00000 w00000",  # repeated token: overlapping occurrences count
         "zzzabsent phrase never",
     ]
     any_hits = 0
