@@ -47,6 +47,16 @@ PHRASE_QUERIES: list[tuple[str, str]] = [
     ("P5_absent", "zzzabsent phrase"),
 ]
 
+# --- proximity ('slop') queries over the positional documents index --------
+PROXIMITY_QUERIES: list[tuple[str, str, str, int, bool]] = [
+    # (qid, term_a, term_b, window, ordered)
+    ("X1_near", "key", "table", 3, False),
+    ("X2_ordered", "hash", "join", 2, True),
+    ("X3_wide", "scan", "filter", 8, False),
+    ("X4_tight", "order", "sort", 1, True),
+    ("X5_absent", "key", "zzzabsentzzz", 4, False),
+]
+
 # --- phrase queries over the positional TRANSCRIPTS index (tier surface) ----
 # head-of-Zipf bigrams guaranteed by the synthetic generator; TP2 is a
 # repeated-token phrase, exercising overlapping-occurrence counting
@@ -492,6 +502,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "query_id": pa.array(qids, pa.string()),
                 "doc_id": pa.array(dids, pa.int64()),
                 "n_matches": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    def proximity_match(sf_dir):
+        """Windowed co-occurrence ('slop') queries over positional postings —
+        phrase_match's tolerant sibling; ordered and unordered windows."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_posindex(sf_dir))
+        qids, dids, cnts = [], [], []
+        for qid, a, b, w, ordered in PROXIMITY_QUERIES:
+            d, n = bm.proximity_match(a, b, w, ordered=ordered)
+            qids.extend([qid] * len(d))
+            dids.extend(d.tolist())
+            cnts.extend(n.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "n_pairs": pa.array(cnts, pa.int64()),
             }
         )
 
@@ -1461,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_removed": bm25_topk_removed,
         "transcripts_phrase": transcripts_phrase,
         "pricing_rollup": rel.pricing_rollup,
+        "proximity_match": proximity_match,
         # ---- never driver-verified before round 4 (40) --------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
@@ -2030,6 +2061,30 @@ toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM l)
 """
 
 
+def _proximity_sql() -> str:
+    """Proximity oracle: positional self-join with a windowed offset
+    predicate — ordered: 0 < j - i <= w; unordered: |j - i| <= w."""
+    parts = []
+    for qid, a, b, w, ordered in PROXIMITY_QUERIES:
+        pred = (
+            f"t1.i - t0.i BETWEEN 1 AND {w}"
+            if ordered
+            else f"abs(t1.i - t0.i) <= {w}"
+        )
+        parts.append(
+            f"SELECT '{qid}' AS query_id, t0.doc_id, count(*)::BIGINT AS n_pairs "
+            f"FROM toks t0, toks t1 "
+            f"WHERE t0.tok = '{a}' AND t1.tok = '{b}' "
+            f"AND t1.doc_id = t0.doc_id AND {pred} GROUP BY t0.doc_id"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH l AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM l)
+{union}
+"""
+
+
 def _transcripts_phrase_sql() -> str:
     """Phrase oracle on the TRANSCRIPTS corpus: same k-way positional
     self-join as :func:`_phrase_sql`, over the row_number-minted doc ids the
@@ -2365,6 +2420,7 @@ def oracle_sql() -> dict[str, str]:
             src="(SELECT * FROM documents WHERE doc_id % 7 <> 3)",
         ),
         "transcripts_phrase": _transcripts_phrase_sql(),
+        "proximity_match": _proximity_sql(),
         "pricing_rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS rflag,
                    coalesce(l_linestatus, 'ALL') AS lstatus,

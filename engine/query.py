@@ -541,6 +541,45 @@ class Bm25Index:
         keep = counts > 0
         return candidates[keep], counts[keep]
 
+    def proximity_match(
+        self, term_a: str, term_b: str, window: int, ordered: bool = False
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Proximity ('slop') matching over a POSITIONAL index — the
+        windowed relaxation of :meth:`phrase_match` (J4 family: the
+        reference's tolerant positional join relaxes exact geometric overlap
+        the same way, core/MotifPruner.java distance-tolerance knobs).
+
+        Returns (doc_ids ascending, n_pairs per doc) where n_pairs counts
+        position pairs (i of ``term_a``, j of ``term_b``) with
+        ``0 < j - i <= window`` when ``ordered`` else ``|j - i| <= window``.
+        Candidates come from the conjunctive block-skip intersection; pair
+        counting is two vectorized searchsorted sweeps per doc. Integer-exact.
+        """
+        ta, tb = tokenize_text(term_a), tokenize_text(term_b)
+        if len(ta) != 1 or len(tb) != 1:
+            raise ValueError("proximity_match takes exactly one token per side")
+        a, b = ta[0], tb[0]
+        if a == b:
+            raise ValueError("proximity terms must differ")
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        candidates, _ = self._conjunctive_candidates(sorted({a, b}))
+        if len(candidates) == 0:
+            return empty
+        pos_a = self.reader.positions_lookup(a, candidates)
+        pos_b = self.reader.positions_lookup(b, candidates)
+        counts = np.zeros(len(candidates), dtype=np.int64)
+        for i in range(len(candidates)):
+            pa_, pb_ = pos_a[i], pos_b[i]
+            if ordered:
+                lo = np.searchsorted(pb_, pa_ + 1, side="left")
+                hi = np.searchsorted(pb_, pa_ + window, side="right")
+            else:
+                lo = np.searchsorted(pb_, pa_ - window, side="left")
+                hi = np.searchsorted(pb_, pa_ + window, side="right")
+            counts[i] = int((hi - lo).sum())
+        keep = counts > 0
+        return candidates[keep], counts[keep]
+
     def term_positions(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Every (doc, position) occurrence of ``term``, exploded — the
         highlight/offsets primitive (the reference surfaces per-occurrence

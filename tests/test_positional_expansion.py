@@ -326,3 +326,50 @@ def test_sharded_phrase_and_positions_bit_identity(ray_session, pos_index):
             plain.reader.positions_lookup("w00000", np.array([0], dtype=np.int64))
     finally:
         svc.shutdown()
+
+
+def _oracle_proximity(doc_tokens, a, b, w, ordered):
+    out = {}
+    for d, toks in doc_tokens.items():
+        pa_ = [i for i, t in enumerate(toks) if t == a]
+        pb_ = [i for i, t in enumerate(toks) if t == b]
+        n = sum(
+            1
+            for i in pa_
+            for j in pb_
+            if ((0 < j - i <= w) if ordered else (abs(j - i) <= w))
+        )
+        if n:
+            out[d] = n
+    return out
+
+
+def test_proximity_match_vs_oracle(pos_index, doc_tokens):
+    """Windowed co-occurrence counts (ordered + unordered) match a naive
+    all-pairs oracle; ascending-docID contract; absent term -> empty."""
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(pos_index)
+    some = doc_tokens[min(doc_tokens)]
+    cases = [
+        (some[0], some[1], 3, False),
+        (some[0], some[1], 1, True),
+        ("w00000", "w00001", 4, False),
+        ("w00000", "w00001", 2, True),
+    ]
+    any_hits = 0
+    for a, b, w, ordered in cases:
+        if a == b:
+            continue
+        d, n = bm.proximity_match(a, b, w, ordered=ordered)
+        want = _oracle_proximity(doc_tokens, a, b, w, ordered)
+        assert dict(zip(d.tolist(), n.tolist())) == want, (a, b, w, ordered)
+        assert list(d) == sorted(d)
+        any_hits += len(want)
+    assert any_hits > 0
+    d, n = bm.proximity_match("w00000", "zzzabsentzzz", 5)
+    assert len(d) == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="differ"):
+        bm.proximity_match("w00000", "w00000", 3)
