@@ -1542,10 +1542,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_featurize": multimodal_featurize,
         # ---- core sentinels (already green r1-r3; keep in the window) -----
         "tokenize_tf": tokenize_tf,
-        "term_df": term_df,
+        "bm25_topk": bm25_topk,
         "corpus_stats": corpus_stats,
         "transcripts_conv_stats": transcripts_conv_stats,
-        "bm25_topk": bm25_topk,
+        "term_df": term_df,
         "bm25_conjunctive": bm25_conjunctive,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
