@@ -1492,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_phrase": transcripts_phrase,
         "pricing_rollup": rel.pricing_rollup,
         "proximity_match": proximity_match,
+        "running_totals": lambda sf_dir: _collect(rel.running_totals(sf_dir)),
         # ---- never driver-verified before round 4 (40) --------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
@@ -2421,6 +2422,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "transcripts_phrase": _transcripts_phrase_sql(),
         "proximity_match": _proximity_sql(),
+        "running_totals": """
+            SELECT event_id, user_id,
+                   sum(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT
+                       AS running_c
+            FROM events
+        """,
         "pricing_rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS rflag,
                    coalesce(l_linestatus, 'ALL') AS lstatus,

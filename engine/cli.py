@@ -94,6 +94,15 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("index_dir")
     ph.add_argument("text")
 
+    px = sub.add_parser(
+        "proximity", help="windowed co-occurrence counts (positional index)"
+    )
+    px.add_argument("index_dir")
+    px.add_argument("term_a")
+    px.add_argument("term_b")
+    px.add_argument("--window", type=int, default=4)
+    px.add_argument("--ordered", action="store_true")
+
     fz = sub.add_parser("fuzzy", help="fuzzy top-k: each term expands to its ed<=1 vocab neighborhood")
     fz.add_argument("index_dir")
     fz.add_argument("text")
@@ -275,6 +284,15 @@ def main(argv: list[str] | None = None) -> int:
         d, n = bm.phrase_match(args.text)
         for doc, cnt in zip(d.tolist(), n.tolist()):
             print(json.dumps({"doc_id": doc, "n_matches": cnt}))
+    elif args.cmd == "proximity":
+        from .query import Bm25Index
+
+        bm = Bm25Index(args.index_dir)
+        d, n = bm.proximity_match(
+            args.term_a, args.term_b, args.window, ordered=args.ordered
+        )
+        for doc, cnt in zip(d.tolist(), n.tolist()):
+            print(json.dumps({"doc_id": doc, "n_pairs": cnt}))
     elif args.cmd == "fuzzy":
         from .query import Bm25Index
         from .tokenize import tokenize_text

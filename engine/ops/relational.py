@@ -867,6 +867,62 @@ def event_gaps(sf_dir: str, num_buckets: int = 32):
     )
 
 
+def running_totals(sf_dir: str, num_buckets: int = 32):
+    """Cumulative window aggregate: per event, the running sum of the same
+    user's ``value`` up to and including it — ``SUM(value) OVER (PARTITION BY
+    user ORDER BY ts, event_id)``.
+
+    Same hash-BUCKET groupby shape as :func:`event_gaps` (many users per
+    group); per bucket one lexsort + a segment-reset cumulative sum
+    (cumsum minus each segment's starting offset — no per-user Python).
+    Money in integer fixed-point cents, so the prefix sums are exact and
+    order-independent across engines."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        key = b["user_id"].cast(pa.int64())
+        val_c = np.round(b["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "t": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "key": key,
+                "val_c": pa.array(val_c),
+                "bucket": pa.array(key.to_numpy(zero_copy_only=False) % num_buckets, pa.int64()),
+            }
+        )
+
+    def running(group: pa.Table) -> pa.Table:
+        key = group["key"].to_numpy(zero_copy_only=False)
+        t = group["t"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        val = group["val_c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, t, key))
+        key_s, val_s = key[order], val[order]
+        cs = np.cumsum(val_s, dtype=np.int64)
+        first = np.empty(len(key_s), dtype=bool)
+        if len(first):
+            first[0] = True
+            np.not_equal(key_s[1:], key_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.r_[starts, len(key_s)])
+        base = np.repeat(cs[starts] - val_s[starts], runlen)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(key_s, pa.int64()),
+                "running_c": pa.array(cs - base),
+            }
+        )
+
+    return (
+        ev.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(running, batch_format="pyarrow")
+        .sort("event_id")
+    )
+
+
 def events_type_pivot(sf_dir: str):
     """Pivot events to one wide row per user: count per event type as columns
     (the long->wide reshape a feature pipeline feeds a trainer). Type set is

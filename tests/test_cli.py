@@ -73,6 +73,12 @@ def test_cli_phrase_and_positional_build(ray_session, tiny_corpus, tmp_path, cap
     assert rc == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert lines and all(r["n_matches"] >= 1 for r in lines)
+    # the adjacent pair must also co-occur within any window >= 1
+    if toks[0] != toks[1]:
+        rc = main(["proximity", idx, toks[0], toks[1], "--window", "1", "--ordered"])
+        assert rc == 0
+        plines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        assert plines and all(r["n_pairs"] >= 1 for r in plines)
 
 
 def test_cli_sharded_query(ray_session, tiny_index, capsys):

@@ -1293,3 +1293,34 @@ def test_pricing_rollup_levels(ray_session, tmp_path):
         4,
     )
     assert len(got) == 6  # 3 finest + 2 subtotal + 1 grand total
+
+
+def test_running_totals_semantics(ray_session, tmp_path):
+    """Per-user cumulative sums reset between users; ties break by event_id;
+    fixed-point cents exact."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.ops import relational as rel
+
+    sf = str(tmp_path / "sfrt")
+    os.makedirs(sf)
+    ts = lambda s: np.datetime64(s, "us")
+    ev = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 9, 9], pa.int64()),
+            "ts": pa.array(
+                [ts("2024-01-01"), ts("2024-01-02"), ts("2024-01-02"), ts("2024-01-01"), ts("2024-01-03")],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.25, 2.00, 0.50, 10.00, 0.01], pa.float64()),
+        }
+    )
+    pq.write_table(ev, f"{sf}/events.parquet")
+    out = rel.running_totals(sf, num_buckets=2).to_pandas()
+    got = dict(zip(out["event_id"].astype(int), out["running_c"].astype(int)))
+    # user 7: 125 -> (tie at 01-02 ordered by event_id) 325 -> 375
+    # user 9 resets: 1000 -> 1001
+    assert got == {1: 125, 2: 325, 3: 375, 4: 1000, 5: 1001}
