@@ -846,6 +846,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tbl = _round_scores(tbl, "score", "score_r", SCORE_ROUND)
         return tbl.sort_by([("query_id", "ascending"), ("doc_id", "ascending")])
 
+    def percolate_phrase(sf_dir):
+        """Phrase percolation: standing PHRASE queries alerted per streamed
+        doc — match iff the exact token sequence occurs; score = occurrence
+        count (overlaps included). Same actor-pool stage, mode='phrase'."""
+        import ray.data
+
+        from engine.percolate import percolate_dataset
+
+        idx = _documents_index(sf_dir)
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        queries = [{"query_id": q, "text": t} for q, t in PHRASE_QUERIES]
+        out = percolate_dataset(docs, idx, queries, mode="phrase", concurrency=2)
+        return _collect(out).sort_by(
+            [("query_id", "ascending"), ("doc_id", "ascending")]
+        )
+
     def normalize_docs(sf_dir):
         """M1 normalizer chain: NFC + lowercase + whitespace collapse + drop
         empties, as pure pyarrow.compute kernels over Arrow batches."""
@@ -1493,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_rollup": rel.pricing_rollup,
         "proximity_match": proximity_match,
         "running_totals": lambda sf_dir: _collect(rel.running_totals(sf_dir)),
+        "percolate_phrase": percolate_phrase,
         # ---- never driver-verified before round 4 (40) --------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
@@ -2039,10 +2056,14 @@ WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
 """
 
 
-def _phrase_sql() -> str:
+def _phrase_sql(as_score: bool = False) -> str:
     """Phrase matching restated relationally: k-way self-join of the token
     position table on (doc, i+offset). Engine positions are 0-based, SQL
-    subscripts 1-based — only relative offsets matter."""
+    subscripts 1-based — only relative offsets matter. ``as_score`` emits the
+    count as a DOUBLE ``score`` column (the phrase-percolation contract)."""
+    out_expr = (
+        "count(*)::DOUBLE AS score" if as_score else "count(*)::BIGINT AS n_matches"
+    )
     parts = []
     for qid, phrase in PHRASE_QUERIES:
         terms = phrase.lower().split()
@@ -2051,7 +2072,7 @@ def _phrase_sql() -> str:
         conds += [f"t{i}.doc_id = t0.doc_id" for i in range(1, len(terms))]
         conds += [f"t{i}.i = t0.i + {i}" for i in range(1, len(terms))]
         parts.append(
-            f"SELECT '{qid}' AS query_id, t0.doc_id, count(*)::BIGINT AS n_matches "
+            f"SELECT '{qid}' AS query_id, t0.doc_id, {out_expr} "
             f"FROM {froms} WHERE {' AND '.join(conds)} GROUP BY t0.doc_id"
         )
     union = "\nUNION ALL\n".join(parts)
@@ -2462,6 +2483,7 @@ WHERE text IS NOT NULL
         "more_like_this": _mlt_sql(),
         "more_like_this_stored": _mlt_sql(),
         "phrase_match": _phrase_sql(),
+        "percolate_phrase": _phrase_sql(as_score=True),
         "hash_split": """
             SELECT doc_id,
                    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000 AS BIGINT) AS bucket,

@@ -34,8 +34,8 @@ class Percolator:
     def __init__(self, index_dir: str, queries: list[dict], mode: str = "any"):
         from .segments import SegmentReader
 
-        if mode not in ("any", "all"):
-            raise ValueError("mode must be 'any' (OR) or 'all' (AND)")
+        if mode not in ("any", "all", "phrase"):
+            raise ValueError("mode must be 'any' (OR), 'all' (AND) or 'phrase'")
         self.mode = mode
         reader = SegmentReader(index_dir)
         self.n_docs = int(reader.stats["n_docs"])
@@ -44,11 +44,13 @@ class Percolator:
         # analog, ResiduePairOccurrence.java:229-463)
         self.queries = []
         for q in queries:
-            terms = sorted(set(tokenize_text(q["text"])))
+            seq = tokenize_text(q["text"])
+            terms = sorted(set(seq))
             self.queries.append(
                 {
                     "query_id": q["query_id"],
                     "terms": terms,
+                    "seq": seq,  # ordered, duplicates kept (phrase mode)
                     "df": {t: reader.df(t) for t in terms},
                 }
             )
@@ -63,9 +65,28 @@ class Percolator:
 
         'any': >= 1 query term present (bag-of-words BM25 semantics);
         'all': every query term present (the conjunctive candidate rule of
-        DefaultTargetAssembler.java:79-112)."""
+        DefaultTargetAssembler.java:79-112);
+        'phrase': the query's exact token sequence occurs contiguously —
+        score is the occurrence count (overlapping occurrences included),
+        matching Bm25Index.phrase_match on an index holding only this doc."""
+        toks = tokenize_text(text)
+        if self.mode == "phrase":
+            out = []
+            for q in self.queries:
+                seq = q["seq"]
+                if not seq or len(seq) > len(toks):
+                    continue
+                n = sum(
+                    1
+                    for i in range(len(toks) - len(seq) + 1)
+                    if toks[i : i + len(seq)] == seq
+                )
+                if n:
+                    out.append((q["query_id"], float(n)))
+            out.sort(key=lambda x: (-x[1], x[0]))
+            return out
         tf: dict[str, int] = {}
-        for t in tokenize_text(text):
+        for t in toks:
             tf[t] = tf.get(t, 0) + 1
         dl = float(sum(tf.values()))
         out = []

@@ -466,3 +466,25 @@ def test_update_and_percolate_alerts_on_delta_only(upd_index):
     )
     assert rep2["added"] == 0
     assert len(alerts2.to_pandas()) == 0  # nothing newly indexed, no alerts
+
+
+def test_percolate_phrase_counts(ray_session, tiny_index):
+    """mode='phrase': match iff the exact token sequence occurs contiguously;
+    score == occurrence count incl. overlapping repeats; scrambled order or
+    absent phrase never matches."""
+    from engine.percolate import Percolator
+
+    perc = Percolator(
+        tiny_index,
+        [
+            {"query_id": "p_ab", "text": "alpha beta"},
+            {"query_id": "p_rep", "text": "alpha alpha"},
+            {"query_id": "p_absent", "text": "beta gamma"},
+        ],
+        mode="phrase",
+    )
+    got = dict(perc.percolate("alpha beta! alpha alpha alpha beta."))
+    # "alpha beta" occurs at 0 and 4; "alpha alpha" overlaps at 2,3
+    assert got == {"p_ab": 2.0, "p_rep": 2.0}
+    assert perc.percolate("beta alpha") == []  # order matters
+    assert perc.percolate("") == []
