@@ -123,9 +123,13 @@ def run_bench() -> dict:
     idx_dir = f"/tmp/graft_bench/index_{NUM_CPUS}"
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    # n_buckets is a property of the JOB, not the cluster: it must be equal
-    # across scaling levels or the two legs build different indexes
-    build_index(corpus, idx_dir, n_buckets=32, n_salts=2, resume=False)
+    # n_buckets="auto" sizes parts to the corpus (tokens/part target) —
+    # a property of the JOB, not the cluster: auto depends only on data, so
+    # scaling legs at different CPU counts still build the identical index.
+    # (Through round 4 this was a fixed 32; at the 3.3M-turn scaling corpus
+    # that left 2.2M postings/part and 32 concurrent encoders DRAM-bound —
+    # see BASELINE.md round-4 'encode knee' rows.)
+    build_index(corpus, idx_dir, n_buckets="auto", n_salts=2, resume=False)
     t_build = time.perf_counter() - t0
     results["index_build"] = round(t_build, 3)
     build_tps = n_turns / t_build
@@ -305,7 +309,7 @@ def run_codecs() -> None:
         idx_dir = f"/tmp/graft_bench/index_codec_{codec}"
         shutil.rmtree(idx_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        build_index(corpus, idx_dir, n_buckets=32, n_salts=2, resume=False,
+        build_index(corpus, idx_dir, n_buckets="auto", n_salts=2, resume=False,
                     postings_codec=codec)
         t_build = time.perf_counter() - t0
         seg_bytes = sum(

@@ -28,6 +28,7 @@ filtered out before the shuffle); ``state.recover`` purges orphans first.
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import time
@@ -49,6 +50,30 @@ DEFAULT_N_BUCKETS = 32
 DEFAULT_N_SALTS = 8
 DEFAULT_HOT_FRACTION = 0.02  # term is "hot" if df > 2% of sampled docs
 DEFAULT_SAMPLE_DOCS = 20_000
+
+# n_buckets="auto" targets this many TOKENS per part. Measured on this host
+# class (32 concurrent encoders, shared memory bus): encode_bucket runs at
+# ~4 us/posting up to ~1M postings/part, then degrades superlinearly to
+# ~28 us/posting by 2.2M postings/part — each encoder's working set
+# (~30 B/posting across sort keys, permutations and payload copies) outgrows
+# its L3 share and all encoders turn DRAM-bound at once. Same-window
+# measurements, 3.3M-turn corpus, 32 CPUs: n_buckets=32 -> split_encode
+# 126 s; n_buckets=128 -> 18 s (7x). Auto keeps parts below the knee while
+# capping part count (split tasks pay O(n_parts) slice/compaction work).
+AUTO_TOKENS_PER_PART = 750_000
+AUTO_MIN_BUCKETS = 8
+AUTO_MAX_BUCKETS = 1024
+
+
+def resolve_n_buckets(n_docs: int, avgdl: float, n_salts: int) -> int:
+    """Pick n_buckets for ``n_buckets="auto"`` from docmap stats (known
+    before the routing contract is written). Data-dependent only — never
+    CPU-count-dependent, so scaling legs at different parallelism levels
+    build the identical job."""
+    est_tokens = float(max(n_docs, 1)) * max(float(avgdl), 1.0)
+    parts = math.ceil(est_tokens / AUTO_TOKENS_PER_PART)
+    nb = math.ceil(parts / max(int(n_salts), 1))
+    return int(min(AUTO_MAX_BUCKETS, max(AUTO_MIN_BUCKETS, nb)))
 
 
 def detect_hot_terms(
@@ -364,7 +389,7 @@ def build_index(
     *,
     text_col: str = "text",
     id_col: str | None = None,
-    n_buckets: int = DEFAULT_N_BUCKETS,
+    n_buckets: int | str = "auto",
     n_salts: int = DEFAULT_N_SALTS,
     hot_fraction: float = DEFAULT_HOT_FRACTION,
     sample_docs: int = DEFAULT_SAMPLE_DOCS,
@@ -506,6 +531,12 @@ def build_index(
     # hot set rather than re-sampling — and refuses to proceed if the caller's
     # args disagree with what the crashed run committed to.
     routing_path = os.path.join(index_dir, "routing.json")
+    auto_buckets = n_buckets == "auto"
+    if auto_buckets:
+        # resolved from the docmap stats just computed; a resume adopts the
+        # committed contract's value below instead (same data -> same
+        # resolve, but the contract is the authority once written)
+        n_buckets = resolve_n_buckets(n_docs, avgdl, n_salts)
     caller_args = {
         "n_buckets": n_buckets,
         "n_salts": n_salts,
@@ -518,6 +549,9 @@ def build_index(
     if resume and os.path.exists(routing_path):
         with open(routing_path) as f:
             contract = json.load(f)
+        if auto_buckets:
+            n_buckets = int(contract["n_buckets"])
+            caller_args["n_buckets"] = n_buckets
         committed_args = {k: contract[k] for k in caller_args}
         if committed_args != caller_args:
             raise ValueError(

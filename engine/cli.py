@@ -40,7 +40,12 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build", help="build (or resume) an index over a parquet corpus")
     b.add_argument("corpus")
     b.add_argument("index_dir")
-    b.add_argument("--buckets", type=int, default=32)
+    b.add_argument(
+        "--buckets", default="auto",
+        type=lambda v: v if v == "auto" else int(v),
+        help="term buckets per salt; 'auto' (default) sizes parts to the "
+        "corpus so per-part encode working sets stay cache-resident",
+    )
     b.add_argument("--salts", type=int, default=8)
     b.add_argument("--id-col", default=None, help="doc id column (omit for transcripts mode)")
     b.add_argument("--no-resume", action="store_true")

@@ -390,3 +390,38 @@ def test_known_keys_sharded_and_overlap_fallback(ray_session, tmp_path):
     found2, dids2, _ = kk2.lookup(np.array([9, 4, 2], dtype=np.int64))
     np.testing.assert_array_equal(found2, [True, True, False])
     np.testing.assert_array_equal(dids2[:2], [9, 4])
+
+
+def test_auto_buckets_resolution_and_resume(ray_session, tiny_corpus, tmp_path):
+    """n_buckets='auto' resolves from docmap stats (clamped), stamps the
+    resolved int into the routing contract, and a resumed auto build ADOPTS
+    the committed value rather than re-resolving; results match an explicit
+    build with the same bucket count."""
+    import json as _json
+
+    from engine.build import build_index, resolve_n_buckets
+    from engine.query import Bm25Index
+
+    # pure resolution: clamps + data-proportional, CPU-independent
+    assert resolve_n_buckets(10, 5.0, 2) == 8  # floor clamp
+    assert resolve_n_buckets(10**9, 100.0, 2) == 1024  # ceiling clamp
+    mid = resolve_n_buckets(3_312_209, 42.0, 2)
+    assert 8 < mid < 1024
+    assert resolve_n_buckets(3_312_209, 42.0, 4) < mid  # salts share parts
+
+    idx = str(tmp_path / "idx_auto")
+    rep = build_index(tiny_corpus, idx, n_buckets="auto", n_salts=2)
+    with open(idx + "/routing.json") as f:
+        committed = _json.load(f)
+    assert isinstance(committed["n_buckets"], int)
+    # resumed auto build adopts the contract (no refusal, no re-resolve)
+    rep2 = build_index(tiny_corpus, idx, n_buckets="auto", n_salts=2, resume=True)
+    assert rep2["parts_written_this_run"] == 0
+    # and the index answers queries identically to an explicit-bucket build
+    idx2 = str(tmp_path / "idx_explicit")
+    build_index(tiny_corpus, idx2, n_buckets=committed["n_buckets"], n_salts=2)
+    a, b = Bm25Index(idx), Bm25Index(idx2)
+    d1, s1 = a.topk("w00000 w00001", 10)
+    d2, s2 = b.topk("w00000 w00001", 10)
+    assert d1.tolist() == d2.tolist()
+    np.testing.assert_array_equal(s1.view(np.uint64), s2.view(np.uint64))
