@@ -683,8 +683,22 @@ def build_index(
     pending_bytes = 0
     # group streamed blocks into ~even split tasks by bytes; the threshold
     # bounds the task count near max_split_tasks for typical block sizes
-    group_bytes = 64 << 20
-    group_refs = int(os.environ.get("GRAFT_SPLIT_GROUP_REFS", "8"))
+    # Each split task pays a fixed per-RETURN cost (plasma seal + metadata,
+    # ~1-3 ms under load) times n_parts_total, so total split overhead is
+    # n_split_tasks x n_parts. Groups therefore SCALE with the part count:
+    # bigger groups amortize the per-return cost exactly when parts multiply.
+    # Measured (6.6M turns, 348 parts, 32 CPUs, same window): 64 MB groups ->
+    # tokenize+split 90.5 s; 192 MB groups -> 21.1 s. Heap bound: a split
+    # task peaks at ~2.5x its group bytes (concat + sorted take), so the
+    # 256 MB cap keeps 32 concurrent splits ~20 GB — the same worker-heap
+    # class of assumption encode_part already makes.
+    auto_scale = min(4.0, max(1.0, n_parts_total / 96.0))
+    group_bytes = int(
+        os.environ.get("GRAFT_SPLIT_GROUP_BYTES", str(int((64 << 20) * auto_scale)))
+    )
+    group_refs = int(
+        os.environ.get("GRAFT_SPLIT_GROUP_REFS", str(max(8, n_parts_total // 12)))
+    )
 
     def _flush():
         nonlocal pending_refs, pending_bytes
