@@ -567,16 +567,37 @@ class Bm25Index:
             return empty
         pos_a = self.reader.positions_lookup(a, candidates)
         pos_b = self.reader.positions_lookup(b, candidates)
+        # ONE searchsorted over all candidates: pack each doc's positions
+        # into a disjoint int64 range (doc_index << 32 — positions are
+        # < 2^31 and window << 2^32, so windows never cross docs), then
+        # count per-doc pairs with a reduceat over the flat hit counts.
+        len_a = np.fromiter((len(p) for p in pos_a), np.int64, len(candidates))
+        len_b = np.fromiter((len(p) for p in pos_b), np.int64, len(candidates))
+        base = np.arange(len(candidates), dtype=np.int64) << np.int64(32)
+        flat_a = (
+            np.concatenate(pos_a) + np.repeat(base, len_a)
+            if len_a.sum()
+            else np.empty(0, np.int64)
+        )
+        flat_b = (
+            np.concatenate(pos_b) + np.repeat(base, len_b)
+            if len_b.sum()
+            else np.empty(0, np.int64)
+        )
+        if ordered:
+            lo = np.searchsorted(flat_b, flat_a + 1, side="left")
+            hi = np.searchsorted(flat_b, flat_a + window, side="right")
+        else:
+            lo = np.searchsorted(flat_b, flat_a - window, side="left")
+            hi = np.searchsorted(flat_b, flat_a + window, side="right")
+        per_pos = hi - lo
+        a_bounds = np.zeros(len(candidates) + 1, dtype=np.int64)
+        np.cumsum(len_a, out=a_bounds[1:])
         counts = np.zeros(len(candidates), dtype=np.int64)
-        for i in range(len(candidates)):
-            pa_, pb_ = pos_a[i], pos_b[i]
-            if ordered:
-                lo = np.searchsorted(pb_, pa_ + 1, side="left")
-                hi = np.searchsorted(pb_, pa_ + window, side="right")
-            else:
-                lo = np.searchsorted(pb_, pa_ - window, side="left")
-                hi = np.searchsorted(pb_, pa_ + window, side="right")
-            counts[i] = int((hi - lo).sum())
+        nz = np.flatnonzero(len_a)
+        if len(nz) and len(per_pos):
+            sums = np.add.reduceat(per_pos, a_bounds[nz])
+            counts[nz] = sums
         keep = counts > 0
         return candidates[keep], counts[keep]
 
