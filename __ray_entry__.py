@@ -90,6 +90,16 @@ NOT_QUERIES: list[tuple[str, str, list[str], int]] = [  # (qid, text, neg, k)
     ("N2_excl_stop", "join hash", ["the"], 10),
     ("N3_excl_absent", "scan filter", ["zzzabsentzzz"], 10),
 ]
+BOOL_QUERIES: list[tuple[str, str, int]] = [  # (qid, boolean expression, k)
+    ("B1_or_of_ands", "(join AND hash) OR (merge AND scan)", 10),
+    ("B2_and_not", "key AND table AND NOT dup", 10),
+    ("B3_nested_not", "scan AND NOT (filter OR window)", 10),
+    # same term positive in one branch, negated in the other (XOR shape)
+    ("B4_mixed_polarity", "(key AND NOT dup) OR (dup AND NOT key)", 10),
+    ("B5_and_absent", "key AND zzzabsentzzz", 10),   # -> no hits
+    ("B6_or_absent", "key OR zzzabsentzzz", 10),     # degenerates to 'key'
+    ("B7_nested_nand", "join AND NOT (hash AND merge)", 10),
+]
 PREFIX_QUERIES: list[tuple[str, str, int]] = [  # (qid, prefix, k)
     ("PR1_wide", "s", 10),       # 6 variants in the synthetic vocab
     ("PR2_pair", "c", 10),
@@ -646,6 +656,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tables = []
         for qid, text, negs, k in NOT_QUERIES:
             d, s = bm.topk_must_not(text, negs, k, rank_round=RANK_ROUND)
+            tables.append(_hits_table(qid, d, s))
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
+    def bm25_topk_boolean(sf_dir):
+        """Nested AND/OR/NOT retrieval (Lucene BooleanQuery; J2 conjunctive
+        assembly + J3 exclusion generalized to an expression tree,
+        DefaultTargetAssembler.java:108-161): predicate evaluated as
+        vectorized membership masks over the positive postings' union, BM25
+        scored over the positive leaves each surviving doc contains."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        tables = []
+        for qid, expr, k in BOOL_QUERIES:
+            d, s = bm.boolean_topk(expr, k, rank_round=RANK_ROUND)
             tables.append(_hits_table(qid, d, s))
         res = pa.concat_tables([t for t in tables if t.num_rows])
         return _round_scores(res, "score", "score_r", SCORE_ROUND)
@@ -1502,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # then the 55 already-driver-green entries.
     return {
         # ---- new in round 4 (5) -------------------------------------------
+        "bm25_topk_boolean": bm25_topk_boolean,
         "bm25_topk_pfor": bm25_topk_pfor,
         "dedup_clusters_star": dedup_clusters_star,
         "bm25_topk_removed": bm25_topk_removed,
@@ -1790,6 +1817,57 @@ hits AS (
     SELECT 1 FROM tf JOIN nq ON tf.term = nq.term
     WHERE nq.query_id = sc.query_id AND tf.doc_id = sc.doc_id
   )
+),
+{_rank_cut_sql()}
+"""
+
+
+def _boolean_sql() -> str:
+    """Boolean oracle: the SAME parse tree the engine evaluates, rendered as
+    per-query EXISTS predicates over the token table; scoring sums positive-
+    leaf contributions, identical ranking contract to _bm25_sql. Candidate
+    completeness matches the engine's argument: scores only contains docs
+    holding >= 1 positive term, which the pure-negative parse guard makes
+    exhaustive."""
+    from engine.query import boolean_query_leaves, parse_boolean_query
+
+    def pred(node) -> str:
+        op = node[0]
+        if op == "term":
+            return (
+                "EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = sc.doc_id "
+                f"AND tf.term = '{node[1]}')"
+            )
+        if op == "not":
+            return f"(NOT {pred(node[1])})"
+        joiner = " AND " if op == "and" else " OR "
+        return "(" + joiner.join(pred(c) for c in node[1]) + ")"
+
+    trees = {qid: parse_boolean_query(expr) for qid, expr, _k in BOOL_QUERIES}
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}', {k})"
+        for qid, _expr, k in BOOL_QUERIES
+        for t in boolean_query_leaves(trees[qid])[0]
+    )
+    preds = "\n     OR ".join(
+        f"(sc.query_id = '{qid}' AND {pred(trees[qid])})" for qid in trees
+    )
+    return f"""{_BM25_CORE_SQL},
+q(query_id, term, k) AS (VALUES
+      {vals}),
+scores AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum( {_BM25_CONTRIB_SQL} ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, tf.doc_id
+),
+hits AS (
+  SELECT query_id, k, doc_id, score FROM scores sc
+  WHERE {preds}
 ),
 {_rank_cut_sql()}
 """
@@ -2513,6 +2591,7 @@ WHERE text IS NOT NULL
         "facet_counts": _facet_sql(),
         "bm25_topk_msm": _msm_sql(),
         "bm25_topk_must_not": _must_not_sql(),
+        "bm25_topk_boolean": _boolean_sql(),
         "bm25_topk_prefix": _prefix_sql(),
         "percolate_conjunctive": _percolate_sql(),
         "transcripts_conv_stats": f"""

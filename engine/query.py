@@ -81,6 +81,128 @@ def _within_ed1(a: str, b: str) -> bool:
     return True
 
 
+def parse_boolean_query(expr: str):
+    """Parse a boolean search expression into a nested tuple tree.
+
+    Grammar (Lucene BooleanQuery surface; precedence NOT > AND > OR):
+
+        expr  := and ( 'OR' and )*
+        and   := not ( 'AND' not )*
+        not   := 'NOT' not | atom
+        atom  := '(' expr ')' | TERM
+
+    Operators are the UPPERCASE keywords; anything else is a term and is run
+    through the index tokenizer (must yield exactly one token, so terms get
+    the same lowercase/strip normalization as the corpus). Nodes:
+    ``('term', t)``, ``('and', [..])``, ``('or', [..])``, ``('not', child)``.
+    """
+    import re as _re
+
+    toks = _re.findall(r"\(|\)|[^()\s]+", expr)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def parse_or():
+        nonlocal pos
+        parts = [parse_and()]
+        while peek() == "OR":
+            pos += 1
+            parts.append(parse_and())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def parse_and():
+        nonlocal pos
+        parts = [parse_not()]
+        while peek() == "AND":
+            pos += 1
+            parts.append(parse_not())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def parse_not():
+        nonlocal pos
+        if peek() == "NOT":
+            pos += 1
+            return ("not", parse_not())
+        return parse_atom()
+
+    def parse_atom():
+        nonlocal pos
+        t = peek()
+        if t == "(":
+            pos += 1
+            node = parse_or()
+            if peek() != ")":
+                raise ValueError(f"unbalanced parentheses in boolean query {expr!r}")
+            pos += 1
+            return node
+        if t is None or t in (")", "AND", "OR", "NOT"):
+            raise ValueError(f"expected term at token {pos} in boolean query {expr!r}")
+        pos += 1
+        norm = tokenize_text(t)
+        if len(norm) != 1:
+            raise ValueError(f"boolean leaf {t!r} does not normalize to one token")
+        return ("term", norm[0])
+
+    tree = parse_or()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in boolean query {expr!r}")
+    if _eval_bool_tree(tree, lambda t: False):
+        # A query satisfiable by a document containing NONE of its terms
+        # matches (almost) the whole corpus — the candidate set would be
+        # O(n_docs), not O(postings). Same restriction as Lucene's pure-
+        # negative BooleanQuery clause handling.
+        raise ValueError(
+            f"boolean query {expr!r} is satisfiable with every term absent "
+            "(pure-negative); add at least one positive clause per branch"
+        )
+    return tree
+
+
+def _eval_bool_tree(node, leaf):
+    """Evaluate a parse tree; ``leaf(term)`` supplies each term's value —
+    a bool for validation, a numpy bool mask for vectorized matching."""
+    op = node[0]
+    if op == "term":
+        return leaf(node[1])
+    if op == "not":
+        v = _eval_bool_tree(node[1], leaf)
+        return ~v if isinstance(v, np.ndarray) else (not v)
+    vals = [_eval_bool_tree(c, leaf) for c in node[1]]
+    if isinstance(vals[0], np.ndarray):
+        red = np.logical_and.reduce if op == "and" else np.logical_or.reduce
+        return red(vals)
+    return all(vals) if op == "and" else any(vals)
+
+
+def boolean_query_leaves(tree) -> tuple[list[str], list[str]]:
+    """(positive_terms, all_terms), each sorted-distinct. A term occurrence
+    is POSITIVE when it sits under an even number of NOTs; the pure-negative
+    check in parse_boolean_query guarantees every matching document contains
+    at least one positive term (the expression is monotone in its literals
+    once NOT is pushed to the leaves, and it evaluates False on the all-
+    absent assignment), so the positive postings' union is a complete
+    candidate set — negative-only terms are membership probes, never
+    candidate generators."""
+    pos_terms: set[str] = set()
+    all_terms: set[str] = set()
+
+    def walk(node, parity: bool):
+        if node[0] == "term":
+            all_terms.add(node[1])
+            if not parity:
+                pos_terms.add(node[1])
+        elif node[0] == "not":
+            walk(node[1], not parity)
+        else:
+            for c in node[1]:
+                walk(c, parity)
+
+    walk(tree, False)
+    return sorted(pos_terms), sorted(all_terms)
+
+
 class Bm25Index:
     """Query-side handle: segment reader + docmap lengths + global stats.
 
@@ -696,6 +818,54 @@ class Bm25Index:
         neg_docs = [d for d in neg_docs if len(d)]
         excluded = np.unique(np.concatenate(neg_docs)) if neg_docs else None
         return self.topk(query_text, k, rank_round=rank_round, excluded=excluded)
+
+    def boolean_topk(
+        self, expr: str, k: int, rank_round: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Arbitrarily nested boolean retrieval (Lucene BooleanQuery; the
+        reference's J2 conjunctive assembly + J3 exclusion generalized to a
+        full AND/OR/NOT expression tree, core/DefaultTargetAssembler.java:
+        108-161): docs satisfying ``expr``, ranked by BM25 summed over the
+        POSITIVE leaf terms each doc contains.
+
+        Cost is bounded by the positive terms' postings, never the corpus:
+        candidates = union of positive postings (complete by the pure-
+        negative guard, see boolean_query_leaves), each leaf becomes a
+        sorted-membership bool mask over that one candidate array, and the
+        tree evaluates vectorized in one numpy pass. Scoring then reuses the
+        msm scatter: per positive term, contributions land only on docs the
+        predicate kept. Deterministic: ascending-term accumulation order,
+        (-rounded score, doc_id) ranking — identical contract to topk."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        tree = parse_boolean_query(expr)
+        pos_terms, all_terms = boolean_query_leaves(tree)
+        postings = {t: self.reader.postings(t) for t in all_terms}
+        pos_live = [t for t in pos_terms if len(postings[t][0])]
+        if not pos_live:
+            return empty
+        candidates = np.unique(np.concatenate([postings[t][0] for t in pos_live]))
+
+        def member(term: str) -> np.ndarray:
+            docs = postings[term][0]
+            if not len(docs):
+                return np.zeros(len(candidates), dtype=bool)
+            i = np.searchsorted(docs, candidates)
+            i[i == len(docs)] = 0
+            return docs[i] == candidates
+
+        keep = _eval_bool_tree(tree, member)
+        if not keep.any():
+            return empty
+        cand_k = candidates[keep]
+        acc = np.zeros(len(cand_k), dtype=np.float64)
+        for t in pos_live:  # ascending term order, like score_all
+            docs, tfs = postings[t]
+            sel = np.searchsorted(cand_k, docs)
+            sel[sel == len(cand_k)] = 0
+            hit = cand_k[sel] == docs
+            contrib = self._contrib(self.idf(t), tfs[hit], self.dl(docs[hit]))
+            acc[sel[hit]] += contrib  # docs distinct per term: no dup indices
+        return self._rank_topk(cand_k, acc, k, rank_round)
 
     def prefix_terms(self, prefix: str, max_terms: int = 64) -> list[str]:
         """Vocabulary scan: all indexed terms starting with ``prefix``,

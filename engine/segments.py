@@ -249,8 +249,21 @@ def encode_bucket(
             deltas[row_start_v] = pos_vals[row_start_v].astype(np.uint64)
         pos_flat, pos_gends, _ = cdc.encode_stream(deltas, vstarts_rows[starts])
         cols["pos_enc"] = _binary_from_stream(pos_flat, pos_gends)
-        return pa.table(cols, schema=POSITIONAL_SEGMENT_SCHEMA)
-    return pa.table(cols, schema=SEGMENT_SCHEMA)
+        tbl = pa.table(cols, schema=POSITIONAL_SEGMENT_SCHEMA)
+    else:
+        tbl = pa.table(cols, schema=SEGMENT_SCHEMA)
+    # Deterministic file order: rows are grouped by dictionary code above
+    # (arrival order — parallelism-dependent), so reorder the finished
+    # GROUP-level table by (term, run). This is a per-TERM gather (thousands
+    # of rows), not the per-POSTING string sort the dictionary-code path
+    # deliberately avoids; it makes the whole index byte-identical at any
+    # parallelism (test_build_parallelism_invariant), so manifest CRCs are
+    # content addresses, not run artifacts.
+    order_rows = pc.sort_indices(
+        tbl.select(["term", "run"]),
+        sort_keys=[("term", "ascending"), ("run", "ascending")],
+    )
+    return tbl.take(order_rows)
 
 
 def decode_posting(doc_ids_enc: bytes, tfs_enc: bytes,

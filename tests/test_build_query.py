@@ -514,3 +514,112 @@ def test_pfor_backend_rank_identical(tiny_corpus, tiny_index, tmp_path):
         p2 = pf.reader.postings(t)
         np.testing.assert_array_equal(p1[0], p2[0])
         np.testing.assert_array_equal(p1[1], p2[1])
+
+
+def test_build_parallelism_invariant(ray_session, tiny_corpus, tmp_path):
+    """The scaling criterion's job-identity invariant: the SAME corpus built
+    under different input partitionings (hence different task counts /
+    arrival orders, the thing that changes between an 8-CPU and a 32-CPU
+    cluster) produces a byte-identical index — same per-part payload CRCs,
+    same routing contract, same docmap content. Bench --scaling legs are the
+    same job by construction, not by luck."""
+    import json
+
+    import ray.data
+
+    from engine.build import build_index
+
+    idx_a = str(tmp_path / "par_a")
+    idx_b = str(tmp_path / "par_b")
+    build_index(tiny_corpus, idx_a, n_buckets="auto", n_salts=4, hot_fraction=0.05)
+    # different block structure: one block vs many small blocks
+    ds = ray.data.read_parquet(tiny_corpus).repartition(13)
+    build_index(ds, idx_b, n_buckets="auto", n_salts=4, hot_fraction=0.05)
+
+    stats_a = json.load(open(idx_a + "/stats.json"))
+    stats_b = json.load(open(idx_b + "/stats.json"))
+    for key in ("n_docs", "n_postings", "n_buckets", "n_salts", "hot_terms",
+                "postings_codec", "avgdl", "n_parts", "n_term_runs"):
+        assert stats_a[key] == stats_b[key], key
+
+    from engine.state import committed_parts
+
+    parts_a = committed_parts(idx_a)
+    parts_b = committed_parts(idx_b)
+    assert sorted(parts_a) == sorted(parts_b)
+    assert len(parts_a) > 1
+    for p in parts_a:
+        assert parts_a[p]["checksum"] == parts_b[p]["checksum"], f"part {p}"
+        assert parts_a[p]["n_terms"] == parts_b[p]["n_terms"], f"part {p}"
+
+    import pyarrow.parquet as pq
+
+    dm_a = pq.read_table(idx_a + "/docmap").sort_by("doc_id")
+    dm_b = pq.read_table(idx_b + "/docmap").sort_by("doc_id")
+    assert dm_a.equals(dm_b)
+
+
+def test_boolean_parser():
+    from engine.query import boolean_query_leaves, parse_boolean_query
+
+    # precedence: NOT > AND > OR
+    t = parse_boolean_query("a AND b OR c AND NOT d")
+    assert t == ("or", [("and", [("term", "a"), ("term", "b")]),
+                        ("and", [("term", "c"), ("not", ("term", "d"))])])
+    # parens override; terms normalize through the tokenizer
+    t2 = parse_boolean_query("A AND (b OR c)")
+    assert t2 == ("and", [("term", "a"), ("or", [("term", "b"), ("term", "c")])])
+    pos, alls = boolean_query_leaves(
+        parse_boolean_query("(key AND NOT dup) OR (dup AND NOT key)")
+    )
+    assert pos == ["dup", "key"] and alls == ["dup", "key"]
+    # double negation flips polarity back
+    pos2, _ = boolean_query_leaves(parse_boolean_query("a AND NOT NOT b"))
+    assert pos2 == ["a", "b"]
+    import pytest as _pt
+
+    for bad in ("a AND NOT", "(a OR b", "a )", "NOT a", "a OR NOT b",
+                "NOT (a AND b)", ""):
+        with _pt.raises(ValueError):
+            parse_boolean_query(bad)
+
+
+def test_boolean_topk_vs_bruteforce(oracle, tiny_index):
+    """boolean_topk == brute-force evaluation of the expression over every
+    doc's token set, scored by the pure-Python oracle's positive-leaf sums."""
+    from engine.query import (Bm25Index, _eval_bool_tree, boolean_query_leaves,
+                              parse_boolean_query)
+
+    bm = Bm25Index(tiny_index)
+    exprs = [
+        "(the AND table) OR (dup AND zqmarker0)",
+        "table AND NOT dup",
+        "the AND NOT (table OR dup)",
+        "(table AND NOT dup) OR (dup AND NOT table)",
+        "table AND zzzabsentzzz",
+        "table OR zzzabsentzzz",
+    ]
+    for expr in exprs:
+        tree = parse_boolean_query(expr)
+        pos, _ = boolean_query_leaves(tree)
+        expected = {}
+        for doc_id in oracle.dl:
+            present = {t for t in pos if doc_id in oracle.postings.get(t, {})}
+            has = lambda t: doc_id in oracle.postings.get(t, {})
+            if not _eval_bool_tree(tree, has):
+                continue
+            score = 0.0
+            for t in sorted(present):
+                plist = oracle.postings[t]
+                df = len(plist)
+                idf = np.log(1.0 + (oracle.n_docs - df + 0.5) / (df + 0.5))
+                tf = plist[doc_id]
+                dl = oracle.dl[doc_id]
+                denom = tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / oracle.avgdl)
+                score += idf * tf * (1.2 + 1.0) / denom
+            if score > 0.0:
+                expected[doc_id] = score
+        want = sorted(expected.items(), key=lambda it: (-it[1], it[0]))[:10]
+        d, s = bm.boolean_topk(expr, 10)
+        assert list(d) == [w[0] for w in want], expr
+        np.testing.assert_allclose(s, [w[1] for w in want], rtol=0, atol=1e-9)
