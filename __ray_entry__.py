@@ -57,6 +57,14 @@ PROXIMITY_QUERIES: list[tuple[str, str, str, int, bool]] = [
     ("X5_absent", "key", "zzzabsentzzz", 4, False),
 ]
 
+SPAN_QUERIES: list[tuple[str, list[str], int]] = [  # (qid, ordered terms, window)
+    ("SN1_triple", ["key", "table", "scan"], 6),
+    ("SN2_tight", ["hash", "join", "merge"], 2),   # adjacent-only triples
+    ("SN3_wide", ["scan", "filter", "window"], 12),
+    ("SN4_pair", ["order", "sort"], 3),            # n=2 delegates to proximity
+    ("SN5_absent", ["key", "zzzabsentzzz", "table"], 6),
+]
+
 # --- phrase queries over the positional TRANSCRIPTS index (tier surface) ----
 # head-of-Zipf bigrams guaranteed by the synthetic generator; TP2 is a
 # repeated-token phrase, exercising overlapping-occurrence counting
@@ -532,6 +540,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "query_id": pa.array(qids, pa.string()),
                 "doc_id": pa.array(dids, pa.int64()),
                 "n_pairs": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    def span_near(sf_dir):
+        """Ordered multi-term spans (Lucene SpanNearQuery, inOrder): docs with
+        positions p1 < p2 < p3 in query-term order, p_last - p_first <= w,
+        with exact tuple counts — rank-telescoped, no per-doc loop."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_posindex(sf_dir))
+        qids, dids, cnts = [], [], []
+        for qid, terms, w in SPAN_QUERIES:
+            d, n = bm.span_near(terms, w)
+            qids.extend([qid] * len(d))
+            dids.extend(d.tolist())
+            cnts.extend(n.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "n_spans": pa.array(cnts, pa.int64()),
             }
         )
 
@@ -1535,6 +1564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_phrase": transcripts_phrase,
         "pricing_rollup": rel.pricing_rollup,
         "proximity_match": proximity_match,
+        "span_near": span_near,
         "running_totals": lambda sf_dir: _collect(rel.running_totals(sf_dir)),
         "percolate_phrase": percolate_phrase,
         # ---- never driver-verified before round 4 (40) --------------------
@@ -2185,6 +2215,30 @@ toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM l)
 """
 
 
+def _span_near_sql() -> str:
+    """Span oracle: n-way positional self-join with strict ordering and the
+    first-to-last window predicate — counts exactly the tuples span_near
+    counts."""
+    parts = []
+    for qid, terms, w in SPAN_QUERIES:
+        n = len(terms)
+        froms = ", ".join(f"toks t{i}" for i in range(n))
+        conds = [f"t{i}.tok = '{t}'" for i, t in enumerate(terms)]
+        conds += [f"t{i}.doc_id = t0.doc_id" for i in range(1, n)]
+        conds += [f"t{i}.i < t{i + 1}.i" for i in range(n - 1)]
+        conds.append(f"t{n - 1}.i - t0.i <= {w}")
+        parts.append(
+            f"SELECT '{qid}' AS query_id, t0.doc_id, count(*)::BIGINT AS n_spans "
+            f"FROM {froms} WHERE {' AND '.join(conds)} GROUP BY t0.doc_id"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH l AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM l)
+{union}
+"""
+
+
 def _transcripts_phrase_sql() -> str:
     """Phrase oracle on the TRANSCRIPTS corpus: same k-way positional
     self-join as :func:`_phrase_sql`, over the row_number-minted doc ids the
@@ -2521,6 +2575,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "transcripts_phrase": _transcripts_phrase_sql(),
         "proximity_match": _proximity_sql(),
+        "span_near": _span_near_sql(),
         "running_totals": """
             SELECT event_id, user_id,
                    sum(CAST(round(value * 100) AS BIGINT))

@@ -723,6 +723,72 @@ class Bm25Index:
         keep = counts > 0
         return candidates[keep], counts[keep]
 
+    def span_near(
+        self, terms: list[str], window: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Ordered multi-term span matching over a POSITIONAL index
+        (Lucene SpanNearQuery with inOrder=true): docs containing positions
+        ``p1 < p2 < ... < pn`` — one per query term, in query order — with
+        ``pn - p1 <= window``, plus the exact count of such tuples per doc.
+
+        n == 2 delegates to the ordered :meth:`proximity_match` sweep; n == 3
+        counts triples fully vectorized across ALL candidate docs via the
+        packed-position trick (doc_index << 32 keeps docs disjoint): for each
+        first-term position a, valid thirds c lie in (a, a+window], and the
+        middles between them telescope to rank arithmetic —
+        ``sum_{c} rank_B(c) - count_c * rank_B(a)`` — so the whole count is
+        two searchsorted sweeps + one prefix sum, no per-doc loop.
+        Cross-doc rank offsets cancel in the differences because every
+        (a, c) pair lives inside one doc's packed range. Integer-exact.
+        """
+        toks = [tokenize_text(t) for t in terms]
+        if any(len(t) != 1 for t in toks):
+            raise ValueError("span_near takes exactly one token per term")
+        flat = [t[0] for t in toks]
+        if len(set(flat)) != len(flat):
+            raise ValueError("span_near terms must be distinct")
+        if len(flat) == 2:
+            return self.proximity_match(flat[0], flat[1], window, ordered=True)
+        if len(flat) != 3:
+            raise ValueError("span_near supports 2 or 3 terms")
+        if window < 2:
+            raise ValueError("a 3-term ordered span needs window >= 2")
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        candidates, _ = self._conjunctive_candidates(sorted(set(flat)))
+        if len(candidates) == 0:
+            return empty
+        packed = []
+        base = np.arange(len(candidates), dtype=np.int64) << np.int64(32)
+        lens_a = None
+        for i, t in enumerate(flat):
+            pos = self.reader.positions_lookup(t, candidates)
+            lens = np.fromiter((len(p) for p in pos), np.int64, len(candidates))
+            if i == 0:
+                lens_a = lens
+            packed.append(
+                np.concatenate(pos) + np.repeat(base, lens)
+                if lens.sum()
+                else np.empty(0, np.int64)
+            )
+        A, B, C = packed
+        # rank of each c (and each a) in the middle-term array B
+        rank_c = np.searchsorted(B, C, side="left")
+        G = np.zeros(len(C) + 1, dtype=np.int64)
+        np.cumsum(rank_c, out=G[1:])
+        lo = np.searchsorted(C, A + 1, side="left")
+        hi = np.searchsorted(C, A + window, side="right")
+        cnt_c = hi - lo
+        rank_a = np.searchsorted(B, A, side="right")
+        per_a = (G[hi] - G[lo]) - cnt_c * rank_a
+        a_bounds = np.zeros(len(candidates) + 1, dtype=np.int64)
+        np.cumsum(lens_a, out=a_bounds[1:])
+        counts = np.zeros(len(candidates), dtype=np.int64)
+        nz = np.flatnonzero(lens_a)
+        if len(nz) and len(per_a):
+            counts[nz] = np.add.reduceat(per_a, a_bounds[nz])
+        keep = counts > 0
+        return candidates[keep], counts[keep]
+
     def term_positions(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Every (doc, position) occurrence of ``term``, exploded — the
         highlight/offsets primitive (the reference surfaces per-occurrence

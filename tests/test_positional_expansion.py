@@ -373,3 +373,61 @@ def test_proximity_match_vs_oracle(pos_index, doc_tokens):
 
     with _pytest.raises(ValueError, match="differ"):
         bm.proximity_match("w00000", "w00000", 3)
+
+
+def _oracle_span3(doc_tokens, ta, tb, tc, w):
+    out = {}
+    for d, toks in doc_tokens.items():
+        pa_ = [i for i, t in enumerate(toks) if t == ta]
+        pb_ = [i for i, t in enumerate(toks) if t == tb]
+        pc_ = [i for i, t in enumerate(toks) if t == tc]
+        n = sum(
+            1
+            for i in pa_
+            for j in pb_
+            for k in pc_
+            if i < j < k and k - i <= w
+        )
+        if n:
+            out[d] = n
+    return out
+
+
+def test_span_near_vs_oracle(pos_index, doc_tokens):
+    """3-term ordered span counts match a naive all-triples oracle; n=2
+    delegates to ordered proximity; absent term and bad arity error paths."""
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(pos_index)
+    some = doc_tokens[min(doc_tokens)]
+    trip = [t for t in dict.fromkeys(some) if some.count(t)][:3]
+    cases = [
+        (trip[0], trip[1], trip[2], 4),
+        (trip[0], trip[1], trip[2], 12),
+        ("w00000", "w00001", "w00002", 6),
+        (trip[2], trip[0], trip[1], 8),  # order matters
+    ]
+    any_hits = 0
+    for ta, tb, tc, w in cases:
+        if len({ta, tb, tc}) != 3:
+            continue
+        d, n = bm.span_near([ta, tb, tc], w)
+        want = _oracle_span3(doc_tokens, ta, tb, tc, w)
+        assert dict(zip(d.tolist(), n.tolist())) == want, (ta, tb, tc, w)
+        assert list(d) == sorted(d)
+        any_hits += len(want)
+    assert any_hits > 0
+    # n=2 == ordered proximity
+    d2, n2 = bm.span_near(["w00000", "w00001"], 3)
+    dp, np_ = bm.proximity_match("w00000", "w00001", 3, ordered=True)
+    assert list(d2) == list(dp) and list(n2) == list(np_)
+    d, n = bm.span_near(["w00000", "zzzabsentzzz", "w00001"], 6)
+    assert len(d) == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct"):
+        bm.span_near(["w00000", "w00000", "w00001"], 4)
+    with _pytest.raises(ValueError, match="2 or 3"):
+        bm.span_near(["a", "b", "c", "d"], 4)
+    with _pytest.raises(ValueError, match="window"):
+        bm.span_near(["w00000", "w00001", "w00002"], 1)
