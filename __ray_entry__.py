@@ -1612,13 +1612,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantile_sketch": lambda sf_dir: __import__(
             "engine.ops.sketch", fromlist=["grouped_quantile_sketch"]
         ).grouped_quantile_sketch(sf_dir, qs=(50, 90, 99), eps=0.02),
-        "transcripts_index_stats": transcripts_index_stats,
-        "kmeans_embeddings": kmeans_embeddings,
-        "multimodal_featurize": multimodal_featurize,
         # ---- core sentinels (already green r1-r3; keep in the window) -----
         "tokenize_tf": tokenize_tf,
         "bm25_topk": bm25_topk,
         "corpus_stats": corpus_stats,
+        # rows-only / no_oracle entries: below the sentinels so the driver's
+        # 50-entry window spends its rows on hash-verifiable queries
+        "transcripts_index_stats": transcripts_index_stats,
+        "kmeans_embeddings": kmeans_embeddings,
+        "multimodal_featurize": multimodal_featurize,
         "transcripts_conv_stats": transcripts_conv_stats,
         "term_df": term_df,
         "bm25_conjunctive": bm25_conjunctive,
