@@ -169,6 +169,42 @@ def _documents_index(sf_dir: str) -> str:
     return idx
 
 
+def _documents_index_merged(sf_dir: str) -> str:
+    """Two half-indexes (doc_id parity split) grafted with
+    ``engine.update.merge_indexes`` — the two-bundle concat-onto-existing
+    merge (DefaultInvertedIndex.java:197-231). Merged stats/df equal the
+    full build's, so plain full-corpus BM25 oracles it exactly."""
+    from engine.build import build_index
+    from engine.update import merge_indexes
+
+    idx = _cache(sf_dir, "documents_index_half0")
+    marker = os.path.join(idx, "MERGED_OK")
+    if os.path.exists(marker):
+        return idx
+    import shutil
+
+    import ray.data
+
+    odd = _cache(sf_dir, "documents_index_half1")
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.rmtree(odd, ignore_errors=True)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    import pyarrow.compute as pc
+
+    def _parity(p):  # Ray filter(expr=...) can't parse %, so an Arrow kernel
+        return lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), p))
+
+    kw = dict(id_col="doc_id", n_buckets=8, n_salts=4, hot_fraction=0.05)
+    build_index(ds.map_batches(_parity(0), batch_format="pyarrow"), idx, **kw)
+    build_index(ds.map_batches(_parity(1), batch_format="pyarrow"), odd, **kw)
+    merge_indexes(idx, odd)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return idx
+
+
 def _documents_index_pfor(sf_dir: str) -> str:
     """Same documents index under the pfor (FOR-128 + varint tail) postings
     codec — the second production backend behind the codec seam."""
@@ -374,6 +410,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from engine.query import batch_topk
 
         idx = _documents_index_pfor(sf_dir)
+        res = batch_topk(_doc_query_items(), idx, concurrency=2, rank_round=RANK_ROUND)
+        res = _round_scores(res, "score", "score_r", SCORE_ROUND)
+        return _i64(res, ["rank"])
+
+    def bm25_topk_merged(sf_dir):
+        """bm25_topk over an index assembled by merge_indexes from two
+        parity-split half-builds — posting runs grafted verbatim, stats
+        recomputed; results must be bit-identical to one full build, so the
+        oracle is the same full-corpus BM25 SQL as bm25_topk."""
+        from engine.query import batch_topk
+
+        idx = _documents_index_merged(sf_dir)
         res = batch_topk(_doc_query_items(), idx, concurrency=2, rank_round=RANK_ROUND)
         res = _round_scores(res, "score", "score_r", SCORE_ROUND)
         return _i64(res, ["rank"])
@@ -1559,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- new in round 4 (5) -------------------------------------------
         "bm25_topk_boolean": bm25_topk_boolean,
         "bm25_topk_pfor": bm25_topk_pfor,
+        "bm25_topk_merged": bm25_topk_merged,
         "dedup_clusters_star": dedup_clusters_star,
         "bm25_topk_removed": bm25_topk_removed,
         "transcripts_phrase": transcripts_phrase,
@@ -2571,6 +2620,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(conjunctive=False),
         "bm25_topk_pfor": _bm25_sql(conjunctive=False),
+        "bm25_topk_merged": _bm25_sql(conjunctive=False),
         "bm25_topk_removed": _bm25_sql(
             conjunctive=False,
             src="(SELECT * FROM documents WHERE doc_id % 7 <> 3)",

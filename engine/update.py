@@ -753,6 +753,155 @@ def compact_index(index_dir: str) -> dict:
     return {"parts": new_stats["n_parts"], "bounds_avgdl": avgdl}
 
 
+@ray.remote
+def _graft_part(dst_dir: str, part: int, src_path: str, run_offset: int) -> int:
+    """Append one src segment file to dst part ``part`` with run ids offset —
+    postings blobs move verbatim, nothing is decoded."""
+    src = pq.read_table(src_path)
+    i = src.schema.get_field_index("run")
+    src = src.set_column(
+        i, "run", pc.add(src["run"], pa.scalar(run_offset, pa.int32())).cast(pa.int32())
+    )
+    path = state.segment_path(dst_dir, part)
+    if os.path.exists(path):
+        merged = pa.concat_tables([pq.read_table(path), src]).sort_by(
+            [("term", "ascending"), ("run", "ascending")]
+        )
+    else:
+        merged = src
+    tmp = path + ".tmp"
+    pq.write_table(merged, tmp, row_group_size=16384)
+    os.replace(tmp, path)
+    state.write_part_manifest(
+        dst_dir,
+        part,
+        {
+            "n_terms": merged.num_rows,
+            "n_postings": int(pc.sum(merged["df"]).as_py() or 0),
+            "n_tokens": int(pc.sum(merged["cf"]).as_py() or 0),
+        },
+    )
+    return part
+
+
+@ray.remote
+def _id_collisions(dst_dl, path: str) -> int:
+    """#src docIDs (one docmap file) already present in dst — routed through
+    dst's range-sharded id shards, nothing O(corpus) anywhere."""
+    ids = np.sort(
+        pq.read_table(path, columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    if not hasattr(dst_dl, "mins"):  # overlap-fallback single sorted lookup
+        shard_ids, _dls = dst_dl
+        if not len(shard_ids) or not len(ids):
+            return 0
+        pos = np.clip(np.searchsorted(shard_ids, ids), 0, len(shard_ids) - 1)
+        return int((shard_ids[pos] == ids).sum())
+    sid = np.searchsorted(dst_dl.mins, ids, side="right") - 1
+    n = 0
+    for s in np.unique(sid[sid >= 0]):
+        m = sid == s
+        shard_ids, dls, lo = dst_dl._shard(int(s))
+        d = ids[m]
+        if shard_ids is None:  # dense shard: presence == in-range
+            n += int(((d >= lo) & (d < lo + len(dls))).sum())
+        else:
+            pos = np.clip(np.searchsorted(shard_ids, d), 0, len(shard_ids) - 1)
+            n += int((shard_ids[pos] == d).sum())
+    return n
+
+
+def merge_indexes(dst_dir: str, src_dir: str) -> dict:
+    """Graft every posting run of ``src_dir`` into ``dst_dir`` — the
+    two-bundle variant of the reference's concat-onto-existing-bucket merge
+    (CORE/io/DefaultInvertedIndex.java:197-231): src segment rows append to
+    dst parts as NEW RUNS (run ids offset by ``generation * n_salts``, the
+    same scheme ADD uses), existing runs untouched, posting blobs never
+    decoded. Docmap rows copy over as a delta generation; corpus stats
+    recompute from the merged docmap; ``hot_terms`` becomes the union (a
+    term hot in either bundle is probed across all salted parts, which
+    always includes the cold bucket, so every run stays reachable);
+    ``bounds_avgdl`` becomes the MIN of the two so every stored block-max
+    bound remains an upper bound under merged stats (the query-side
+    ``_bound_scale`` covers the avgdl drift; scores are exact regardless).
+
+    Refuses on mismatched routing/codec contracts and on any docID
+    collision (checked distributed: one task per src docmap file against
+    dst's range-sharded id shards). Requires id-mode indexes — transcripts
+    bundles both mint dense ids from 0 and always collide."""
+    dst = state.read_stats(dst_dir)
+    src = state.read_stats(src_dir)
+    for key in ("n_buckets", "n_salts", "postings_codec", "hash_scheme",
+                "positional", "category_col", "transcripts_mode"):
+        if dst.get(key) != src.get(key):
+            raise RuntimeError(
+                f"merge refused: {key} mismatch ({dst.get(key)!r} vs {src.get(key)!r})"
+            )
+    if dst.get("transcripts_mode"):
+        raise RuntimeError(
+            "merge refused: transcripts-mode bundles mint overlapping dense "
+            "docIDs; merge id-mode indexes (or re-ADD the raw transcripts)"
+        )
+
+    from .build import _build_dl_lookup
+
+    dl_ref, dst_docs, dst_avgdl, _fit, _meta = _build_dl_lookup(_docmap_dir(dst_dir))
+    src_files = sorted(
+        os.path.join(root, f)
+        for root, _dirs, fs in os.walk(_docmap_dir(src_dir))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    # dl_ref auto-dereferences inside each task (ShardedDl or the legacy
+    # merged (ids, dls) overlap fallback — _id_collisions handles both)
+    collisions = sum(
+        ray.get([_id_collisions.remote(dl_ref, p) for p in src_files])
+    )
+    if collisions:
+        raise RuntimeError(
+            f"merge refused: {collisions} src docIDs already present in dst"
+        )
+
+    generation = int(dst.get("generation", 0)) + 1
+    run_offset = generation * int(dst["n_salts"])
+    src_parts = state.committed_parts(src_dir)
+    ray.get(
+        [
+            _graft_part.remote(
+                dst_dir, p, state.segment_path(src_dir, p), run_offset
+            )
+            for p in sorted(src_parts)
+        ]
+    )
+
+    import shutil
+
+    delta_dir = os.path.join(_docmap_dir(dst_dir), f"delta-{generation:04d}")
+    os.makedirs(delta_dir, exist_ok=True)
+    for i, p in enumerate(src_files):
+        shutil.copyfile(p, os.path.join(delta_dir, f"merged-{i:05d}.parquet"))
+
+    n_docs, avgdl = _rewrite_docmap_marker(dst_dir)
+    new_stats = _refresh_stats(dst_dir, n_docs, avgdl, generation)
+    new_stats["bounds_avgdl"] = min(
+        float(dst.get("bounds_avgdl", dst["avgdl"])),
+        float(src.get("bounds_avgdl", src["avgdl"])),
+    )
+    new_stats["hot_terms"] = sorted(
+        set(dst.get("hot_terms", [])) | set(src.get("hot_terms", []))
+    )
+    new_stats["inputs"] = list(dst.get("inputs", [])) + list(src.get("inputs", []))
+    state.write_stats(dst_dir, new_stats)
+    return {
+        "merged_docs": n_docs - dst_docs,
+        "n_docs": n_docs,
+        "parts_touched": len(src_parts),
+        "generation": generation,
+    }
+
+
 def update_and_percolate(
     index_dir: str,
     source,

@@ -488,3 +488,62 @@ def test_percolate_phrase_counts(ray_session, tiny_index):
     assert got == {"p_ab": 2.0, "p_rep": 2.0}
     assert perc.percolate("beta alpha") == []  # order matters
     assert perc.percolate("") == []
+
+
+def test_merge_indexes_matches_full_build(ray_session, tiny_corpus, tmp_path):
+    """Two id-mode half-indexes grafted with merge_indexes answer every query
+    bit-identically to one index built over the full corpus: same corpus
+    stats, same df, same scores — posting blobs moved verbatim as new runs.
+    Also exercises hot-term union (halves sample hot sets independently) and
+    the docID-collision refusal."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.update import merge_indexes
+
+    corpus = pa.concat_tables(
+        pq.read_table(p) for p in sorted(glob.glob(tiny_corpus + "/*.parquet"))
+    )
+    corpus = corpus.append_column(
+        "doc_id", pa.array(np.arange(corpus.num_rows, dtype=np.int64))
+    )
+    even = corpus.filter(pa.array((np.arange(corpus.num_rows) % 2) == 0))
+    odd = corpus.filter(pa.array((np.arange(corpus.num_rows) % 2) == 1))
+
+    import ray.data
+
+    kw = dict(n_buckets=8, n_salts=4, hot_fraction=0.05, id_col="doc_id")
+    full_dir, even_dir, odd_dir = (str(tmp_path / n) for n in ("full", "even", "odd"))
+    build_index(ray.data.from_arrow(corpus), full_dir, **kw)
+    build_index(ray.data.from_arrow(even), even_dir, **kw)
+    build_index(ray.data.from_arrow(odd), odd_dir, **kw)
+
+    rep = merge_indexes(even_dir, odd_dir)
+    assert rep["n_docs"] == corpus.num_rows
+    assert rep["merged_docs"] == odd.num_rows
+
+    ref = Bm25Index(full_dir)
+    mrg = Bm25Index(even_dir)
+    assert mrg.n_docs == ref.n_docs
+    assert abs(mrg.avgdl - ref.avgdl) < 1e-12
+    for q in ("the zqmarker0", "zqmarker0 zqmarker1", "table dup", "the", "w00000"):
+        d1, s1 = ref.topk(q, 10)
+        d2, s2 = mrg.topk(q, 10)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
+        d1, s1 = ref.conjunctive_topk(q, 10)
+        d2, s2 = mrg.conjunctive_topk(q, 10)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
+    # full-decode parity on a common term
+    p1 = ref.reader.postings("the")
+    p2 = mrg.reader.postings("the")
+    np.testing.assert_array_equal(p1[0], p2[0])
+    np.testing.assert_array_equal(p1[1], p2[1])
+
+    # overlapping docIDs refuse
+    with pytest.raises(RuntimeError, match="docIDs already present"):
+        merge_indexes(even_dir, odd_dir)
