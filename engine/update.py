@@ -836,11 +836,12 @@ def merge_indexes(dst_dir: str, src_dir: str) -> dict:
     for key in ("n_buckets", "n_salts", "postings_codec", "hash_scheme",
                 "positional", "category_col", "transcripts_mode"):
         if dst.get(key) != src.get(key):
-            raise RuntimeError(
-                f"merge refused: {key} mismatch ({dst.get(key)!r} vs {src.get(key)!r})"
+            raise ValueError(
+                f"merge refused: routing/format contract mismatch on {key!r} "
+                f"({dst.get(key)!r} vs {src.get(key)!r})"
             )
     if dst.get("transcripts_mode"):
-        raise RuntimeError(
+        raise ValueError(
             "merge refused: transcripts-mode bundles mint overlapping dense "
             "docIDs; merge id-mode indexes (or re-ADD the raw transcripts)"
         )
@@ -860,8 +861,9 @@ def merge_indexes(dst_dir: str, src_dir: str) -> dict:
         ray.get([_id_collisions.remote(dl_ref, p) for p in src_files])
     )
     if collisions:
-        raise RuntimeError(
-            f"merge refused: {collisions} src docIDs already present in dst"
+        raise ValueError(
+            f"merge refused: docID spaces overlap — {collisions} src docIDs "
+            "already present in dst"
         )
 
     generation = int(dst.get("generation", 0)) + 1
@@ -894,6 +896,15 @@ def merge_indexes(dst_dir: str, src_dir: str) -> dict:
     )
     new_stats["inputs"] = list(dst.get("inputs", [])) + list(src.get("inputs", []))
     state.write_stats(dst_dir, new_stats)
+    # keep the build-resume routing contract in step with the union hot set
+    rpath = os.path.join(dst_dir, "routing.json")
+    if os.path.exists(rpath):
+        with open(rpath) as f:
+            contract = json.load(f)
+        contract["hot_terms"] = new_stats["hot_terms"]
+        state.atomic_write_bytes(
+            json.dumps(contract, sort_keys=True).encode(), rpath
+        )
     return {
         "merged_docs": n_docs - dst_docs,
         "n_docs": n_docs,

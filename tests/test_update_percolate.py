@@ -545,5 +545,5 @@ def test_merge_indexes_matches_full_build(ray_session, tiny_corpus, tmp_path):
     np.testing.assert_array_equal(p1[1], p2[1])
 
     # overlapping docIDs refuse
-    with pytest.raises(RuntimeError, match="docIDs already present"):
+    with pytest.raises(ValueError, match="overlap"):
         merge_indexes(even_dir, odd_dir)
