@@ -98,6 +98,10 @@ NOT_QUERIES: list[tuple[str, str, list[str], int]] = [  # (qid, text, neg, k)
     ("N2_excl_stop", "join hash", ["the"], 10),
     ("N3_excl_absent", "scan filter", ["zzzabsentzzz"], 10),
 ]
+# conversation-level BM25F field weights: dyadic (multiples of 1/64) so
+# weighted tf/dl sums are bit-exact under ANY aggregation order
+BM25F_WEIGHTS: dict[str, float] = {"user": 2.0, "assistant": 1.0, "tool": 0.25}
+
 BOOL_QUERIES: list[tuple[str, str, int]] = [  # (qid, boolean expression, k)
     ("B1_or_of_ands", "(join AND hash) OR (merge AND scan)", 10),
     ("B2_and_not", "key AND table AND NOT dup", 10),
@@ -1504,6 +1508,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _round_scores(res, "score", "score_r", SCORE_ROUND)
         return _i64(res, ["rank"])
 
+    def transcripts_bm25f_conv(sf_dir):
+        """CONVERSATION-level BM25F over the turn-level transcripts index:
+        per-role field weights (user 2.0 / assistant 1.0 / tool 0.25 —
+        dyadic, so weighted tf/dl sums are order-exact), turn postings
+        aggregated per conversation exactly like the reference assembles
+        pair hits into per-structure hits
+        (DefaultTargetAssembler.java:79-161)."""
+        from engine.convsearch import bm25f_conv_topk, conv_field_stats
+        from engine.queries import QUERY_SET
+        from engine.query import Bm25Index
+
+        idx = _transcripts_index(sf_dir)
+        stats = conv_field_stats(idx, BM25F_WEIGHTS)
+        bm = Bm25Index(idx)
+        qids, convs, ranks, scores = [], [], [], []
+        for q in QUERY_SET:
+            c, s = bm25f_conv_topk(bm, stats, q["text"], q["k"], rank_round=RANK_ROUND)
+            qids.extend([q["query_id"]] * len(c))
+            convs.extend([str(x) for x in c])
+            ranks.extend(range(1, len(c) + 1))
+            scores.extend(np.round(s, SCORE_ROUND).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "conv_id": pa.array(convs, pa.string()),
+                "score_r": pa.array(scores, pa.float64()),
+            }
+        )
+
     def transcripts_conv_stats(sf_dir):
         """Per-conversation profile over the RAW transcripts table (turn
         mix, tool-call count, tokenizer token mass, wall-clock span) —
@@ -1646,6 +1680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic_stored": kwic_stored,
         "transcripts_bm25_topk": transcripts_bm25_topk,
         "transcripts_bm25_topk_role": transcripts_bm25_topk_role,
+        "transcripts_bm25f_conv": transcripts_bm25f_conv,
         "bigram_lm": bigram_lm,
         "hashed_vectors": hashed_vectors,
         "redact_text": redact_text,
@@ -2266,6 +2301,71 @@ toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM l)
 """
 
 
+def _transcripts_bm25f_sql() -> str:
+    """Conversation-level BM25F oracle: weighted tf/dl rolled up per conv
+    (the weights are dyadic so the SUMs are bit-exact in any order),
+    conv-level df/N, same contribution formula and ranking contract as the
+    engine. Same deterministic cached corpus as _transcripts_bm25_sql."""
+    from engine.queries import QUERY_SET
+    from engine.tokenize import tokenize_text
+
+    vals = ",\n      ".join(
+        f"('{q['query_id']}', '{t}', {q['k']})"
+        for q in QUERY_SET
+        for t in sorted(set(tokenize_text(q["text"])))
+    )
+    wvals = ",\n      ".join(
+        f"('{r}', {w})" for r, w in sorted(BM25F_WEIGHTS.items())
+    )
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         conv_id, role, text
+  FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+),
+w(role, w) AS (VALUES
+      {wvals}),
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM corpus
+),
+dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+cdl AS MATERIALIZED (
+  SELECT c.conv_id, sum(coalesce(dl.dl, 0) * w.w) AS dlw
+  FROM corpus c LEFT JOIN dl USING (doc_id) JOIN w USING (role)
+  GROUP BY c.conv_id
+),
+stats AS (SELECT count(*) AS n_convs, sum(dlw) / count(*) AS avgdlw FROM cdl),
+tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+ctf AS MATERIALIZED (
+  SELECT c.conv_id, tf.term, sum(tf.tf * w.w) AS tfw
+  FROM tf JOIN corpus c USING (doc_id) JOIN w USING (role)
+  GROUP BY c.conv_id, tf.term
+),
+cdf AS MATERIALIZED (SELECT term, count(*) AS df FROM ctf GROUP BY term),
+q(query_id, term, k) AS (VALUES
+      {vals}),
+scores AS (
+  SELECT q.query_id, q.k, ctf.conv_id,
+         sum( ln(1 + (s.n_convs - cdf.df + 0.5) / (cdf.df + 0.5))
+              * ctf.tfw * (1.2 + 1)
+              / (ctf.tfw + 1.2 * (1 - 0.75 + 0.75 * cdl.dlw / s.avgdlw)) ) AS score
+  FROM q
+  JOIN ctf USING (term)
+  JOIN cdf USING (term)
+  JOIN cdl ON ctf.conv_id = cdl.conv_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, ctf.conv_id
+),
+ranked AS (
+  SELECT query_id, k, conv_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, conv_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, conv_id, round(score, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= k
+"""
+
+
 def _span_near_sql() -> str:
     """Span oracle: n-way positional self-join with strict ordering and the
     first-to-last window predicate — counts exactly the tuples span_near
@@ -2735,6 +2835,7 @@ WHERE text IS NOT NULL
         """,
         "transcripts_bm25_topk": _transcripts_bm25_sql(),
         "transcripts_bm25_topk_role": _transcripts_bm25_sql(role="assistant"),
+        "transcripts_bm25f_conv": _transcripts_bm25f_sql(),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text

@@ -623,3 +623,66 @@ def test_boolean_topk_vs_bruteforce(oracle, tiny_index):
         d, s = bm.boolean_topk(expr, 10)
         assert list(d) == [w[0] for w in want], expr
         np.testing.assert_allclose(s, [w[1] for w in want], rtol=0, atol=1e-9)
+
+
+def test_bm25f_conv_vs_bruteforce(ray_session, tiny_corpus, tmp_path):
+    """Conversation-level BM25F == a pure-Python per-conv weighted oracle:
+    same conv ranking, scores to 1e-9; dyadic weights keep tf_w/dl_w exact."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import build_index
+    from engine.convsearch import bm25f_conv_topk, conv_field_stats
+    from engine.query import Bm25Index
+    from engine.tokenize import tokenize_text
+
+    idx = str(tmp_path / "role_idx")
+    build_index(tiny_corpus, idx, n_buckets=8, n_salts=4, hot_fraction=0.05,
+                category_col="role")
+    weights = {"user": 2.0, "assistant": 1.0, "tool": 0.25}
+    stats = conv_field_stats(idx, weights)
+    bm = Bm25Index(idx)
+
+    corpus = pa.concat_tables(
+        pq.read_table(p) for p in sorted(glob.glob(tiny_corpus + "/*.parquet"))
+    )
+    rows = sorted(
+        zip(
+            corpus["conv_id"].to_pylist(),
+            corpus["turn_idx"].to_pylist(),
+            corpus["role"].to_pylist(),
+            corpus["text"].to_pylist(),
+        )
+    )
+    tfw: dict[str, dict[str, float]] = {}
+    dlw: dict[str, float] = {}
+    for conv, _t, role, text in rows:
+        toks = tokenize_text(text or "")
+        w = weights[role]
+        dlw[conv] = dlw.get(conv, 0.0) + w * len(toks)
+        d = tfw.setdefault(conv, {})
+        for t in toks:
+            d[t] = d.get(t, 0.0) + w
+    n = len(dlw)
+    avg = sum(dlw.values()) / n
+    assert stats["n_convs"] == n and abs(stats["avgdlw"] - avg) == 0.0
+
+    for qtext, k in (("the table", 10), ("zqmarker0", 5), ("dup w00000", 10),
+                     ("zzzabsentzzz", 5)):
+        exp = {}
+        for t in sorted(set(tokenize_text(qtext))):
+            convs_with = [c for c in tfw if t in tfw[c]]
+            df = len(convs_with)
+            if not df:
+                continue
+            idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for c in convs_with:
+                x = tfw[c][t]
+                denom = x + 1.2 * (1.0 - 0.75 + 0.75 * dlw[c] / avg)
+                exp[c] = exp.get(c, 0.0) + idf * x * (1.2 + 1.0) / denom
+        want = sorted(exp.items(), key=lambda it: (-it[1], it[0]))[:k]
+        c, s = bm25f_conv_topk(bm, stats, qtext, k)
+        assert [str(x) for x in c] == [w_[0] for w_ in want], qtext
+        np.testing.assert_allclose(s, [w_[1] for w_ in want], rtol=0, atol=1e-9)
