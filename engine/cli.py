@@ -108,6 +108,33 @@ def main(argv: list[str] | None = None) -> int:
     px.add_argument("--window", type=int, default=4)
     px.add_argument("--ordered", action="store_true")
 
+    sp = sub.add_parser(
+        "span", help="ordered multi-term span counts (positional index, 2-3 terms)"
+    )
+    sp.add_argument("index_dir")
+    sp.add_argument("terms", nargs="+")
+    sp.add_argument("--window", type=int, default=6)
+
+    bl = sub.add_parser(
+        "boolean", help="nested AND/OR/NOT retrieval, BM25-ranked over positive terms"
+    )
+    bl.add_argument("index_dir")
+    bl.add_argument("expr", help="e.g. '(fast OR quick) AND join AND NOT legacy'")
+    bl.add_argument("-k", type=int, default=10)
+
+    cv = sub.add_parser(
+        "convsearch",
+        help="conversation-level BM25F top-k (per-role field weights; "
+        "index must be built with --category-col)",
+    )
+    cv.add_argument("index_dir")
+    cv.add_argument("text")
+    cv.add_argument("-k", type=int, default=10)
+    cv.add_argument(
+        "--weight", action="append", default=[],
+        help="role=w (repeatable, dyadic w; default user=2.0 assistant=1.0 tool=0.25)",
+    )
+
     fz = sub.add_parser("fuzzy", help="fuzzy top-k: each term expands to its ed<=1 vocab neighborhood")
     fz.add_argument("index_dir")
     fz.add_argument("text")
@@ -298,6 +325,34 @@ def main(argv: list[str] | None = None) -> int:
         )
         for doc, cnt in zip(d.tolist(), n.tolist()):
             print(json.dumps({"doc_id": doc, "n_pairs": cnt}))
+    elif args.cmd == "span":
+        from .query import Bm25Index
+
+        bm = Bm25Index(args.index_dir)
+        d, n = bm.span_near(args.terms, args.window)
+        for doc, cnt in zip(d.tolist(), n.tolist()):
+            print(json.dumps({"doc_id": doc, "n_spans": cnt}))
+    elif args.cmd == "boolean":
+        from .query import Bm25Index
+
+        bm = Bm25Index(args.index_dir)
+        d, s = bm.boolean_topk(args.expr, args.k)
+        for rank, (doc, sc) in enumerate(zip(d.tolist(), s.tolist()), 1):
+            print(json.dumps({"rank": rank, "doc_id": doc, "score": sc}))
+    elif args.cmd == "convsearch":
+        _ray()
+        from .convsearch import bm25f_conv_topk, conv_field_stats
+        from .query import Bm25Index
+
+        weights = {"user": 2.0, "assistant": 1.0, "tool": 0.25}
+        for spec in args.weight:
+            role, _, w = spec.partition("=")
+            weights[role] = float(w)
+        stats = conv_field_stats(args.index_dir, weights)
+        bm = Bm25Index(args.index_dir)
+        c, s = bm25f_conv_topk(bm, stats, args.text, args.k)
+        for rank, (conv, sc) in enumerate(zip(c.tolist(), s.tolist()), 1):
+            print(json.dumps({"rank": rank, "conv_id": str(conv), "score": sc}))
     elif args.cmd == "fuzzy":
         from .query import Bm25Index
         from .tokenize import tokenize_text

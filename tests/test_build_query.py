@@ -669,7 +669,8 @@ def test_bm25f_conv_vs_bruteforce(ray_session, tiny_corpus, tmp_path):
     avg = sum(dlw.values()) / n
     assert stats["n_convs"] == n and abs(stats["avgdlw"] - avg) == 0.0
 
-    for qtext, k in (("the table", 10), ("zqmarker0", 5), ("dup w00000", 10),
+    any_hits = 0
+    for qtext, k in (("w00000 w00001", 10), ("zqmarker0", 5), ("w00002 zqmarker1", 10),
                      ("zzzabsentzzz", 5)):
         exp = {}
         for t in sorted(set(tokenize_text(qtext))):
@@ -686,3 +687,5 @@ def test_bm25f_conv_vs_bruteforce(ray_session, tiny_corpus, tmp_path):
         c, s = bm25f_conv_topk(bm, stats, qtext, k)
         assert [str(x) for x in c] == [w_[0] for w_ in want], qtext
         np.testing.assert_allclose(s, [w_[1] for w_ in want], rtol=0, atol=1e-9)
+        any_hits += len(want)
+    assert any_hits > 10  # the non-absent queries must actually rank convs

@@ -252,3 +252,24 @@ def test_cli_dedup_and_outliers(ray_session, tmp_path, capsys):
     assert main(["outliers", str(sf), "-t", "2.5"]) == 0
     rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert [r["event_id"] for r in rows] == [10]
+
+
+def test_cli_boolean(ray_session, tiny_index, capsys):
+    from engine.cli import main
+
+    rc = main(["boolean", tiny_index, "(zqmarker0 OR zqmarker1) AND NOT zzzabsent", "-k", "5"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines and lines[0]["rank"] == 1 and lines[0]["score"] > 0
+
+
+def test_cli_convsearch(ray_session, tiny_corpus, tmp_path, capsys):
+    from engine.build import build_index
+    from engine.cli import main
+
+    idx = str(tmp_path / "cli_conv")
+    build_index(tiny_corpus, idx, n_buckets=8, n_salts=2, category_col="role")
+    rc = main(["convsearch", idx, "w00000 zqmarker0", "-k", "3", "--weight", "tool=0.5"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3 and lines[0]["conv_id"].startswith("conv")
