@@ -969,6 +969,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [("query_id", "ascending"), ("doc_id", "ascending")]
         )
 
+    def percolate_boolean(sf_dir):
+        """Boolean percolation: standing AND/OR/NOT expression queries
+        alerted per streamed doc — the stored-query registry (T4/A3) under
+        the same expression-tree semantics as boolean_topk."""
+        import ray.data
+
+        from engine.percolate import percolate_dataset
+
+        idx = _documents_index(sf_dir)
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        queries = [{"query_id": q, "expr": e} for q, e, _k in BOOL_QUERIES]
+        out = percolate_dataset(docs, idx, queries, mode="boolean", concurrency=2)
+        res = _collect(out).sort_by(
+            [("query_id", "ascending"), ("doc_id", "ascending")]
+        )
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
     def normalize_docs(sf_dir):
         """M1 normalizer chain: NFC + lowercase + whitespace collapse + drop
         empties, as pure pyarrow.compute kernels over Arrow batches."""
@@ -1650,6 +1667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near": span_near,
         "running_totals": lambda sf_dir: _collect(rel.running_totals(sf_dir)),
         "percolate_phrase": percolate_phrase,
+        "percolate_boolean": percolate_boolean,
         # ---- never driver-verified before round 4 (40) --------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
@@ -2049,6 +2067,52 @@ scores AS (
 SELECT scores.query_id, scores.doc_id, round(scores.score, {SCORE_ROUND}) AS score_r
 FROM scores JOIN qsize USING (query_id)
 WHERE scores.matched = qsize.nt
+"""
+
+
+def _percolate_boolean_sql() -> str:
+    """Boolean percolation oracle: every (query, doc) pair whose doc
+    satisfies the query's expression tree, scored over the positive leaves
+    present — the _boolean_sql predicate machinery without the top-k cut."""
+    from engine.query import boolean_query_leaves, parse_boolean_query
+
+    def pred(node) -> str:
+        op = node[0]
+        if op == "term":
+            return (
+                "EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = sc.doc_id "
+                f"AND tf.term = '{node[1]}')"
+            )
+        if op == "not":
+            return f"(NOT {pred(node[1])})"
+        joiner = " AND " if op == "and" else " OR "
+        return "(" + joiner.join(pred(c) for c in node[1]) + ")"
+
+    trees = {qid: parse_boolean_query(expr) for qid, expr, _k in BOOL_QUERIES}
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}')"
+        for qid, _expr, _k in BOOL_QUERIES
+        for t in boolean_query_leaves(trees[qid])[0]
+    )
+    preds = "\n     OR ".join(
+        f"(sc.query_id = '{qid}' AND {pred(trees[qid])})" for qid in trees
+    )
+    return f"""{_BM25_CORE_SQL},
+q(query_id, term) AS (VALUES
+      {vals}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( {_BM25_CONTRIB_SQL} ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, round(score, {SCORE_ROUND}) AS score_r
+FROM scores sc
+WHERE {preds}
 """
 
 
@@ -2769,6 +2833,7 @@ WHERE text IS NOT NULL
         "more_like_this_stored": _mlt_sql(),
         "phrase_match": _phrase_sql(),
         "percolate_phrase": _phrase_sql(as_score=True),
+        "percolate_boolean": _percolate_boolean_sql(),
         "hash_split": """
             SELECT doc_id,
                    CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000 AS BIGINT) AS bucket,

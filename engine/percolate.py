@@ -34,8 +34,10 @@ class Percolator:
     def __init__(self, index_dir: str, queries: list[dict], mode: str = "any"):
         from .segments import SegmentReader
 
-        if mode not in ("any", "all", "phrase"):
-            raise ValueError("mode must be 'any' (OR), 'all' (AND) or 'phrase'")
+        if mode not in ("any", "all", "phrase", "boolean"):
+            raise ValueError(
+                "mode must be 'any' (OR), 'all' (AND), 'phrase' or 'boolean'"
+            )
         self.mode = mode
         reader = SegmentReader(index_dir)
         self.n_docs = int(reader.stats["n_docs"])
@@ -44,6 +46,22 @@ class Percolator:
         # analog, ResiduePairOccurrence.java:229-463)
         self.queries = []
         for q in queries:
+            if mode == "boolean":
+                # stored expression queries ({"query_id", "expr"}): same
+                # parse/eval machinery and match semantics as boolean_topk
+                from .query import boolean_query_leaves, parse_boolean_query
+
+                tree = parse_boolean_query(q["expr"])
+                pos_terms, all_terms = boolean_query_leaves(tree)
+                self.queries.append(
+                    {
+                        "query_id": q["query_id"],
+                        "tree": tree,
+                        "terms": pos_terms,  # scoring leaves (ascending)
+                        "df": {t: reader.df(t) for t in all_terms},
+                    }
+                )
+                continue
             seq = tokenize_text(q["text"])
             terms = sorted(set(seq))
             self.queries.append(
@@ -89,6 +107,30 @@ class Percolator:
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
         dl = float(sum(tf.values()))
+        if self.mode == "boolean":
+            from .query import _eval_bool_tree
+
+            out = []
+            for q in self.queries:
+                # a leaf is true iff the term is in THIS doc and indexed —
+                # boolean_topk's membership masks come from postings, so an
+                # index-absent term is always false there too
+                df = q["df"]
+                if not _eval_bool_tree(
+                    q["tree"], lambda t: df[t] > 0 and t in tf
+                ):
+                    continue
+                score = 0.0
+                for t in q["terms"]:  # ascending positive leaves
+                    if t not in tf or df[t] == 0:
+                        continue
+                    tff = float(tf[t])
+                    score += self._idf(df[t]) * tff * (BM25_K1 + 1.0) / (
+                        tff + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)
+                    )
+                out.append((q["query_id"], score))
+            out.sort(key=lambda x: (-x[1], x[0]))
+            return out
         out = []
         for q in self.queries:
             # index-absent terms (df == 0) never contribute: Bm25Index.topk

@@ -547,3 +547,41 @@ def test_merge_indexes_matches_full_build(ray_session, tiny_corpus, tmp_path):
     # overlapping docIDs refuse
     with pytest.raises(ValueError, match="overlap"):
         merge_indexes(even_dir, odd_dir)
+
+
+def test_percolate_boolean_matches_boolean_topk(ray_session, tiny_index):
+    """Boolean percolation over every doc == boolean_topk with a corpus-size
+    k: identical matched-doc sets AND bit-identical scores (the stored-query
+    registry and the retrieval path share one expression semantics)."""
+    from engine.percolate import Percolator
+    from engine.query import Bm25Index
+    from engine.synth import generate_transcripts
+
+    corpus_tbl = generate_transcripts(100, 42).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    texts = corpus_tbl["text"].to_pylist()  # row order == docID order
+
+    exprs = [
+        ("B1", "(zqmarker0 OR zqmarker1) AND w00000"),
+        ("B2", "w00000 AND NOT zqmarker0"),
+        ("B3", "w00001 AND NOT (zqmarker0 OR w00000)"),
+        ("B4", "w00000 AND zzzabsentzzz"),
+    ]
+    bm = Bm25Index(tiny_index)
+    perc = Percolator(
+        tiny_index, [{"query_id": q, "expr": e} for q, e in exprs], mode="boolean"
+    )
+    want: dict[str, dict[int, float]] = {q: {} for q, _ in exprs}
+    for qid, e in exprs:
+        d, s = bm.boolean_topk(e, len(texts))
+        want[qid] = dict(zip(d.tolist(), s.tolist()))
+    got: dict[str, dict[int, float]] = {q: {} for q, _ in exprs}
+    for doc_id, text in enumerate(texts):
+        for qid, sc in perc.percolate(text):
+            got[qid][doc_id] = sc
+    assert sum(len(v) for v in want.values()) > 0
+    for qid, _ in exprs:
+        assert got[qid].keys() == want[qid].keys(), qid
+        for d_ in want[qid]:
+            assert got[qid][d_] == want[qid][d_], (qid, d_)  # bit-identical
