@@ -393,6 +393,36 @@ class ShardedQueryService:
         bm = self._gather(terms, timeout_s)
         return bm.qld_topk(terms, k, mu=mu, rank_round=rank_round)
 
+    def boolean_topk(
+        self,
+        expr: str,
+        k: int,
+        timeout_s: float | None = None,
+        rank_round: int | None = None,
+    ):
+        """Sharded nested-boolean retrieval: one scatter/gather over ALL
+        leaf terms (positive leaves generate candidates, negative leaves are
+        membership probes), then the unchanged expression-tree evaluation at
+        the coordinator. Bit-identical to Bm25Index.boolean_topk (tested)."""
+        from .query import boolean_query_leaves, parse_boolean_query
+
+        tree = parse_boolean_query(expr)
+        _pos, all_terms = boolean_query_leaves(tree)
+        bm = self._gather(all_terms, timeout_s)
+        return bm.boolean_topk(expr, k, rank_round=rank_round)
+
+    def span_near(
+        self, terms: list[str], window: int, timeout_s: float | None = None
+    ):
+        """Sharded ordered multi-term spans: positions=True scatter/gather,
+        then the rank-telescoped span counting at the coordinator.
+        Integer-exact, identical to Bm25Index.span_near (tested)."""
+        from .tokenize import tokenize_text
+
+        toks = sorted({x for t in terms for x in tokenize_text(t)})
+        bm = self._gather(toks, timeout_s, positions=True)
+        return bm.span_near(terms, window)
+
     def phrase_match(self, phrase_text: str, timeout_s: float | None = None):
         """Sharded exact-phrase matching: a positions=True scatter/gather
         ships the phrase terms' position streams alongside the postings, then

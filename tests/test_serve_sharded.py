@@ -177,3 +177,52 @@ def test_sharded_quarantine_serves_remaining(ray_session, tiny_index, tmp_path):
         np.testing.assert_allclose(s, s2, rtol=0, atol=0)
     finally:
         svc.shutdown()
+
+
+def test_sharded_boolean_bit_identity(sharded, tiny_index):
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(tiny_index)
+    exprs = [
+        "(zqmarker0 OR zqmarker1) AND w00000",
+        "w00000 AND NOT zqmarker0",
+        "w00001 AND NOT (zqmarker0 OR w00000)",
+        "w00000 AND zzzabsentzzz",
+    ]
+    hits = 0
+    for e in exprs:
+        d1, s1 = bm.boolean_topk(e, 15)
+        d2, s2 = sharded.boolean_topk(e, 15)
+        np.testing.assert_array_equal(d1, d2, err_msg=e)
+        np.testing.assert_array_equal(
+            np.asarray(s1).view(np.uint64), np.asarray(s2).view(np.uint64)
+        )
+        hits += len(d1)
+    assert hits > 0
+
+
+def test_sharded_span_near(ray_session, tiny_corpus, tmp_path):
+    """span_near over the sharded positional service == local (integer-exact)."""
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.serve import ShardedQueryService
+
+    idx = str(tmp_path / "pos_sh")
+    build_index(tiny_corpus, idx, n_buckets=8, n_salts=2, positions=True)
+    # fractional actor CPUs: the module-scoped `sharded` fixture already
+    # holds 3 single-CPU shard actors; a second full-CPU pool would exceed
+    # the 4-CPU test cluster and DEADLOCK actor creation
+    svc = ShardedQueryService(idx, n_shards=3, num_cpus=0.25)
+    try:
+        bm = Bm25Index(idx)
+        cases = [(["w00000", "w00001", "w00002"], 8), (["w00000", "w00001"], 3)]
+        hits = 0
+        for terms, w in cases:
+            d1, n1 = bm.span_near(terms, w)
+            d2, n2 = svc.span_near(terms, w)
+            np.testing.assert_array_equal(d1, d2)
+            np.testing.assert_array_equal(n1, n2)
+            hits += len(d1)
+        assert hits > 0
+    finally:
+        svc.shutdown()
