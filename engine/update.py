@@ -756,7 +756,11 @@ def compact_index(index_dir: str) -> dict:
 @ray.remote
 def _graft_part(dst_dir: str, part: int, src_path: str, run_offset: int) -> int:
     """Append one src segment file to dst part ``part`` with run ids offset —
-    postings blobs move verbatim, nothing is decoded."""
+    postings blobs move verbatim, nothing is decoded. IDEMPOTENT: a part
+    whose max run id already reaches this generation's offset was grafted by
+    a previous (crashed) attempt — the segment rewrite is atomic, so it is
+    either fully grafted or untouched — and is skipped, which is what makes
+    a crashed merge safely re-runnable."""
     src = pq.read_table(src_path)
     i = src.schema.get_field_index("run")
     src = src.set_column(
@@ -764,7 +768,11 @@ def _graft_part(dst_dir: str, part: int, src_path: str, run_offset: int) -> int:
     )
     path = state.segment_path(dst_dir, part)
     if os.path.exists(path):
-        merged = pa.concat_tables([pq.read_table(path), src]).sort_by(
+        dst_tbl = pq.read_table(path)
+        prior_max = pc.max(dst_tbl["run"]).as_py()
+        if prior_max is not None and int(prior_max) >= run_offset:
+            return part  # this generation's runs are already in
+        merged = pa.concat_tables([dst_tbl, src]).sort_by(
             [("term", "ascending"), ("run", "ascending")]
         )
     else:
@@ -846,27 +854,54 @@ def merge_indexes(dst_dir: str, src_dir: str) -> dict:
             "docIDs; merge id-mode indexes (or re-ADD the raw transcripts)"
         )
 
-    from .build import _build_dl_lookup
-
-    dl_ref, dst_docs, dst_avgdl, _fit, _meta = _build_dl_lookup(_docmap_dir(dst_dir))
     src_files = sorted(
         os.path.join(root, f)
         for root, _dirs, fs in os.walk(_docmap_dir(src_dir))
         for f in fs
         if f.endswith(".parquet")
     )
-    # dl_ref auto-dereferences inside each task (ShardedDl or the legacy
-    # merged (ids, dls) overlap fallback — _id_collisions handles both)
-    collisions = sum(
-        ray.get([_id_collisions.remote(dl_ref, p) for p in src_files])
-    )
-    if collisions:
-        raise ValueError(
-            f"merge refused: docID spaces overlap — {collisions} src docIDs "
-            "already present in dst"
+    src_docs = sum(pq.read_metadata(p).num_rows for p in src_files)
+
+    # Crash-resume journal: the collision check is only valid BEFORE any src
+    # docmap rows land in dst, and the generation must stay fixed across
+    # attempts (it is the part-graft idempotency key). Journal first; a
+    # re-run with a matching journal resumes — skips the collision check,
+    # reuses the journaled generation — and every later step is idempotent
+    # (part grafts skip via run-id marker, docmap copies overwrite the same
+    # delta file names, stats recompute from what is on disk).
+    jpath = os.path.join(dst_dir, "merge-journal.json")
+    src_key = os.path.realpath(src_dir)
+    if os.path.exists(jpath):
+        with open(jpath) as f:
+            journal = json.load(f)
+        if journal.get("src") != src_key:
+            raise ValueError(
+                f"merge refused: unfinished merge of {journal.get('src')!r} "
+                "in progress; re-run that merge (or remove merge-journal.json "
+                "after manual repair) first"
+            )
+        generation = int(journal["generation"])
+    else:
+        from .build import _build_dl_lookup
+
+        dl_ref, _dst_docs, _dst_avgdl, _fit, _meta = _build_dl_lookup(
+            _docmap_dir(dst_dir)
+        )
+        # dl_ref auto-dereferences inside each task (ShardedDl or the legacy
+        # merged (ids, dls) overlap fallback — _id_collisions handles both)
+        collisions = sum(
+            ray.get([_id_collisions.remote(dl_ref, p) for p in src_files])
+        )
+        if collisions:
+            raise ValueError(
+                f"merge refused: docID spaces overlap — {collisions} src "
+                "docIDs already present in dst"
+            )
+        generation = int(dst.get("generation", 0)) + 1
+        state.atomic_write_bytes(
+            json.dumps({"src": src_key, "generation": generation}).encode(), jpath
         )
 
-    generation = int(dst.get("generation", 0)) + 1
     run_offset = generation * int(dst["n_salts"])
     src_parts = state.committed_parts(src_dir)
     ray.get(
@@ -905,8 +940,9 @@ def merge_indexes(dst_dir: str, src_dir: str) -> dict:
         state.atomic_write_bytes(
             json.dumps(contract, sort_keys=True).encode(), rpath
         )
+    os.remove(jpath)  # merge committed; journal no longer claims the dir
     return {
-        "merged_docs": n_docs - dst_docs,
+        "merged_docs": src_docs,
         "n_docs": n_docs,
         "parts_touched": len(src_parts),
         "generation": generation,

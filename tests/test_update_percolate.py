@@ -585,3 +585,82 @@ def test_percolate_boolean_matches_boolean_topk(ray_session, tiny_index):
         assert got[qid].keys() == want[qid].keys(), qid
         for d_ in want[qid]:
             assert got[qid][d_] == want[qid][d_], (qid, d_)  # bit-identical
+
+
+def test_merge_indexes_crash_resume(ray_session, tiny_corpus, tmp_path):
+    """A merge killed mid-graft resumes to the SAME index a clean merge
+    produces: the journal pins the generation and skips the (now-invalid)
+    collision check, and per-part grafts are idempotent via the run-id
+    marker — re-running after ANY crash point neither double-grafts nor
+    refuses."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from engine import state
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.update import _graft_part, merge_indexes
+
+    corpus = pa.concat_tables(
+        pq.read_table(p) for p in sorted(glob.glob(tiny_corpus + "/*.parquet"))
+    )
+    corpus = corpus.append_column(
+        "doc_id", pa.array(np.arange(corpus.num_rows, dtype=np.int64))
+    )
+    lo = corpus.filter(pa.array(np.arange(corpus.num_rows) < corpus.num_rows // 2))
+    hi = corpus.filter(pa.array(np.arange(corpus.num_rows) >= corpus.num_rows // 2))
+
+    import ray.data
+
+    kw = dict(n_buckets=8, n_salts=2, hot_fraction=0.05, id_col="doc_id")
+    a1, b1, a2, b2 = (str(tmp_path / n) for n in ("a1", "b1", "a2", "b2"))
+    for dst, src in ((a1, b1), (a2, b2)):
+        build_index(ray.data.from_arrow(lo), dst, **kw)
+        build_index(ray.data.from_arrow(hi), src, **kw)
+
+    # clean merge on pair 1 = the golden result
+    merge_indexes(a1, b1)
+
+    # pair 2: simulate a crash — journal written, HALF the parts grafted
+    stats = state.read_stats(a2)
+    generation = int(stats.get("generation", 0)) + 1
+    state.atomic_write_bytes(
+        json.dumps({"src": os.path.realpath(b2), "generation": generation}).encode(),
+        os.path.join(a2, "merge-journal.json"),
+    )
+    run_offset = generation * int(stats["n_salts"])
+    parts = sorted(state.committed_parts(b2))
+    ray.get([
+        _graft_part.remote(a2, p, state.segment_path(b2, p), run_offset)
+        for p in parts[: len(parts) // 2]
+    ])
+    # resume: must complete without refusing and without double-grafting
+    rep = merge_indexes(a2, b2)
+    assert rep["n_docs"] == corpus.num_rows
+    assert not os.path.exists(os.path.join(a2, "merge-journal.json"))
+
+    g, r = Bm25Index(a1), Bm25Index(a2)
+    assert g.n_docs == r.n_docs and g.avgdl == r.avgdl
+    for q in ("the zqmarker0", "w00000", "table dup", "zqmarker1"):
+        d1, s1 = g.topk(q, 15)
+        d2, s2 = r.topk(q, 15)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
+    # per-part payload CRCs identical: no duplicate runs anywhere
+    pa_parts, pb_parts = state.committed_parts(a1), state.committed_parts(a2)
+    assert sorted(pa_parts) == sorted(pb_parts)
+    for p in pa_parts:
+        assert pa_parts[p]["checksum"] == pb_parts[p]["checksum"], f"part {p}"
+
+    # a journal for a DIFFERENT src refuses
+    state.atomic_write_bytes(
+        json.dumps({"src": "/elsewhere", "generation": 9}).encode(),
+        os.path.join(a2, "merge-journal.json"),
+    )
+    with pytest.raises(ValueError, match="unfinished merge"):
+        merge_indexes(a2, b2)
+    os.remove(os.path.join(a2, "merge-journal.json"))
