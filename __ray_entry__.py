@@ -1710,13 +1710,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": label_centroids,
         "bpe_token_counts": bpe_token_counts,
         "substring_dup_stats": substring_dup_stats,
+        # ---- core sentinels (already green r1-r3; keep in the window) -----
+        "tokenize_tf": tokenize_tf,
+        "bm25_topk": bm25_topk,
         "uniform_sample_k": uniform_sample_k,
         "grouped_quantile_sketch": lambda sf_dir: __import__(
             "engine.ops.sketch", fromlist=["grouped_quantile_sketch"]
         ).grouped_quantile_sketch(sf_dir, qs=(50, 90, 99), eps=0.02),
-        # ---- core sentinels (already green r1-r3; keep in the window) -----
-        "tokenize_tf": tokenize_tf,
-        "bm25_topk": bm25_topk,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
