@@ -793,6 +793,15 @@ def _graft_part(dst_dir: str, part: int, src_path: str, run_offset: int) -> int:
 
 
 @ray.remote
+def _copy_file(src: str, dst: str) -> None:
+    import shutil
+
+    tmp = dst + ".tmp"
+    shutil.copyfile(src, tmp)
+    os.replace(tmp, dst)
+
+
+@ray.remote
 def _id_collisions(dst_dl, path: str) -> int:
     """#src docIDs (one docmap file) already present in dst — routed through
     dst's range-sharded id shards, nothing O(corpus) anywhere."""
@@ -913,12 +922,16 @@ def merge_indexes(dst_dir: str, src_dir: str) -> dict:
         ]
     )
 
-    import shutil
-
     delta_dir = os.path.join(_docmap_dir(dst_dir), f"delta-{generation:04d}")
     os.makedirs(delta_dir, exist_ok=True)
-    for i, p in enumerate(src_files):
-        shutil.copyfile(p, os.path.join(delta_dir, f"merged-{i:05d}.parquet"))
+    # one task per docmap file (names deterministic -> re-copy on resume
+    # overwrites, never duplicates); the driver never streams docmap bytes
+    ray.get(
+        [
+            _copy_file.remote(p, os.path.join(delta_dir, f"merged-{i:05d}.parquet"))
+            for i, p in enumerate(src_files)
+        ]
+    )
 
     n_docs, avgdl = _rewrite_docmap_marker(dst_dir)
     new_stats = _refresh_stats(dst_dir, n_docs, avgdl, generation)
