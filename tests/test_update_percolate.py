@@ -664,3 +664,54 @@ def test_merge_indexes_crash_resume(ray_session, tiny_corpus, tmp_path):
     with pytest.raises(ValueError, match="unfinished merge"):
         merge_indexes(a2, b2)
     os.remove(os.path.join(a2, "merge-journal.json"))
+
+
+def test_merge_indexes_positional(ray_session, tiny_corpus, tmp_path):
+    """Positional bundles merge too: pos_enc runs graft verbatim and phrase /
+    span queries over the merged index equal a full positional build."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.update import merge_indexes
+
+    corpus = pa.concat_tables(
+        pq.read_table(p) for p in sorted(glob.glob(tiny_corpus + "/*.parquet"))
+    )
+    corpus = corpus.append_column(
+        "doc_id", pa.array(np.arange(corpus.num_rows, dtype=np.int64))
+    )
+    half = corpus.num_rows // 2
+    lo = corpus.filter(pa.array(np.arange(corpus.num_rows) < half))
+    hi = corpus.filter(pa.array(np.arange(corpus.num_rows) >= half))
+
+    import ray.data
+
+    kw = dict(n_buckets=8, n_salts=2, id_col="doc_id", positions=True)
+    full_d, lo_d, hi_d = (str(tmp_path / n) for n in ("pfull", "plo", "phi"))
+    build_index(ray.data.from_arrow(corpus), full_d, **kw)
+    build_index(ray.data.from_arrow(lo), lo_d, **kw)
+    build_index(ray.data.from_arrow(hi), hi_d, **kw)
+    merge_indexes(lo_d, hi_d)
+
+    ref, mrg = Bm25Index(full_d), Bm25Index(lo_d)
+    hits = 0
+    for phrase in ("w00000 w00001", "zqmarker0 w00000"):
+        d1, n1 = ref.phrase_match(phrase)
+        d2, n2 = mrg.phrase_match(phrase)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_array_equal(n1, n2)
+        hits += len(d1)
+    d1, n1 = ref.span_near(["w00000", "w00001", "w00002"], 8)
+    d2, n2 = mrg.span_near(["w00000", "w00001", "w00002"], 8)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(n1, n2)
+    assert hits + len(d1) > 0
+
+    # positional x non-positional refuses
+    flat = str(tmp_path / "pflat")
+    build_index(ray.data.from_arrow(hi), flat, n_buckets=8, n_salts=2, id_col="doc_id")
+    with pytest.raises(ValueError, match="positional"):
+        merge_indexes(full_d, flat)
