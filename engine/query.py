@@ -222,6 +222,7 @@ class Bm25Index:
     def __init__(self, index_dir: str, read_error_strategy: str = "throw",
                  dl_handle=None):
         self.index_dir = index_dir
+        self._queries_served = 0
         self.reader = SegmentReader(index_dir, read_error_strategy=read_error_strategy)
         self.n_docs = int(self.reader.stats["n_docs"])
         self.avgdl = float(self.reader.stats["avgdl"])
@@ -291,6 +292,19 @@ class Bm25Index:
             pos = np.searchsorted(ids, doc_ids)
             return dls[pos].astype(np.float64)
         return obj.gather(doc_ids, dtype=np.float64)
+
+    def metrics(self) -> dict:
+        """Query-side serving metrics: reader counters (decoded runs,
+        postings-cache hits, payload column reads, quarantined parts) plus
+        queries served by this handle — the read-path sibling of the build's
+        per-partition lineage metrics (manifest encode_sec / stats
+        timings_sec). Counters are per-process (per query actor)."""
+        out = dict(getattr(self.reader, "metrics", {}))
+        out["queries_served"] = self._queries_served
+        out["postings_cache_entries"] = getattr(
+            self.reader, "_post_cache_entries", 0
+        )
+        return out
 
     def idf(self, term: str) -> float:
         df = self.reader.df(term)
@@ -395,6 +409,7 @@ class Bm25Index:
         side strict round-up guard on block maxes makes every pruned doc's
         score strictly below the kth, so score AND doc-id tie-break order are
         identical to exhaustive scoring (asserted in tests)."""
+        self._queries_served += 1
         if allowed is not None or excluded is not None:
             return self._topk_exhaustive(
                 query_text, k, rank_round, allowed=allowed, excluded=excluded
@@ -579,6 +594,7 @@ class Bm25Index:
         :79-112): terms processed rarest-first (O1 informativeness ordering),
         candidate set shrinks via sorted intersection, EARLY EXIT the moment it
         empties (:108-111); survivors then scored exactly like ``topk``."""
+        self._queries_served += 1
         terms = sorted(set(tokenize_text(query_text)))
         if not terms:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)

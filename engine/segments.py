@@ -386,6 +386,15 @@ class SegmentReader:
             os.environ.get("GRAFT_POSTINGS_CACHE_ENTRIES", 64_000_000)
         )
         self._blocks_cache: dict[str, list[dict]] = {}
+        # query-side serving metrics (the per-partition lineage metrics'
+        # read-path sibling): cheap int counters, read via
+        # Bm25Index.metrics() / QueryService.metrics()
+        self.metrics: dict[str, int] = {
+            "postings_cache_hits": 0,
+            "runs_decoded": 0,
+            "payload_column_reads": 0,
+            "parts_quarantined": 0,
+        }
 
     def parts_of(self, term: str) -> list[int]:
         """Candidate part files for a term: 1 for cold, n_salts for hot."""
@@ -415,6 +424,7 @@ class SegmentReader:
             part, path, reason,
         )
         self._quarantined.add(part)
+        self.metrics["parts_quarantined"] += 1
         self._mark_empty(part)
 
     def _check_crc(self, part: int) -> bool:
@@ -472,6 +482,7 @@ class SegmentReader:
         call (columnar projection — untouched columns never leave disk)."""
         missing = [n for n in names if (part, n) not in self._col_cache]
         if missing:
+            self.metrics["payload_column_reads"] += len(missing)
             path = self._part_path(part)
             if not os.path.exists(path) or part in self._quarantined:
                 for n in missing:
@@ -511,8 +522,10 @@ class SegmentReader:
         hit = self._post_cache.get(term)
         if hit is not None:
             self._post_cache.move_to_end(term)
+            self.metrics["postings_cache_hits"] += 1
             return hit
         runs = self._runs(term)
+        self.metrics["runs_decoded"] += len(runs)
         if not runs:
             out = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         else:

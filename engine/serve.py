@@ -59,6 +59,9 @@ class _Replica:
             self.bm.topk(q, k)
         return len(queries)
 
+    def metrics(self) -> dict:
+        return self.bm.metrics()
+
 
 class QueryService:
     """Round-robin front over N replica actors.
@@ -99,6 +102,18 @@ class QueryService:
 
     def warm(self, texts: list[str], k: int = 10) -> None:
         ray.get([r.warm.remote(texts, k) for r in self._replicas])
+
+    def metrics(self) -> dict:
+        """Pool-wide serving metrics: the per-replica Bm25Index counters
+        (queries served, runs decoded, cache hits, payload reads,
+        quarantined parts) summed across replicas."""
+        per = ray.get([r.metrics.remote() for r in self._replicas])
+        out: dict = {}
+        for m in per:
+            for key, v in m.items():
+                out[key] = out.get(key, 0) + v
+        out["n_replicas"] = len(per)
+        return out
 
     def shutdown(self) -> None:
         for r in self._replicas:

@@ -23,3 +23,33 @@ def test_batch_topk_sharded_bit_identity(ray_session, tiny_index):
     assert aa.sort_by([("query_id", "ascending"), ("rank", "ascending")]).equals(
         bb.sort_by([("query_id", "ascending"), ("rank", "ascending")])
     )
+
+
+def test_query_metrics_counters(ray_session, tiny_index):
+    """Serving metrics: decode/cache counters move as expected on a fresh
+    handle, and QueryService.metrics() sums across replicas."""
+    from engine.query import Bm25Index
+    from engine.serve import QueryService
+
+    bm = Bm25Index(tiny_index)
+    m0 = bm.metrics()
+    assert m0["queries_served"] == 0 and m0["runs_decoded"] == 0
+    bm.topk("w00000 zqmarker0", 5)
+    m1 = bm.metrics()
+    assert m1["queries_served"] == 1
+    assert m1["runs_decoded"] > 0 and m1["payload_column_reads"] > 0
+    bm.topk("w00000 zqmarker0", 5)  # same terms -> cache hits, no new decode
+    m2 = bm.metrics()
+    assert m2["queries_served"] == 2
+    assert m2["postings_cache_hits"] > m1["postings_cache_hits"]
+    assert m2["runs_decoded"] == m1["runs_decoded"]
+    assert m2["parts_quarantined"] == 0
+
+    svc = QueryService(tiny_index, n_replicas=2, num_cpus=0.25)
+    try:
+        svc.topk("w00000", 5)
+        svc.topk("zqmarker0", 5)
+        m = svc.metrics()
+        assert m["n_replicas"] == 2 and m["queries_served"] == 2
+    finally:
+        svc.shutdown()
