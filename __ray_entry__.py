@@ -616,6 +616,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def span_near_scored(sf_dir):
+        """RANKED sloppy spans (Lucene SloppyPhraseScorer, ordered): sloppy
+        frequency 1/(span_slop+1) per tuple, BM25 over sf with summed term
+        idfs — the positional surface's ranked-retrieval mode."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_posindex(sf_dir))
+        tables = []
+        for qid, terms, w in SPAN_QUERIES:
+            d, s = bm.span_near_topk(terms, w, 10, rank_round=RANK_ROUND)
+            tables.append(_hits_table(qid, d, s))
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
     def kwic(sf_dir):
         """Keyword-in-context: ±2-token snippets around every positional-index
         occurrence of each highlight term; text sliced in one streamed pass."""
@@ -1665,6 +1679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_rollup": rel.pricing_rollup,
         "proximity_match": proximity_match,
         "span_near": span_near,
+        "span_near_scored": span_near_scored,
         "running_totals": lambda sf_dir: _collect(rel.running_totals(sf_dir)),
         "percolate_phrase": percolate_phrase,
         "percolate_boolean": percolate_boolean,
@@ -2454,6 +2469,58 @@ toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM l)
 """
 
 
+def _span_scored_sql() -> str:
+    """Ranked-sloppy-span oracle: per-tuple weight 1/(slop+1) summed per doc
+    (sloppy frequency), BM25 over sf with the query's summed idf; same
+    ranking contract as _bm25_sql. SN4 (n=2) uses the pairwise weight."""
+    parts = []
+    for qid, terms, w in SPAN_QUERIES:
+        n = len(terms)
+        froms = ", ".join(f"toks t{i}" for i in range(n))
+        conds = [f"t{i}.tok = '{t}'" for i, t in enumerate(terms)]
+        conds += [f"t{i}.doc_id = t0.doc_id" for i in range(1, n)]
+        conds += [f"t{i}.i < t{i + 1}.i" for i in range(n - 1)]
+        conds.append(f"t{n - 1}.i - t0.i <= {w}")
+        wgt = f"1.0 / (t{n - 1}.i - t0.i - {n - 1} + 1)"
+        parts.append(
+            f"SELECT '{qid}' AS query_id, 10 AS k, t0.doc_id, sum({wgt}) AS sf "
+            f"FROM {froms} WHERE {' AND '.join(conds)} GROUP BY t0.doc_id"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    idf_vals = ",\n      ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms, _w in SPAN_QUERIES
+        for t in sorted(set(terms))
+    )
+    return f"""
+WITH l AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),
+toks AS MATERIALIZED (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM l),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tdf AS (SELECT tok AS term, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+qterms(query_id, term) AS (VALUES
+      {idf_vals}),
+idfq AS (
+  SELECT q.query_id,
+         sum(ln(1 + (s.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))) AS idf
+  FROM qterms q JOIN tdf USING (term) CROSS JOIN stats s
+  GROUP BY q.query_id
+),
+sf AS ({union}),
+hits AS (
+  SELECT sf.query_id, sf.k, sf.doc_id,
+         idfq.idf * sf.sf * (1.2 + 1)
+         / (sf.sf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) AS score
+  FROM sf
+  JOIN idfq USING (query_id)
+  JOIN dl_all USING (doc_id)
+  CROSS JOIN stats s
+),
+{_rank_cut_sql()}
+"""
+
+
 def _transcripts_phrase_sql() -> str:
     """Phrase oracle on the TRANSCRIPTS corpus: same k-way positional
     self-join as :func:`_phrase_sql`, over the row_number-minted doc ids the
@@ -2792,6 +2859,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_phrase": _transcripts_phrase_sql(),
         "proximity_match": _proximity_sql(),
         "span_near": _span_near_sql(),
+        "span_near_scored": _span_scored_sql(),
         "running_totals": """
             SELECT event_id, user_id,
                    sum(CAST(round(value * 100) AS BIGINT))

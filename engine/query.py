@@ -805,6 +805,81 @@ class Bm25Index:
         keep = counts > 0
         return candidates[keep], counts[keep]
 
+    def span_near_topk(
+        self,
+        terms: list[str],
+        window: int,
+        k: int,
+        rank_round: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """RANKED sloppy spans (Lucene SloppyPhraseScorer semantics, ordered):
+        each ordered tuple ``p1 < ... < pn`` with ``pn - p1 <= window``
+        contributes a sloppy frequency of ``1 / (pn - p1 - (n-1) + 1)``
+        (adjacent tuple = 1, looser spans decay), then the doc scores as
+        BM25 with tf = sloppy_freq and idf = sum of the terms' idfs.
+
+        Counting runs one vectorized pass PER SPAN LENGTH d (d <= window, a
+        dozen passes, each a searchsorted over the packed position arrays)
+        — the per-d weight is constant, so determinism is by construction:
+        d ascending, positions ascending. Supports 2 or 3 distinct terms,
+        same packing/telescoping as span_near."""
+        toks = [tokenize_text(t) for t in terms]
+        if any(len(t) != 1 for t in toks):
+            raise ValueError("span_near_topk takes exactly one token per term")
+        flat_terms = [t[0] for t in toks]
+        n = len(flat_terms)
+        if len(set(flat_terms)) != n or n not in (2, 3):
+            raise ValueError("span_near_topk takes 2 or 3 distinct terms")
+        if window < n - 1:
+            raise ValueError(f"window must be >= {n - 1} for {n} ordered terms")
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        candidates, _ = self._conjunctive_candidates(sorted(set(flat_terms)))
+        if len(candidates) == 0:
+            return empty
+        base = np.arange(len(candidates), dtype=np.int64) << np.int64(32)
+        packed, lens = [], []
+        for t in flat_terms:
+            pos = self.reader.positions_lookup(t, candidates)
+            ln = np.fromiter((len(p) for p in pos), np.int64, len(candidates))
+            lens.append(ln)
+            packed.append(
+                np.concatenate(pos) + np.repeat(base, ln)
+                if ln.sum()
+                else np.empty(0, np.int64)
+            )
+        A = packed[0]
+        last = packed[-1]
+        per_a = np.zeros(len(A), dtype=np.float64)
+        if n == 3:
+            B = packed[1]
+            g = np.searchsorted(B, last, side="left")  # rank of each c in B
+            h = np.searchsorted(B, A, side="right")    # rank of each a in B
+        for d in range(n - 1, window + 1):
+            idx = np.searchsorted(last, A + d)
+            idx[idx == len(last)] = 0
+            hit = (last[idx] == A + d) if len(last) else np.zeros(len(A), bool)
+            w = 1.0 / (d - (n - 1) + 1)
+            if n == 2:
+                per_a[hit] += w
+            else:
+                nb = (g[idx[hit]] - h[hit]).astype(np.float64)
+                per_a[hit] += w * nb
+        a_bounds = np.zeros(len(candidates) + 1, dtype=np.int64)
+        np.cumsum(lens[0], out=a_bounds[1:])
+        sf = np.zeros(len(candidates), dtype=np.float64)
+        nz = np.flatnonzero(lens[0])
+        if len(nz) and len(per_a):
+            sf[nz] = np.add.reduceat(per_a, a_bounds[nz])
+        keep = sf > 0
+        if not keep.any():
+            return empty
+        cand, sf = candidates[keep], sf[keep]
+        idf_sum = 0.0
+        for t in sorted(set(flat_terms)):  # ascending-term sum, like score_all
+            idf_sum += self.idf(t)
+        score = self._contrib(idf_sum, sf, self.dl(cand))
+        return self._rank_topk(cand, score, k, rank_round)
+
     def term_positions(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Every (doc, position) occurrence of ``term``, exploded — the
         highlight/offsets primitive (the reference surfaces per-occurrence

@@ -431,3 +431,57 @@ def test_span_near_vs_oracle(pos_index, doc_tokens):
         bm.span_near(["a", "b", "c", "d"], 4)
     with _pytest.raises(ValueError, match="window"):
         bm.span_near(["w00000", "w00001", "w00002"], 1)
+
+
+def test_span_near_topk_vs_oracle(pos_index, doc_tokens):
+    """Ranked sloppy spans == brute force: sf = sum of 1/(slop+1) over all
+    ordered tuples in-window, score = BM25(tf=sf) with summed idfs."""
+    import math
+
+    from engine.query import Bm25Index
+    from engine.schema import BM25_B, BM25_K1
+
+    bm = Bm25Index(pos_index)
+    some = doc_tokens[min(doc_tokens)]
+    trip = list(dict.fromkeys(some))[:3]
+    cases = [
+        (trip, 4), (trip, 10),
+        (["w00000", "w00001", "w00002"], 8),
+        (["w00000", "w00001"], 3),  # n=2 weight = 1/d
+    ]
+    any_hits = 0
+    for terms, w in cases:
+        if len(set(terms)) != len(terms):
+            continue
+        n = len(terms)
+        exp = {}
+        for d_, toks in doc_tokens.items():
+            pos = [[i for i, t in enumerate(toks) if t == q] for q in terms]
+            sf = 0.0
+            if n == 2:
+                for i in pos[0]:
+                    for j in pos[1]:
+                        if 0 < j - i <= w:
+                            sf += 1.0 / (j - i)
+            else:
+                for i in pos[0]:
+                    for j in pos[1]:
+                        for k_ in pos[2]:
+                            if i < j < k_ and k_ - i <= w:
+                                sf += 1.0 / (k_ - i - 1)
+            if sf > 0:
+                exp[d_] = sf
+        idf = sum(bm.idf(t) for t in sorted(set(terms)))
+        scored = {}
+        for d_, sf in exp.items():
+            dl = len(doc_tokens[d_])
+            denom = sf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / bm.avgdl)
+            scored[d_] = idf * sf * (BM25_K1 + 1.0) / denom
+        want = sorted(scored.items(), key=lambda it: (-it[1], it[0]))[:10]
+        d, s = bm.span_near_topk(terms, w, 10)
+        assert list(d) == [x[0] for x in want], (terms, w)
+        np.testing.assert_allclose(s, [x[1] for x in want], rtol=0, atol=1e-9)
+        any_hits += len(want)
+    assert any_hits > 0
+    d, s = bm.span_near_topk(["w00000", "zzzabsentzzz", "w00001"], 6, 5)
+    assert len(d) == 0
