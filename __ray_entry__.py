@@ -118,6 +118,16 @@ PREFIX_QUERIES: list[tuple[str, str, int]] = [  # (qid, prefix, k)
     ("PR3_single", "q", 10),     # degenerates to single-term topk
     ("PR4_absent", "zz", 10),
 ]
+# regex term queries (Lucene RegexpQuery surface): RE2 full-match against the
+# vocab on BOTH engines (pyarrow and DuckDB embed the same RE2), so the
+# variant sets are identical by construction
+REGEX_QUERIES: list[tuple[str, str, int]] = [  # (qid, RE2 pattern, k)
+    ("RX1_alternation", "join|merge|hash", 10),
+    ("RX2_contains", ".*a.*", 10),        # 11 variants: widest expansion
+    ("RX3_suffix", ".*er", 10),           # suffix wildcard — prefix can't
+    ("RX4_charclass", "s[cl]\\w+", 10),   # scan, slow, small
+    ("RX5_absent", "zz+", 10),
+]
 
 # --- fuzzy queries: each term expands to its ed<=1 vocab neighborhood -------
 FUZZY_QUERIES: list[tuple[str, list[str], int]] = [  # (qid, typo'd terms, k)
@@ -781,6 +791,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tables = []
         for qid, prefix, k in PREFIX_QUERIES:
             variants = bm.prefix_terms(prefix)
+            if not variants:
+                continue
+            d, s = bm.expanded_topk([variants], k, rank_round=RANK_ROUND)
+            tables.append(_hits_table(qid, d, s))
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
+    def bm25_topk_regex(sf_dir):
+        """Regex term query (Lucene RegexpQuery): RE2 full-match vocabulary
+        scan expands the pattern into an OR-slot of concrete terms, scored
+        max-over-variants through the same expanded-topk path as prefix."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        tables = []
+        for qid, pattern, k in REGEX_QUERIES:
+            variants = bm.regex_terms(pattern)
             if not variants:
                 continue
             d, s = bm.expanded_topk([variants], k, rank_round=RANK_ROUND)
@@ -1761,6 +1788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_msm": bm25_topk_msm,
         "bm25_topk_must_not": bm25_topk_must_not,
         "bm25_topk_prefix": bm25_topk_prefix,
+        "bm25_topk_regex": bm25_topk_regex,
         "bm25_topk_sharded": bm25_topk_sharded,
         "qld_topk": qld_topk,
         "more_like_this": more_like_this,
@@ -2036,6 +2064,34 @@ contrib AS (
          {_BM25_CONTRIB_SQL} AS c
   FROM q
   JOIN tf ON tf.term LIKE q.prefix || '%'
+  JOIN df ON df.term = tf.term
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+),
+hits AS (
+  SELECT query_id, k, doc_id, max(c) AS score
+  FROM contrib GROUP BY query_id, k, doc_id
+),
+{_rank_cut_sql()}
+"""
+
+
+def _regex_sql() -> str:
+    """Regex-term oracle: variant set = corpus terms where RE2
+    regexp_full_match hits (same RE2 the engine's pyarrow scan uses), score =
+    max variant contribution (single-slot expansion contract)."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{pattern}', {k})"  # duckdb literals keep backslash as-is
+        for qid, pattern, k in REGEX_QUERIES
+    )
+    return f"""{_BM25_CORE_SQL},
+q(query_id, pattern, k) AS (VALUES
+      {vals}),
+contrib AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         {_BM25_CONTRIB_SQL} AS c
+  FROM q
+  JOIN tf ON regexp_full_match(tf.term, q.pattern)
   JOIN df ON df.term = tf.term
   JOIN dl_all ON tf.doc_id = dl_all.doc_id
   CROSS JOIN stats s
@@ -2933,6 +2989,7 @@ WHERE text IS NOT NULL
         "bm25_topk_must_not": _must_not_sql(),
         "bm25_topk_boolean": _boolean_sql(),
         "bm25_topk_prefix": _prefix_sql(),
+        "bm25_topk_regex": _regex_sql(),
         "percolate_conjunctive": _percolate_sql(),
         "transcripts_conv_stats": f"""
             SELECT conv_id,

@@ -1038,6 +1038,27 @@ class Bm25Index:
             raise ValueError(f"prefix '{prefix}' expands to {len(terms)} > {max_terms} terms")
         return terms
 
+    def regex_terms(self, pattern: str, max_terms: int = 64) -> list[str]:
+        """Vocabulary scan with an RE2 FULL match: all indexed terms the
+        pattern matches end-to-end, ascending, capped — Lucene RegexpQuery's
+        automaton-vs-term-dictionary intersection, expressed as one vectorized
+        pass over the A5 vocab surface. pyarrow and DuckDB both embed RE2, so
+        the engine and the SQL oracle see byte-identical regex semantics.
+        Same hard cap as :meth:`prefix_terms` — silent truncation would
+        change results unpredictably."""
+        vocab = self.reader.vocab_df()
+        import pyarrow.compute as _pc
+
+        mask = _pc.match_substring_regex(
+            vocab["term"], pattern=f"^(?:{pattern})$"
+        )
+        terms = sorted(set(vocab.filter(mask)["term"].to_pylist()))
+        if len(terms) > max_terms:
+            raise ValueError(
+                f"regex '{pattern}' expands to {len(terms)} > {max_terms} terms"
+            )
+        return terms
+
     def _deletion_index(self) -> dict[str, set[str]]:
         """FastSS deletion-neighborhood index over the vocab, built lazily
         ONCE per index handle (so once per query actor, like the rest of the

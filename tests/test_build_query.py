@@ -305,6 +305,27 @@ def test_prefix_terms_and_cap(tiny_index, oracle):
             bm.prefix_terms("", max_terms=1)
 
 
+def test_regex_terms_full_match_and_cap(tiny_index, oracle):
+    """RegexpQuery surface: RE2 FULL match against the vocab (a substring hit
+    alone must not qualify), python-re cross-check, cap enforced."""
+    import re
+
+    bm = Bm25Index(tiny_index)
+    vocab = sorted(oracle.postings)
+    for pattern in ("s.*", ".*a.*", "join|merge", "[a-f]+", "zz+"):
+        want = [t for t in vocab if re.fullmatch(pattern, t)]
+        assert bm.regex_terms(pattern) == want, pattern
+    # full-match semantics: a pattern matching only a strict substring of
+    # every vocab term expands to nothing
+    inner = {t[1:-1] for t in vocab if len(t) > 2 and t[1:-1]}
+    for frag in sorted(inner)[:2]:
+        if frag not in vocab:
+            assert bm.regex_terms(re.escape(frag)) == []
+    if len(vocab) > 1:
+        with pytest.raises(ValueError):
+            bm.regex_terms(".*", max_terms=1)
+
+
 def test_category_filter_and_incremental(ray_session, tmp_path):
     """Docmap category sets (resultsContentType analog): category_docs
     resolves the class -> docID set once; filtered top-k equals an explicit
