@@ -118,6 +118,15 @@ PREFIX_QUERIES: list[tuple[str, str, int]] = [  # (qid, prefix, k)
     ("PR3_single", "q", 10),     # degenerates to single-term topk
     ("PR4_absent", "zz", 10),
 ]
+# pseudo-relevance feedback (RM3/Rocchio two-pass): constants shared by the
+# engine call and the SQL oracle; beta dyadic so w*contrib products are exact
+RM3_FB_DOCS, RM3_FB_TERMS, RM3_BETA, RM3_SELECT_ROUND = 10, 5, 0.5, 9
+RM3_QUERIES: list[tuple[str, str, int]] = [  # (qid, text, k)
+    ("R1_common_pair", "key table", 10),
+    ("R2_rare_marker", "dup", 15),
+    ("R3_triple", "join hash merge", 10),
+    ("R4_absent", "zzzabsentzzz", 10),  # no live terms -> no hits
+]
 # regex term queries (Lucene RegexpQuery surface): RE2 full-match against the
 # vocab on BOTH engines (pyarrow and DuckDB embed the same RE2), so the
 # variant sets are identical by construction
@@ -794,6 +803,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             if not variants:
                 continue
             d, s = bm.expanded_topk([variants], k, rank_round=RANK_ROUND)
+            tables.append(_hits_table(qid, d, s))
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
+    def rm3_topk(sf_dir):
+        """Pseudo-relevance feedback (RM3/Rocchio): BM25 top-10 -> integer
+        feedback term mass * idf selects 5 expansion terms from the doc
+        store -> weighted union re-retrieval (original terms weight 1,
+        expansion beta-scaled)."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        tables = []
+        for qid, text, k in RM3_QUERIES:
+            d, s = bm.rm3_topk(
+                text, k, fb_docs=RM3_FB_DOCS, fb_terms=RM3_FB_TERMS,
+                beta=RM3_BETA, rank_round=RANK_ROUND,
+                select_round=RM3_SELECT_ROUND,
+            )
             tables.append(_hits_table(qid, d, s))
         res = pa.concat_tables([t for t in tables if t.num_rows])
         return _round_scores(res, "score", "score_r", SCORE_ROUND)
@@ -1789,6 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_must_not": bm25_topk_must_not,
         "bm25_topk_prefix": bm25_topk_prefix,
         "bm25_topk_regex": bm25_topk_regex,
+        "rm3_topk": rm3_topk,
         "bm25_topk_sharded": bm25_topk_sharded,
         "qld_topk": qld_topk,
         "more_like_this": more_like_this,
@@ -2099,6 +2128,78 @@ contrib AS (
 hits AS (
   SELECT query_id, k, doc_id, max(c) AS score
   FROM contrib GROUP BY query_id, k, doc_id
+),
+{_rank_cut_sql()}
+"""
+
+
+def _rm3_sql() -> str:
+    """RM3/Rocchio oracle: stage-1 BM25 cut at RM3_FB_DOCS (rounded rank),
+    integer feedback mass sum(tf) * idf rounded to RM3_SELECT_ROUND picks
+    RM3_FB_TERMS expansion terms (anti-joined against the query's own
+    terms), w = beta*key/key_max, final score = sum(w * contrib)."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}', {k})"
+        for qid, text, k in RM3_QUERIES
+        for t in sorted(set(text.split()))
+    )
+    return f"""{_BM25_CORE_SQL},
+q(query_id, term, k) AS (VALUES
+      {vals}),
+qk AS (SELECT DISTINCT query_id, k FROM q),
+fbq AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25_CONTRIB_SQL}) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df ON df.term = tf.term
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS r
+    FROM fbq) WHERE r <= {RM3_FB_DOCS}
+),
+exp_raw AS (
+  SELECT fb.query_id, tf.term, sum(tf.tf) AS sumtf
+  FROM fb
+  JOIN tf ON tf.doc_id = fb.doc_id
+  LEFT JOIN q qq ON qq.query_id = fb.query_id AND qq.term = tf.term
+  WHERE qq.term IS NULL
+  GROUP BY fb.query_id, tf.term
+),
+chosen AS (
+  SELECT query_id, term, key,
+         row_number() OVER (PARTITION BY query_id ORDER BY key DESC, term) AS r
+  FROM (
+    SELECT e.query_id, e.term,
+           round(e.sumtf * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)),
+                 {RM3_SELECT_ROUND}) AS key
+    FROM exp_raw e JOIN df USING (term) CROSS JOIN stats s
+  ) WHERE key > 0
+),
+wts AS (
+  SELECT c.query_id, c.term, {RM3_BETA} * c.key / m.mx AS w
+  FROM chosen c
+  JOIN (SELECT query_id, max(key) AS mx FROM chosen
+        WHERE r <= {RM3_FB_TERMS} GROUP BY query_id) m USING (query_id)
+  WHERE c.r <= {RM3_FB_TERMS}
+  UNION ALL
+  SELECT DISTINCT q.query_id, q.term, 1.0 AS w
+  FROM q JOIN df USING (term)
+),
+hits AS (
+  SELECT w.query_id, qk.k, tf.doc_id, sum(w.w * {_BM25_CONTRIB_SQL}) AS score
+  FROM wts w
+  JOIN qk USING (query_id)
+  JOIN tf ON tf.term = w.term
+  JOIN df ON df.term = tf.term
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY w.query_id, qk.k, tf.doc_id
 ),
 {_rank_cut_sql()}
 """
@@ -2990,6 +3091,7 @@ WHERE text IS NOT NULL
         "bm25_topk_boolean": _boolean_sql(),
         "bm25_topk_prefix": _prefix_sql(),
         "bm25_topk_regex": _regex_sql(),
+        "rm3_topk": _rm3_sql(),
         "percolate_conjunctive": _percolate_sql(),
         "transcripts_conv_stats": f"""
             SELECT conv_id,

@@ -1305,6 +1305,100 @@ class Bm25Index:
             text, k, m=m, rank_round=rank_round, select_round=select_round
         )
 
+    def rm3_topk(
+        self,
+        query_text: str,
+        k: int,
+        fb_docs: int = 10,
+        fb_terms: int = 5,
+        beta: float = 0.5,
+        rank_round: int | None = None,
+        select_round: int = 9,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Pseudo-relevance feedback, the RM3/Rocchio two-pass shape
+        (Lavrenko & Croft relevance models; Lucene/Anserini ship the same
+        retrieve -> mine-expansion-terms -> re-retrieve loop): top-``fb_docs``
+        by plain BM25, expansion terms mined from those docs, then a weighted
+        union query re-scores the corpus.
+
+        Every cross-engine value is a single int*float product or one
+        division — never an order-sensitive float sum — so the DuckDB oracle
+        reproduces term selection and weights exactly:
+
+        - feedback mass: ``sumtf_t`` = INTEGER sum of tf(t, d) over the
+          feedback docs (texts hydrated from the doc store and re-tokenized
+          with the index tokenizer — the more_like_this_id read path);
+        - selection key: ``round(sumtf_t * idf(t), select_round)``, the
+          query's own live terms excluded; top ``fb_terms`` by (-key, term);
+        - expansion weight: ``w_t = beta * key_t / key_max`` (Rocchio beta);
+          original query terms keep weight 1;
+        - final score(d) = sum_t w_t * contrib(t, d), accumulated in
+          ascending-term order like score_all.
+
+        Requires store_text=True at build. ``rank_round`` applies to BOTH
+        ranking passes (the feedback cut must be cross-engine stable too)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        q_terms = set(tokenize_text(query_text))
+        live = sorted(t for t in q_terms if self.reader.df(t) > 0)
+        if not live:
+            return empty
+        fb_ids, _ = self.topk(query_text, fb_docs, rank_round=rank_round)
+        if getattr(self, "_docstore", None) is None:
+            from .docstore import DocStore
+
+            self._docstore = DocStore(self.index_dir)
+        texts = self._docstore.texts(np.asarray(fb_ids, dtype=np.int64))
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for d in fb_ids:
+            txt = texts.get(int(d))
+            if txt:
+                counts.update(tokenize_text(txt))
+        scored = []
+        for t, n in counts.items():
+            if t in q_terms:
+                continue
+            key = round(n * self.idf(t), select_round)
+            if key > 0:  # idf == 0 <=> df == 0 never happens for stored docs
+                scored.append((-key, t))
+        scored.sort()
+        weights = {t: 1.0 for t in live}
+        chosen = scored[:fb_terms]
+        if chosen:
+            key_max = -chosen[0][0]
+            for negk, t in chosen:
+                weights[t] = beta * (-negk) / key_max
+        return self._weighted_topk(weights, k, rank_round)
+
+    def _weighted_topk(
+        self,
+        weights: dict[str, float],
+        k: int,
+        rank_round: int | None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Union scoring with per-term boosts: score(d) = sum_t w_t *
+        contrib(t, d) over the postings union (the boosted-BooleanQuery
+        scorer under RM3; same unique()-merge + ascending-term accumulation
+        as score_all's general path)."""
+        postings = []
+        for t in sorted(weights):
+            doc, tf = self.reader.postings(t)
+            if len(doc):
+                postings.append((t, doc, tf))
+        if not postings:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        concat = np.concatenate([d for _, d, _ in postings])
+        candidates, inverse = np.unique(concat, return_inverse=True)
+        acc = np.zeros(len(candidates), dtype=np.float64)
+        lo = 0
+        for t, doc, tf in postings:  # ascending term order
+            pos = inverse[lo : lo + len(doc)]
+            lo += len(doc)
+            contrib = self._contrib(self.idf(t), tf.astype(np.float64), self.dl(doc))
+            acc[pos] += weights[t] * contrib
+        return self._rank_topk(candidates, acc, k, rank_round)
+
     def category_docs(self, value) -> np.ndarray:
         """Sorted docIDs whose docmap ``category`` equals ``value`` (a string
         or an iterable of strings) — the analog of the reference's resident

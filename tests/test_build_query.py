@@ -249,6 +249,82 @@ def _rank(items, k):
     return sorted(items, key=lambda x: (-x[1], x[0]))[:k]
 
 
+def test_rm3_topk_vs_bruteforce(tiny_corpus, tiny_index, oracle):
+    """RM3/Rocchio two-pass == step-by-step brute force: BM25 feedback cut,
+    integer tf-mass * idf term selection from stored texts, beta/key_max
+    weights, weighted union rescore accumulated in ascending-term order."""
+    from collections import Counter
+
+    from engine.oracle import bm25_scores
+    from engine.query import Bm25Index
+    from engine.tokenize import tokenize_text
+
+    bm = Bm25Index(tiny_index)
+    dm = pq.read_table(tiny_index + "/docmap")
+    key_to_doc = {
+        (c, t): d
+        for c, t, d in zip(
+            dm["conv_id"].to_pylist(), dm["turn_idx"].to_pylist(), dm["doc_id"].to_pylist()
+        )
+    }
+    corpus = pq.read_table(tiny_corpus)
+    doc_text = {
+        key_to_doc[(c, t)]: x
+        for c, t, x in zip(
+            corpus["conv_id"].to_pylist(),
+            corpus["turn_idx"].to_pylist(),
+            corpus["text"].to_pylist(),
+        )
+    }
+    fb_docs, fb_terms, beta, sel_round, k = 8, 4, 0.5, 9, 12
+    hit = 0
+    for q in QUERY_SET:
+        text = q["text"]
+        q_toks = set(tokenize_text(text))
+        # stage 1: exact BM25 cut
+        s1 = _rank(list(bm25_scores(oracle, text).items()), fb_docs)
+        fb = [d for d, _ in s1]
+        counts = Counter()
+        for d in fb:
+            counts.update(tokenize_text(doc_text[d]))
+        scored = sorted(
+            (-round(n * bm.idf(t), sel_round), t)
+            for t, n in counts.items()
+            if t not in q_toks and round(n * bm.idf(t), sel_round) > 0
+        )
+        weights = {t: 1.0 for t in sorted(q_toks) if oracle.postings.get(t)}
+        chosen = scored[:fb_terms]
+        if chosen:
+            key_max = -chosen[0][0]
+            for negk, t in chosen:
+                weights[t] = beta * (-negk) / key_max
+        acc: dict[int, float] = {}
+        for t in sorted(weights):  # ascending-term adds, like the engine
+            for d, c in bm25_scores(oracle, t).items():
+                acc[d] = acc.get(d, 0.0) + weights[t] * c
+        want = _rank(list(acc.items()), k)
+        d_, s_ = bm.rm3_topk(
+            text, k, fb_docs=fb_docs, fb_terms=fb_terms, beta=beta,
+            select_round=sel_round,
+        )
+        if not want:
+            assert len(d_) == 0
+            continue
+        hit += 1
+        assert d_.tolist() == [w[0] for w in want], q["query_id"]
+        np.testing.assert_allclose(
+            s_, [w[1] for w in want], rtol=0, atol=1e-12, err_msg=q["query_id"]
+        )
+        # expansion actually fired: the candidate pool grew beyond the
+        # original query terms' postings union for at least some queries
+        if chosen:
+            exp_pool = set(acc) - {
+                d for t in q_toks for d in oracle.postings.get(t, {})
+            }
+            hit += bool(exp_pool)
+    assert hit >= 4  # >=3 scored queries, >=1 with a widened pool
+
+
 def test_msm_matches_naive(tiny_index, oracle):
     """topk_msm == naive filter-by-matched-count over the oracle postings,
     for every m from 1 to nt+1 (the +1 case must be empty)."""
