@@ -1594,6 +1594,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _round_scores(res, "score", "score_r", SCORE_ROUND)
         return _i64(res, ["rank"])
 
+    def transcripts_search_context(sf_dir):
+        """Hit-in-context serving on the flagship surface: each BM25 top-k
+        turn hit hydrated with its ±1 neighboring turns of the same
+        conversation via the row-group-pruned doc store (docmap-verified
+        docID arithmetic — conv boundaries can't leak)."""
+        from engine.queries import QUERY_SET
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_transcripts_index(sf_dir))
+        tables = [
+            bm.topk_with_context(
+                q["text"], q["k"], context=1,
+                rank_round=RANK_ROUND, query_id=q["query_id"],
+            )
+            for q in QUERY_SET
+        ]
+        live = [t for t in tables if t.num_rows]
+        return pa.concat_tables(live) if live else tables[0]
+
     def transcripts_bm25f_conv(sf_dir):
         """CONVERSATION-level BM25F over the turn-level transcripts index:
         per-role field weights (user 2.0 / assistant 1.0 / tool 0.25 —
@@ -1769,6 +1788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_bm25_topk": transcripts_bm25_topk,
         "transcripts_bm25_topk_role": transcripts_bm25_topk_role,
         "transcripts_bm25f_conv": transcripts_bm25f_conv,
+        "transcripts_search_context": transcripts_search_context,
         "bigram_lm": bigram_lm,
         "hashed_vectors": hashed_vectors,
         "redact_text": redact_text,
@@ -2303,6 +2323,61 @@ sh0 AS (SELECT doc_id, tok,
         FROM pos),
 sh AS (SELECT DISTINCT doc_id, tok || ' ' || t2 || ' ' || t3 AS shingle FROM sh0 WHERE t3 IS NOT NULL),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+def _transcripts_context_sql(context: int = 1) -> str:
+    """Hit-in-context oracle: the transcripts BM25 rank cut joined back to
+    the raw corpus for every turn of the same conversation within
+    ±``context`` of the hit turn. Integer/string output only — no float
+    column crosses engines."""
+    from engine.queries import QUERY_SET
+    from engine.tokenize import tokenize_text
+
+    vals = ",\n      ".join(
+        f"('{q['query_id']}', '{t}', {q['k']})"
+        for q in QUERY_SET
+        for t in sorted(set(tokenize_text(q["text"])))
+    )
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         conv_id, turn_idx, text
+  FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM corpus
+),
+dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS MATERIALIZED (SELECT c.doc_id, coalesce(dl.dl, 0) AS dl FROM corpus c LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, k) AS (VALUES
+      {vals}),
+scores AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, k, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT r.query_id, r.rank, h.conv_id, n.doc_id, n.turn_idx,
+       n.turn_idx - h.turn_idx AS off, n.text
+FROM ranked r
+JOIN corpus h ON h.doc_id = r.doc_id
+JOIN corpus n ON n.conv_id = h.conv_id
+            AND n.turn_idx BETWEEN h.turn_idx - {context} AND h.turn_idx + {context}
+WHERE r.rank <= r.k
 """
 
 
@@ -3128,6 +3203,7 @@ WHERE text IS NOT NULL
         "transcripts_bm25_topk": _transcripts_bm25_sql(),
         "transcripts_bm25_topk_role": _transcripts_bm25_sql(role="assistant"),
         "transcripts_bm25f_conv": _transcripts_bm25f_sql(),
+        "transcripts_search_context": _transcripts_context_sql(),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text

@@ -73,6 +73,50 @@ class DocStore:
             self._cache[key] = hit
         return hit
 
+    def rows(self, doc_ids: np.ndarray, columns: list[str]) -> dict[int, tuple]:
+        """Sparse docmap METADATA lookup by docID — same row-group pruning as
+        :meth:`texts`, returning ``{id: (col values...)}`` for the requested
+        columns (e.g. ``["conv_id", "turn_idx"]`` for hit-context assembly).
+        Columns absent from the docmap raise KeyError. Cached per
+        (row-group, column set) like the text path, so the resident set stays
+        bounded by the row groups this actor's queries touch."""
+        ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
+        if not len(ids):
+            return {}
+        if not hasattr(self, "_meta_cache"):
+            self._meta_cache: dict = {}
+        cols_key = tuple(columns)
+        out: dict[int, tuple] = {}
+        want = (self._lo <= ids.max()) & (self._hi >= ids.min())
+        for ri in np.flatnonzero(want):
+            a = np.searchsorted(ids, self._lo[ri])
+            b = np.searchsorted(ids, self._hi[ri], side="right")
+            if a == b:
+                continue
+            key = (*self._rgs[ri], cols_key)
+            hit = self._meta_cache.get(key)
+            if hit is None:
+                path, g = self._rgs[ri]
+                t = pq.ParquetFile(path).read_row_group(
+                    g, columns=["doc_id", *columns]
+                )
+                rg_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                order = np.argsort(rg_ids, kind="stable")
+                vals = [
+                    t[c].combine_chunks().take(pa.array(order)) for c in columns
+                ]
+                hit = (rg_ids[order], vals)
+                self._meta_cache[key] = hit
+            rg_ids, vals = hit
+            sub = ids[a:b]
+            pos = np.searchsorted(rg_ids, sub)
+            ok = pos < len(rg_ids)
+            ok &= rg_ids[np.minimum(pos, len(rg_ids) - 1)] == sub
+            for j in np.flatnonzero(ok):
+                p = int(pos[j])
+                out[int(sub[j])] = tuple(v[p].as_py() for v in vals)
+        return out
+
     def texts(self, doc_ids: np.ndarray) -> dict[int, str]:
         """Texts of the given docIDs ({id: text}; absent ids are omitted).
         Reads only row groups whose [min, max] doc_id range intersects the

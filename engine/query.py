@@ -1305,6 +1305,71 @@ class Bm25Index:
             text, k, m=m, rank_round=rank_round, select_round=select_round
         )
 
+    def topk_with_context(
+        self,
+        query_text: str,
+        k: int,
+        context: int = 1,
+        rank_round: int | None = None,
+        query_id: str = "",
+    ):
+        """Hit-in-context serving over a TRANSCRIPT index: BM25 top-k turn
+        hits hydrated with their ±``context`` neighboring turns of the SAME
+        conversation — the search-result page a transcript engine actually
+        serves (hit turn plus surrounding dialogue), the reference's
+        hit-hydration-from-the-renumbered-store shape
+        (CORE/io/DefaultStructureDataProvider.java:106-112) widened to the
+        conversation neighborhood.
+
+        docIDs are dense ascending in (conv_id, turn_idx) (the S2 renumbered
+        writer contract, tested in test_docid_stable_ordering), so neighbor
+        candidates are plain docID arithmetic; each candidate is then
+        VERIFIED against the docmap (same conv_id AND exact turn offset), so
+        REMOVEd turns, conv boundaries and ADD-delta blocks can never leak a
+        wrong row. Docmap metadata and text hydrate through the row-group-
+        pruned doc store — work scales with hit count, never the corpus.
+
+        Returns an arrow table (query_id, rank, conv_id, doc_id, turn_idx,
+        off, text): integer/string columns only, no cross-engine float
+        surface beyond the ranking itself."""
+        import pyarrow as _pa
+
+        d, _s = self.topk(query_text, k, rank_round=rank_round)
+        schema = _pa.schema(
+            [
+                ("query_id", _pa.string()),
+                ("rank", _pa.int64()),
+                ("conv_id", _pa.string()),
+                ("doc_id", _pa.int64()),
+                ("turn_idx", _pa.int64()),
+                ("off", _pa.int64()),
+                ("text", _pa.string()),
+            ]
+        )
+        if not len(d):
+            return schema.empty_table()
+        if getattr(self, "_docstore", None) is None:
+            from .docstore import DocStore
+
+            self._docstore = DocStore(self.index_dir)
+        offs = np.arange(-context, context + 1, dtype=np.int64)
+        cand = (d[:, None] + offs[None, :]).ravel()
+        cand = np.unique(cand[cand >= 0])
+        meta = self._docstore.rows(cand, ["conv_id", "turn_idx"])
+        texts = self._docstore.texts(np.fromiter(meta, np.int64, len(meta)))
+        rows = []
+        for rank, h in enumerate(d.tolist(), 1):
+            hconv, hturn = meta[h]
+            for o in offs.tolist():
+                nid = h + o
+                m = meta.get(nid)
+                if m is None or m[0] != hconv or m[1] - hturn != o:
+                    continue
+                rows.append((query_id, rank, hconv, nid, m[1], o, texts.get(nid, "")))
+        return _pa.Table.from_pylist(
+            [dict(zip(schema.names, r)) for r in rows], schema=schema
+        )
+
     def rm3_topk(
         self,
         query_text: str,

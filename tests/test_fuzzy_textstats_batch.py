@@ -612,6 +612,58 @@ def test_more_like_this_id_matches_text(ray_session, tmp_path):
     assert len(d3) == 0
 
 
+def test_topk_with_context_boundaries_and_remove(ray_session, tmp_path):
+    """Hit-in-context: neighbors come from the SAME conversation only (docID
+    arithmetic is verified against the docmap, so a conv-start hit must not
+    pull the previous conversation's last turn), and a REMOVEd neighbor turn
+    drops out instead of leaking stale text."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.update import remove_documents
+
+    rows = [
+        ("c0", 0, "alpha beta"), ("c0", 1, "gamma"),
+        ("c0", 2, "needle unique"), ("c0", 3, "delta"),
+        ("c1", 0, "needle other"), ("c1", 1, "omega"),
+    ]
+    docs = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows)),
+            "text": pa.array([r[2] for r in rows]),
+        }
+    )
+    idx = str(tmp_path / "ctx_idx")
+    build_index(ray.data.from_arrow(docs), idx, n_buckets=4, n_salts=2)
+    bm = Bm25Index(idx)
+    t = bm.topk_with_context("needle", 5, context=1, query_id="Q")
+    got = sorted(
+        zip(
+            t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(),
+            t["off"].to_pylist(), t["text"].to_pylist(),
+        )
+    )
+    assert got == [
+        ("c0", 1, -1, "gamma"),
+        ("c0", 2, 0, "needle unique"),
+        ("c0", 3, 1, "delta"),
+        ("c1", 0, 0, "needle other"),   # conv start: no off=-1 row, and
+        ("c1", 1, 1, "omega"),          # crucially NOT c0's "delta"
+    ]
+    # hit doc ids are dense over (conv_id, turn_idx): c0 t1 == doc 1
+    remove_documents(idx, doc_ids=[1])
+    t2 = Bm25Index(idx).topk_with_context("needle", 5, context=1, query_id="Q")
+    offs_c0 = sorted(
+        o for c, o in zip(t2["conv_id"].to_pylist(), t2["off"].to_pylist())
+        if c == "c0"
+    )
+    assert offs_c0 == [0, 1]  # removed neighbor gone, no stale hydration
+
+
 def test_doc_repetition_and_ttr_hand_computed(ray_session):
     from engine.ops.textstats import doc_repetition, doc_ttr
 
