@@ -127,6 +127,15 @@ RM3_QUERIES: list[tuple[str, str, int]] = [  # (qid, text, k)
     ("R3_triple", "join hash merge", 10),
     ("R4_absent", "zzzabsentzzz", 10),  # no live terms -> no hits
 ]
+# hybrid lexical+dense retrieval: RRF over BM25 top-depth and cosine
+# top-depth (query vector = the doc's own embedding row); c=60 per the
+# Cormack et al. SIGIR'09 default
+HYBRID_DEPTH, HYBRID_K, RRF_C = 50, 10, 60
+HYBRID_QUERIES: list[tuple[str, str, int]] = [  # (qid, text, query vec_id)
+    ("H1_pair", "key table", 0),
+    ("H2_rare", "dup", 1),
+    ("H3_triple", "join hash merge", 2),
+]
 # regex term queries (Lucene RegexpQuery surface): RE2 full-match against the
 # vocab on BOTH engines (pyarrow and DuckDB embed the same RE2), so the
 # variant sets are identical by construction
@@ -825,6 +834,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tables.append(_hits_table(qid, d, s))
         res = pa.concat_tables([t for t in tables if t.num_rows])
         return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
+    def hybrid_rrf_topk(sf_dir):
+        """Hybrid retrieval: BM25 top-depth over the documents index fused
+        with brute cosine top-depth over the embeddings table by reciprocal
+        rank fusion — only bounded rank lists cross stages."""
+        import pyarrow.parquet as pq
+
+        from engine.ops.hybrid import rrf_fuse
+        from engine.ops.similarity import brute_topk
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        qvec_ids = np.array(sorted({v for _, _, v in HYBRID_QUERIES}), np.int64)
+        qtbl = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pandas()
+        qtbl = qtbl[qtbl["vec_id"].isin(qvec_ids)].sort_values("vec_id")
+        dense = brute_topk(
+            ds,
+            np.stack(qtbl["embedding"].to_numpy()),
+            qtbl["vec_id"].to_numpy(),
+            k=HYBRID_DEPTH,
+            rank_round=RANK_ROUND,
+        )
+        dense_by_q = {}
+        for qid_, grp in dense.to_pandas().groupby("query_id"):
+            dense_by_q[int(qid_)] = grp.sort_values("rank")["vec_id"].to_numpy()
+        out = []
+        for qid, text, v in HYBRID_QUERIES:
+            lex_docs, _ = bm.topk(text, HYBRID_DEPTH, rank_round=RANK_ROUND)
+            d, s = rrf_fuse(
+                lex_docs, dense_by_q.get(v, np.empty(0, np.int64)),
+                HYBRID_K, c=RRF_C,
+            )
+            out.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * len(d), pa.string()),
+                        "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
+                        "doc_id": pa.array(d, pa.int64()),
+                        "rrf": pa.array(s, pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables([t for t in out if t.num_rows])
 
     def bm25_topk_regex(sf_dir):
         """Regex term query (Lucene RegexpQuery): RE2 full-match vocabulary
@@ -1838,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_prefix": bm25_topk_prefix,
         "bm25_topk_regex": bm25_topk_regex,
         "rm3_topk": rm3_topk,
+        "hybrid_rrf_topk": hybrid_rrf_topk,
         "bm25_topk_sharded": bm25_topk_sharded,
         "qld_topk": qld_topk,
         "more_like_this": more_like_this,
@@ -2122,6 +2180,69 @@ hits AS (
   FROM contrib GROUP BY query_id, k, doc_id
 ),
 {_rank_cut_sql()}
+"""
+
+
+def _hybrid_sql() -> str:
+    """Hybrid RRF oracle: BM25 rank cut at HYBRID_DEPTH over documents,
+    cosine rank cut at HYBRID_DEPTH over embeddings (query vector = the
+    query's own embedding row), FULL OUTER join on (query_id, doc_id),
+    rrf = coalesce(1/(c+rb),0) + coalesce(1/(c+rv),0) — bit-identical to the
+    engine's lexical-first two-operand add."""
+    term_vals = ",\n      ".join(
+        f"('{qid}', '{t}')"
+        for qid, text, _v in HYBRID_QUERIES
+        for t in sorted(set(text.split()))
+    )
+    vec_vals = ",\n      ".join(
+        f"('{qid}', {v})" for qid, _text, v in HYBRID_QUERIES
+    )
+    return f"""{_BM25_CORE_SQL},
+q(query_id, term) AS (VALUES
+      {term_vals}),
+qv(query_id, qvec) AS (VALUES
+      {vec_vals}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25_CONTRIB_SQL}) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df ON df.term = tf.term
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rb
+  FROM scores
+),
+sims AS (
+  SELECT qv.query_id, v.vec_id AS doc_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS cosine
+  FROM qv
+  JOIN embeddings e ON e.vec_id = qv.qvec
+  CROSS JOIN embeddings v
+),
+dense AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, {RANK_ROUND}) DESC, doc_id) AS rv
+  FROM sims
+),
+fused AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(1.0 / ({RRF_C} + l.rb), 0) + coalesce(1.0 / ({RRF_C} + d.rv), 0) AS rrf
+  FROM (SELECT * FROM lex WHERE rb <= {HYBRID_DEPTH}) l
+  FULL OUTER JOIN (SELECT * FROM dense WHERE rv <= {HYBRID_DEPTH}) d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, rank, doc_id, rrf FROM (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= {HYBRID_K}
 """
 
 
@@ -3167,6 +3288,7 @@ WHERE text IS NOT NULL
         "bm25_topk_prefix": _prefix_sql(),
         "bm25_topk_regex": _regex_sql(),
         "rm3_topk": _rm3_sql(),
+        "hybrid_rrf_topk": _hybrid_sql(),
         "percolate_conjunctive": _percolate_sql(),
         "transcripts_conv_stats": f"""
             SELECT conv_id,

@@ -1324,3 +1324,34 @@ def test_running_totals_semantics(ray_session, tmp_path):
     # user 7: 125 -> (tie at 01-02 ordered by event_id) 325 -> 375
     # user 9 resets: 1000 -> 1001
     assert got == {1: 125, 2: 325, 3: 375, 4: 1000, 5: 1001}
+
+
+def test_rrf_fuse_hand_computed():
+    """RRF fusion: hand-checked scores, lexical-first add order, docID ties,
+    one-sided docs, and the k cut."""
+    import numpy as np
+
+    from engine.ops.hybrid import rrf_fuse
+
+    lex = np.array([5, 3, 9], dtype=np.int64)      # ranks 1,2,3
+    dense = np.array([3, 7], dtype=np.int64)       # ranks 1,2
+    d, s = rrf_fuse(lex, dense, k=10, c=60)
+    want = {
+        3: 1 / 62 + 1 / 61,   # both lists, lexical term first
+        5: 1 / 61,
+        7: 1 / 62,
+        9: 1 / 63,
+    }
+    assert d.tolist() == sorted(want, key=lambda x: (-want[x], x))
+    np.testing.assert_array_equal(
+        s, np.array([want[x] for x in d.tolist()]).view(np.float64)
+    )
+    # exact-bits contract: both-lists sum equals the two-operand add
+    assert s[0] == (1.0 / 62 + 1.0 / 61)
+    # k cut + empty sides
+    d2, _ = rrf_fuse(lex, dense, k=2, c=60)
+    assert d2.tolist() == d.tolist()[:2]
+    d3, s3 = rrf_fuse(np.empty(0, np.int64), dense, k=5)
+    assert d3.tolist() == [3, 7] and s3[0] == 1.0 / 61
+    d4, _ = rrf_fuse(np.empty(0, np.int64), np.empty(0, np.int64), k=5)
+    assert len(d4) == 0
