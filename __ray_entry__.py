@@ -835,6 +835,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = pa.concat_tables([t for t in tables if t.num_rows])
         return _round_scores(res, "score", "score_r", SCORE_ROUND)
 
+    def bm25_topk_page2(sf_dir):
+        """Deep paging: page 2 of every DOC_QUERY via the search-after
+        cursor (last row of page 1) — a pure filter over the match set, so
+        ranks k+1..2k come out without an offset-sized buffer."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        tables = []
+        for qid, text, k in DOC_QUERIES:
+            d1, s1 = bm.topk(text, k, rank_round=RANK_ROUND)
+            if len(d1) < k:
+                continue  # page 1 short -> no page 2
+            # np.round, NOT builtin round: the cursor key must be bit-equal
+            # to the np.round'ed keys topk_after compares against
+            cursor = (float(np.round(s1[-1:], RANK_ROUND)[0]), int(d1[-1]))
+            d2, s2 = bm.topk_after(text, k, cursor, rank_round=RANK_ROUND)
+            if not len(d2):
+                continue
+            tables.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * len(d2), pa.string()),
+                        "rank": pa.array(
+                            np.arange(k + 1, k + 1 + len(d2), dtype=np.int64)
+                        ),
+                        "doc_id": pa.array(d2, pa.int64()),
+                        "score": pa.array(s2, pa.float64()),
+                    }
+                )
+            )
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
     def hybrid_rrf_topk(sf_dir):
         """Hybrid retrieval: BM25 top-depth over the documents index fused
         with brute cosine top-depth over the embeddings table by reciprocal
@@ -1896,6 +1929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_regex": bm25_topk_regex,
         "rm3_topk": rm3_topk,
         "hybrid_rrf_topk": hybrid_rrf_topk,
+        "bm25_topk_page2": bm25_topk_page2,
         "bm25_topk_sharded": bm25_topk_sharded,
         "qld_topk": qld_topk,
         "more_like_this": more_like_this,
@@ -1990,6 +2024,15 @@ ranked AS (
 SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
 FROM ranked WHERE rank <= k
 """
+
+
+def _bm25_page2_sql() -> str:
+    """search_after oracle: the total order (rounded score DESC, doc_id)
+    makes cursor paging == rank-window paging, so page 2 is the same ranked
+    CTE cut at (k, 2k]."""
+    return _bm25_sql(conjunctive=False).replace(
+        "WHERE rank <= k", "WHERE rank > k AND rank <= 2 * k"
+    )
 
 
 _BM25_CORE_SQL = f"""
@@ -3289,6 +3332,7 @@ WHERE text IS NOT NULL
         "bm25_topk_regex": _regex_sql(),
         "rm3_topk": _rm3_sql(),
         "hybrid_rrf_topk": _hybrid_sql(),
+        "bm25_topk_page2": _bm25_page2_sql(),
         "percolate_conjunctive": _percolate_sql(),
         "transcripts_conv_stats": f"""
             SELECT conv_id,

@@ -1305,6 +1305,35 @@ class Bm25Index:
             text, k, m=m, rank_round=rank_round, select_round=select_round
         )
 
+    def topk_after(
+        self,
+        query_text: str,
+        k: int,
+        after: tuple[float, int] | None,
+        rank_round: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Deep paging via a search-after cursor (Lucene ``searchAfter`` /
+        the ES ``search_after`` surface): because ranking is a strict total
+        order (-key, doc_id), the cursor is a PURE FILTER — page N+1 costs
+        one vectorized compare over the match set, never a rescan or an
+        offset-sized buffer, and pages are stable under concurrent ADDs of
+        higher-scoring docs (a cursor can't re-serve what it already paged
+        past).
+
+        ``after`` is (key, doc_id) of the last row of the previous page,
+        where key is the ROUNDED score when ``rank_round`` is set — i.e.
+        exactly what the previous page returned. ``after=None`` degenerates
+        to plain exhaustive top-k."""
+        doc, score = self.score_all(query_text)
+        if len(doc) == 0:
+            return doc, score
+        key = np.round(score, rank_round) if rank_round is not None else score
+        if after is not None:
+            ak, ad = float(after[0]), int(after[1])
+            m = (key < ak) | ((key == ak) & (doc > ad))
+            doc, score = doc[m], score[m]
+        return self._rank_topk(doc, score, k, rank_round)
+
     def topk_with_context(
         self,
         query_text: str,

@@ -249,6 +249,31 @@ def _rank(items, k):
     return sorted(items, key=lambda x: (-x[1], x[0]))[:k]
 
 
+def test_topk_after_pages_reassemble(tiny_index):
+    """Cursor paging: pages of k concatenated == one 3k top-k, in both exact
+    and rounded-ranking modes; cursor past the end yields empty."""
+    bm = Bm25Index(tiny_index)
+    for q in QUERY_SET:
+        for rr in (None, 6):
+            k = q["k"]
+            d_all, s_all = bm.topk(q["text"], 3 * k, rank_round=rr)
+            got_d, got_s = [], []
+            cursor = None
+            for _ in range(3):
+                d, s = bm.topk_after(q["text"], k, cursor, rank_round=rr)
+                if not len(d):
+                    break
+                got_d.extend(d.tolist())
+                got_s.extend(s.tolist())
+                key = np.round(s[-1:], rr)[0] if rr is not None else s[-1]
+                cursor = (float(key), int(d[-1]))
+            assert got_d == d_all.tolist(), (q["query_id"], rr)
+            np.testing.assert_allclose(got_s, s_all, rtol=0, atol=0)
+            if len(d_all) < 3 * k and cursor is not None:
+                d, _ = bm.topk_after(q["text"], k, cursor, rank_round=rr)
+                assert len(d) == 0
+
+
 def test_rm3_topk_vs_bruteforce(tiny_corpus, tiny_index, oracle):
     """RM3/Rocchio two-pass == step-by-step brute force: BM25 feedback cut,
     integer tf-mass * idf term selection from stored texts, beta/key_max
