@@ -127,6 +127,15 @@ RM3_QUERIES: list[tuple[str, str, int]] = [  # (qid, text, k)
     ("R3_triple", "join hash merge", 10),
     ("R4_absent", "zzzabsentzzz", 10),  # no live terms -> no hits
 ]
+# did-you-mean: typo'd / in-vocab / hopeless inputs for suggest_terms
+SUGGEST_QUERIES: list[tuple[str, str]] = [  # (qid, typo)
+    ("SG1_deletion", "scann"),   # -> scan
+    ("SG2_truncated", "tabl"),   # -> table (+ any other ed1 neighbors)
+    ("SG3_subst", "joim"),       # -> join
+    ("SG4_short", "ke"),         # -> key, the, ... (df ordering matters)
+    ("SG5_in_vocab", "key"),     # indexed -> NO suggestions
+    ("SG6_hopeless", "qqqqzzz"), # no ed1 neighbor -> none
+]
 # hybrid lexical+dense retrieval: RRF over BM25 top-depth and cosine
 # top-depth (query vector = the doc's own embedding row); c=60 per the
 # Cormack et al. SIGIR'09 default
@@ -834,6 +843,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tables.append(_hits_table(qid, d, s))
         res = pa.concat_tables([t for t in tables if t.num_rows])
         return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
+    def suggest_did_you_mean(sf_dir):
+        """Did-you-mean: ed<=1 vocab suggestions for unindexed tokens,
+        ranked by (-df, term) off the per-actor FastSS deletion index."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        qids, sugg, dfs = [], [], []
+        for qid, typo in SUGGEST_QUERIES:
+            for s, df in bm.suggest_terms(typo, max_suggestions=5):
+                qids.append(qid)
+                sugg.append(s)
+                dfs.append(df)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "suggestion": pa.array(sugg, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+            }
+        )
 
     def bm25_topk_page2(sf_dir):
         """Deep paging: page 2 of every DOC_QUERY via the search-after
@@ -1930,6 +1959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rm3_topk": rm3_topk,
         "hybrid_rrf_topk": hybrid_rrf_topk,
         "bm25_topk_page2": bm25_topk_page2,
+        "suggest_did_you_mean": suggest_did_you_mean,
         "bm25_topk_sharded": bm25_topk_sharded,
         "qld_topk": qld_topk,
         "more_like_this": more_like_this,
@@ -2223,6 +2253,28 @@ hits AS (
   FROM contrib GROUP BY query_id, k, doc_id
 ),
 {_rank_cut_sql()}
+"""
+
+
+def _suggest_sql() -> str:
+    """Did-you-mean oracle: DuckDB levenshtein <= 1 over the vocab (same
+    neighborhood the FastSS deletion index generates), suggestions only for
+    UNINDEXED tokens, top-5 by (df DESC, term)."""
+    vals = ",\n      ".join(f"('{qid}', '{typo}')" for qid, typo in SUGGEST_QUERIES)
+    return f"""{_BM25_CORE_SQL},
+q(query_id, qterm) AS (VALUES
+      {vals}),
+cand AS (
+  SELECT q.query_id, df.term AS suggestion, df.df
+  FROM q
+  JOIN df ON levenshtein(q.qterm, df.term) <= 1 AND df.term <> q.qterm
+  WHERE NOT EXISTS (SELECT 1 FROM df d2 WHERE d2.term = q.qterm)
+)
+SELECT query_id, suggestion, df FROM (
+  SELECT query_id, suggestion, df,
+         row_number() OVER (PARTITION BY query_id ORDER BY df DESC, suggestion) AS r
+  FROM cand
+) WHERE r <= 5
 """
 
 
@@ -3333,6 +3385,7 @@ WHERE text IS NOT NULL
         "rm3_topk": _rm3_sql(),
         "hybrid_rrf_topk": _hybrid_sql(),
         "bm25_topk_page2": _bm25_page2_sql(),
+        "suggest_did_you_mean": _suggest_sql(),
         "percolate_conjunctive": _percolate_sql(),
         "transcripts_conv_stats": f"""
             SELECT conv_id,

@@ -1089,6 +1089,29 @@ class Bm25Index:
             raise ValueError(f"'{term}' expands to {len(out)} > {max_terms} terms")
         return out
 
+    def suggest_terms(
+        self, term: str, max_suggestions: int = 5
+    ) -> list[tuple[str, int]]:
+        """Did-you-mean (Lucene DirectSpellChecker with
+        SUGGEST_WHEN_NOT_IN_INDEX): ed<=1 vocab neighbors of an UNINDEXED
+        query token, ranked by descending document frequency then ascending
+        term ("more popular" contract). Returns [] when the token IS indexed.
+        Reuses the per-actor FastSS deletion index, so a suggestion costs
+        O(|term|) dict probes plus one df lookup per candidate — never a
+        vocab scan. Returns [(suggestion, df), ...]."""
+        toks = tokenize_text(term)
+        if len(toks) != 1:
+            raise ValueError("suggest_terms takes exactly one token")
+        t = toks[0]
+        if self.reader.df(t) > 0:
+            return []
+        ranked = sorted(
+            (-self.reader.df(c), c)
+            for c in fuzzy_candidates(self._deletion_index(), t)
+            if c != t
+        )
+        return [(c, -negdf) for negdf, c in ranked[:max_suggestions]]
+
     def fuzzy_topk(
         self,
         terms: list[str],

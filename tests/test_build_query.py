@@ -406,6 +406,49 @@ def test_prefix_terms_and_cap(tiny_index, oracle):
             bm.prefix_terms("", max_terms=1)
 
 
+def test_suggest_terms_vs_bruteforce(tiny_index, oracle):
+    """Did-you-mean == brute force: ed<=1 vocab neighbors of unindexed
+    tokens ranked (-df, term); indexed tokens suggest nothing."""
+
+    def ed1(a, b):
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = j = miss = 0
+        while i < la and j < lb:
+            if a[i] == b[j]:
+                i += 1
+            else:
+                miss += 1
+                if miss > 1:
+                    return False
+            j += 1
+        return True
+
+    bm = Bm25Index(tiny_index)
+    vocab_df = {t: len(p) for t, p in oracle.postings.items()}
+    some = sorted(vocab_df)[0]
+    probes = [some + "x", some[:-1] or "q", "zz", some]
+    checked = 0
+    for p in probes:
+        got = bm.suggest_terms(p, max_suggestions=5)
+        if p in vocab_df:
+            assert got == []
+            continue
+        want = sorted(
+            ((-df, t) for t, df in vocab_df.items() if t != p and ed1(p, t)),
+        )[:5]
+        assert got == [(t, -negdf) for negdf, t in want], p
+        checked += 1
+    assert checked >= 2
+
+
 def test_regex_terms_full_match_and_cap(tiny_index, oracle):
     """RegexpQuery surface: RE2 FULL match against the vocab (a substring hit
     alone must not qualify), python-re cross-check, cap enforced."""
