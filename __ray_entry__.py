@@ -1771,6 +1771,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(_transcripts_corpus(sf_dir))
         return conv_stats(ds)
 
+    def transcripts_role_transitions(sf_dir):
+        """Dialogue-flow Markov counts over the raw transcripts table:
+        (role_from -> role_to) adjacent-turn transition totals + distinct-
+        conversation reach; conv-bucketed pairing, exact integer counts."""
+        from engine.ops.transcripts import role_transitions
+
+        ds = ray.data.read_parquet(_transcripts_corpus(sf_dir))
+        return role_transitions(ds)
+
     def transcripts_response_latency(sf_dir):
         """user→assistant immediate-successor response latency per
         conversation (the transcript-domain LAG/window op), exact integer
@@ -1942,6 +1951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- driver-green in earlier rounds (55) ---------------------------
         "doc_lengths": doc_lengths,
         "transcripts_response_latency": transcripts_response_latency,
+        "transcripts_role_transitions": transcripts_role_transitions,
         "transcripts_tool_usage": transcripts_tool_usage,
         "bm25_topk_filtered": bm25_topk_filtered,
         "bm25_topk_category": bm25_topk_category,
@@ -3418,6 +3428,17 @@ WHERE text IS NOT NULL
             FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
             WHERE tool <> ''
             GROUP BY tool, role
+        """,
+        "transcripts_role_transitions": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, role
+              FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+            )
+            SELECT a.role AS role_from, b.role AS role_to,
+                   count(*)::BIGINT AS n_transitions,
+                   count(DISTINCT a.conv_id)::BIGINT AS n_convs
+            FROM t a JOIN t b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+            GROUP BY a.role, b.role
         """,
         "transcripts_bm25_topk": _transcripts_bm25_sql(),
         "transcripts_bm25_topk_role": _transcripts_bm25_sql(role="assistant"),

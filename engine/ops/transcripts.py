@@ -219,3 +219,93 @@ def response_latency(ds, num_partitions: int = 8):
         .map_groups(pair, batch_format="pyarrow")
         .sort("conv_id")
     )
+
+
+def role_transitions(ds, num_partitions: int = 8):
+    """Dialogue-flow Markov counts: for every adjacent turn pair
+    (turn_idx + 1) within a conversation, count (role_from -> role_to)
+    transitions plus the distinct conversations exhibiting each transition.
+    Returns (role_from, role_to, n_transitions, n_convs), sorted.
+
+    Shape: conv-bucketed groupby (a conversation's turns land in ONE bucket,
+    so adjacency pairing and per-bucket distinct-conv counts are exact and
+    disjoint across buckets); the final merge shuffles <= |roles|^2 rows per
+    bucket — a bounded dim-table exchange, never corpus-sized."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"].cast(pa.int64()),
+                "role": batch["role"],
+                "bucket": _bucket_of(
+                    batch["conv_id"].combine_chunks()
+                    if isinstance(batch["conv_id"], pa.ChunkedArray)
+                    else batch["conv_id"],
+                    num_partitions,
+                ),
+            }
+        )
+
+    def pair(group: pa.Table) -> pa.Table:
+        conv = group["conv_id"].combine_chunks().dictionary_encode()
+        codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        role = group["role"].combine_chunks().dictionary_encode()
+        rcodes = role.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = group["turn_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, codes))
+        c_s, t_s, r_s = codes[order], turn[order], rcodes[order]
+        ok = (c_s[1:] == c_s[:-1]) & (t_s[1:] == t_s[:-1] + 1)
+        i = np.flatnonzero(ok)
+        empty = pa.table(
+            {
+                "role_from": pa.array([], pa.string()),
+                "role_to": pa.array([], pa.string()),
+                "n_transitions": pa.array([], pa.int64()),
+                "n_convs": pa.array([], pa.int64()),
+            }
+        )
+        if not len(i):
+            return empty
+        nr = len(role.dictionary)
+        pair_code = r_s[i] * nr + r_s[i + 1]
+        n_trans = np.bincount(pair_code, minlength=nr * nr)
+        # distinct convs per transition: unique (pair, conv) rows
+        uniq = np.unique(pair_code * (c_s.max() + 1) + c_s[i])
+        n_convs = np.bincount(
+            (uniq // (c_s.max() + 1)).astype(np.int64), minlength=nr * nr
+        )
+        live = np.flatnonzero(n_trans)
+        return pa.table(
+            {
+                "role_from": role.dictionary.take(pa.array(live // nr)),
+                "role_to": role.dictionary.take(pa.array(live % nr)),
+                "n_transitions": pa.array(n_trans[live].astype(np.int64)),
+                "n_convs": pa.array(n_convs[live].astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    grouped = (
+        ds.select_columns(["conv_id", "turn_idx", "role"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pair, batch_format="pyarrow")
+        .groupby(["role_from", "role_to"])
+        .aggregate(Sum("n_transitions"), Sum("n_convs"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "role_from": batch["role_from"],
+                "role_to": batch["role_to"],
+                "n_transitions": batch["sum(n_transitions)"].cast(pa.int64()),
+                "n_convs": batch["sum(n_convs)"].cast(pa.int64()),
+            }
+        )
+
+    return grouped.map_batches(rename, batch_format="pyarrow").sort(
+        ["role_from", "role_to"]
+    )

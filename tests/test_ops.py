@@ -1355,3 +1355,35 @@ def test_rrf_fuse_hand_computed():
     assert d3.tolist() == [3, 7] and s3[0] == 1.0 / 61
     d4, _ = rrf_fuse(np.empty(0, np.int64), np.empty(0, np.int64), k=5)
     assert len(d4) == 0
+
+
+def test_role_transitions_hand_computed(ray_session):
+    """Dialogue-flow Markov counts: hand-checked transitions + distinct-conv
+    reach, a turn-index gap breaks adjacency."""
+    import pyarrow as pa
+    import ray.data
+
+    from engine.ops.transcripts import role_transitions
+
+    rows = [
+        ("A", 0, "user"), ("A", 1, "assistant"), ("A", 2, "user"), ("A", 3, "assistant"),
+        ("B", 0, "user"), ("B", 1, "assistant"), ("B", 2, "assistant"),
+        ("C", 0, "user"), ("C", 2, "assistant"),  # gap: no transition
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows]),
+        }
+    )
+    out = role_transitions(ray.data.from_arrow(t), num_partitions=4).to_pandas()
+    got = {
+        (r.role_from, r.role_to): (int(r.n_transitions), int(r.n_convs))
+        for r in out.itertuples()
+    }
+    assert got == {
+        ("user", "assistant"): (3, 2),
+        ("assistant", "user"): (1, 1),
+        ("assistant", "assistant"): (1, 1),
+    }
