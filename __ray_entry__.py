@@ -127,6 +127,8 @@ RM3_QUERIES: list[tuple[str, str, int]] = [  # (qid, text, k)
     ("R3_triple", "join hash merge", 10),
     ("R4_absent", "zzzabsentzzz", 10),  # no live terms -> no hits
 ]
+# best-passage extraction window (tokens)
+PASSAGE_WINDOW = 16
 # did-you-mean: typo'd / in-vocab / hopeless inputs for suggest_terms
 SUGGEST_QUERIES: list[tuple[str, str]] = [  # (qid, typo)
     ("SG1_deletion", "scann"),   # -> scan
@@ -843,6 +845,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tables.append(_hits_table(qid, d, s))
         res = pa.concat_tables([t for t in tables if t.num_rows])
         return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
+    def best_passages(sf_dir):
+        """Best-passage extraction (RAG passage retrieval): for each BM25
+        hit, the PASSAGE_WINDOW-token span maximizing idf-weighted query-
+        term occurrence mass, earliest-start ties — prefix-sum sweep over
+        positional postings."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_posindex(sf_dir))
+        tables = []
+        for qid, text, k in DOC_QUERIES:
+            d, st, sc = bm.best_passages(
+                text, k, window=PASSAGE_WINDOW, rank_round=RANK_ROUND
+            )
+            if not len(d):
+                continue
+            tables.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qid] * len(d), pa.string()),
+                        "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
+                        "doc_id": pa.array(d, pa.int64()),
+                        "start": pa.array(st, pa.int64()),
+                        "passage_r": pa.array(sc, pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
 
     def suggest_did_you_mean(sf_dir):
         """Did-you-mean: ed<=1 vocab suggestions for unindexed tokens,
@@ -1970,6 +2000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf_topk": hybrid_rrf_topk,
         "bm25_topk_page2": bm25_topk_page2,
         "suggest_did_you_mean": suggest_did_you_mean,
+        "best_passages": best_passages,
         "bm25_topk_sharded": bm25_topk_sharded,
         "qld_topk": qld_topk,
         "more_like_this": more_like_this,
@@ -2263,6 +2294,65 @@ hits AS (
   FROM contrib GROUP BY query_id, k, doc_id
 ),
 {_rank_cut_sql()}
+"""
+
+
+def _passages_sql() -> str:
+    """Best-passage oracle: BM25 rank cut, then for each hit the
+    PASSAGE_WINDOW span anchored at an occurrence position with the max
+    round-6 idf-weighted occurrence sum, earliest start on ties. Positions
+    are 0-based to match the index tokenizer (generate_subscripts - 1)."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}', {k})"
+        for qid, text, k in DOC_QUERIES
+        for t in sorted(set(text.lower().split()))
+    )
+    return f"""{_BM25_CORE_SQL},
+q(query_id, term, k) AS (VALUES
+      {vals}),
+scores AS (
+  SELECT q.query_id, q.k, tf.doc_id, sum({_BM25_CONTRIB_SQL}) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df ON df.term = tf.term
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, tf.doc_id
+),
+hits AS (
+  SELECT query_id, k, doc_id, rank FROM (
+    SELECT query_id, k, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+    FROM scores) WHERE rank <= k
+),
+lpos AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS pos
+  FROM (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents)
+),
+occ AS (
+  SELECT h.query_id, h.rank, h.doc_id, lp.pos,
+         ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) AS w
+  FROM hits h
+  JOIN q ON q.query_id = h.query_id
+  JOIN lpos lp ON lp.doc_id = h.doc_id AND lp.tok = q.term
+  JOIN df ON df.term = q.term
+  CROSS JOIN stats s
+),
+wnd AS (
+  SELECT o1.query_id, o1.rank, o1.doc_id, o1.pos AS start,
+         round(sum(o2.w), 6) AS passage_r
+  FROM occ o1
+  JOIN occ o2 ON o2.query_id = o1.query_id AND o2.doc_id = o1.doc_id
+             AND o2.pos >= o1.pos AND o2.pos < o1.pos + {PASSAGE_WINDOW}
+  GROUP BY o1.query_id, o1.rank, o1.doc_id, o1.pos
+)
+SELECT query_id, rank, doc_id, start, passage_r FROM (
+  SELECT query_id, rank, doc_id, start, passage_r,
+         row_number() OVER (PARTITION BY query_id, doc_id
+                            ORDER BY passage_r DESC, start) AS rr
+  FROM wnd
+) WHERE rr = 1
 """
 
 
@@ -3396,6 +3486,7 @@ WHERE text IS NOT NULL
         "hybrid_rrf_topk": _hybrid_sql(),
         "bm25_topk_page2": _bm25_page2_sql(),
         "suggest_did_you_mean": _suggest_sql(),
+        "best_passages": _passages_sql(),
         "percolate_conjunctive": _percolate_sql(),
         "transcripts_conv_stats": f"""
             SELECT conv_id,

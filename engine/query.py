@@ -880,6 +880,58 @@ class Bm25Index:
         score = self._contrib(idf_sum, sf, self.dl(cand))
         return self._rank_topk(cand, score, k, rank_round)
 
+    def best_passages(
+        self,
+        query_text: str,
+        k: int,
+        window: int = 16,
+        rank_round: int | None = None,
+        sel_round: int = 6,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Best-passage extraction (Lucene UnifiedHighlighter's top passage;
+        the RAG passage-retrieval primitive): for each BM25 top-``k`` hit,
+        the ``window``-token span with the maximum idf-weighted sum of
+        query-term occurrences inside it; ties prefer the EARLIEST start.
+
+        The optimal window always starts at an occurrence, so candidates are
+        the doc's merged occurrence positions and scoring is one prefix-sum
+        difference per doc — O(occurrences log occurrences), never O(dl).
+        Scores are rounded to ``sel_round`` before the argmax on BOTH
+        engines (the kmeans/PageRank cross-engine argsort contract).
+        Requires a positional index. Returns (doc_ids, starts,
+        rounded_passage_scores) aligned with the hit ranking."""
+        terms = sorted(set(tokenize_text(query_text)))
+        live = [t for t in terms if self.reader.df(t) > 0]
+        d, _s = self.topk(query_text, k, rank_round=rank_round)
+        if not len(d) or not live:
+            return (
+                d,
+                np.empty(len(d), dtype=np.int64),
+                np.empty(len(d), dtype=np.float64),
+            )
+        per_term = [(t, self.idf(t), self.reader.positions_lookup(t, d)) for t in live]
+        starts = np.zeros(len(d), dtype=np.int64)
+        scores = np.zeros(len(d), dtype=np.float64)
+        for i in range(len(d)):  # k is bounded: the serving path's hit loop
+            pos_parts = [p[i] for _, _, p in per_term if len(p[i])]
+            w_parts = [
+                np.full(len(p[i]), idf)
+                for _, idf, p in per_term
+                if len(p[i])
+            ]
+            P = np.concatenate(pos_parts)
+            W = np.concatenate(w_parts)
+            o = np.argsort(P, kind="stable")
+            P, W = P[o], W[o]
+            cs = np.zeros(len(P) + 1, dtype=np.float64)
+            np.cumsum(W, out=cs[1:])
+            hi = np.searchsorted(P, P + window, side="left")
+            sc = np.round(cs[hi] - cs[: len(P)], sel_round)
+            best = np.lexsort((P, -sc))[0]
+            starts[i] = P[best]
+            scores[i] = sc[best]
+        return d, starts, scores
+
     def term_positions(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Every (doc, position) occurrence of ``term``, exploded — the
         highlight/offsets primitive (the reference surfaces per-occurrence

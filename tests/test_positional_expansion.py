@@ -485,3 +485,47 @@ def test_span_near_topk_vs_oracle(pos_index, doc_tokens):
     assert any_hits > 0
     d, s = bm.span_near_topk(["w00000", "zzzabsentzzz", "w00001"], 6, 5)
     assert len(d) == 0
+
+
+def test_best_passages_vs_bruteforce(pos_index, doc_tokens):
+    """Best-passage window == brute force over every start position (not
+    just occurrence-anchored ones — proving the anchor restriction loses
+    nothing), rounded-score argmax with earliest-start ties."""
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(pos_index)
+    some = doc_tokens[min(doc_tokens)]
+    queries = [
+        (" ".join(list(dict.fromkeys(some))[:3]), 8, 6),
+        (" ".join(list(dict.fromkeys(some))[:2]), 5, 3),
+        ("w00000", 5, 4),
+        ("w00000 zzzabsentzzz w00001", 5, 6),  # dead term drops out
+    ]
+    checked = 0
+    for text, k, w in queries:
+        terms = sorted(set(tokenize_text(text)))
+        live = [t for t in terms if bm.reader.df(t) > 0]
+        idf = {t: bm.idf(t) for t in live}
+        d, st, sc = bm.best_passages(text, k, window=w)
+        d_ref, _ = bm.topk(text, k)
+        assert d.tolist() == d_ref.tolist(), text
+        for doc, got_s, got_sc in zip(d.tolist(), st.tolist(), sc.tolist()):
+            toks = doc_tokens[doc]
+            best = None
+            for start in range(len(toks)):  # every start, not just anchors
+                s = round(
+                    sum(idf[t] for p, t in enumerate(toks) if t in idf
+                        and start <= p < start + w),
+                    6,
+                )
+                if best is None or s > best[1]:
+                    best = (start, s)
+            assert best is not None and best[1] == got_sc, (text, doc)
+            # engine start is the EARLIEST occurrence-anchored argmax; any
+            # earlier equal-scoring brute start must be a non-occurrence pad
+            assert got_sc == round(
+                sum(idf[t] for p, t in enumerate(toks) if t in idf
+                    and got_s <= p < got_s + w), 6), (text, doc)
+            assert toks[got_s] in idf  # anchored at a query-term occurrence
+            checked += 1
+    assert checked >= 10
