@@ -1792,6 +1792,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def transcripts_collapse_topk(sf_dir):
+        """Field collapsing on the conversation key (the Lucene/ES
+        ``collapse`` serving surface; the reference's hit-grouping into
+        per-structure results, DefaultTargetAssembler.java:79-161): rank
+        turn-level BM25 hits, keep each conversation's best turn
+        (highest rounded score, lowest docID on ties), return the top-k
+        conversations with their representative turn. Group membership is
+        a searchsorted into the O(n_convs) conv-start array built from the
+        docmap change points — no per-candidate metadata reads; only the
+        <= k winners hydrate conv_id strings via the doc store."""
+        from engine.queries import QUERY_SET
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_transcripts_index(sf_dir))
+        qids, convs, dids, ranks, scores = [], [], [], [], []
+        for q in QUERY_SET:
+            c, d, s = bm.collapse_topk(q["text"], q["k"], rank_round=RANK_ROUND)
+            qids.extend([q["query_id"]] * len(c))
+            convs.extend([str(x) for x in c])
+            dids.extend(d.tolist())
+            ranks.extend(range(1, len(c) + 1))
+            scores.extend(np.round(s, SCORE_ROUND).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "conv_id": pa.array(convs, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "score_r": pa.array(scores, pa.float64()),
+            }
+        )
+
     def transcripts_conv_stats(sf_dir):
         """Per-conversation profile over the RAW transcripts table (turn
         mix, tool-call count, tokenizer token mass, wall-clock span) —
@@ -1915,6 +1947,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": lambda sf_dir: _collect(rel.running_totals(sf_dir)),
         "percolate_phrase": percolate_phrase,
         "percolate_boolean": percolate_boolean,
+        # ---- core sentinels (already green r1-r3; keep in the window) -----
+        "tokenize_tf": tokenize_tf,
+        "bm25_topk": bm25_topk,
         # ---- never driver-verified before round 4 (40) --------------------
         "q1_pricing_summary": rel.q1_pricing_summary,
         "revenue_by_nation": rel.revenue_by_nation,
@@ -1958,9 +1993,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": label_centroids,
         "bpe_token_counts": bpe_token_counts,
         "substring_dup_stats": substring_dup_stats,
-        # ---- core sentinels (already green r1-r3; keep in the window) -----
-        "tokenize_tf": tokenize_tf,
-        "bm25_topk": bm25_topk,
         "uniform_sample_k": uniform_sample_k,
         "grouped_quantile_sketch": lambda sf_dir: __import__(
             "engine.ops.sketch", fromlist=["grouped_quantile_sketch"]
@@ -2001,6 +2033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_page2": bm25_topk_page2,
         "suggest_did_you_mean": suggest_did_you_mean,
         "best_passages": best_passages,
+        "transcripts_collapse_topk": transcripts_collapse_topk,
         "bm25_topk_sharded": bm25_topk_sharded,
         "qld_topk": qld_topk,
         "more_like_this": more_like_this,
@@ -2759,6 +2792,63 @@ FROM ranked WHERE rank <= k
 """
 
 
+def _transcripts_collapse_sql() -> str:
+    """Oracle for conversation field-collapsing: full turn-level BM25 scores,
+    one best turn per conversation (rounded score DESC, doc_id ASC), then the
+    per-query top-k over those representatives — the same two-stage rank the
+    engine's collapse_topk computes with a conv-start searchsorted."""
+    from engine.queries import QUERY_SET
+    from engine.tokenize import tokenize_text
+
+    vals = ",\n      ".join(
+        f"('{q['query_id']}', '{t}', {q['k']})"
+        for q in QUERY_SET
+        for t in sorted(set(tokenize_text(q["text"])))
+    )
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         conv_id, text
+  FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM corpus
+),
+dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS MATERIALIZED (SELECT c.doc_id, coalesce(dl.dl, 0) AS dl FROM corpus c LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, k) AS (VALUES
+      {vals}),
+scores AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, tf.doc_id
+),
+best AS (
+  SELECT h.query_id, h.k, c.conv_id, h.doc_id, h.score,
+         row_number() OVER (PARTITION BY h.query_id, c.conv_id
+                            ORDER BY round(h.score, {RANK_ROUND}) DESC, h.doc_id) AS rn
+  FROM scores h JOIN corpus c USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, k, conv_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM best WHERE rn = 1
+)
+SELECT query_id, rank, conv_id, doc_id, round(score, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= k
+"""
+
+
 def _jaccard_sql() -> str:
     """Exact Jaccard >= 4/5 pairs over distinct word-3-gram shingles. Also the
     oracle for dedup_minhash: its verification stage is the SAME exact-Jaccard
@@ -3487,6 +3577,7 @@ WHERE text IS NOT NULL
         "bm25_topk_page2": _bm25_page2_sql(),
         "suggest_did_you_mean": _suggest_sql(),
         "best_passages": _passages_sql(),
+        "transcripts_collapse_topk": _transcripts_collapse_sql(),
         "percolate_conjunctive": _percolate_sql(),
         "transcripts_conv_stats": f"""
             SELECT conv_id,

@@ -1409,6 +1409,191 @@ class Bm25Index:
             doc, score = doc[m], score[m]
         return self._rank_topk(doc, score, k, rank_round)
 
+    def _conv_starts(self) -> np.ndarray:
+        """Sorted docIDs at which a NEW conversation begins — computed once
+        per index handle by a per-docmap-file streaming pass that keeps only
+        change points: O(n_convs) ints resident plus one first/last conv
+        string per FILE for the cross-file merge; conv strings for data rows
+        never accumulate. Docmap files are contiguous non-overlapping docID
+        ranges (the S2 writer contract, verified here); if a foreign docmap
+        ever violates that, we fall back to one global sort. Scale path:
+        the per-file pass is embarrassingly parallel (the ShardedDl
+        @ray.remote per-file reader pattern) and the merged starts shard
+        range-wise exactly like dl."""
+        cached = getattr(self, "_conv_starts_arr", None)
+        if cached is not None:
+            return cached
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        root = os.path.join(self.index_dir, "docmap")
+        files = sorted(
+            _glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        )
+        recs = []  # (min_doc, max_doc, first_conv, last_conv, starts_local)
+        for p in files:
+            names = _pq.ParquetFile(p).schema_arrow.names
+            if "conv_id" not in names:
+                raise ValueError(
+                    "collapse requires a conversation-keyed docmap "
+                    f"(no conv_id column in {p})"
+                )
+            t = _pq.read_table(p, columns=["doc_id", "conv_id"])
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(ids):
+                continue
+            order = np.argsort(ids, kind="stable")
+            conv = t["conv_id"].combine_chunks().take(pa.array(order))
+            ids = ids[order]
+            import pyarrow.compute as _pc
+
+            change = np.r_[
+                True,
+                _pc.not_equal(conv.slice(1), conv.slice(0, len(conv) - 1))
+                .to_numpy(zero_copy_only=False)
+                .astype(bool),
+            ]
+            recs.append(
+                (
+                    int(ids[0]),
+                    int(ids[-1]),
+                    conv[0].as_py(),
+                    conv[-1].as_py(),
+                    ids[change],
+                )
+            )
+        recs.sort()
+        for a, b in zip(recs, recs[1:]):
+            if b[0] <= a[1]:  # overlapping file ranges: one global fallback
+                t = _pq.read_table(
+                    [p for p in files], columns=["doc_id", "conv_id"]
+                ).sort_by("doc_id")
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                conv = t["conv_id"].combine_chunks()
+                import pyarrow.compute as _pc
+
+                change = np.r_[
+                    True,
+                    _pc.not_equal(conv.slice(1), conv.slice(0, len(conv) - 1))
+                    .to_numpy(zero_copy_only=False)
+                    .astype(bool),
+                ]
+                self._conv_starts_arr = ids[change]
+                return self._conv_starts_arr
+        out, prev_last = [], None
+        for _mn, _mx, first, last, starts in recs:
+            if prev_last is not None and first == prev_last:
+                starts = starts[1:]  # conv continues across the file seam
+            out.append(starts)
+            prev_last = last
+        self._conv_starts_arr = (
+            np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+        )
+        return self._conv_starts_arr
+
+    def collapse_topk(
+        self,
+        query_text: str,
+        k: int,
+        rank_round: int | None = None,
+    ) -> tuple[list[str], np.ndarray, np.ndarray]:
+        """Field collapsing on the conversation key (the Lucene/ES
+        ``collapse`` serving surface): rank turn hits, keep each
+        CONVERSATION's best turn (highest rounded score, lowest docID tie),
+        return the top-``k`` conversations by their representative. The
+        group key is a searchsorted into the O(n_convs) conv-start array —
+        no per-candidate metadata reads — and only the <= k winning rows
+        hydrate conv_id strings through the doc store.
+
+        Returns (conv_ids, doc_ids, scores) in rank order."""
+        doc, score = self.score_all(query_text)
+        empty: tuple[list[str], np.ndarray, np.ndarray] = (
+            [],
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+        )
+        if not len(doc):
+            return empty
+        key = np.round(score, rank_round) if rank_round is not None else score
+        grp = np.searchsorted(self._conv_starts(), doc, side="right") - 1
+        order = np.lexsort((doc, -key))
+        _u, first_idx = np.unique(grp[order], return_index=True)
+        sel = order[first_idx]  # each conv's best turn
+        d_s, s_s, k_s = doc[sel], score[sel], key[sel]
+        o2 = np.lexsort((d_s, -k_s))[:k]
+        win_docs, win_scores = d_s[o2], s_s[o2]
+        if getattr(self, "_docstore", None) is None:
+            from .docstore import DocStore
+
+            self._docstore = DocStore(self.index_dir)
+        meta = self._docstore.rows(win_docs, ["conv_id"])
+        convs = [meta[int(x)][0] for x in win_docs.tolist()]
+        return convs, win_docs, win_scores
+
+    def significant_terms(
+        self,
+        query_text: str,
+        k_docs: int = 25,
+        top_terms: int = 10,
+        min_doc_count: int = 2,
+        rank_round: int | None = None,
+    ) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
+        """Significant-terms aggregation (the Lucene/ES ``significant_terms``
+        serving surface): terms over-represented in the FOREGROUND (the
+        query's top-``k_docs`` BM25 hits) relative to the whole-corpus
+        BACKGROUND, scored with the JLH heuristic
+        ``(fg_rate - bg_rate) * (fg_rate / bg_rate)``.
+
+        Scale shape: foreground docs are hydrated through the row-group-
+        pruned doc store and re-tokenized (work is k_docs x doc length, never
+        corpus-sized); background df comes from per-term segment METADATA
+        lookups for candidate terms only (``SegmentReader.df`` — payload
+        postings are never decoded). Candidates need ``min_doc_count``
+        distinct foreground docs. Deterministic order: rounded score desc,
+        term asc.
+
+        Returns (terms, fg_df, bg_df, scores) in rank order."""
+        empty: tuple[list[str], np.ndarray, np.ndarray, np.ndarray] = (
+            [],
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+        )
+        doc, score = self.score_all(query_text)
+        if not len(doc):
+            return empty
+        d, _ = self._rank_topk(doc, score, k_docs, rank_round)
+        n_fg = len(d)
+        if getattr(self, "_docstore", None) is None:
+            from .docstore import DocStore
+
+            self._docstore = DocStore(self.index_dir)
+        texts = self._docstore.texts(d)
+        from collections import Counter
+
+        fg_counts: Counter = Counter()
+        for t in texts.values():
+            fg_counts.update(set(tokenize_text(t)))
+        cands = sorted(t for t, c in fg_counts.items() if c >= min_doc_count)
+        if not cands:
+            return empty
+        fg = np.array([fg_counts[t] for t in cands], dtype=np.int64)
+        bg = np.array([self.reader.df(t) for t in cands], dtype=np.int64)
+        # same IEEE op sequence as the SQL oracle: two divides, a subtract,
+        # a divide of the rates, one multiply — bit-identical cross-engine
+        fg_rate = fg.astype(np.float64) / n_fg
+        bg_rate = bg.astype(np.float64) / self.n_docs
+        sc = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+        key = np.round(sc, rank_round) if rank_round is not None else sc
+        order = np.lexsort((np.array(cands), -key))[:top_terms]
+        return (
+            [cands[i] for i in order],
+            fg[order],
+            bg[order],
+            sc[order],
+        )
+
     def topk_with_context(
         self,
         query_text: str,

@@ -854,3 +854,37 @@ def test_bm25f_conv_vs_bruteforce(ray_session, tiny_corpus, tmp_path):
         np.testing.assert_allclose(s, [w_[1] for w_ in want], rtol=0, atol=1e-9)
         any_hits += len(want)
     assert any_hits > 10  # the non-absent queries must actually rank convs
+
+
+def test_collapse_topk_vs_bruteforce(tiny_index):
+    """Field collapsing (one best turn per conversation): engine's
+    conv-start searchsorted grouping must equal a brute-force pandas
+    group-best over the full score set, including rounded-score ties
+    (lowest docID wins) and the cross-file docmap seam."""
+    import pandas as pd
+
+    bm = Bm25Index(tiny_index)
+    dm = pq.read_table(tiny_index + "/docmap", columns=["doc_id", "conv_id"])
+    conv_of = dict(zip(dm["doc_id"].to_pylist(), dm["conv_id"].to_pylist()))
+    for q in QUERY_SET:
+        doc, score = bm.score_all(q["text"])
+        convs, dids, scores = bm.collapse_topk(q["text"], q["k"], rank_round=9)
+        if not len(doc):
+            assert convs == []
+            continue
+        df = pd.DataFrame(
+            {
+                "doc": doc,
+                "key": np.round(score, 9),
+                "score": score,
+                "conv": [conv_of[int(d)] for d in doc],
+            }
+        ).sort_values(["key", "doc"], ascending=[False, True], kind="stable")
+        best = df.groupby("conv", sort=False).head(1)
+        best = best.sort_values(["key", "doc"], ascending=[False, True], kind="stable")
+        exp = best.head(q["k"])
+        assert dids.tolist() == exp["doc"].tolist()
+        assert convs == exp["conv"].tolist()
+        np.testing.assert_allclose(scores, exp["score"].to_numpy(), rtol=0, atol=0)
+        # every returned conv is distinct
+        assert len(set(convs)) == len(convs)
