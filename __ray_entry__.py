@@ -183,6 +183,11 @@ MLT_QUERIES: list[tuple[str, int, int]] = [  # (query_id, source doc_id, k)
 ]
 MLT_M = 6
 
+# significant_terms aggregation knobs (foreground size, result width, floor)
+SIG_K_DOCS = 25
+SIG_TOP_TERMS = 10
+SIG_MIN_DC = 2
+
 RANK_ROUND = 6
 SCORE_ROUND = 4
 
@@ -1824,6 +1829,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def transcripts_significant_terms(sf_dir):
+        """Significant-terms aggregation (the Lucene/ES ``significant_terms``
+        serving surface): per query, terms over-represented in the FOREGROUND
+        (the query's top-SIG_K_DOCS BM25 turn hits, hydrated through the
+        row-group-pruned doc store) relative to the whole-corpus BACKGROUND
+        df (per-term segment METADATA lookups only — payload postings never
+        decoded), scored with the JLH heuristic
+        (fg_rate - bg_rate) * (fg_rate / bg_rate). Candidates need
+        SIG_MIN_DC distinct foreground docs; deterministic order is rounded
+        score desc, term asc."""
+        from engine.queries import QUERY_SET
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_transcripts_index(sf_dir))
+        qids, ranks, terms, fgs, bgs, scores = [], [], [], [], [], []
+        for q in QUERY_SET:
+            t, fg, bg, s = bm.significant_terms(
+                q["text"],
+                k_docs=SIG_K_DOCS,
+                top_terms=SIG_TOP_TERMS,
+                min_doc_count=SIG_MIN_DC,
+                rank_round=RANK_ROUND,
+            )
+            qids.extend([q["query_id"]] * len(t))
+            ranks.extend(range(1, len(t) + 1))
+            terms.extend(t)
+            fgs.extend(fg.tolist())
+            bgs.extend(bg.tolist())
+            scores.extend(np.round(s, SCORE_ROUND).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "fg_df": pa.array(fgs, pa.int64()),
+                "bg_df": pa.array(bgs, pa.int64()),
+                "score_r": pa.array(scores, pa.float64()),
+            }
+        )
+
     def transcripts_conv_stats(sf_dir):
         """Per-conversation profile over the RAW transcripts table (turn
         mix, tool-call count, tokenizer token mass, wall-clock span) —
@@ -2034,6 +2079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_did_you_mean": suggest_did_you_mean,
         "best_passages": best_passages,
         "transcripts_collapse_topk": transcripts_collapse_topk,
+        "transcripts_significant_terms": transcripts_significant_terms,
         "bm25_topk_sharded": bm25_topk_sharded,
         "qld_topk": qld_topk,
         "more_like_this": more_like_this,
@@ -2849,6 +2895,84 @@ FROM ranked WHERE rank <= k
 """
 
 
+def _transcripts_sig_terms_sql() -> str:
+    """Oracle for significant_terms: full turn-level BM25 scores, the
+    per-query top-SIG_K_DOCS foreground set (rounded score DESC, doc_id ASC),
+    per-term distinct-foreground-doc counts with the SIG_MIN_DC floor,
+    whole-corpus df as background, and the JLH score written with the same
+    IEEE op sequence (two divides, a subtract, a divide of the rates, one
+    multiply) the engine's numpy path uses."""
+    from engine.queries import QUERY_SET
+    from engine.tokenize import tokenize_text
+
+    vals = ",\n      ".join(
+        f"('{q['query_id']}', '{t}')"
+        for q in QUERY_SET
+        for t in sorted(set(tokenize_text(q["text"])))
+    )
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         conv_id, text
+  FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM corpus
+),
+dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS MATERIALIZED (SELECT c.doc_id, coalesce(dl.dl, 0) AS dl FROM corpus c LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES
+      {vals}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+fg AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rn
+    FROM scores
+  ) WHERE rn <= {SIG_K_DOCS}
+),
+nfg AS (SELECT query_id, count(*) AS n_fg FROM fg GROUP BY query_id),
+fgterm AS (
+  SELECT f.query_id, t.term, count(*) AS fg_df
+  FROM fg f JOIN tf t USING (doc_id)
+  GROUP BY f.query_id, t.term
+  HAVING count(*) >= {SIG_MIN_DC}
+),
+jlh AS (
+  SELECT ft.query_id, ft.term, ft.fg_df, df.df AS bg_df,
+         ((ft.fg_df::DOUBLE / nfg.n_fg) - (df.df::DOUBLE / s.n_docs))
+         * ((ft.fg_df::DOUBLE / nfg.n_fg) / (df.df::DOUBLE / s.n_docs)) AS score
+  FROM fgterm ft
+  JOIN df USING (term)
+  JOIN nfg USING (query_id)
+  CROSS JOIN stats s
+),
+ranked AS (
+  SELECT query_id, term, fg_df, bg_df, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, {RANK_ROUND}) DESC, term) AS rank
+  FROM jlh
+)
+SELECT query_id, rank, term, fg_df::BIGINT AS fg_df, bg_df::BIGINT AS bg_df,
+       round(score, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= {SIG_TOP_TERMS}
+"""
+
+
 def _jaccard_sql() -> str:
     """Exact Jaccard >= 4/5 pairs over distinct word-3-gram shingles. Also the
     oracle for dedup_minhash: its verification stage is the SAME exact-Jaccard
@@ -3578,6 +3702,7 @@ WHERE text IS NOT NULL
         "suggest_did_you_mean": _suggest_sql(),
         "best_passages": _passages_sql(),
         "transcripts_collapse_topk": _transcripts_collapse_sql(),
+        "transcripts_significant_terms": _transcripts_sig_terms_sql(),
         "percolate_conjunctive": _percolate_sql(),
         "transcripts_conv_stats": f"""
             SELECT conv_id,

@@ -888,3 +888,56 @@ def test_collapse_topk_vs_bruteforce(tiny_index):
         np.testing.assert_allclose(scores, exp["score"].to_numpy(), rtol=0, atol=0)
         # every returned conv is distinct
         assert len(set(convs)) == len(convs)
+
+
+def test_significant_terms_vs_bruteforce(tiny_index, tiny_corpus):
+    """significant_terms (JLH foreground-vs-background): engine's
+    docstore-hydrated foreground recount + segment-metadata background df
+    must equal a brute-force recomputation from the raw corpus — candidate
+    floor, exact fg/bg counts, JLH float values, and the rounded-score/term
+    tiebreak order."""
+    from collections import Counter
+
+    from engine.tokenize import tokenize_text
+
+    bm = Bm25Index(tiny_index)
+    corpus = pq.read_table(tiny_corpus).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    tokens_of = [set(tokenize_text(t or "")) for t in corpus["text"].to_pylist()]
+    n_docs = len(tokens_of)
+    bg_df: Counter = Counter()
+    for s in tokens_of:
+        bg_df.update(s)
+
+    k_docs, top_terms, min_dc = 7, 5, 2
+    any_terms = 0
+    for q in QUERY_SET:
+        doc, score = bm.score_all(q["text"])
+        terms, fg, bg, sc = bm.significant_terms(
+            q["text"], k_docs=k_docs, top_terms=top_terms,
+            min_doc_count=min_dc, rank_round=9,
+        )
+        if not len(doc):
+            assert terms == []
+            continue
+        key = np.round(score, 9)
+        order = np.lexsort((doc, -key))[:k_docs]
+        fgdocs = doc[order]
+        n_fg = len(fgdocs)
+        fgc: Counter = Counter()
+        for d in fgdocs:
+            fgc.update(tokens_of[int(d)])
+        exp = []
+        for t in sorted(t for t, c in fgc.items() if c >= min_dc):
+            fgr = fgc[t] / n_fg
+            bgr = bg_df[t] / n_docs
+            exp.append((t, fgc[t], bg_df[t], (fgr - bgr) * (fgr / bgr)))
+        exp.sort(key=lambda e: (-round(e[3], 9), e[0]))
+        exp = exp[:top_terms]
+        assert terms == [e[0] for e in exp], q["query_id"]
+        assert fg.tolist() == [e[1] for e in exp]
+        assert bg.tolist() == [e[2] for e in exp]
+        np.testing.assert_allclose(sc, [e[3] for e in exp], rtol=0, atol=0)
+        any_terms += len(terms)
+    assert any_terms > 10  # non-absent queries must surface terms
