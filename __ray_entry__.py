@@ -188,6 +188,11 @@ SIG_K_DOCS = 25
 SIG_TOP_TERMS = 10
 SIG_MIN_DC = 2
 
+# time-aware serving knobs: date_histogram hit budget, rescore window + decay
+HIST_K = 50
+RESCORE_WINDOW = 50
+DECAY_DAYS = 30
+
 RANK_ROUND = 6
 SCORE_ROUND = 4
 
@@ -1869,6 +1874,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def transcripts_date_histogram(sf_dir):
+        """ES ``date_histogram`` sub-aggregation over search hits: per query,
+        UTC-day bucket counts of the top-HIST_K BM25 hits' timestamps. The
+        docmap carries no timestamp, so the BOUNDED hit set joins back to the
+        raw corpus in one broadcast-key-set ``map_batches`` filter pass —
+        integer day buckets, no cross-engine float surface beyond ranking."""
+        from engine.ops.serving import hits_date_histogram
+        from engine.queries import QUERY_SET
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_transcripts_index(sf_dir))
+        return hits_date_histogram(
+            bm,
+            _transcripts_corpus(sf_dir),
+            QUERY_SET,
+            k_docs=HIST_K,
+            rank_round=RANK_ROUND,
+        )
+
+    def transcripts_rescore_recency(sf_dir):
+        """Recency rescore window (the ES ``rescore`` + ``function_score``
+        decay surface): top-RESCORE_WINDOW BM25 hits per query, each score
+        multiplied by the rational decay D / (D + age_us) against the corpus
+        max timestamp, per-query top-k re-ranked on the combined score. All
+        queries' windows share ONE bounded corpus lookup pass; the decay is
+        exact-int division so combined floats are bit-identical to SQL."""
+        from engine.ops.serving import rescore_recency
+        from engine.queries import QUERY_SET
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_transcripts_index(sf_dir))
+        t = rescore_recency(
+            bm,
+            _transcripts_corpus(sf_dir),
+            QUERY_SET,
+            window=RESCORE_WINDOW,
+            decay_days=DECAY_DAYS,
+            rank_round=RANK_ROUND,
+        )
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "rank": t["rank"],
+                "doc_id": t["doc_id"],
+                "combined_r": pa.array(
+                    np.round(t["combined"].to_numpy(), SCORE_ROUND), pa.float64()
+                ),
+                "score_r": pa.array(
+                    np.round(t["score"].to_numpy(), SCORE_ROUND), pa.float64()
+                ),
+            }
+        )
+
     def transcripts_conv_stats(sf_dir):
         """Per-conversation profile over the RAW transcripts table (turn
         mix, tool-call count, tokenizer token mass, wall-clock span) —
@@ -2080,6 +2138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_passages": best_passages,
         "transcripts_collapse_topk": transcripts_collapse_topk,
         "transcripts_significant_terms": transcripts_significant_terms,
+        "transcripts_date_histogram": transcripts_date_histogram,
+        "transcripts_rescore_recency": transcripts_rescore_recency,
         "bm25_topk_sharded": bm25_topk_sharded,
         "qld_topk": qld_topk,
         "more_like_this": more_like_this,
@@ -2973,6 +3033,103 @@ FROM ranked WHERE rank <= {SIG_TOP_TERMS}
 """
 
 
+def _transcripts_time_prefix() -> str:
+    """Shared CTE prefix for the time-aware serving oracles: the transcript
+    corpus WITH its timestamp column, the tokenize/BM25 pipeline, and the
+    per-query full score set."""
+    from engine.queries import QUERY_SET
+    from engine.tokenize import tokenize_text
+
+    vals = ",\n      ".join(
+        f"('{q['query_id']}', '{t}', {q['k']})"
+        for q in QUERY_SET
+        for t in sorted(set(tokenize_text(q["text"])))
+    )
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         conv_id, text, ts
+  FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM corpus
+),
+dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS MATERIALIZED (SELECT c.doc_id, coalesce(dl.dl, 0) AS dl FROM corpus c LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, k) AS (VALUES
+      {vals}),
+scores AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, tf.doc_id
+)"""
+
+
+def _transcripts_date_hist_sql() -> str:
+    """Oracle for the hits date_histogram: per-query top-HIST_K foreground
+    (rounded score DESC, doc_id ASC), UTC-day integer buckets of the hits'
+    corpus timestamps."""
+    return f"""{_transcripts_time_prefix()},
+fg AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rn
+    FROM scores
+  ) WHERE rn <= {HIST_K}
+)
+SELECT f.query_id,
+       epoch_us(c.ts) // {86_400_000_000} AS day_idx,
+       count(*)::BIGINT AS n_hits
+FROM fg f JOIN corpus c USING (doc_id)
+GROUP BY f.query_id, day_idx
+"""
+
+
+def _transcripts_rescore_sql() -> str:
+    """Oracle for the recency rescore window: top-RESCORE_WINDOW hits per
+    query, combined = score * (D / (D + age_us)) against the corpus max
+    timestamp — the same two IEEE ops (one exact-int divide, one multiply)
+    the engine's numpy path performs — re-ranked to the per-query top-k."""
+    d_us = DECAY_DAYS * 86_400_000_000
+    return f"""{_transcripts_time_prefix()},
+w AS (
+  SELECT query_id, k, doc_id, score FROM (
+    SELECT query_id, k, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rn
+    FROM scores
+  ) WHERE rn <= {RESCORE_WINDOW}
+),
+tref AS (SELECT max(epoch_us(ts)) AS t FROM corpus),
+resc AS (
+  SELECT w.query_id, w.k, w.doc_id, w.score,
+         w.score * (CAST({d_us} AS DOUBLE)
+                    / CAST({d_us} + (tref.t - epoch_us(c.ts)) AS DOUBLE)) AS combined
+  FROM w JOIN corpus c USING (doc_id) CROSS JOIN tref
+),
+ranked AS (
+  SELECT query_id, k, doc_id, combined, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(combined, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM resc
+)
+SELECT query_id, rank, doc_id,
+       round(combined, {SCORE_ROUND}) AS combined_r,
+       round(score, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= k
+"""
+
+
 def _jaccard_sql() -> str:
     """Exact Jaccard >= 4/5 pairs over distinct word-3-gram shingles. Also the
     oracle for dedup_minhash: its verification stage is the SAME exact-Jaccard
@@ -3703,6 +3860,8 @@ WHERE text IS NOT NULL
         "best_passages": _passages_sql(),
         "transcripts_collapse_topk": _transcripts_collapse_sql(),
         "transcripts_significant_terms": _transcripts_sig_terms_sql(),
+        "transcripts_date_histogram": _transcripts_date_hist_sql(),
+        "transcripts_rescore_recency": _transcripts_rescore_sql(),
         "percolate_conjunctive": _percolate_sql(),
         "transcripts_conv_stats": f"""
             SELECT conv_id,

@@ -1,0 +1,212 @@
+"""Time-aware serving surfaces over a transcript index plus its RAW corpus
+table: date-histogram aggregation of hits and recency-rescored ranking — the
+Lucene/ES ``date_histogram`` sub-aggregation and ``rescore``/``function_score``
+(decay) surfaces. The reference's analog is its post-candidate exact-scoring
+window over assembled hits (CORE/core/DefaultStrucmotifRuntime.java:98-115):
+a bounded second pass that refines a cheap first-pass ranking with a signal
+the index itself doesn't carry.
+
+Scale shape: the inverted index's docmap carries no timestamp, so both ops
+join the BOUNDED per-query hit set (n_queries x window rows, never anything
+corpus-sized) back to the raw parquet in ONE streamed ``map_batches`` filter
+pass — the hit-key set is broadcast once via ``ray.put``, each task does a
+vectorized ``is_in`` membership test on a packed (conv_id, turn_idx) key, and
+only matched rows (plus one per-batch max-ts marker row that folds into the
+global reference time) leave the pass. Work over the corpus is one pruned
+3-column scan regardless of query count.
+
+Determinism: day buckets are exact integer division of epoch-microseconds;
+the recency multiplier is one divide of exactly-representable int64s
+(``D / (D + age_us)``, both < 2^53) followed by one multiply — the identical
+IEEE op sequence the DuckDB oracle performs, so combined scores match
+bit-for-bit before any rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+DAY_US = 86_400_000_000
+KEY_SEP = "\x1f"
+
+
+def _hit_ts_lookup(
+    corpus_path: str, keys: list[str]
+) -> tuple[dict[str, int], int]:
+    """One streamed pass over the raw corpus: return ``{packed_key: ts_us}``
+    for the bounded ``keys`` set plus the global max ts (the rescore
+    reference time). The key set rides the object store once; each task
+    filters with a vectorized ``is_in`` and piggybacks its batch max ts as a
+    single marker row (the same marker-row trick the keyword-extraction df
+    pass uses), so the collected result is O(len(keys) + n_batches)."""
+    key_arr = pa.array(sorted(set(keys)), pa.string())
+    key_ref = ray.put(key_arr)
+
+    def match(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        key = pc.binary_join_element_wise(
+            batch["conv_id"], pc.cast(batch["turn_idx"], pa.string()), KEY_SEP
+        )
+        ts_us = pc.cast(batch["ts"], pa.int64())
+        mask = pc.is_in(key, value_set=ks)
+        sub = pa.table(
+            {"key": pc.filter(key, mask), "ts_us": pc.filter(ts_us, mask)}
+        )
+        if len(batch):  # marker row: batch max ts, keyed by the empty string
+            marker = pa.table(
+                {
+                    "key": pa.array([""], pa.string()),
+                    "ts_us": pa.array([pc.max(ts_us).as_py()], pa.int64()),
+                }
+            )
+            sub = pa.concat_tables([sub, marker])
+        return sub
+
+    ds = ray.data.read_parquet(
+        corpus_path, columns=["conv_id", "turn_idx", "ts"]
+    ).map_batches(match, batch_format="pyarrow")
+    ts_of: dict[str, int] = {}
+    tref = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for k, t in zip(b["key"].to_pylist(), b["ts_us"].to_pylist()):
+            if k == "":
+                tref = max(tref, t)
+            else:
+                ts_of[k] = t
+    return ts_of, tref
+
+
+def _hit_keys(bm, docs: np.ndarray) -> list[str]:
+    """Pack each hit docID's (conv_id, turn_idx) docmap row into the join
+    key — hydrated through the row-group-pruned doc store, so metadata reads
+    scale with hit count, never the corpus."""
+    if getattr(bm, "_docstore", None) is None:
+        from engine.docstore import DocStore
+
+        bm._docstore = DocStore(bm.index_dir)
+    meta = bm._docstore.rows(docs, ["conv_id", "turn_idx"])
+    return [
+        f"{meta[int(d)][0]}{KEY_SEP}{meta[int(d)][1]}" for d in docs.tolist()
+    ]
+
+
+def hits_date_histogram(
+    bm,
+    corpus_path: str,
+    queries: list[dict],
+    k_docs: int = 50,
+    rank_round: int | None = None,
+) -> pa.Table:
+    """ES ``date_histogram`` over search hits: per query, UTC-day bucket
+    counts of the top-``k_docs`` BM25 hits' timestamps. Returns an arrow
+    table (query_id, day_idx, n_hits) ordered by (query_id, day_idx) —
+    integer columns only, no cross-engine float surface beyond the ranking.
+    """
+    per_q: dict[str, np.ndarray] = {}
+    all_docs: list[np.ndarray] = []
+    for q in queries:
+        d, _ = bm.topk(q["text"], k_docs, rank_round=rank_round)
+        per_q[q["query_id"]] = d
+        all_docs.append(d)
+    flat = np.unique(np.concatenate(all_docs)) if all_docs else np.empty(0, np.int64)
+    if not len(flat):
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.string()),
+                "day_idx": pa.array([], pa.int64()),
+                "n_hits": pa.array([], pa.int64()),
+            }
+        )
+    keys = _hit_keys(bm, flat)
+    ts_of, _ = _hit_ts_lookup(corpus_path, keys)
+    key_of = dict(zip(flat.tolist(), keys))
+    qids, days, counts = [], [], []
+    for qid in sorted(per_q):
+        d = per_q[qid]
+        if not len(d):
+            continue
+        day = np.array(
+            [ts_of[key_of[int(x)]] // DAY_US for x in d.tolist()], dtype=np.int64
+        )
+        u, c = np.unique(day, return_counts=True)
+        qids.extend([qid] * len(u))
+        days.extend(u.tolist())
+        counts.extend(c.tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "day_idx": pa.array(days, pa.int64()),
+            "n_hits": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def rescore_recency(
+    bm,
+    corpus_path: str,
+    queries: list[dict],
+    window: int = 50,
+    decay_days: int = 30,
+    rank_round: int | None = None,
+) -> pa.Table:
+    """Recency rescore window (the ES ``rescore`` + ``function_score`` decay
+    surface): per query, take the top-``window`` BM25 hits, multiply each
+    score by the rational decay ``D / (D + age_us)`` with ``D =
+    decay_days`` of microseconds and ``age_us = max_corpus_ts - hit_ts``,
+    and keep the per-query top-``k`` by (rounded combined desc, docID asc).
+
+    ALL queries' windows share ONE corpus lookup pass (the bounded-hit-set
+    join above); first-pass ranking uses the same deterministic contract as
+    ``topk``, and the decay is exact-int division so the rescored floats are
+    bit-identical to the SQL oracle's. Returns an arrow table
+    (query_id, rank, doc_id, combined_r, score_r)."""
+    first: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    all_docs: list[np.ndarray] = []
+    for q in queries:
+        d, s = bm.topk(q["text"], window, rank_round=rank_round)
+        first[q["query_id"]] = (d, s)
+        all_docs.append(d)
+    flat = np.unique(np.concatenate(all_docs)) if all_docs else np.empty(0, np.int64)
+    D = np.int64(decay_days) * DAY_US
+    ts_of: dict[str, int] = {}
+    tref = 0
+    key_of: dict[int, str] = {}
+    if len(flat):
+        keys = _hit_keys(bm, flat)
+        ts_of, tref = _hit_ts_lookup(corpus_path, keys)
+        key_of = dict(zip(flat.tolist(), keys))
+    qids, ranks, dids, combs, bases = [], [], [], [], []
+    by_k = {q["query_id"]: q["k"] for q in queries}
+    for qid in sorted(first):
+        d, s = first[qid]
+        if not len(d):
+            continue
+        ts = np.array(
+            [ts_of[key_of[int(x)]] for x in d.tolist()], dtype=np.int64
+        )
+        age = tref - ts
+        combined = s * (np.float64(D) / (D + age).astype(np.float64))
+        key = (
+            np.round(combined, rank_round)
+            if rank_round is not None
+            else combined
+        )
+        order = np.lexsort((d, -key))[: by_k[qid]]
+        qids.extend([qid] * len(order))
+        ranks.extend(range(1, len(order) + 1))
+        dids.extend(d[order].tolist())
+        combs.extend(combined[order].tolist())
+        bases.extend(s[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "rank": pa.array(ranks, pa.int64()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "combined": pa.array(combs, pa.float64()),
+            "score": pa.array(bases, pa.float64()),
+        }
+    )

@@ -941,3 +941,81 @@ def test_significant_terms_vs_bruteforce(tiny_index, tiny_corpus):
         np.testing.assert_allclose(sc, [e[3] for e in exp], rtol=0, atol=0)
         any_terms += len(terms)
     assert any_terms > 10  # non-absent queries must surface terms
+
+
+def test_time_serving_vs_bruteforce(tiny_index, tiny_corpus):
+    """date_histogram + recency rescore: the broadcast-key-set corpus lookup
+    must hydrate exactly the right timestamp per hit (doc_id -> (conv_id,
+    turn_idx) -> corpus row), day buckets and decay-combined rankings must
+    equal a brute-force recomputation over the raw corpus."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from engine.ops.serving import DAY_US, hits_date_histogram, rescore_recency
+
+    bm = Bm25Index(tiny_index)
+    corpus = pq.read_table(tiny_corpus).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    ts_us = corpus["ts"].cast(pa.int64()).to_pylist()  # index == doc_id
+    tref = max(ts_us)
+    k_docs, window, decay_days = 7, 9, 30
+    D = np.int64(decay_days) * DAY_US
+
+    hist = hits_date_histogram(bm, tiny_corpus, QUERY_SET, k_docs=k_docs, rank_round=9)
+    exp_hist = set()
+    exp_resc = []
+    for q in QUERY_SET:
+        doc, score = bm.score_all(q["text"])
+        if not len(doc):
+            continue
+        key = np.round(score, 9)
+        order = np.lexsort((doc, -key))
+        top = doc[order][:k_docs]
+        for day, c in Counter(int(ts_us[int(d)]) // DAY_US for d in top).items():
+            exp_hist.add((q["query_id"], int(day), c))
+        # rescore brute force: window cut, exact decay, re-rank, k cut
+        wd, ws = doc[order][:window], score[order][:window]
+        age = tref - np.array([ts_us[int(d)] for d in wd], dtype=np.int64)
+        comb = ws * (np.float64(D) / (D + age).astype(np.float64))
+        o2 = np.lexsort((wd, -np.round(comb, 9)))[: q["k"]]
+        for r, i in enumerate(o2, 1):
+            exp_resc.append((q["query_id"], r, int(wd[i]), comb[i], ws[i]))
+    got_hist = set(
+        zip(
+            hist["query_id"].to_pylist(),
+            hist["day_idx"].to_pylist(),
+            hist["n_hits"].to_pylist(),
+        )
+    )
+    assert got_hist == exp_hist and len(got_hist) > 5
+
+    t = rescore_recency(
+        bm, tiny_corpus, QUERY_SET, window=window, decay_days=decay_days, rank_round=9
+    )
+    got_resc = list(
+        zip(
+            t["query_id"].to_pylist(),
+            t["rank"].to_pylist(),
+            t["doc_id"].to_pylist(),
+            t["combined"].to_pylist(),
+            t["score"].to_pylist(),
+        )
+    )
+    exp_resc.sort(key=lambda r: (r[0], r[1]))
+    got_resc.sort(key=lambda r: (r[0], r[1]))
+    assert len(got_resc) == len(exp_resc) > 20
+    for g, e in zip(got_resc, exp_resc):
+        assert g[:3] == e[:3]
+        assert g[3] == e[3] and g[4] == e[4]  # bit-identical floats
+    # recency must actually reorder at least one query's ranking
+    base = {}
+    for q in QUERY_SET:
+        d, _ = bm.topk(q["text"], q["k"], rank_round=9)
+        base[q["query_id"]] = d.tolist()
+    reordered = any(
+        [r[2] for r in got_resc if r[0] == qid] != base[qid][: len([r for r in got_resc if r[0] == qid])]
+        for qid in base
+    )
+    assert reordered
