@@ -258,6 +258,36 @@ def _documents_index_merged(sf_dir: str) -> str:
     return idx
 
 
+def _documents_index_fed(sf_dir: str) -> tuple[str, str]:
+    """Two INTACT parity-split half indexes for the federated-search entry —
+    deliberately separate from the merge pair (which gets grafted in place):
+    federation queries the independent builds as-is."""
+    from engine.build import build_index
+
+    a = _cache(sf_dir, "documents_index_feda")
+    b = _cache(sf_dir, "documents_index_fedb")
+    if not (
+        os.path.exists(os.path.join(a, "stats.json"))
+        and os.path.exists(os.path.join(b, "stats.json"))
+    ):
+        import pyarrow.compute as pc
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def _parity(p):  # Ray filter(expr=...) can't parse %, Arrow kernel
+            return lambda bt: bt.filter(
+                pc.equal(pc.bit_wise_and(bt["doc_id"], 1), p)
+            )
+
+        kw = dict(id_col="doc_id", n_buckets=8, n_salts=4, hot_fraction=0.05)
+        build_index(ds.map_batches(_parity(0), batch_format="pyarrow"), a, **kw)
+        build_index(ds.map_batches(_parity(1), batch_format="pyarrow"), b, **kw)
+    return a, b
+
+
 def _documents_index_pfor(sf_dir: str) -> str:
     """Same documents index under the pfor (FOR-128 + varint tail) postings
     codec — the second production backend behind the codec seam."""
@@ -1874,6 +1904,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bm25_topk_federated(sf_dir):
+        """Federated search (the ES ``dfs_query_then_fetch`` two-phase
+        surface): the standard query set over TWO independently built
+        parity-split half indexes, each scoring its own candidates with the
+        union corpus stats (n, exact-int avgdl, df sums from segment
+        metadata), merged to one deterministic top-k. Scores are
+        bit-identical to one full-corpus build, so the plain full-corpus
+        BM25 SQL (same as bm25_topk) oracles the federation."""
+        from engine.federate import Federation
+
+        fed = Federation(list(_documents_index_fed(sf_dir)))
+        qids, ranks, dids, scores = [], [], [], []
+        for q in _doc_query_items():
+            d, s = fed.topk(q["text"], q["k"], rank_round=RANK_ROUND)
+            qids.extend([q["query_id"]] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            dids.extend(d.tolist())
+            scores.extend(np.round(s, SCORE_ROUND).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "score_r": pa.array(scores, pa.float64()),
+            }
+        )
+
     def transcripts_date_histogram(sf_dir):
         """ES ``date_histogram`` sub-aggregation over search hits: per query,
         UTC-day bucket counts of the top-HIST_K BM25 hits' timestamps. The
@@ -2140,6 +2197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_significant_terms": transcripts_significant_terms,
         "transcripts_date_histogram": transcripts_date_histogram,
         "transcripts_rescore_recency": transcripts_rescore_recency,
+        "bm25_topk_federated": bm25_topk_federated,
         "bm25_topk_sharded": bm25_topk_sharded,
         "qld_topk": qld_topk,
         "more_like_this": more_like_this,
@@ -3862,6 +3920,7 @@ WHERE text IS NOT NULL
         "transcripts_significant_terms": _transcripts_sig_terms_sql(),
         "transcripts_date_histogram": _transcripts_date_hist_sql(),
         "transcripts_rescore_recency": _transcripts_rescore_sql(),
+        "bm25_topk_federated": _bm25_sql(conjunctive=False),
         "percolate_conjunctive": _percolate_sql(),
         "transcripts_conv_stats": f"""
             SELECT conv_id,

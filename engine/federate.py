@@ -1,0 +1,120 @@
+"""Federated search across INDEPENDENTLY BUILT indexes — the Lucene/ES
+``dfs_query_then_fetch`` two-phase surface. The reference's analog is its
+multi-bundle inverted index: queries consult every committed bundle of the
+same index (CORE/io/DefaultInvertedIndex.java:62-66, 120-268); federation
+lifts that to whole indexes that never went through a merge.
+
+Phase 1 (DFS): collect the union corpus statistics — n_docs and the exact
+integer token total (so avgdl is ONE division of exact ints, bit-identical to
+what a single full-corpus build would have stored) plus per-query-term df
+sums from segment METADATA lookups only. Phase 2 (query): every member index
+scores its own candidates with the union stats overriding its local ones
+(``Bm25Index.score_all(global_stats=...)``), and the bounded per-index hit
+lists merge into one deterministic top-k.
+
+Because member docID spaces are disjoint (enforced), per-term accumulation
+order is ascending-term on both sides, and idf/length-norm inputs are the
+same floats, a federated score is BIT-IDENTICAL to the score the same doc
+gets from one full-corpus index — so plain full-corpus BM25 SQL oracles the
+whole federation.
+
+Scale shape: phase 1 touches O(#indexes x #query terms) metadata; phase 2 is
+each index's normal postings-bounded scoring; the merge sees only
+``sum(per-index candidates)`` rows. At the 100-TB design point the member
+indexes live behind their own actor pools (``serve.ShardedQueryService``) and
+only stats + bounded hit lists cross the federation boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .query import Bm25Index
+from .tokenize import tokenize_text
+
+
+class Federation:
+    """A queryable union of independently built indexes.
+
+    Members must occupy disjoint docID ranges (checked cheaply at init via
+    each docmap's (min, max) id bounds — the same refusal contract
+    ``update.merge_indexes`` enforces before grafting)."""
+
+    def __init__(self, index_dirs: list[str]):
+        if len(index_dirs) < 2:
+            raise ValueError("a federation needs at least two member indexes")
+        self.members = [Bm25Index(d) for d in index_dirs]
+        # disjointness refusal, DISTRIBUTED: for each later member, one task
+        # per docmap file probes its ids against each earlier member's
+        # range-sharded dl shards (the merge_indexes collision contract,
+        # update._id_collisions) — nothing O(corpus) touches the driver.
+        import os
+
+        import ray
+
+        from .update import _id_collisions
+
+        for j in range(1, len(index_dirs)):
+            files = sorted(
+                os.path.join(root, f)
+                for root, _dirs, fs in os.walk(
+                    os.path.join(index_dirs[j], "docmap")
+                )
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            for i in range(j):
+                n_coll = sum(
+                    ray.get(
+                        [
+                            _id_collisions.remote(self.members[i]._dl_ref, p)
+                            for p in files
+                        ]
+                    )
+                )
+                if n_coll:
+                    raise ValueError(
+                        f"federation members {index_dirs[i]} and "
+                        f"{index_dirs[j]} share {n_coll} docIDs"
+                    )
+        # DFS phase invariants: exact-int token total -> one division, the
+        # same float64 a full-corpus build writes to stats.json
+        self.n_docs = sum(ix.n_docs for ix in self.members)
+        self._dl_total = float(sum(int(ix._dl_total) for ix in self.members))
+        self.avgdl = self._dl_total / self.n_docs if self.n_docs else 0.0
+
+    def _global_stats(self, terms: list[str]) -> dict:
+        return {
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "df": {
+                t: sum(ix.reader.df(t) for ix in self.members) for t in terms
+            },
+        }
+
+    def score_all(self, query_text: str) -> tuple[np.ndarray, np.ndarray]:
+        """Union of every member's exact BM25 candidates under the federation
+        stats, sorted by docID."""
+        terms = sorted(set(tokenize_text(query_text)))
+        gs = self._global_stats(terms)
+        docs, scores = [], []
+        for ix in self.members:
+            d, s = ix.score_all(query_text, global_stats=gs)
+            docs.append(d)
+            scores.append(s)
+        doc = np.concatenate(docs) if docs else np.empty(0, np.int64)
+        sc = np.concatenate(scores) if scores else np.empty(0, np.float64)
+        order = np.argsort(doc, kind="stable")
+        return doc[order], sc[order]
+
+    def topk(
+        self, query_text: str, k: int, rank_round: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Deterministic federated top-k: (rounded score desc, docID asc) over
+        the merged candidate union — same contract as ``Bm25Index.topk``."""
+        doc, score = self.score_all(query_text)
+        if not len(doc):
+            return doc, score
+        key = np.round(score, rank_round) if rank_round is not None else score
+        order = np.lexsort((doc, -key))[:k]
+        return doc[order], score[order]

@@ -312,12 +312,28 @@ class Bm25Index:
             return 0.0
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def score_all(self, query_text: str) -> tuple[np.ndarray, np.ndarray]:
+    def score_all(
+        self, query_text: str, global_stats: dict | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         """All matching docs -> exact BM25 (sorted by doc_id).
 
         Accumulation order matches the oracle exactly: ascending term, one
         vectorized float64 add per term at unique positions.
-        """
+
+        ``global_stats`` (federated / dfs_query_then_fetch mode): a dict
+        ``{"n_docs": int, "avgdl": float, "df": {term: int}}`` overriding this
+        index's LOCAL corpus statistics with union-of-indexes values, so a
+        shard of a federation scores its candidates exactly as one full-corpus
+        index would (``engine.federate``). Accumulator sizing and posting
+        lookups stay local; only idf's (n, df) and the length norm's avgdl
+        change."""
+        n_eff = self.n_docs if global_stats is None else int(global_stats["n_docs"])
+        avgdl_eff = self.avgdl if global_stats is None else float(global_stats["avgdl"])
+        df_of = (
+            (lambda t, local_df: local_df)
+            if global_stats is None
+            else (lambda t, local_df: int(global_stats["df"][t]))
+        )
         terms = sorted(set(tokenize_text(query_text)))
         postings = []
         for t in terms:
@@ -346,11 +362,11 @@ class Bm25Index:
             acc_full = np.zeros(self.n_docs, dtype=np.float64)
             seen = np.zeros(self.n_docs, dtype=bool)
             for t, doc, tf in postings:  # ascending term order
-                df = len(doc)
-                idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+                df = df_of(t, len(doc))
+                idf = math.log(1.0 + (n_eff - df + 0.5) / (df + 0.5))
                 tff = tf.astype(np.float64)
                 acc_full[doc] += idf * tff * (BM25_K1 + 1.0) / (
-                    tff + BM25_K1 * (1.0 - BM25_B + BM25_B * self.dl(doc) / self.avgdl)
+                    tff + BM25_K1 * (1.0 - BM25_B + BM25_B * self.dl(doc) / avgdl_eff)
                 )
                 seen[doc] = True
             # candidate extraction scans the 1-byte mask, not the 8-byte
@@ -371,12 +387,12 @@ class Bm25Index:
                 lo += len(d)
         acc = np.zeros(len(candidates), dtype=np.float64)
         for (t, doc, tf), pos in zip(postings, positions):  # ascending term order
-            df = len(doc)
-            idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            df = df_of(t, len(doc))
+            idf = math.log(1.0 + (n_eff - df + 0.5) / (df + 0.5))
             dl = self.dl(doc)
             tff = tf.astype(np.float64)
             contrib = idf * tff * (BM25_K1 + 1.0) / (
-                tff + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)
+                tff + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl_eff)
             )
             acc[pos] += contrib
         return candidates, acc

@@ -715,3 +715,54 @@ def test_merge_indexes_positional(ray_session, tiny_corpus, tmp_path):
     build_index(ray.data.from_arrow(hi), flat, n_buckets=8, n_salts=2, id_col="doc_id")
     with pytest.raises(ValueError, match="positional"):
         merge_indexes(full_d, flat)
+
+
+def test_federation_matches_full_build(ray_session, tiny_corpus, tmp_path):
+    """Federated dfs_query_then_fetch over two INDEPENDENT parity-split
+    builds (no merge): union stats (n, exact-int avgdl, df sums) make every
+    member score its candidates bit-identically to one full-corpus index,
+    and the merged top-k equals the full build's. Also exercises the
+    distributed docID-collision refusal."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from engine.build import build_index
+    from engine.federate import Federation
+    from engine.query import Bm25Index
+
+    corpus = pa.concat_tables(
+        pq.read_table(p) for p in sorted(glob.glob(tiny_corpus + "/*.parquet"))
+    )
+    corpus = corpus.append_column(
+        "doc_id", pa.array(np.arange(corpus.num_rows, dtype=np.int64))
+    )
+    even = corpus.filter(pa.array((np.arange(corpus.num_rows) % 2) == 0))
+    odd = corpus.filter(pa.array((np.arange(corpus.num_rows) % 2) == 1))
+
+    kw = dict(n_buckets=8, n_salts=4, hot_fraction=0.05, id_col="doc_id")
+    full_d, even_d, odd_d = (str(tmp_path / n) for n in ("ffull", "feven", "fodd"))
+    build_index(ray.data.from_arrow(corpus), full_d, **kw)
+    build_index(ray.data.from_arrow(even), even_d, **kw)
+    build_index(ray.data.from_arrow(odd), odd_d, **kw)
+
+    ref = Bm25Index(full_d)
+    fed = Federation([even_d, odd_d])
+    assert fed.n_docs == ref.n_docs
+    assert fed.avgdl == ref.avgdl  # exact-int token total -> same division
+
+    for q in ("the zqmarker0", "zqmarker0 zqmarker1", "table dup", "the",
+              "w00000", "qqqabsentqqq"):
+        d1, s1 = ref.score_all(q)
+        d2, s2 = fed.score_all(q)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)  # bit-identical
+        t1 = ref.topk(q, 10, rank_round=9)
+        t2 = fed.topk(q, 10, rank_round=9)
+        np.testing.assert_array_equal(t1[0], t2[0])
+        np.testing.assert_allclose(t1[1], t2[1], rtol=0, atol=0)
+
+    # collision refusal: a member overlapping another's docID space is refused
+    with pytest.raises(ValueError, match="share"):
+        Federation([even_d, full_d])
