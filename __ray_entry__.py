@@ -1904,6 +1904,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bm25_topk_dismax(sf_dir):
+        """Disjunction-max ranking (Lucene DisjunctionMaxQuery): per doc,
+        best single term's BM25 contribution + 1/4 of the rest —
+        max + tie*(sum - max), dyadic tie keeps the combine exact."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        qids, ranks, dids, scores = [], [], [], []
+        for q in _doc_query_items():
+            d, s = bm.dismax_topk(
+                q["text"], q["k"], tie_breaker=0.25, rank_round=RANK_ROUND
+            )
+            qids.extend([q["query_id"]] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            dids.extend(d.tolist())
+            scores.extend(np.round(s, SCORE_ROUND).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "score_r": pa.array(scores, pa.float64()),
+            }
+        )
+
+    def bm25_explain(sf_dir):
+        """Per-hit score breakdown (the Lucene/ES ``explain`` surface): one
+        row per (top-k hit, matching query term) with that term's exact BM25
+        contribution — the additive pieces the scorer sums, for relevance
+        debugging. Bounded by k x query terms, never corpus-sized."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        qids, ranks, dids, terms, contribs = [], [], [], [], []
+        for q in _doc_query_items():
+            d, r, t, c = bm.explain(q["text"], q["k"], rank_round=RANK_ROUND)
+            qids.extend([q["query_id"]] * len(d))
+            ranks.extend(r.tolist())
+            dids.extend(d.tolist())
+            terms.extend(t)
+            contribs.extend(np.round(c, SCORE_ROUND).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "contrib_r": pa.array(contribs, pa.float64()),
+            }
+        )
+
     def bm25_topk_federated(sf_dir):
         """Federated search (the ES ``dfs_query_then_fetch`` two-phase
         surface): the standard query set over TWO independently built
@@ -2197,6 +2248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_significant_terms": transcripts_significant_terms,
         "transcripts_date_histogram": transcripts_date_histogram,
         "transcripts_rescore_recency": transcripts_rescore_recency,
+        "bm25_topk_dismax": bm25_topk_dismax,
+        "bm25_explain": bm25_explain,
         "bm25_topk_federated": bm25_topk_federated,
         "bm25_topk_sharded": bm25_topk_sharded,
         "qld_topk": qld_topk,
@@ -2291,6 +2344,103 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
 FROM ranked WHERE rank <= k
+"""
+
+
+def _dismax_sql() -> str:
+    """Oracle for disjunction-max ranking: the same per-(query, doc, term)
+    BM25 contribution as _bm25_sql, combined as max + 0.25 * (sum - max)
+    instead of the plain sum."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}', {k})"
+        for qid, text, k in DOC_QUERIES
+        for t in sorted(set(text.lower().split()))
+    )
+    contrib = (
+        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))"
+        " * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, k) AS (VALUES
+      {vals}),
+scores AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum( {contrib} ) AS ssum,
+         max( {contrib} ) AS smax
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, tf.doc_id
+),
+hits AS (
+  SELECT query_id, k, doc_id, smax + 0.25 * (ssum - smax) AS score FROM scores
+),
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM hits
+)
+SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= k
+"""
+
+
+def _explain_sql() -> str:
+    """Oracle for the explain surface: rank with the ordinary summed-BM25
+    pipeline, then re-emit the UN-AGGREGATED per-(query, hit, term)
+    contribution for every ranked hit."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}', {k})"
+        for qid, text, k in DOC_QUERIES
+        for t in sorted(set(text.lower().split()))
+    )
+    contrib = (
+        "ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))"
+        " * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, k) AS (VALUES
+      {vals}),
+contribs AS (
+  SELECT q.query_id, q.k, tf.doc_id, tf.term, {contrib} AS contrib
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, k, doc_id, sum(contrib) AS score
+  FROM contribs GROUP BY query_id, k, doc_id
+),
+ranked AS (
+  SELECT query_id, k, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.doc_id, c.term,
+       round(c.contrib, {SCORE_ROUND}) AS contrib_r
+FROM ranked r
+JOIN contribs c ON c.query_id = r.query_id AND c.doc_id = r.doc_id
+WHERE r.rank <= r.k
 """
 
 
@@ -3920,6 +4070,8 @@ WHERE text IS NOT NULL
         "transcripts_significant_terms": _transcripts_sig_terms_sql(),
         "transcripts_date_histogram": _transcripts_date_hist_sql(),
         "transcripts_rescore_recency": _transcripts_rescore_sql(),
+        "bm25_topk_dismax": _dismax_sql(),
+        "bm25_explain": _explain_sql(),
         "bm25_topk_federated": _bm25_sql(conjunctive=False),
         "percolate_conjunctive": _percolate_sql(),
         "transcripts_conv_stats": f"""

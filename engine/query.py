@@ -397,6 +397,110 @@ class Bm25Index:
             acc[pos] += contrib
         return candidates, acc
 
+    def dismax_topk(
+        self,
+        query_text: str,
+        k: int,
+        tie_breaker: float = 0.25,
+        rank_round: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Disjunction-max ranking (the Lucene ``DisjunctionMaxQuery``
+        surface): per doc, the BEST single term's BM25 contribution plus
+        ``tie_breaker`` times the remaining terms' contributions —
+        ``max + tie * (sum - max)`` — instead of the plain sum. A dyadic
+        ``tie_breaker`` (default 1/4) keeps the combine exact: ``sum`` is the
+        ordinary ascending-term accumulation (bit-identical to ``score_all``),
+        ``max`` is exact, and the final expression is one subtract, one
+        multiply, one add — the same IEEE ops the SQL oracle performs.
+
+        Cost is the same postings-bounded pass as ``score_all`` with a second
+        float64 accumulator for the running max."""
+        terms = sorted(set(tokenize_text(query_text)))
+        postings = []
+        for t in terms:
+            doc, tf = self.reader.postings(t)
+            if len(doc):
+                postings.append((t, doc, tf))
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if not postings:
+            return empty
+        concat = np.concatenate([d for _, d, _ in postings])
+        candidates, inverse = np.unique(concat, return_inverse=True)
+        acc = np.zeros(len(candidates), dtype=np.float64)
+        mx = np.zeros(len(candidates), dtype=np.float64)
+        lo = 0
+        for t, doc, tf in postings:  # ascending term order
+            pos = inverse[lo : lo + len(doc)]
+            lo += len(doc)
+            df = len(doc)
+            idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            tff = tf.astype(np.float64)
+            contrib = idf * tff * (BM25_K1 + 1.0) / (
+                tff + BM25_K1 * (1.0 - BM25_B + BM25_B * self.dl(doc) / self.avgdl)
+            )
+            acc[pos] += contrib
+            # pos is unique within one term (one posting per doc), so a
+            # gather-compare-scatter is an exact segmented running max
+            mx[pos] = np.maximum(mx[pos], contrib)
+        score = mx + tie_breaker * (acc - mx)
+        key = np.round(score, rank_round) if rank_round is not None else score
+        order = np.lexsort((candidates, -key))[:k]
+        return candidates[order], score[order]
+
+    def explain(
+        self, query_text: str, k: int, rank_round: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray, list[str], np.ndarray]:
+        """Score breakdown for the top-``k`` hits (the Lucene/ES ``explain``
+        surface): one row per (hit doc, matching query term) carrying that
+        term's exact BM25 contribution — the additive pieces ``score_all``
+        sums, exposed for relevance debugging.
+
+        Work is ranking + one postings lookup per query term with a
+        searchsorted membership probe against the k hit docs — never
+        corpus-sized. Returns (doc_ids, ranks, terms, contribs) in
+        (term asc, doc asc) order; contributions are the same floats the
+        scoring path adds, so per-doc they sum back to the hit's score."""
+        d, _s = self.topk(query_text, k, rank_round=rank_round)
+        empty = (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            [],
+            np.empty(0, dtype=np.float64),
+        )
+        if not len(d):
+            return empty
+        ds_sorted = np.sort(d)
+        rank_of = {int(x): r for r, x in enumerate(d.tolist(), 1)}
+        out_doc, out_rank, out_term, out_contrib = [], [], [], []
+        for t in sorted(set(tokenize_text(query_text))):
+            doc, tf = self.reader.postings(t)
+            if not len(doc):
+                continue
+            idx = np.searchsorted(doc, ds_sorted)
+            idx_c = np.clip(idx, 0, len(doc) - 1)
+            mask = doc[idx_c] == ds_sorted
+            present = ds_sorted[mask]
+            if not len(present):
+                continue
+            tff = tf[idx_c[mask]].astype(np.float64)
+            df = len(doc)
+            idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            contrib = idf * tff * (BM25_K1 + 1.0) / (
+                tff
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * self.dl(present) / self.avgdl)
+            )
+            out_doc.extend(present.tolist())
+            out_rank.extend(rank_of[int(x)] for x in present.tolist())
+            out_term.extend([t] * len(present))
+            out_contrib.extend(contrib.tolist())
+        return (
+            np.array(out_doc, dtype=np.int64),
+            np.array(out_rank, dtype=np.int64),
+            out_term,
+            np.array(out_contrib, dtype=np.float64),
+        )
+
     def topk(
         self,
         query_text: str,

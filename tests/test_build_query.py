@@ -943,6 +943,71 @@ def test_significant_terms_vs_bruteforce(tiny_index, tiny_corpus):
     assert any_terms > 10  # non-absent queries must surface terms
 
 
+def test_dismax_and_explain_vs_bruteforce(tiny_index):
+    """DisjunctionMax ranking and the explain breakdown: per-(doc, term)
+    contributions recomputed independently from raw postings must (a) combine
+    to bit-identical dismax scores and ordering, and (b) appear verbatim in
+    explain rows, which per doc must sum back to the score_all score."""
+    import math
+
+    from engine.schema import BM25_B, BM25_K1
+    from engine.tokenize import tokenize_text
+
+    bm = Bm25Index(tiny_index)
+    any_hits = 0
+    for q in QUERY_SET:
+        terms = sorted(set(tokenize_text(q["text"])))
+        contrib_of: dict[int, dict[str, float]] = {}
+        for t in terms:
+            pdoc, ptf = bm.reader.postings(t)
+            if not len(pdoc):
+                continue
+            df = len(pdoc)
+            # math.log, not np.log: the engine's scalar idf uses libm and the
+            # two can differ by one ULP on some inputs
+            idf = math.log(1.0 + (bm.n_docs - df + 0.5) / (df + 0.5))
+            tff = ptf.astype(np.float64)
+            c = idf * tff * (BM25_K1 + 1.0) / (
+                tff + BM25_K1 * (1.0 - BM25_B + BM25_B * bm.dl(pdoc) / bm.avgdl)
+            )
+            for dd, cc in zip(pdoc.tolist(), c.tolist()):
+                contrib_of.setdefault(dd, {})[t] = cc
+        # dismax brute force: ascending-term sum (dict insertion order), max
+        exp = {}
+        for dd, cs in contrib_of.items():
+            vals = list(cs.values())
+            ssum = np.float64(0.0)
+            for v in vals:
+                ssum = ssum + v
+            smax = max(vals)
+            exp[dd] = smax + 0.25 * (ssum - smax)
+        want = sorted(exp.items(), key=lambda it: (-round(it[1], 9), it[0]))[: q["k"]]
+        d, s = bm.dismax_topk(q["text"], q["k"], tie_breaker=0.25, rank_round=9)
+        assert d.tolist() == [w[0] for w in want], q["query_id"]
+        np.testing.assert_allclose(s, [w[1] for w in want], rtol=0, atol=0)
+
+        # explain: rows == brute-force contribs for the top-k docs, and per
+        # doc they sum back (ascending term order) to the score_all score
+        td, ts = bm.topk(q["text"], q["k"], rank_round=9)
+        ed, er, et, ec = bm.explain(q["text"], q["k"], rank_round=9)
+        got = {(int(dd), t): c for dd, t, c in zip(ed.tolist(), et, ec.tolist())}
+        exp_rows = {
+            (dd, t): c
+            for dd in td.tolist()
+            for t, c in contrib_of.get(int(dd), {}).items()
+        }
+        assert got == exp_rows
+        rank_of = {int(x): r for r, x in enumerate(td.tolist(), 1)}
+        assert all(rank_of[int(dd)] == r for dd, r in zip(ed.tolist(), er.tolist()))
+        for dd, sc in zip(td.tolist(), ts.tolist()):
+            acc = np.float64(0.0)
+            for t in sorted(contrib_of.get(int(dd), {})):
+                acc = acc + contrib_of[int(dd)][t]
+            assert acc == sc
+        any_hits += len(td)
+    assert any_hits > 40
+
+
 def test_time_serving_vs_bruteforce(tiny_index, tiny_corpus):
     """date_histogram + recency rescore: the broadcast-key-set corpus lookup
     must hydrate exactly the right timestamp per hit (doc_id -> (conv_id,
