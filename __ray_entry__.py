@@ -1955,6 +1955,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bm25_top_hits_by_source(sf_dir):
+        """Per-content-class top hits (ES terms agg + top_hits sub-agg):
+        for each query and each docmap 'source' class, the top-3 hits among
+        that class — composed from cached J3 membership sets, #classes
+        bounded filtered queries, never a corpus scan."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        qids, cats, ranks, dids, scores = [], [], [], [], []
+        for q in _doc_query_items():
+            c, r, d, s = bm.top_hits_grouped(q["text"], 3, rank_round=RANK_ROUND)
+            qids.extend([q["query_id"]] * len(d))
+            cats.extend(c)
+            ranks.extend(r.tolist())
+            dids.extend(d.tolist())
+            scores.extend(np.round(s, SCORE_ROUND).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "category": pa.array(cats, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "score_r": pa.array(scores, pa.float64()),
+            }
+        )
+
     def bm25_topk_federated(sf_dir):
         """Federated search (the ES ``dfs_query_then_fetch`` two-phase
         surface): the standard query set over TWO independently built
@@ -2250,6 +2276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_rescore_recency": transcripts_rescore_recency,
         "bm25_topk_dismax": bm25_topk_dismax,
         "bm25_explain": bm25_explain,
+        "bm25_top_hits_by_source": bm25_top_hits_by_source,
         "bm25_topk_federated": bm25_topk_federated,
         "bm25_topk_sharded": bm25_topk_sharded,
         "qld_topk": qld_topk,
@@ -2441,6 +2468,48 @@ SELECT r.query_id, r.rank, r.doc_id, c.term,
 FROM ranked r
 JOIN contribs c ON c.query_id = r.query_id AND c.doc_id = r.doc_id
 WHERE r.rank <= r.k
+"""
+
+
+def _top_hits_sql() -> str:
+    """Oracle for the grouped top-hits aggregation: the standard summed-BM25
+    scores partitioned by the document's source class, top-3 per
+    (query, class)."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}', {k})"
+        for qid, text, k in DOC_QUERIES
+        for t in sorted(set(text.lower().split()))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, k) AS (VALUES
+      {vals}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT h.query_id, d.source AS category, h.doc_id, h.score,
+         row_number() OVER (PARTITION BY h.query_id, d.source
+                            ORDER BY round(h.score, {RANK_ROUND}) DESC, h.doc_id) AS rank
+  FROM scores h JOIN documents d USING (doc_id)
+)
+SELECT query_id, category, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= 3
 """
 
 
@@ -4072,6 +4141,7 @@ WHERE text IS NOT NULL
         "transcripts_rescore_recency": _transcripts_rescore_sql(),
         "bm25_topk_dismax": _dismax_sql(),
         "bm25_explain": _explain_sql(),
+        "bm25_top_hits_by_source": _top_hits_sql(),
         "bm25_topk_federated": _bm25_sql(conjunctive=False),
         "percolate_conjunctive": _percolate_sql(),
         "transcripts_conv_stats": f"""

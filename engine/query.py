@@ -1907,6 +1907,72 @@ class Bm25Index:
             cache[key] = hit
         return hit
 
+    def categories(self) -> list[str]:
+        """Distinct docmap ``category`` values (the bounded content-class
+        vocabulary — the reference's experimental/computational content types,
+        DefaultStructureIndexProvider.java:36-89). Streams per-file unique()
+        over the one column, so driver memory is O(#classes), and caches."""
+        cached = getattr(self, "_categories", None)
+        if cached is not None:
+            return cached
+        import glob as _glob
+
+        import pyarrow.compute as _pc
+
+        vals: set[str] = set()
+        files = sorted(
+            _glob.glob(os.path.join(self.index_dir, "docmap", "**", "*.parquet"),
+                       recursive=True)
+        )
+        if not files:
+            raise ValueError("index has no docmap")
+        try:
+            for f in files:
+                vals.update(
+                    x
+                    for x in _pc.unique(
+                        pq.read_table(f, columns=["category"])["category"]
+                    ).to_pylist()
+                    if x is not None
+                )
+        except Exception as e:
+            raise ValueError(
+                "index has no category column — build with category_col="
+            ) from e
+        self._categories = sorted(vals)
+        return self._categories
+
+    def top_hits_grouped(
+        self, query_text: str, j: int, rank_round: int | None = None
+    ) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
+        """Per-content-class top hits (the ES ``terms`` aggregation with a
+        ``top_hits`` sub-aggregation): for every docmap category, the top-``j``
+        hits among that class's documents — one ``topk(allowed=...)`` per
+        class over the cached J3 membership sets, so cost is #classes bounded
+        filtered queries, never a corpus scan.
+
+        Returns (categories, ranks, doc_ids, scores) row-aligned, classes in
+        sorted order, ranks 1..j within each class."""
+        cats_out: list[str] = []
+        ranks_l: list[int] = []
+        docs_l: list[np.ndarray] = []
+        scores_l: list[np.ndarray] = []
+        for cat in self.categories():
+            d, s = self.topk(
+                query_text, j, rank_round=rank_round,
+                allowed=self.category_docs(cat),
+            )
+            cats_out.extend([cat] * len(d))
+            ranks_l.extend(range(1, len(d) + 1))
+            docs_l.append(d)
+            scores_l.append(s)
+        return (
+            cats_out,
+            np.array(ranks_l, dtype=np.int64),
+            np.concatenate(docs_l) if docs_l else np.empty(0, np.int64),
+            np.concatenate(scores_l) if scores_l else np.empty(0, np.float64),
+        )
+
     def _probe_blocks(
         self, term: str, candidates: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:

@@ -943,6 +943,45 @@ def test_significant_terms_vs_bruteforce(tiny_index, tiny_corpus):
     assert any_terms > 10  # non-absent queries must surface terms
 
 
+def test_top_hits_grouped_vs_bruteforce(tiny_index_cat):
+    """Grouped top-hits (terms agg + top_hits): per-category rankings must
+    equal a brute-force per-category cut of the full score set, with exact
+    scores and the rounded-key/doc tiebreak."""
+    import pandas as pd
+
+    bm = Bm25Index(tiny_index_cat)
+    dm = pq.read_table(tiny_index_cat + "/docmap", columns=["doc_id", "category"])
+    cat_of = dict(zip(dm["doc_id"].to_pylist(), dm["category"].to_pylist()))
+    assert bm.categories() == sorted(set(cat_of.values()))
+    any_rows = 0
+    for q in QUERY_SET:
+        doc, score = bm.score_all(q["text"])
+        c, r, d, s = bm.top_hits_grouped(q["text"], 3, rank_round=9)
+        if not len(doc):
+            assert len(d) == 0
+            continue
+        df = pd.DataFrame(
+            {
+                "doc": doc,
+                "key": np.round(score, 9),
+                "score": score,
+                "cat": [cat_of[int(x)] for x in doc],
+            }
+        ).sort_values(
+            ["cat", "key", "doc"], ascending=[True, False, True], kind="stable"
+        )
+        exp = df.groupby("cat", sort=True).head(3)
+        exp["rank"] = exp.groupby("cat").cumcount() + 1
+        got = sorted(zip(c, r.tolist(), d.tolist(), s.tolist()))
+        want = sorted(
+            zip(exp["cat"], exp["rank"], exp["doc"], exp["score"])
+        )
+        assert [g[:3] for g in got] == [w[:3] for w in want], q["query_id"]
+        assert all(g[3] == w[3] for g, w in zip(got, want))  # exact floats
+        any_rows += len(got)
+    assert any_rows > 50
+
+
 def test_dismax_and_explain_vs_bruteforce(tiny_index):
     """DisjunctionMax ranking and the explain breakdown: per-(doc, term)
     contributions recomputed independently from raw postings must (a) combine
