@@ -2061,6 +2061,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def transcripts_match_stats(sf_dir):
+        """Count API + cardinality aggregation per query: total matching
+        turns (ANY-term postings union, unscored) and distinct conversations
+        containing a match — searchsorted into the O(n_convs) conv-start
+        array, postings-bounded."""
+        from engine.queries import QUERY_SET
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_transcripts_index(sf_dir))
+        qids, turns, convs = [], [], []
+        for q in QUERY_SET:
+            n_t, n_c = bm.match_stats(q["text"])
+            if not n_t:
+                continue
+            qids.append(q["query_id"])
+            turns.append(n_t)
+            convs.append(n_c)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "n_turns": pa.array(turns, pa.int64()),
+                "n_convs": pa.array(convs, pa.int64()),
+            }
+        )
+
     def transcripts_conv_stats(sf_dir):
         """Per-conversation profile over the RAW transcripts table (turn
         mix, tool-call count, tokenizer token mass, wall-clock span) —
@@ -2272,6 +2297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "best_passages": best_passages,
         "transcripts_collapse_topk": transcripts_collapse_topk,
         "transcripts_significant_terms": transcripts_significant_terms,
+        "transcripts_match_stats": transcripts_match_stats,
         "transcripts_date_histogram": transcripts_date_histogram,
         "transcripts_rescore_recency": transcripts_rescore_recency,
         "bm25_topk_dismax": bm25_topk_dismax,
@@ -3407,6 +3433,39 @@ FROM ranked WHERE rank <= k
 """
 
 
+def _transcripts_match_stats_sql() -> str:
+    """Oracle for match_stats: distinct matched (query, doc) via the token
+    table, counts + distinct-conversation cardinality per query."""
+    from engine.queries import QUERY_SET
+    from engine.tokenize import tokenize_text
+
+    vals = ",\n      ".join(
+        f"('{q['query_id']}', '{t}')"
+        for q in QUERY_SET
+        for t in sorted(set(tokenize_text(q["text"])))
+    )
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         conv_id, text
+  FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+),
+toks AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest({_TOKEN_SQL}) AS term FROM corpus
+),
+q(query_id, term) AS (VALUES
+      {vals}),
+matches AS (
+  SELECT DISTINCT q.query_id, toks.doc_id FROM q JOIN toks USING (term)
+)
+SELECT m.query_id,
+       count(*)::BIGINT AS n_turns,
+       count(DISTINCT c.conv_id)::BIGINT AS n_convs
+FROM matches m JOIN corpus c USING (doc_id)
+GROUP BY m.query_id
+"""
+
+
 def _jaccard_sql() -> str:
     """Exact Jaccard >= 4/5 pairs over distinct word-3-gram shingles. Also the
     oracle for dedup_minhash: its verification stage is the SAME exact-Jaccard
@@ -4137,6 +4196,7 @@ WHERE text IS NOT NULL
         "best_passages": _passages_sql(),
         "transcripts_collapse_topk": _transcripts_collapse_sql(),
         "transcripts_significant_terms": _transcripts_sig_terms_sql(),
+        "transcripts_match_stats": _transcripts_match_stats_sql(),
         "transcripts_date_histogram": _transcripts_date_hist_sql(),
         "transcripts_rescore_recency": _transcripts_rescore_sql(),
         "bm25_topk_dismax": _dismax_sql(),

@@ -1973,6 +1973,22 @@ class Bm25Index:
             np.concatenate(scores_l) if scores_l else np.empty(0, np.float64),
         )
 
+    def match_stats(self, query_text: str) -> tuple[int, int]:
+        """Hit-count + conversation-cardinality for a query (the ES count API
+        and ``cardinality`` aggregation; the reference's result-stats rollup,
+        core/AbstractSearchContext.java:62-77): total matching turns (ANY-term
+        union) and distinct conversations containing a match. No scoring —
+        one postings union plus a searchsorted into the O(n_convs) conv-start
+        array, cost bounded by postings size."""
+        terms = sorted(set(tokenize_text(query_text)))
+        arrs = [self.reader.postings(t)[0] for t in terms]
+        arrs = [a for a in arrs if len(a)]
+        if not arrs:
+            return 0, 0
+        doc = np.unique(np.concatenate(arrs))
+        grp = np.searchsorted(self._conv_starts(), doc, side="right") - 1
+        return int(len(doc)), int(len(np.unique(grp)))
+
     def _probe_blocks(
         self, term: str, candidates: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:

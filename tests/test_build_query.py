@@ -943,6 +943,28 @@ def test_significant_terms_vs_bruteforce(tiny_index, tiny_corpus):
     assert any_terms > 10  # non-absent queries must surface terms
 
 
+def test_match_stats_vs_bruteforce(tiny_index, tiny_corpus):
+    """Count + conversation cardinality: postings-union turn counts and the
+    conv-start searchsorted attribution must equal raw-corpus brute force."""
+    from engine.tokenize import tokenize_text
+
+    bm = Bm25Index(tiny_index)
+    corpus = pq.read_table(tiny_corpus).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    tokens_of = [set(tokenize_text(t or "")) for t in corpus["text"].to_pylist()]
+    convs = corpus["conv_id"].to_pylist()
+    nonzero = 0
+    for q in QUERY_SET:
+        terms = set(tokenize_text(q["text"]))
+        hits = [i for i, s in enumerate(tokens_of) if s & terms]
+        n_t, n_c = bm.match_stats(q["text"])
+        assert n_t == len(hits), q["query_id"]
+        assert n_c == len({convs[i] for i in hits})
+        nonzero += n_t > 0
+    assert nonzero >= 10
+
+
 def test_top_hits_grouped_vs_bruteforce(tiny_index_cat):
     """Grouped top-hits (terms agg + top_hits): per-category rankings must
     equal a brute-force per-category cut of the full score set, with exact
