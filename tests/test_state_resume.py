@@ -425,3 +425,45 @@ def test_auto_buckets_resolution_and_resume(ray_session, tiny_corpus, tmp_path):
     d2, s2 = b.topk("w00000 w00001", 10)
     assert d1.tolist() == d2.tolist()
     np.testing.assert_array_equal(s1.view(np.uint64), s2.view(np.uint64))
+
+
+def test_snapshot_restore_roundtrip(ray_session, tiny_index, tmp_path):
+    """Snapshot/restore lifecycle: a restored index answers every query
+    identically; tampered snapshot bytes are refused by verify AND by
+    restore's in-flight CRC check; an uncommitted snapshot (no manifest,
+    the mid-crash state) is refused outright."""
+    import glob
+
+    ref = _topk_frame(tiny_index)
+    snap = str(tmp_path / "snap")
+    man = state.snapshot_index(tiny_index, snap)
+    assert state.verify_snapshot(snap)["files"] == man["files"]
+    assert any(r.startswith("docmap") for r in man["files"])  # docmap included
+
+    rest = str(tmp_path / "restored")
+    state.restore_index(snap, rest)
+    assert _topk_frame(rest) == ref
+
+    # refuse duplicate destinations
+    with pytest.raises(ValueError, match="exists"):
+        state.snapshot_index(tiny_index, snap)
+    with pytest.raises(ValueError, match="exists"):
+        state.restore_index(snap, rest)
+
+    # tamper one payload byte -> verify and restore both refuse
+    seg = sorted(glob.glob(os.path.join(snap, "segment-*.parquet")))[0]
+    with open(seg, "r+b") as f:
+        f.seek(12)
+        b = f.read(1)
+        f.seek(12)
+        f.write(bytes([b[0] ^ 0xFF]))
+    with pytest.raises(ValueError, match="corrupt"):
+        state.verify_snapshot(snap)
+    with pytest.raises(Exception, match="corrupt"):
+        state.restore_index(snap, str(tmp_path / "r2"))
+    assert not os.path.exists(str(tmp_path / "r2"))  # staged dir never renamed
+
+    # uncommitted snapshot (manifest missing == crash before manifest-last)
+    os.remove(os.path.join(snap, state.SNAPSHOT_MANIFEST))
+    with pytest.raises(ValueError, match="not a committed snapshot"):
+        state.restore_index(snap, str(tmp_path / "r3"))
