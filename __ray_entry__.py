@@ -38,6 +38,26 @@ DOC_QUERIES: list[tuple[str, str, int]] = [
 
 _TOKEN_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+
+def _boost_of(i: int) -> float:
+    """Deterministic per-term boost for the boosted-query entry: 1.0 / 1.5 /
+    2.0 cycling over each query's ascending-sorted terms (exactly
+    representable halves, so engine and SQL multiply identical doubles)."""
+    return 1.0 + 0.5 * (i % 3)
+
+
+def _synonym_groups(text: str) -> list[list[str]]:
+    """Deterministic synonym grouping for the SynonymQuery entry: the
+    query's ascending-sorted distinct terms, chunked in pairs — every
+    multi-term query gets at least one genuine 2-member group."""
+    terms = sorted(set(text.lower().split()))
+    return [terms[j : j + 2] for j in range(0, len(terms), 2)]
+
+
+# prefixes for the completion-suggester entry (vocab is lowercase a-z0-9)
+SUGGEST_PREFIXES: list[str] = ["ta", "jo", "s", "zzz"]
+SUGGEST_K = 8
+
 # --- phrase queries over the positional documents index (J4 analog) ---------
 PHRASE_QUERIES: list[tuple[str, str]] = [
     ("P1_bigram", "table scan"),
@@ -1929,6 +1949,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bm25_topk_boosted(sf_dir):
+        """Per-term query boosts (the Lucene ``term^boost`` BoostQuery
+        surface): score = sum_t boost_t * BM25 contribution, boosts cycling
+        1.0/1.5/2.0 over each query's ascending terms (_boost_of)."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        qids, ranks, dids, scores = [], [], [], []
+        for q in _doc_query_items():
+            terms = sorted(set(q["text"].lower().split()))
+            boosts = {t: _boost_of(i) for i, t in enumerate(terms)}
+            d, s = bm.boosted_topk(boosts, q["k"], rank_round=RANK_ROUND)
+            qids.extend([q["query_id"]] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            dids.extend(d.tolist())
+            scores.extend(np.round(s, SCORE_ROUND).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "score_r": pa.array(scores, pa.float64()),
+            }
+        )
+
+    def bm25_topk_synonyms(sf_dir):
+        """Synonym-group retrieval with BLENDED statistics (Lucene
+        SynonymQuery): each pair of a query's sorted terms scores as one
+        pseudo-term — tf summed per doc, df = max member df — so matching
+        several synonyms never double-counts idf (_synonym_groups)."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        qids, ranks, dids, scores = [], [], [], []
+        for q in _doc_query_items():
+            d, s = bm.synonym_topk(
+                _synonym_groups(q["text"]), q["k"], rank_round=RANK_ROUND
+            )
+            qids.extend([q["query_id"]] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            dids.extend(d.tolist())
+            scores.extend(np.round(s, SCORE_ROUND).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "score_r": pa.array(scores, pa.float64()),
+            }
+        )
+
+    def suggest_complete(sf_dir):
+        """Completion suggester (Lucene suggest/completion with df as the
+        weight): top suggestions per prefix ranked (-df, term) off one
+        metadata-only vocab scan."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        pres, ranks, terms, dfs = [], [], [], []
+        for p in SUGGEST_PREFIXES:
+            for r, (t, df) in enumerate(bm.suggest_complete(p, SUGGEST_K), 1):
+                pres.append(p)
+                ranks.append(r)
+                terms.append(t)
+                dfs.append(df)
+        return pa.table(
+            {
+                "prefix": pa.array(pres, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array(dfs, pa.int64()),
+            }
+        )
+
     def bm25_explain(sf_dir):
         """Per-hit score breakdown (the Lucene/ES ``explain`` surface): one
         row per (top-k hit, matching query term) with that term's exact BM25
@@ -2344,6 +2438,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": events_type_stats,
         "top_orders": rel.top_orders,
         "customer_order_counts": rel.customer_order_counts,
+        "bm25_topk_boosted": bm25_topk_boosted,
+        "bm25_topk_synonyms": bm25_topk_synonyms,
+        "suggest_complete": suggest_complete,
     }
 
 
@@ -2445,6 +2542,120 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
 FROM ranked WHERE rank <= k
+"""
+
+
+def _boosted_sql() -> str:
+    """Oracle for per-term query boosts: _bm25_sql's skeleton with the
+    deterministic boost carried in the VALUES rows and applied as one
+    multiply per (query, doc, term) contribution."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}', {k}, {_boost_of(i)})"
+        for qid, text, k in DOC_QUERIES
+        for i, t in enumerate(sorted(set(text.lower().split())))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, k, boost) AS (VALUES
+      {vals}),
+scores AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum( q.boost * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= k
+"""
+
+
+def _synonyms_sql() -> str:
+    """Oracle for SynonymQuery blended scoring: per (query, group, doc) the
+    member tfs SUM and the group df is the MAX member df; one BM25
+    contribution per group, summed per doc. Groups whose members are all
+    absent from the corpus drop out via the inner joins, matching the
+    engine."""
+    vals = ",\n      ".join(
+        f"('{qid}', {g}, '{t}', {k})"
+        for qid, text, k in DOC_QUERIES
+        for g, members in enumerate(_synonym_groups(text))
+        for t in members
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, grp, term, k) AS (VALUES
+      {vals}),
+gdf AS (
+  SELECT q.query_id, q.grp, max(df.df) AS dfb
+  FROM q JOIN df USING (term) GROUP BY q.query_id, q.grp
+),
+gtf AS (
+  SELECT q.query_id, q.grp, q.k, tf.doc_id, sum(tf.tf) AS tfsum
+  FROM q JOIN tf USING (term) GROUP BY q.query_id, q.grp, q.k, tf.doc_id
+),
+gc AS (
+  SELECT gtf.query_id, gtf.k, gtf.doc_id,
+         ln(1 + (s.n_docs - gdf.dfb + 0.5) / (gdf.dfb + 0.5))
+         * gtf.tfsum * (1.2 + 1) / (gtf.tfsum + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) AS contrib
+  FROM gtf
+  JOIN gdf USING (query_id, grp)
+  JOIN dl_all ON gtf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, k, doc_id, sum(contrib) AS score FROM gc GROUP BY query_id, k, doc_id
+),
+ranked AS (
+  SELECT query_id, k, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= k
+"""
+
+
+def _suggest_complete_sql() -> str:
+    """Oracle for the completion suggester: per prefix, the corpus vocabulary
+    filtered by starts_with and ranked (-df, term), capped at SUGGEST_K."""
+    prevals = ",".join(f"('{p}')" for p in SUGGEST_PREFIXES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+p(prefix) AS (VALUES {prevals}),
+ranked AS (
+  SELECT p.prefix, df.term, df.df,
+         row_number() OVER (PARTITION BY p.prefix ORDER BY df.df DESC, df.term) AS rank
+  FROM p JOIN df ON starts_with(df.term, p.prefix)
+)
+SELECT prefix, rank, term, df FROM ranked WHERE rank <= {SUGGEST_K}
 """
 
 
@@ -5090,4 +5301,7 @@ WHERE text IS NOT NULL
                    CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) AS k_val
             FROM events
         """,
+        "bm25_topk_boosted": _boosted_sql(),
+        "bm25_topk_synonyms": _synonyms_sql(),
+        "suggest_complete": _suggest_complete_sql(),
     }

@@ -1284,6 +1284,32 @@ class Bm25Index:
         )
         return [(c, -negdf) for negdf, c in ranked[:max_suggestions]]
 
+    def suggest_complete(
+        self, prefix: str, max_suggestions: int = 5
+    ) -> list[tuple[str, int]]:
+        """Completion suggester (the Lucene suggest/completion surface, with
+        document frequency as the suggestion weight): indexed terms starting
+        with ``prefix``, ranked by descending df then ascending term — the
+        "most popular completion first" contract. One metadata-only vocab
+        scan (the A5 known-keys surface; payload columns never touched) with
+        a vectorized prefix mask, so cost is O(vocab) bytes of term strings,
+        never a postings decode. Returns [(term, df), ...].
+
+        Scale path: like the FastSS index, build per postings shard — the
+        vocab is term-hash partitioned under ShardedQueryService, and per-
+        shard top-``max_suggestions`` lists merge exactly (df is a per-term
+        global in each shard's metadata)."""
+        if not prefix:
+            raise ValueError("prefix must be non-empty")
+        vocab = self.reader.vocab_df()
+        import pyarrow.compute as _pc
+
+        sub = vocab.filter(_pc.starts_with(vocab["term"], pattern=prefix))
+        dfs = sub["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = sub["term"].to_pylist()
+        ranked = sorted(zip([-d for d in dfs], terms))
+        return [(t, int(-negdf)) for negdf, t in ranked[:max_suggestions]]
+
     def fuzzy_topk(
         self,
         terms: list[str],
@@ -1871,6 +1897,91 @@ class Bm25Index:
             lo += len(doc)
             contrib = self._contrib(self.idf(t), tf.astype(np.float64), self.dl(doc))
             acc[pos] += weights[t] * contrib
+        return self._rank_topk(candidates, acc, k, rank_round)
+
+    def boosted_topk(
+        self,
+        boosts: dict[str, float],
+        k: int,
+        rank_round: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-term query boosts (the Lucene ``term^boost`` BoostQuery
+        surface over a disjunction): score(d) = sum_t boost_t * BM25
+        contribution(t, d), accumulated in ascending-term order. The public
+        face of the weighted-union scorer RM3 re-retrieval uses — each doc's
+        score is a sum of single products, so the SQL oracle reproduces it
+        with one multiply per (doc, term) row. Boosts must be positive
+        (Lucene's BoostQuery contract); zero/negative would silently turn a
+        scoring clause into a filter or an inverted signal."""
+        if not boosts:
+            raise ValueError("boosted_topk requires at least one term")
+        if any(w <= 0 for w in boosts.values()):
+            raise ValueError("boosts must be positive")
+        return self._weighted_topk(dict(boosts), k, rank_round)
+
+    def synonym_topk(
+        self,
+        groups: list[list[str]],
+        k: int,
+        rank_round: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Synonym-group scoring with BLENDED statistics — the Lucene
+        ``SynonymQuery`` semantics: each group of terms scores as ONE
+        pseudo-term whose per-doc tf is the SUM of the member tfs and whose
+        df is the MAX of the member dfs (SynonymQuery.SynonymWeight collapses
+        the members' TermStatistics to max docFreq before building a single
+        BM25 scorer). A doc matching several synonyms is therefore NOT
+        rewarded with multiple idf credits the way a plain OR
+        (``expanded_topk``'s per-slot max is different again: it takes the
+        BEST variant, this FUSES them). Reference analog: tolerance-expanded
+        descriptors all stand in for the single original descriptor when
+        scoring a path (ResiduePairOccurrence.java:166-227) — one logical
+        term, many surface forms.
+
+        Per group: member postings merge by docID (one unique() + a bincount
+        scatter-add of tfs — exact, tfs are small ints); the group's single
+        contribution uses the blended idf and the summed tf through the
+        standard saturation. Group contributions then accumulate in
+        ascending group-key order (the sorted member tuple), one float add
+        per group per doc, like score_all. Cost is bounded by the union of
+        member postings."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        gs = sorted({tuple(sorted(set(g))) for g in groups if g})
+        merged = []  # (members, doc_ids, summed_tf, blended_df)
+        for members in gs:
+            docs, tfs, dfs = [], [], []
+            for t in members:
+                doc, tf = self.reader.postings(t)
+                if len(doc):
+                    docs.append(doc)
+                    tfs.append(tf)
+                    dfs.append(len(doc))
+            if not docs:
+                continue
+            if len(docs) == 1:
+                mdoc, mtf = docs[0], tfs[0].astype(np.float64)
+            else:
+                cat = np.concatenate(docs)
+                mdoc, inv = np.unique(cat, return_inverse=True)
+                # bincount-with-weights is an exact integer sum here: tfs are
+                # int32 counts, far inside float64's 2^53 exact range
+                mtf = np.bincount(
+                    inv,
+                    weights=np.concatenate(tfs).astype(np.float64),
+                    minlength=len(mdoc),
+                )
+            merged.append((members, mdoc, mtf, max(dfs)))
+        if not merged:
+            return empty
+        concat = np.concatenate([d for _, d, _, _ in merged])
+        candidates, inverse = np.unique(concat, return_inverse=True)
+        acc = np.zeros(len(candidates), dtype=np.float64)
+        lo = 0
+        for _, doc, tf, df_blend in merged:  # ascending group order
+            pos = inverse[lo : lo + len(doc)]
+            lo += len(doc)
+            idf = math.log(1.0 + (self.n_docs - df_blend + 0.5) / (df_blend + 0.5))
+            acc[pos] += self._contrib(idf, tf, self.dl(doc))
         return self._rank_topk(candidates, acc, k, rank_round)
 
     def category_docs(self, value) -> np.ndarray:

@@ -1145,3 +1145,120 @@ def test_time_serving_vs_bruteforce(tiny_index, tiny_corpus):
         for qid in base
     )
     assert reordered
+
+
+def test_boosted_topk_vs_bruteforce(tiny_index, oracle):
+    """boosted_topk == per-term boost * BM25 contribution summed in ascending
+    term order, bit-identically (the Lucene term^boost surface)."""
+    import math
+
+    from engine.schema import BM25_B, BM25_K1
+    from engine.tokenize import tokenize_text
+
+    bm = Bm25Index(tiny_index)
+    for q in QUERY_SET:
+        terms = sorted(set(tokenize_text(q["text"])))
+        boosts = {t: 1.0 + 0.5 * (i % 3) for i, t in enumerate(terms)}
+        scores: dict[int, float] = {}
+        for t in terms:
+            plist = oracle.postings.get(t)
+            if not plist:
+                continue
+            df = len(plist)
+            idf = math.log(1.0 + (oracle.n_docs - df + 0.5) / (df + 0.5))
+            for d, tf in plist.items():
+                dl = oracle.dl[d]
+                contrib = idf * tf * (BM25_K1 + 1.0) / (
+                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / oracle.avgdl)
+                )
+                scores[d] = scores.get(d, 0.0) + boosts[t] * contrib
+        expect = sorted(scores.items(), key=lambda it: (-it[1], it[0]))[: q["k"]]
+        d, s = bm.boosted_topk(boosts, q["k"])
+        assert d.tolist() == [x for x, _ in expect], q["query_id"]
+        assert s.tolist() == [y for _, y in expect], q["query_id"]  # bit-identical
+
+
+def test_boosted_topk_rejects_nonpositive(tiny_index):
+    bm = Bm25Index(tiny_index)
+    with pytest.raises(ValueError):
+        bm.boosted_topk({"w00000": 0.0}, 5)
+    with pytest.raises(ValueError):
+        bm.boosted_topk({}, 5)
+
+
+def test_synonym_topk_vs_bruteforce(tiny_index, oracle):
+    """synonym_topk == Lucene SynonymQuery blended scoring: per group,
+    tf = SUM of member tfs per doc, df = MAX member df, one contribution per
+    group per doc, groups summed in ascending group-key order."""
+    import math
+
+    from engine.schema import BM25_B, BM25_K1
+
+    bm = Bm25Index(tiny_index)
+    cases = [
+        # genuine synonyms (head + rare marker fused), absent member, all-absent group
+        [["w00000", "zqmarker0"], ["w00001", "qqqabsenttermqqq"]],
+        [["zqmarker1", "zqmarker2"]],
+        [["w00010", "w00200"], ["w03000", "w40000"], ["w00001"]],
+        [["qqqabsenttermqqq", "zzzneverzzz"]],
+        [["w00002", "w00002", "w00003"]],  # duplicate member collapses
+    ]
+    for groups in cases:
+        gs = sorted({tuple(sorted(set(g))) for g in groups if g})
+        scores: dict[int, float] = {}
+        for members in gs:
+            tf_sum: dict[int, int] = {}
+            dfs = []
+            for t in members:
+                plist = oracle.postings.get(t)
+                if not plist:
+                    continue
+                dfs.append(len(plist))
+                for d, tf in plist.items():
+                    tf_sum[d] = tf_sum.get(d, 0) + tf
+            if not dfs:
+                continue
+            dfb = max(dfs)
+            idf = math.log(1.0 + (oracle.n_docs - dfb + 0.5) / (dfb + 0.5))
+            for d, tfs in tf_sum.items():
+                dl = oracle.dl[d]
+                contrib = idf * tfs * (BM25_K1 + 1.0) / (
+                    tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / oracle.avgdl)
+                )
+                scores[d] = scores.get(d, 0.0) + contrib
+        expect = sorted(scores.items(), key=lambda it: (-it[1], it[0]))[:15]
+        d, s = bm.synonym_topk(groups, 15)
+        assert d.tolist() == [x for x, _ in expect], groups
+        assert s.tolist() == [y for _, y in expect], groups  # bit-identical
+
+
+def test_synonym_blending_differs_from_plain_or(tiny_index, oracle):
+    """A doc matching BOTH members of a group must NOT get two idf credits:
+    blended score uses max-df idf over the summed tf, which differs from the
+    two-term OR sum whenever dfs differ and a doc matches both."""
+    bm = Bm25Index(tiny_index)
+    k_all = bm.n_docs  # full candidate set, no top-k truncation
+    d_syn, s_syn = bm.synonym_topk([["w00000", "zqmarker0"]], k_all)
+    d_or, s_or = bm.topk("w00000 zqmarker0", k_all)
+    syn = dict(zip(d_syn.tolist(), s_syn.tolist()))
+    orr = dict(zip(d_or.tolist(), s_or.tolist()))
+    assert set(syn) == set(orr)  # same match set, different scoring
+    # any doc matching the RARE member scores through the blended (max-df)
+    # idf instead of its own high idf — strictly lower than the OR score
+    rare_docs = set(oracle.postings["zqmarker0"])
+    assert rare_docs
+    assert all(syn[d] < orr[d] - 1e-9 for d in rare_docs)
+
+
+def test_suggest_complete_vs_bruteforce(tiny_index, oracle):
+    """Completion suggester == vocab prefix filter ranked (-df, term)."""
+    bm = Bm25Index(tiny_index)
+    vocab_df = {t: len(p) for t, p in oracle.postings.items()}
+    for prefix, k in [("w000", 5), ("zq", 10), ("w", 7), ("nope", 3)]:
+        expect = sorted(
+            ((-df, t) for t, df in vocab_df.items() if t.startswith(prefix))
+        )[:k]
+        got = bm.suggest_complete(prefix, k)
+        assert got == [(t, -negdf) for negdf, t in expect], prefix
+    with pytest.raises(ValueError):
+        bm.suggest_complete("", 5)
