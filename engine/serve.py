@@ -33,6 +33,12 @@ import pyarrow as pa
 import ray
 
 
+class ShardUnavailable(Exception):
+    """Every replica of a postings shard failed for one call — the query
+    cannot be answered exactly, so the service refuses instead of returning
+    a silently partial result."""
+
+
 class QueryTimeout(Exception):
     """Raised when a query exceeds its deadline (query-timeout analog)."""
 
@@ -283,6 +289,8 @@ class ShardedQueryService:
         num_cpus: float = 1,
         shards: list | None = None,
         read_error_strategy: str = "throw",
+        n_replicas: int = 1,
+        respawn: bool = True,
     ):
         from .query import Bm25Index
 
@@ -290,25 +298,106 @@ class ShardedQueryService:
         # term->part routing (metadata), never payloads
         self._bm = Bm25Index(index_dir, read_error_strategy=read_error_strategy)
         r = self._bm.reader
-        n_parts = r.n_buckets * r.n_salts
+        self._index_dir = index_dir
+        self._num_cpus = num_cpus
+        self._res = read_error_strategy
+        self._n_parts = r.n_buckets * r.n_salts
+        self._respawn = respawn
+        self._failovers = 0
+        self._respawns = 0
         if shards is not None:
             # adopt an existing shard pool (round-robin part assignment
             # assumed): N coordinators can share one set of shard actors —
             # the distributed batch-eval shape (batch_topk_sharded). Adopted
-            # pools are NOT killed by shutdown().
+            # pools are NOT killed by shutdown() and never respawned (the
+            # owner decides replica lifecycle).
             self.n_shards = len(shards)
-            self._shards = list(shards)
+            self._replicas = [[a] for a in shards]
             self._owns_shards = False
-            return
-        self.n_shards = n_shards
-        self._owns_shards = True
-        self._shards = [
-            _ShardActor.options(num_cpus=num_cpus).remote(
-                index_dir, [p for p in range(n_parts) if p % n_shards == s],
-                read_error_strategy=read_error_strategy,
-            )
-            for s in range(n_shards)
+            self._respawn = False
+        else:
+            self.n_shards = n_shards
+            self._owns_shards = True
+            self._replicas = [
+                [self._spawn_shard(s) for _ in range(max(1, n_replicas))]
+                for s in range(n_shards)
+            ]
+        self._cursor = [0] * self.n_shards
+
+    def _spawn_shard(self, s: int):
+        """One replica of shard ``s``: owns every (n_shards)-strided part.
+        Replicas of a shard are interchangeable — the index files are
+        immutable on shared storage, so a fresh actor serves the identical
+        runs (the statelessness that makes failover exact, not best-effort)."""
+        return _ShardActor.options(num_cpus=self._num_cpus).remote(
+            self._index_dir,
+            [p for p in range(self._n_parts) if p % self.n_shards == s],
+            read_error_strategy=self._res,
+        )
+
+    @property
+    def _shards(self) -> list:
+        """Primary replica of each shard (back-compat view for callers that
+        predate replication)."""
+        return [reps[0] for reps in self._replicas]
+
+    def _issue(self, s: int, method: str, args: tuple):
+        """Launch one RPC on shard ``s``'s next replica (per-shard
+        round-robin cursor spreads concurrent queries across replicas)."""
+        reps = self._replicas[s]
+        idx = self._cursor[s] % len(reps)
+        self._cursor[s] += 1
+        actor = reps[idx]
+        return actor, getattr(actor, method).remote(*args)
+
+    def _scatter_calls(
+        self, calls: list[tuple[int, str, tuple]], timeout_s: float | None = None
+    ) -> list:
+        """Fan ``(shard, method, args)`` calls out in parallel with replica
+        failover: a call whose replica DIED (RayActorError) retries on the
+        shard's other replicas — and, when the pool is owned and ``respawn``
+        is set, the dead slot is refilled with a fresh actor (self-healing;
+        the fresh replica also counts as a retry target, so an
+        ``n_replicas=1`` service survives a kill too). Attempts per call are
+        bounded by replicas + 1; exhaustion raises ShardUnavailable.
+        ``timeout_s`` applies per gather attempt (a failover restarts the
+        clock — slow-degraded mode beats a spurious timeout during recovery).
+        Results come back in call order."""
+        n = len(calls)
+        results: list = [None] * n
+        attempts = [1] * n
+        inflight = [
+            (i, *self._issue(s, m, a)) for i, (s, m, a) in enumerate(calls)
         ]
+        while inflight:
+            retry = []
+            try:
+                for i, actor, ref in inflight:
+                    try:
+                        results[i] = ray.get(ref, timeout=timeout_s)
+                    except ray.exceptions.RayActorError as e:
+                        s, m, a = calls[i]
+                        self._failovers += 1
+                        reps = self._replicas[s]
+                        slot = next(
+                            (j for j, r in enumerate(reps) if r is actor), None
+                        )
+                        if slot is not None and self._respawn and self._owns_shards:
+                            reps[slot] = self._spawn_shard(s)
+                            self._respawns += 1
+                        if attempts[i] > len(reps):
+                            raise ShardUnavailable(
+                                f"shard {s}: all {len(reps)} replicas failed "
+                                f"(method {m})"
+                            ) from e
+                        attempts[i] += 1
+                        retry.append((i, *self._issue(s, m, a)))
+            except ray.exceptions.GetTimeoutError as e:
+                for _i, _actor, _ref in inflight + retry:
+                    ray.cancel(_ref, force=False)
+                raise QueryTimeout(f"query exceeded {timeout_s}s") from e
+            inflight = retry
+        return results
 
     def _scatter(self, terms: list[str], positions: bool = False):
         by_shard: dict[int, list[str]] = {}
@@ -316,7 +405,7 @@ class ShardedQueryService:
             for p in self._bm.reader.parts_of(t):
                 by_shard.setdefault(p % self.n_shards, []).append(t)
         return [
-            (s, self._shards[s].fetch.remote(sorted(set(ts)), positions))
+            (s, "fetch", (sorted(set(ts)), positions))
             for s, ts in sorted(by_shard.items())
         ]
 
@@ -329,13 +418,8 @@ class ShardedQueryService:
         """Scatter the terms, gather their runs, return a Bm25Index clone
         whose reader is the per-query gathered view (shares the coordinator's
         docmap arrays + global stats; holds only these terms' runs)."""
-        pending = self._scatter(terms, positions=positions)
-        try:
-            fetched = ray.get([ref for _, ref in pending], timeout=timeout_s)
-        except ray.exceptions.GetTimeoutError as e:
-            for _, ref in pending:
-                ray.cancel(ref, force=False)
-            raise QueryTimeout(f"query exceeded {timeout_s}s") from e
+        calls = self._scatter(terms, positions=positions)
+        fetched = self._scatter_calls(calls, timeout_s)
         runs_by_term: dict[str, list[dict]] = {}
         for part_map in fetched:
             for t, rs in part_map.items():
@@ -343,6 +427,12 @@ class ShardedQueryService:
         bm = copy.copy(self._bm)
         bm.reader = _GatheredView(runs_by_term)
         return bm
+
+    def replica_metrics(self) -> dict:
+        """Serving-fabric health counters: replica failovers taken and dead
+        replicas respawned since start (the read-path sibling of
+        Bm25Index.metrics)."""
+        return {"failovers": self._failovers, "respawns": self._respawns}
 
     def topk(
         self,
@@ -376,8 +466,8 @@ class ShardedQueryService:
         from .tokenize import tokenize_text
 
         terms = sorted(set(tokenize_text(text)))
-        maps = ray.get(
-            [s.expand_fuzzy.remote(terms) for s in self._shards], timeout=timeout_s
+        maps = self._scatter_calls(
+            [(s, "expand_fuzzy", (terms,)) for s in range(self.n_shards)], timeout_s
         )
         slots = []
         for t in terms:
@@ -459,9 +549,10 @@ class ShardedQueryService:
 
     def shutdown(self) -> None:
         if getattr(self, "_owns_shards", True):
-            for s in self._shards:
-                ray.kill(s)
-        self._shards = []
+            for reps in self._replicas:
+                for a in reps:
+                    ray.kill(a)
+        self._replicas = []
 
 
 def spawn_shard_pool(index_dir: str, n_shards: int = 4, num_cpus: float = 1) -> list:
