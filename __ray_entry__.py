@@ -380,13 +380,16 @@ def _transcripts_index(sf_dir: str) -> str:
     stats_path = os.path.join(idx, "stats.json")
     if os.path.exists(stats_path):
         with open(stats_path) as f:
-            if json.load(f).get("category_col") == "role":
-                return idx
-        # stale cache from a pre-category build: rebuild under the new contract
+            st = json.load(f)
+        if st.get("category_col") == "role" and "ts" in st.get("docvalues", []):
+            return idx
+        # stale cache from a pre-category/pre-docvalues build: rebuild
         import shutil
 
         shutil.rmtree(idx)
-    build_index(corpus, idx, n_buckets=16, n_salts=4, category_col="role")
+    build_index(
+        corpus, idx, n_buckets=16, n_salts=4, category_col="role", docvalues=["ts"]
+    )
     return idx
 
 
@@ -1759,6 +1762,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _round_scores(res, "score", "score_r", SCORE_ROUND)
         return _i64(res, ["rank"])
 
+    def transcripts_sort_recent(sf_dir):
+        """Field-sorted retrieval (ES sort: [{ts: desc}]): ANY-term matches
+        ordered most-recent-first through the docmap's ts doc-values column
+        (build_index(docvalues=["ts"])) — no BM25, no corpus re-read."""
+        from engine.queries import QUERY_SET
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_transcripts_index(sf_dir))
+        qids, ranks, dids, tss = [], [], [], []
+        for q in QUERY_SET:
+            d, v = bm.topk_by_field(q["text"], "ts", q["k"])
+            qids.extend([q["query_id"]] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            dids.extend(d.tolist())
+            tss.extend(v.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "ts_us": pa.array(tss, pa.int64()),
+            }
+        )
+
     def transcripts_phrase(sf_dir):
         """Exact-phrase matching over the positional TRANSCRIPTS index —
         the J4 positional join on the flagship corpus, including a
@@ -2441,6 +2468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_boosted": bm25_topk_boosted,
         "bm25_topk_synonyms": bm25_topk_synonyms,
         "suggest_complete": suggest_complete,
+        "transcripts_sort_recent": transcripts_sort_recent,
     }
 
 
@@ -2636,6 +2664,40 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
 FROM ranked WHERE rank <= k
+"""
+
+
+def _transcripts_sort_recent_sql() -> str:
+    """Oracle for field-sorted retrieval: ANY-term match set per query,
+    ordered (ts desc, doc_id asc), top-k. Same deterministic cached corpus
+    and row_number docID recompute as _transcripts_bm25_sql."""
+    from engine.queries import QUERY_SET
+    from engine.tokenize import tokenize_text
+
+    vals = ",\n      ".join(
+        f"('{q['query_id']}', '{t}', {q['k']})"
+        for q in QUERY_SET
+        for t in sorted(set(tokenize_text(q["text"])))
+    )
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         conv_id, turn_idx, text, ts
+  FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+),
+toks AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM corpus)
+),
+q(query_id, term, k) AS (VALUES
+      {vals}),
+matches AS (SELECT DISTINCT q.query_id, q.k, toks.doc_id FROM q JOIN toks USING (term)),
+ranked AS (
+  SELECT m.query_id, m.k, m.doc_id, epoch_us(c.ts) AS ts_us,
+         row_number() OVER (PARTITION BY m.query_id ORDER BY epoch_us(c.ts) DESC, m.doc_id) AS rank
+  FROM matches m JOIN corpus c USING (doc_id)
+)
+SELECT query_id, rank, doc_id, ts_us FROM ranked WHERE rank <= k
 """
 
 
@@ -5304,4 +5366,5 @@ WHERE text IS NOT NULL
         "bm25_topk_boosted": _boosted_sql(),
         "bm25_topk_synonyms": _synonyms_sql(),
         "suggest_complete": _suggest_complete_sql(),
+        "transcripts_sort_recent": _transcripts_sort_recent_sql(),
     }

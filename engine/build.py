@@ -398,6 +398,7 @@ def build_index(
     store_text: bool = True,
     category_col: str | None = None,
     postings_codec: str = "varint",
+    docvalues: list[str] | None = None,
 ) -> dict:
     """Build (or resume) the inverted index. Returns a build report dict.
 
@@ -407,6 +408,10 @@ def build_index(
     ``positions=True`` stores per-occurrence token positions in the segments
     (phrase/adjacency queries; the identifierData payload analog) at the cost
     of a larger exchange + segment footprint.
+    ``docvalues``: extra source columns copied verbatim into the docmap (the
+    Lucene doc-values analog): per-doc fields query paths can gather by docID
+    through the row-group-pruned DocStore (sort-by-field, field collapsing on
+    arbitrary fields) without touching the raw corpus at query time.
     """
     t0 = time.perf_counter()
     os.makedirs(index_dir, exist_ok=True)
@@ -429,9 +434,14 @@ def build_index(
     transcripts = id_col is None and "conv_id" in names and "doc_id" not in names
 
     # --- docID assignment + docmap + global stats ---------------------------
+    dv = list(docvalues or [])
     if transcripts:
         ds = ds.select_columns(
-            ["conv_id", "turn_idx", "text"] + ([category_col] if category_col else [])
+            sorted(
+                {"conv_id", "turn_idx", "text"}
+                | ({category_col} if category_col else set())
+                | set(dv)
+            )
         )
         conv_index = build_conv_offset_index(ds)
         ds = add_doc_ids(ds, conv_index)
@@ -463,11 +473,18 @@ def build_index(
                 # type sets of DefaultStructureIndexProvider.java:36-89):
                 # query-time category filters resolve against the docmap
                 cols["category"] = b[category_col].cast(pa.string())
+            for c in dv:
+                if c not in cols:  # doc-values passthrough, verbatim type
+                    cols[c] = b[c]
             return pa.table(cols)
 
     else:
         ds = ds.select_columns(
-            [id_col, text_col] + ([category_col] if category_col else [])
+            sorted(
+                {id_col, text_col}
+                | ({category_col} if category_col else set())
+                | set(dv)
+            )
         )
 
         def docmap_fn(b: pa.Table) -> pa.Table:
@@ -480,6 +497,9 @@ def build_index(
                 out = out.append_column("text", b[text_col])
             if category_col:
                 out = out.append_column("category", b[category_col].cast(pa.string()))
+            for c in dv:
+                if c not in out.schema.names:
+                    out = out.append_column(c, b[c])
             return out
 
     # docmap pass is itself checkpointed: a _SUCCESS marker makes it resumable
@@ -502,6 +522,12 @@ def build_index(
             cols[id_col] = pa.array([], pa.int64())
             if category_col:
                 cols[category_col] = pa.array([], pa.string())
+            if dv:
+                base = getattr(ds.schema(), "base_schema", None)
+                for c in dv:
+                    if c not in cols:
+                        typ = base.field(c).type if base is not None else pa.string()
+                        cols[c] = pa.array([], typ)
             pq.write_table(
                 docmap_fn(pa.table(cols)),
                 os.path.join(docmap_dir, "docmap-0000.parquet"),
@@ -778,6 +804,7 @@ def build_index(
         "transcripts_mode": transcripts,
         "positional": positions,
         "category_col": category_col,
+        "docvalues": dv,
         "hash_scheme": hash_scheme(),
         "postings_codec": postings_codec,
         # driver-ref-bounding folds that ran during the exchange (0 below

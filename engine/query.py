@@ -1310,6 +1310,45 @@ class Bm25Index:
         ranked = sorted(zip([-d for d in dfs], terms))
         return [(t, int(-negdf)) for negdf, t in ranked[:max_suggestions]]
 
+    def topk_by_field(
+        self, query_text: str, field: str, k: int, descending: bool = True
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Field-sorted retrieval (the ES ``sort: [{field: "desc"}]``
+        surface): docs matching ANY query term — filter context, no BM25
+        scoring — ordered by a per-doc doc-values column, ties broken by
+        ascending docID. Candidates are the postings union (bounded by the
+        terms' df, never the corpus); field values hydrate by docID through
+        the row-group-pruned DocStore metadata path, which serves columns
+        stored at build time via ``build_index(docvalues=[...])`` — the
+        Lucene doc-values analog, so the raw corpus is never re-read at
+        query time. Timestamp fields are normalized to int64
+        epoch-microseconds; the returned values are the sort keys."""
+        terms = sorted(set(tokenize_text(query_text)))
+        docs = []
+        for t in terms:
+            d, _ = self.reader.postings(t)
+            if len(d):
+                docs.append(d)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        if not docs:
+            return empty
+        cand = np.unique(np.concatenate(docs))
+        if getattr(self, "_docstore", None) is None:
+            from .docstore import DocStore
+
+            self._docstore = DocStore(self.index_dir)
+        rows = self._docstore.rows(cand, [field])
+        import datetime as _dt
+
+        def _as_i64(v) -> int:
+            if isinstance(v, _dt.datetime):
+                return int(np.datetime64(v, "us").astype(np.int64))
+            return int(v)
+
+        vals = np.array([_as_i64(rows[int(d)][0]) for d in cand], dtype=np.int64)
+        order = np.lexsort((cand, -vals if descending else vals))[:k]
+        return cand[order], vals[order]
+
     def fuzzy_topk(
         self,
         terms: list[str],

@@ -1262,3 +1262,45 @@ def test_suggest_complete_vs_bruteforce(tiny_index, oracle):
         assert got == [(t, -negdf) for negdf, t in expect], prefix
     with pytest.raises(ValueError):
         bm.suggest_complete("", 5)
+
+
+def test_sort_by_field_vs_bruteforce(tiny_corpus, tmp_path_factory, oracle):
+    """Field-sorted retrieval (ES sort:[{ts:desc}]): ANY-term match set
+    ordered (ts desc, doc_id asc) through the docvalues column stored in
+    the docmap at build time — never re-reading the corpus at query time."""
+    import numpy as np
+
+    from engine.build import build_index
+
+    idx = str(tmp_path_factory.mktemp("dv") / "ts_idx")
+    build_index(tiny_corpus, idx, n_buckets=8, n_salts=2, docvalues=["ts"])
+    corpus = pq.read_table(tiny_corpus, columns=["conv_id", "turn_idx", "ts"])
+    dm = pq.read_table(idx + "/docmap", columns=["conv_id", "turn_idx", "doc_id"])
+    key_to_doc = {
+        (c, t): d
+        for c, t, d in zip(
+            dm["conv_id"].to_pylist(), dm["turn_idx"].to_pylist(), dm["doc_id"].to_pylist()
+        )
+    }
+    ts_us = {
+        key_to_doc[(c, t)]: v
+        for c, t, v in zip(
+            corpus["conv_id"].to_pylist(),
+            corpus["turn_idx"].to_pylist(),
+            corpus["ts"].cast("int64").to_pylist(),
+        )
+    }
+    bm = Bm25Index(idx)
+    for q, k in [("w00000", 7), ("zqmarker0 w00001", 5), ("w00002", 10**6)]:
+        from engine.tokenize import tokenize_text
+
+        match = set()
+        for t in set(tokenize_text(q)):
+            match |= set(oracle.postings.get(t, ()))
+        expect = sorted(match, key=lambda d: (-ts_us[d], d))[:k]
+        d, v = bm.topk_by_field(q, "ts", k)
+        assert d.tolist() == expect, q
+        assert v.tolist() == [ts_us[d_] for d_ in expect], q
+    # absent term -> empty, not an error
+    d, v = bm.topk_by_field("qqqabsentqqq", "ts", 5)
+    assert len(d) == 0 and len(v) == 0

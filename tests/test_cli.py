@@ -8,13 +8,21 @@ import os
 import pytest
 
 
+def _jsonl(out: str) -> list[dict]:
+    """Parse the CLI's JSONL stdout, skipping interleaved Ray worker-log
+    lines (sharded/actor verbs let raylet chatter reach captured stdout)."""
+    return [
+        json.loads(l) for l in out.strip().splitlines() if l.lstrip().startswith("{")
+    ]
+
+
 def test_cli_query_and_csv(ray_session, tiny_index, tmp_path, capsys):
     from engine.cli import main
 
     out_csv = str(tmp_path / "hits.csv")
     rc = main(["query", tiny_index, "zqmarker0", "-k", "5", "--csv", out_csv])
     assert rc == 0
-    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    lines = _jsonl(capsys.readouterr().out)
     assert lines and lines[0]["rank"] == 1
     with open(out_csv) as f:
         rows = list(csv.DictReader(f))
@@ -50,7 +58,7 @@ def test_cli_expand(ray_session, tiny_index, capsys):
 
     rc = main(["expand", tiny_index, "--slot", "zqmarker0|zqmarker1", "--slot", "w00000", "-k", "5"])
     assert rc == 0
-    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    lines = _jsonl(capsys.readouterr().out)
     assert lines and lines[0]["rank"] == 1 and lines[0]["score"] > 0
 
 
@@ -71,13 +79,13 @@ def test_cli_phrase_and_positional_build(ray_session, tiny_corpus, tmp_path, cap
     toks = tokenize_text(first)
     rc = main(["phrase", idx, f"{toks[0]} {toks[1]}"])
     assert rc == 0
-    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    lines = _jsonl(capsys.readouterr().out)
     assert lines and all(r["n_matches"] >= 1 for r in lines)
     # the adjacent pair must also co-occur within any window >= 1
     if toks[0] != toks[1]:
         rc = main(["proximity", idx, toks[0], toks[1], "--window", "1", "--ordered"])
         assert rc == 0
-        plines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+        plines = _jsonl(capsys.readouterr().out)
         assert plines and all(r["n_pairs"] >= 1 for r in plines)
 
 
@@ -86,10 +94,10 @@ def test_cli_sharded_query(ray_session, tiny_index, capsys):
 
     rc = main(["query", tiny_index, "zqmarker0", "-k", "5", "--sharded", "2"])
     assert rc == 0
-    sharded_lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    sharded_lines = _jsonl(capsys.readouterr().out)
     rc = main(["query", tiny_index, "zqmarker0", "-k", "5"])
     assert rc == 0
-    plain_lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    plain_lines = _jsonl(capsys.readouterr().out)
     assert [(r["doc_id"], r["rank"]) for r in sharded_lines] == [
         (r["doc_id"], r["rank"]) for r in plain_lines
     ]
@@ -103,7 +111,7 @@ def test_cli_fuzzy(ray_session, tiny_index, capsys):
 
     rc = main(["fuzzy", tiny_index, "zqmarker0x", "-k", "5"])
     assert rc == 0
-    fuzzy_lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    fuzzy_lines = _jsonl(capsys.readouterr().out)
     assert fuzzy_lines and fuzzy_lines[0]["rank"] == 1 and fuzzy_lines[0]["score"] > 0
 
 
@@ -112,7 +120,7 @@ def test_cli_qld(ray_session, tiny_index, capsys):
 
     rc = main(["qld", tiny_index, "zqmarker0", "-k", "5"])
     assert rc == 0
-    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    lines = _jsonl(capsys.readouterr().out)
     assert lines and lines[0]["rank"] == 1 and lines[0]["score"] < 0  # log-probs
 
 
@@ -122,12 +130,12 @@ def test_cli_doc_and_mlt(ray_session, tiny_index, capsys):
     from engine.cli import main
 
     assert main(["doc", tiny_index, "0", "999999999"]) == 0
-    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    rows = _jsonl(capsys.readouterr().out)
     assert rows[0]["doc_id"] == 0 and rows[0]["text"]
     assert rows[1]["text"] is None  # absent id -> null, not an error
 
     assert main(["mlt", tiny_index, "0", "-k", "3"]) == 0
-    hits = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    hits = _jsonl(capsys.readouterr().out)
     assert hits and hits[0]["doc_id"] == 0 and hits[0]["rank"] == 1
 
 
@@ -139,7 +147,7 @@ def test_cli_snippets(ray_session, tiny_corpus, tmp_path, capsys):
     build_index(tiny_corpus, idx, n_buckets=8, n_salts=2, positions=True)
     capsys.readouterr()
     assert main(["snippets", idx, "w00000", "--limit", "5"]) == 0
-    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    rows = _jsonl(capsys.readouterr().out)
     assert rows and all("w00000" in r["snippet"] for r in rows)
 
 
@@ -234,7 +242,7 @@ def test_cli_dedup_and_outliers(ray_session, tmp_path, capsys):
     dpath = str(tmp_path / "docs.parquet")
     pq.write_table(docs, dpath)
     assert main(["dedup", dpath, "--mode", "passage", "--window", "4"]) == 0
-    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    rows = _jsonl(capsys.readouterr().out)
     assert {(r["doc_id"], r["passage_idx"]): r["n_copies"] for r in rows} == {
         (0, 0): 2, (0, 1): 1, (1, 1): 1,
     }
@@ -250,7 +258,7 @@ def test_cli_dedup_and_outliers(ray_session, tmp_path, capsys):
     )
     pq.write_table(ev, str(sf / "events.parquet"))
     assert main(["outliers", str(sf), "-t", "2.5"]) == 0
-    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    rows = _jsonl(capsys.readouterr().out)
     assert [r["event_id"] for r in rows] == [10]
 
 
@@ -259,7 +267,7 @@ def test_cli_boolean(ray_session, tiny_index, capsys):
 
     rc = main(["boolean", tiny_index, "(zqmarker0 OR zqmarker1) AND NOT zzzabsent", "-k", "5"])
     assert rc == 0
-    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    lines = _jsonl(capsys.readouterr().out)
     assert lines and lines[0]["rank"] == 1 and lines[0]["score"] > 0
 
 
@@ -271,5 +279,5 @@ def test_cli_convsearch(ray_session, tiny_corpus, tmp_path, capsys):
     build_index(tiny_corpus, idx, n_buckets=8, n_salts=2, category_col="role")
     rc = main(["convsearch", idx, "w00000 zqmarker0", "-k", "3", "--weight", "tool=0.5"])
     assert rc == 0
-    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    lines = _jsonl(capsys.readouterr().out)
     assert len(lines) == 3 and lines[0]["conv_id"].startswith("conv")
