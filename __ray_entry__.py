@@ -1786,6 +1786,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def transcripts_bm25_timerange(sf_dir):
+        """BM25 top-k under a non-scoring ts range filter (the ES
+        ``bool: {must: match, filter: {range: {ts}}}`` shape): hits are
+        restricted to a fixed 100-hour window through the docmap's ts
+        doc-values column; scores are the unfiltered BM25 values and ranking
+        within the window is exact (filter applied before truncation)."""
+        from engine.queries import QUERY_SET
+        from engine.query import Bm25Index
+        from engine.synth import EPOCH_US
+
+        lo = EPOCH_US + 50 * 3_600_000_000
+        hi = EPOCH_US + 150 * 3_600_000_000 - 1
+        bm = Bm25Index(_transcripts_index(sf_dir))
+        tables = [
+            bm.topk_table(
+                q["query_id"], q["text"], q["k"],
+                rank_round=RANK_ROUND, field_range=("ts", lo, hi),
+            )
+            for q in QUERY_SET
+        ]
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        res = _round_scores(res, "score", "score_r", SCORE_ROUND)
+        return _i64(res, ["rank"])
+
+    def transcripts_sort_recent_page2(sf_dir):
+        """Deep paging on the field sort: page 2 of most-recent-first via the
+        search_after cursor (last (ts, doc_id) of page 1) — rank continues
+        where page 1 ended, and earlier pages are never rematerialized."""
+        from engine.queries import QUERY_SET
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_transcripts_index(sf_dir))
+        qids, ranks, dids, tss = [], [], [], []
+        for q in QUERY_SET:
+            d1, v1 = bm.topk_by_field(q["text"], "ts", q["k"])
+            if len(d1) < q["k"]:
+                continue  # match set exhausted on page 1
+            d2, v2 = bm.topk_by_field(
+                q["text"], "ts", q["k"], after=(int(v1[-1]), int(d1[-1]))
+            )
+            qids.extend([q["query_id"]] * len(d2))
+            ranks.extend(range(q["k"] + 1, q["k"] + 1 + len(d2)))
+            dids.extend(d2.tolist())
+            tss.extend(v2.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "ts_us": pa.array(tss, pa.int64()),
+            }
+        )
+
+    def transcripts_match_ts_stats(sf_dir):
+        """Metric aggregation under a query (ES min/max/value_count aggs):
+        per query, the ANY-term match cardinality and the min/max ts over the
+        match set — postings union + one vectorized doc-values gather, all
+        int64 so the compare is hash-exact. Queries with no matches emit no
+        row (SQL-group semantics)."""
+        from engine.queries import QUERY_SET
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_transcripts_index(sf_dir))
+        qids, ns, mins, maxs = [], [], [], []
+        for q in QUERY_SET:
+            n, lo, hi = bm.field_stats(q["text"], "ts")
+            if n == 0:
+                continue
+            qids.append(q["query_id"])
+            ns.append(n)
+            mins.append(lo)
+            maxs.append(hi)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "n_matches": pa.array(ns, pa.int64()),
+                "ts_min": pa.array(mins, pa.int64()),
+                "ts_max": pa.array(maxs, pa.int64()),
+            }
+        )
+
     def transcripts_phrase(sf_dir):
         """Exact-phrase matching over the positional TRANSCRIPTS index —
         the J4 positional join on the flagship corpus, including a
@@ -2365,6 +2446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_bm25_topk_role": transcripts_bm25_topk_role,
         "transcripts_bm25f_conv": transcripts_bm25f_conv,
         "transcripts_search_context": transcripts_search_context,
+        "transcripts_bm25_timerange": transcripts_bm25_timerange,
+        "transcripts_sort_recent_page2": transcripts_sort_recent_page2,
+        "transcripts_match_ts_stats": transcripts_match_ts_stats,
         "bigram_lm": bigram_lm,
         "hashed_vectors": hashed_vectors,
         "redact_text": redact_text,
@@ -2667,10 +2751,12 @@ FROM ranked WHERE rank <= k
 """
 
 
-def _transcripts_sort_recent_sql() -> str:
+def _transcripts_sort_recent_sql(page2: bool = False) -> str:
     """Oracle for field-sorted retrieval: ANY-term match set per query,
     ordered (ts desc, doc_id asc), top-k. Same deterministic cached corpus
-    and row_number docID recompute as _transcripts_bm25_sql."""
+    and row_number docID recompute as _transcripts_bm25_sql. ``page2``
+    selects ranks (k, 2k] instead — the search_after-cursor page, which by
+    construction equals the global ordering's second k-window."""
     from engine.queries import QUERY_SET
     from engine.tokenize import tokenize_text
 
@@ -2679,6 +2765,7 @@ def _transcripts_sort_recent_sql() -> str:
         for q in QUERY_SET
         for t in sorted(set(tokenize_text(q["text"])))
     )
+    window = "rank > k AND rank <= 2 * k" if page2 else "rank <= k"
     return f"""
 WITH corpus AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
@@ -2697,7 +2784,40 @@ ranked AS (
          row_number() OVER (PARTITION BY m.query_id ORDER BY epoch_us(c.ts) DESC, m.doc_id) AS rank
   FROM matches m JOIN corpus c USING (doc_id)
 )
-SELECT query_id, rank, doc_id, ts_us FROM ranked WHERE rank <= k
+SELECT query_id, rank, doc_id, ts_us FROM ranked WHERE {window}
+"""
+
+
+def _transcripts_ts_stats_sql() -> str:
+    """Oracle for the per-query metric aggregation: match-set cardinality and
+    min/max epoch-us ts over the ANY-term match set (no-match queries emit no
+    group, mirroring the engine's omission)."""
+    from engine.queries import QUERY_SET
+    from engine.tokenize import tokenize_text
+
+    vals = ",\n      ".join(
+        f"('{q['query_id']}', '{t}')"
+        for q in QUERY_SET
+        for t in sorted(set(tokenize_text(q["text"])))
+    )
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text, ts
+  FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+),
+toks AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM corpus)
+),
+q(query_id, term) AS (VALUES
+      {vals}),
+matches AS (SELECT DISTINCT q.query_id, toks.doc_id FROM q JOIN toks USING (term))
+SELECT m.query_id,
+       count(*) AS n_matches,
+       min(epoch_us(c.ts)) AS ts_min,
+       max(epoch_us(c.ts)) AS ts_max
+FROM matches m JOIN corpus c USING (doc_id)
+GROUP BY m.query_id
 """
 
 
@@ -3412,12 +3532,16 @@ WHERE r.rank <= r.k
 """
 
 
-def _transcripts_bm25_sql(role: str | None = None) -> str:
+def _transcripts_bm25_sql(
+    role: str | None = None, ts_range: tuple[int, int] | None = None
+) -> str:
     """Full-SQL BM25 oracle for the TRANSCRIPTS flagship (the driver's
     correctness gate runs at sf=0.01, whose deterministic synthetic corpus the
     engine materializes at this fixed cache path before any oracle runs —
     DuckDB recomputes docIDs, stats and scores from the raw parquet text).
-    ``role`` restricts hits to that content class (the docmap category set)."""
+    ``role`` restricts hits to that content class (the docmap category set);
+    ``ts_range=(lo_us, hi_us)`` restricts hits to that inclusive epoch-us
+    window (the non-scoring range-filter context)."""
     from engine.queries import QUERY_SET
     from engine.tokenize import tokenize_text
 
@@ -3426,15 +3550,20 @@ def _transcripts_bm25_sql(role: str | None = None) -> str:
         for q in QUERY_SET
         for t in sorted(set(tokenize_text(q["text"])))
     )
+    conds = []
+    if role:
+        conds.append(f"c.role = '{role}'")
+    if ts_range:
+        conds.append(f"epoch_us(c.ts) BETWEEN {int(ts_range[0])} AND {int(ts_range[1])}")
     role_join = (
-        f"JOIN corpus c ON scores.doc_id = c.doc_id AND c.role = '{role}'"
-        if role
+        "JOIN corpus c ON scores.doc_id = c.doc_id AND " + " AND ".join(conds)
+        if conds
         else ""
     )
     return f"""
 WITH corpus AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
-         role, text
+         role, text, ts
   FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
 ),
 -- MATERIALIZED throughout: at 47k docs / 2.3M tokens the planner otherwise
@@ -4524,6 +4653,14 @@ WHERE text IS NOT NULL
         "transcripts_bm25_topk_role": _transcripts_bm25_sql(role="assistant"),
         "transcripts_bm25f_conv": _transcripts_bm25f_sql(),
         "transcripts_search_context": _transcripts_context_sql(),
+        "transcripts_bm25_timerange": _transcripts_bm25_sql(
+            ts_range=(
+                1_767_225_600_000_000 + 50 * 3_600_000_000,
+                1_767_225_600_000_000 + 150 * 3_600_000_000 - 1,
+            )
+        ),
+        "transcripts_sort_recent_page2": _transcripts_sort_recent_sql(page2=True),
+        "transcripts_match_ts_stats": _transcripts_ts_stats_sql(),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text

@@ -65,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
         "--postings-codec", choices=["varint", "pfor", "raw64"], default="varint",
         help="posting-stream wire format (InvertedIndexBackend analog)",
     )
+    b.add_argument(
+        "--docvalues", default=None,
+        help="comma-separated source columns stored per-doc in the docmap "
+        "(field sorts, range filters, field metric aggs at query time)",
+    )
 
     a = sub.add_parser("add", help="incrementally add documents")
     a.add_argument("index_dir")
@@ -93,6 +98,24 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--sharded", type=int, default=0, metavar="N",
         help="serve via N scatter/gather postings-shard actors instead of one reader",
+    )
+    q.add_argument(
+        "--range", dest="field_range", default=None, metavar="FIELD:LO:HI",
+        help="non-scoring doc-values range filter (inclusive int64 bounds; "
+        "timestamps as epoch-us) — requires build --docvalues FIELD",
+    )
+
+    so = sub.add_parser(
+        "sort", help="field-sorted retrieval: ANY-term matches ordered by a doc-values column"
+    )
+    so.add_argument("index_dir")
+    so.add_argument("text")
+    so.add_argument("field")
+    so.add_argument("-k", type=int, default=10)
+    so.add_argument("--asc", action="store_true", help="ascending (default: descending)")
+    so.add_argument(
+        "--after", default=None, metavar="VAL:DOC",
+        help="search_after cursor: last (sort value, doc_id) of the previous page",
     )
 
     ph = sub.add_parser("phrase", help="exact-phrase matching (positional index)")
@@ -239,6 +262,7 @@ def main(argv: list[str] | None = None) -> int:
             positions=args.positions,
             category_col=args.category_col,
             postings_codec=args.postings_codec,
+            docvalues=args.docvalues.split(",") if args.docvalues else None,
         )
         print(json.dumps({k: rep[k] for k in ("n_docs", "n_parts", "n_postings", "timings_sec", "parts_written_this_run")}))
     elif args.cmd == "add":
@@ -275,6 +299,8 @@ def main(argv: list[str] | None = None) -> int:
         from .query import Bm25Index, write_hits_csv
 
         if args.sharded:
+            if args.field_range:
+                raise SystemExit("--range is single-reader only (no --sharded)")
             _ray()
             import numpy as np
             import pyarrow as pa
@@ -295,8 +321,14 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         else:
+            fr = None
+            if args.field_range:
+                f, lo, hi = args.field_range.rsplit(":", 2)
+                fr = (f, int(lo), int(hi))
             bm = Bm25Index(args.index_dir)
-            tbl = bm.topk_table("cli", args.text, args.k, conjunctive=args.conjunctive)
+            tbl = bm.topk_table(
+                "cli", args.text, args.k, conjunctive=args.conjunctive, field_range=fr
+            )
         if args.csv:
             write_hits_csv(tbl, args.csv)
         for i in range(tbl.num_rows):
@@ -309,6 +341,19 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+    elif args.cmd == "sort":
+        from .query import Bm25Index
+
+        after = None
+        if args.after:
+            v, d0 = args.after.rsplit(":", 1)
+            after = (int(v), int(d0))
+        bm = Bm25Index(args.index_dir)
+        d, v = bm.topk_by_field(
+            args.text, args.field, args.k, descending=not args.asc, after=after
+        )
+        for i, (dd, vv) in enumerate(zip(d.tolist(), v.tolist()), 1):
+            print(json.dumps({"rank": i, "doc_id": dd, "value": vv}))
     elif args.cmd == "phrase":
         from .query import Bm25Index
 

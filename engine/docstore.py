@@ -36,13 +36,13 @@ class DocStore:
         paths = sorted(glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
         self._rgs: list[tuple[str, int]] = []  # (path, row_group)
         lo, hi = [], []
-        found_text = False
+        self._has_text = False
         for p in paths:
             md = pq.ParquetFile(p).metadata
             names = [md.schema.column(i).name for i in range(md.num_columns)]
-            if "text" not in names:
-                continue
-            found_text = True
+            # metadata/doc-values gathers (rows, values_i64) work on ANY
+            # docmap; only the text surfaces require store_text=True
+            self._has_text = self._has_text or "text" in names
             id_idx = names.index("doc_id")
             for g in range(md.num_row_groups):
                 st = md.row_group(g).column(id_idx).statistics
@@ -54,10 +54,6 @@ class DocStore:
                     self._rgs.append((p, g))
                     lo.append(int(st.min))
                     hi.append(int(st.max))
-        if not found_text:
-            raise FileNotFoundError(
-                f"no stored text in {root} — index was built with store_text=False"
-            )
         self._lo = np.array(lo, dtype=np.int64)
         self._hi = np.array(hi, dtype=np.int64)
         self._cache: dict[tuple[str, int], tuple[np.ndarray, pa.Array]] = {}
@@ -117,10 +113,63 @@ class DocStore:
                 out[int(sub[j])] = tuple(v[p].as_py() for v in vals)
         return out
 
+    def values_i64(self, doc_ids: np.ndarray, column: str) -> np.ndarray:
+        """Vectorized doc-values gather: int64 values of ``column`` aligned to
+        ``doc_ids`` (timestamps cast to epoch-microseconds). This is the hot
+        path for field-sorted retrieval, range filters and field metric
+        aggregations over BM25 match sets — row-group pruned like
+        :meth:`texts`, with per-row-group sorted numpy arrays cached per
+        actor, so a gather is searchsorted + fancy-index, no per-row Python.
+        Raises KeyError on any absent docID (unknown ids must never silently
+        score — same contract as build.ShardedDl.gather)."""
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        if not len(ids):
+            return np.empty(0, dtype=np.int64)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        vals = np.zeros(len(uniq), dtype=np.int64)
+        filled = np.zeros(len(uniq), dtype=bool)
+        if not hasattr(self, "_dv_cache"):
+            self._dv_cache: dict = {}
+        want = (self._lo <= uniq.max()) & (self._hi >= uniq.min())
+        for ri in np.flatnonzero(want):
+            a = np.searchsorted(uniq, self._lo[ri])
+            b = np.searchsorted(uniq, self._hi[ri], side="right")
+            if a == b:
+                continue
+            key = (*self._rgs[ri], column)
+            hit = self._dv_cache.get(key)
+            if hit is None:
+                path, g = self._rgs[ri]
+                t = pq.ParquetFile(path).read_row_group(g, columns=["doc_id", column])
+                rg_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                col = t[column].combine_chunks()
+                if pa.types.is_timestamp(col.type):
+                    col = col.cast(pa.int64())
+                arr = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                order = np.argsort(rg_ids, kind="stable")
+                hit = (rg_ids[order], arr.astype(np.int64)[order])
+                self._dv_cache[key] = hit
+            rg_ids, rg_vals = hit
+            sub = uniq[a:b]
+            pos = np.searchsorted(rg_ids, sub)
+            ok = pos < len(rg_ids)
+            ok &= rg_ids[np.minimum(pos, len(rg_ids) - 1)] == sub
+            idxs = np.arange(a, b)[ok]
+            vals[idxs] = rg_vals[pos[ok]]
+            filled[idxs] = True
+        if not filled.all():
+            missing = uniq[~filled][0]
+            raise KeyError(f"doc_id {int(missing)} has no doc-values row in the docmap")
+        return vals[inv]
+
     def texts(self, doc_ids: np.ndarray) -> dict[int, str]:
         """Texts of the given docIDs ({id: text}; absent ids are omitted).
         Reads only row groups whose [min, max] doc_id range intersects the
         request — at most a handful per call for clustered hit sets."""
+        if not self._has_text:
+            raise FileNotFoundError(
+                "no stored text in this docmap — index was built with store_text=False"
+            )
         ids = np.unique(np.asarray(doc_ids, dtype=np.int64))
         if not len(ids):
             return {}

@@ -508,6 +508,7 @@ class Bm25Index:
         rank_round: int | None = None,
         allowed: np.ndarray | None = None,
         excluded: np.ndarray | None = None,
+        field_range: tuple[str, int, int] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (doc_ids, scores): descending score, ascending doc_id ties.
 
@@ -515,6 +516,12 @@ class Bm25Index:
         allowedStructures / excludedStructures semi/anti-join filters,
         DefaultTargetAssembler.java:66-74,151-161). Filtered queries take the
         exhaustive path (pruning thresholds assume the unfiltered corpus).
+
+        ``field_range=(field, lo, hi)``: non-scoring range filter on an int64
+        doc-values column (the ES ``bool: {filter: {range: ...}}`` context,
+        inclusive bounds; timestamps compare as epoch-us). Applied to the
+        df-bounded match set BEFORE top-k truncation, so ranking within the
+        window is exact; BM25 scores are unchanged by the filter.
 
         ``rank_round``: rank on scores rounded to N decimals instead of exact
         float64 — used for cross-engine (DuckDB-oracle) deterministic ranking,
@@ -530,9 +537,10 @@ class Bm25Index:
         score strictly below the kth, so score AND doc-id tie-break order are
         identical to exhaustive scoring (asserted in tests)."""
         self._queries_served += 1
-        if allowed is not None or excluded is not None:
+        if allowed is not None or excluded is not None or field_range is not None:
             return self._topk_exhaustive(
-                query_text, k, rank_round, allowed=allowed, excluded=excluded
+                query_text, k, rank_round,
+                allowed=allowed, excluded=excluded, field_range=field_range,
             )
         if rank_round is not None:
             return self._topk_exhaustive(query_text, k, rank_round)
@@ -554,6 +562,7 @@ class Bm25Index:
         rank_round: int | None,
         allowed: np.ndarray | None = None,
         excluded: np.ndarray | None = None,
+        field_range: tuple[str, int, int] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         doc, score = self.score_all(query_text)
         if allowed is not None and len(doc):
@@ -561,6 +570,11 @@ class Bm25Index:
             doc, score = doc[mask], score[mask]
         if excluded is not None and len(doc):
             mask = ~np.isin(doc, np.asarray(excluded, dtype=np.int64))
+            doc, score = doc[mask], score[mask]
+        if field_range is not None and len(doc):
+            field, lo, hi = field_range
+            vals = self.docvalues_i64(doc, field)
+            mask = (vals >= int(lo)) & (vals <= int(hi))
             doc, score = doc[mask], score[mask]
         if len(doc) == 0:
             return doc, score
@@ -1310,44 +1324,73 @@ class Bm25Index:
         ranked = sorted(zip([-d for d in dfs], terms))
         return [(t, int(-negdf)) for negdf, t in ranked[:max_suggestions]]
 
+    def docvalues_i64(self, doc: np.ndarray, field: str) -> np.ndarray:
+        """Int64 doc-values for each docID (timestamps as epoch-us), via the
+        row-group-pruned DocStore gather over columns stored at build time
+        with ``build_index(docvalues=[...])`` — the Lucene doc-values analog:
+        per-doc fields resolve by docID without re-reading the raw corpus."""
+        if getattr(self, "_docstore", None) is None:
+            from .docstore import DocStore
+
+            self._docstore = DocStore(self.index_dir)
+        return self._docstore.values_i64(doc, field)
+
+    def _match_union(self, query_text: str) -> np.ndarray:
+        """ANY-term match set (filter context, no scoring): the postings
+        union, bounded by the query terms' df — never the corpus."""
+        docs = []
+        for t in sorted(set(tokenize_text(query_text))):
+            d, _ = self.reader.postings(t)
+            if len(d):
+                docs.append(d)
+        if not docs:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(docs))
+
     def topk_by_field(
-        self, query_text: str, field: str, k: int, descending: bool = True
+        self,
+        query_text: str,
+        field: str,
+        k: int,
+        descending: bool = True,
+        after: tuple[int, int] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Field-sorted retrieval (the ES ``sort: [{field: "desc"}]``
         surface): docs matching ANY query term — filter context, no BM25
         scoring — ordered by a per-doc doc-values column, ties broken by
         ascending docID. Candidates are the postings union (bounded by the
-        terms' df, never the corpus); field values hydrate by docID through
-        the row-group-pruned DocStore metadata path, which serves columns
-        stored at build time via ``build_index(docvalues=[...])`` — the
-        Lucene doc-values analog, so the raw corpus is never re-read at
-        query time. Timestamp fields are normalized to int64
-        epoch-microseconds; the returned values are the sort keys."""
-        terms = sorted(set(tokenize_text(query_text)))
-        docs = []
-        for t in terms:
-            d, _ = self.reader.postings(t)
-            if len(d):
-                docs.append(d)
-        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-        if not docs:
-            return empty
-        cand = np.unique(np.concatenate(docs))
-        if getattr(self, "_docstore", None) is None:
-            from .docstore import DocStore
-
-            self._docstore = DocStore(self.index_dir)
-        rows = self._docstore.rows(cand, [field])
-        import datetime as _dt
-
-        def _as_i64(v) -> int:
-            if isinstance(v, _dt.datetime):
-                return int(np.datetime64(v, "us").astype(np.int64))
-            return int(v)
-
-        vals = np.array([_as_i64(rows[int(d)][0]) for d in cand], dtype=np.int64)
+        terms' df, never the corpus); field values hydrate through the
+        vectorized row-group-pruned doc-values gather. Timestamp fields are
+        normalized to int64 epoch-microseconds; the returned values are the
+        sort keys. ``after=(value, doc_id)`` is the search_after cursor: only
+        docs strictly beyond that sort position are returned, so page N+1 is
+        ``topk_by_field(..., after=(last_val, last_doc))`` — deep paging
+        without ever materializing earlier pages."""
+        cand = self._match_union(query_text)
+        if not len(cand):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        vals = self.docvalues_i64(cand, field)
+        if after is not None:
+            av, ad = int(after[0]), int(after[1])
+            beyond = (vals < av) if descending else (vals > av)
+            mask = beyond | ((vals == av) & (cand > ad))
+            cand, vals = cand[mask], vals[mask]
         order = np.lexsort((cand, -vals if descending else vals))[:k]
         return cand[order], vals[order]
+
+    def field_stats(
+        self, query_text: str, field: str
+    ) -> tuple[int, int | None, int | None]:
+        """Metric aggregation over the ANY-term match set (the ES
+        ``stats``/``min``/``max`` agg under a query): returns
+        ``(n_matches, min, max)`` of an int64 doc-values field — exact,
+        integer-only, computed from the df-bounded postings union plus one
+        vectorized doc-values gather. Empty match set -> ``(0, None, None)``."""
+        cand = self._match_union(query_text)
+        if not len(cand):
+            return 0, None, None
+        vals = self.docvalues_i64(cand, field)
+        return len(cand), int(vals.min()), int(vals.max())
 
     def fuzzy_topk(
         self,
@@ -2174,14 +2217,16 @@ class Bm25Index:
         conjunctive: bool = False,
         allowed: np.ndarray | None = None,
         excluded: np.ndarray | None = None,
+        field_range: tuple[str, int, int] | None = None,
     ) -> pa.Table:
         if conjunctive:
-            if allowed is not None or excluded is not None:
-                raise ValueError("allow/deny filters are OR-path only")
+            if allowed is not None or excluded is not None or field_range is not None:
+                raise ValueError("allow/deny/range filters are OR-path only")
             doc, score = self.conjunctive_topk(query_text, k, rank_round=rank_round)
         else:
             doc, score = self.topk(
-                query_text, k, rank_round=rank_round, allowed=allowed, excluded=excluded
+                query_text, k, rank_round=rank_round, allowed=allowed,
+                excluded=excluded, field_range=field_range,
             )
         n = len(doc)
         return pa.table(

@@ -1291,16 +1291,47 @@ def test_sort_by_field_vs_bruteforce(tiny_corpus, tmp_path_factory, oracle):
         )
     }
     bm = Bm25Index(idx)
-    for q, k in [("w00000", 7), ("zqmarker0 w00001", 5), ("w00002", 10**6)]:
-        from engine.tokenize import tokenize_text
+    from engine.tokenize import tokenize_text
 
+    def match_set(q):
         match = set()
         for t in set(tokenize_text(q)):
             match |= set(oracle.postings.get(t, ()))
-        expect = sorted(match, key=lambda d: (-ts_us[d], d))[:k]
+        return match
+
+    for q, k in [("w00000", 7), ("zqmarker0 w00001", 5), ("w00002", 10**6)]:
+        full = sorted(match_set(q), key=lambda d: (-ts_us[d], d))
+        expect = full[:k]
         d, v = bm.topk_by_field(q, "ts", k)
         assert d.tolist() == expect, q
         assert v.tolist() == [ts_us[d_] for d_ in expect], q
+        # search_after cursor: page 2 == the global ordering's next k-window
+        if len(full) > k:
+            d2, v2 = bm.topk_by_field(q, "ts", k, after=(int(v[-1]), int(d[-1])))
+            assert d2.tolist() == full[k : 2 * k], q
     # absent term -> empty, not an error
     d, v = bm.topk_by_field("qqqabsentqqq", "ts", 5)
     assert len(d) == 0 and len(v) == 0
+
+    # metric aggregation: (n, min, max) over the match set
+    for q in ("w00000", "zqmarker0 w00001", "qqqabsentqqq"):
+        ms = match_set(q)
+        n, lo, hi = bm.field_stats(q, "ts")
+        assert n == len(ms)
+        if ms:
+            assert lo == min(ts_us[d] for d in ms) and hi == max(ts_us[d] for d in ms)
+        else:
+            assert lo is None and hi is None
+
+    # non-scoring range filter: same BM25 scores, match set cut to the window,
+    # ranking within the window exact (filter applied before truncation)
+    all_ts = sorted(ts_us.values())
+    lo, hi = all_ts[len(all_ts) // 4], all_ts[3 * len(all_ts) // 4]
+    for q, k in [("w00000", 5), ("zqmarker0 w00001", 8)]:
+        d, s = bm.topk(q, k, field_range=("ts", lo, hi))
+        filt = [
+            (dd, ss) for dd, ss in oracle_topk(oracle, q, 10**9)
+            if lo <= ts_us[dd] <= hi
+        ][:k]
+        assert d.tolist() == [x for x, _ in filt], q
+        assert np.allclose(s, [y for _, y in filt], rtol=0, atol=1e-9), q

@@ -281,3 +281,30 @@ def test_cli_convsearch(ray_session, tiny_corpus, tmp_path, capsys):
     assert rc == 0
     lines = _jsonl(capsys.readouterr().out)
     assert len(lines) == 3 and lines[0]["conv_id"].startswith("conv")
+
+
+def test_cli_sort_and_range(ray_session, tiny_corpus, tmp_path, capsys):
+    """Doc-values surfaces from the command line: build --docvalues ts, field
+    sort with a search_after cursor page, and a --range filtered query."""
+    from engine.cli import main
+
+    idx = str(tmp_path / "dv_idx")
+    assert main(["build", tiny_corpus, idx, "--buckets", "4", "--salts", "2",
+                 "--docvalues", "ts"]) == 0
+    capsys.readouterr()
+    assert main(["sort", idx, "w00000", "ts", "-k", "3"]) == 0
+    page1 = _jsonl(capsys.readouterr().out)
+    assert len(page1) == 3 and page1[0]["value"] >= page1[-1]["value"]
+    cur = f'{page1[-1]["value"]}:{page1[-1]["doc_id"]}'
+    assert main(["sort", idx, "w00000", "ts", "-k", "3", "--after", cur]) == 0
+    page2 = _jsonl(capsys.readouterr().out)
+    assert page2 and not {r["doc_id"] for r in page2} & {r["doc_id"] for r in page1}
+    assert page2[0]["value"] <= page1[-1]["value"]
+
+    lo, hi = page1[-1]["value"], page1[0]["value"]
+    assert main(["query", idx, "w00000", "-k", "50",
+                 "--range", f"ts:{lo}:{hi}"]) == 0
+    hits = _jsonl(capsys.readouterr().out)
+    assert hits
+    in_window = {r["doc_id"] for r in page1}
+    assert {r["doc_id"] for r in hits} <= in_window | {r["doc_id"] for r in page2}
