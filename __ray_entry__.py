@@ -216,6 +216,10 @@ DECAY_DAYS = 30
 RANK_ROUND = 6
 SCORE_ROUND = 4
 
+#: fixed doc set for the _termvectors surface — present at every sf (the
+#: sf0.001 corpus already has thousands of turns)
+TERMVEC_DOC_IDS = [0, 1, 2, 17, 123]
+
 
 def _cache(sf_dir: str, name: str) -> str:
     key = os.path.basename(os.path.normpath(sf_dir))
@@ -391,6 +395,61 @@ def _transcripts_index(sf_dir: str) -> str:
         corpus, idx, n_buckets=16, n_salts=4, category_col="role", docvalues=["ts"]
     )
     return idx
+
+
+def _transcripts_rollover(sf_dir: str) -> tuple[str, str]:
+    """Two TIME-SLICED transcript indexes (the ES rollover / ILM pattern:
+    one index per time window, searched through one alias): the flagship
+    index's docmap — which already carries doc_id, stored text and the ts
+    doc-values column — is cut at its ts midpoint and each half is built as
+    an independent index with globally-unique docIDs, so federation scores
+    are bit-identical to the single full-corpus build."""
+    import glob as _glob
+
+    from engine.build import build_index
+
+    base = _transcripts_index(sf_dir)
+    a = _cache(sf_dir, "transcripts_roll_a")
+    b = _cache(sf_dir, "transcripts_roll_b")
+    if not (
+        os.path.exists(os.path.join(a, "stats.json"))
+        and os.path.exists(os.path.join(b, "stats.json"))
+    ):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pqt
+        import ray.data
+
+        mn = mx = None  # ts bounds from parquet row-group stats (no data read)
+        for p in sorted(
+            _glob.glob(os.path.join(base, "docmap", "**", "*.parquet"), recursive=True)
+        ):
+            md = pqt.ParquetFile(p).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index("ts")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                lo = int(np.datetime64(st.min.replace(tzinfo=None), "us").astype(np.int64))
+                hi = int(np.datetime64(st.max.replace(tzinfo=None), "us").astype(np.int64))
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+        boundary = pa.scalar((mn + mx) // 2, pa.timestamp("us"))
+        ds = ray.data.read_parquet(
+            os.path.join(base, "docmap"), columns=["doc_id", "text", "ts"]
+        )
+
+        def _cut(keep_lo):
+            def f(bt):
+                m = pc.less(bt["ts"], boundary) if keep_lo else pc.greater_equal(
+                    bt["ts"], boundary
+                )
+                return bt.filter(m)
+
+            return f
+
+        kw = dict(id_col="doc_id", n_buckets=8, n_salts=4, docvalues=["ts"])
+        build_index(ds.map_batches(_cut(True), batch_format="pyarrow"), a, **kw)
+        build_index(ds.map_batches(_cut(False), batch_format="pyarrow"), b, **kw)
+    return a, b
 
 
 def _transcripts_posindex(sf_dir: str) -> str:
@@ -1867,6 +1926,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def transcripts_term_vectors(sf_dir):
+        """Per-document term statistics (the ES ``_termvectors`` API) for a
+        fixed doc set: in-doc tf from the doc store's stored text, corpus df
+        from the index's term dictionary — no corpus rescan."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_transcripts_index(sf_dir))
+        return bm.term_vectors(TERMVEC_DOC_IDS)
+
+    def _rollover_table(sf_dir, field_range):
+        from engine.federate import Federation
+        from engine.queries import QUERY_SET
+
+        fed = Federation(list(_transcripts_rollover(sf_dir)))
+        qids, ranks, dids, scores = [], [], [], []
+        for q in QUERY_SET:
+            d, s = fed.topk(
+                q["text"], q["k"], rank_round=RANK_ROUND, field_range=field_range
+            )
+            qids.extend([q["query_id"]] * len(d))
+            ranks.extend(range(1, len(d) + 1))
+            dids.extend(d.tolist())
+            scores.extend(np.round(s, SCORE_ROUND).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "score_r": pa.array(scores, pa.float64()),
+            }
+        )
+
+    def transcripts_rollover_topk(sf_dir):
+        """Rollover search (ES time-partitioned indexes behind one alias):
+        the query set over TWO time-sliced transcript indexes federated with
+        union stats — bit-identical to the single full-corpus build, so the
+        plain transcripts BM25 SQL oracles it."""
+        return _rollover_table(sf_dir, None)
+
+    def transcripts_rollover_window(sf_dir):
+        """Time-windowed rollover search: the same federation under a ts
+        range filter. Member indexes whose ts bounds miss the window are
+        pruned from metadata alone (the ES ``can_match`` index-level
+        pre-filter) — the window lies entirely in the first slice, so the
+        second index is never opened."""
+        from engine.synth import EPOCH_US
+
+        lo = EPOCH_US + 50 * 3_600_000_000
+        hi = EPOCH_US + 150 * 3_600_000_000 - 1
+        return _rollover_table(sf_dir, ("ts", lo, hi))
+
     def transcripts_phrase(sf_dir):
         """Exact-phrase matching over the positional TRANSCRIPTS index —
         the J4 positional join on the flagship corpus, including a
@@ -2449,6 +2559,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_bm25_timerange": transcripts_bm25_timerange,
         "transcripts_sort_recent_page2": transcripts_sort_recent_page2,
         "transcripts_match_ts_stats": transcripts_match_ts_stats,
+        "transcripts_term_vectors": transcripts_term_vectors,
+        "transcripts_rollover_topk": transcripts_rollover_topk,
+        "transcripts_rollover_window": transcripts_rollover_window,
         "bigram_lm": bigram_lm,
         "hashed_vectors": hashed_vectors,
         "redact_text": redact_text,
@@ -2785,6 +2898,28 @@ ranked AS (
   FROM matches m JOIN corpus c USING (doc_id)
 )
 SELECT query_id, rank, doc_id, ts_us FROM ranked WHERE {window}
+"""
+
+
+def _term_vectors_sql() -> str:
+    """Oracle for the _termvectors surface: per requested doc, distinct terms
+    with in-doc tf and whole-corpus df, over the same deterministic cached
+    corpus / row_number docID recompute as the other transcripts oracles."""
+    ids = ", ".join(str(d) for d in TERMVEC_DOC_IDS)
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, text
+  FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM corpus
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE doc_id IN ({ids}) GROUP BY doc_id, term
+)
+SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)
 """
 
 
@@ -4661,6 +4796,14 @@ WHERE text IS NOT NULL
         ),
         "transcripts_sort_recent_page2": _transcripts_sort_recent_sql(page2=True),
         "transcripts_match_ts_stats": _transcripts_ts_stats_sql(),
+        "transcripts_term_vectors": _term_vectors_sql(),
+        "transcripts_rollover_topk": _transcripts_bm25_sql(),
+        "transcripts_rollover_window": _transcripts_bm25_sql(
+            ts_range=(
+                1_767_225_600_000_000 + 50 * 3_600_000_000,
+                1_767_225_600_000_000 + 150 * 3_600_000_000 - 1,
+            )
+        ),
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies
             FROM documents GROUP BY text

@@ -89,12 +89,12 @@ def detect_hot_terms(
         batch_format="pyarrow",
     )
     refs = sample.to_arrow_refs()
-    tables = [ray.get(r) for r in refs]
+    # drop empty blocks: an upstream filter that empties a whole block can
+    # surface it here as a zero-column table, which concat_tables rejects
+    tables = [t for t in (ray.get(r) for r in refs) if t.num_rows]
     if not tables:
         return []
     tbl = pa.concat_tables(tables)
-    if tbl.num_rows == 0:
-        return []
     n_docs = len(pc.unique(tbl["doc_id"]))
     g = tbl.group_by(["term"], use_threads=False).aggregate([("doc_id", "count")])
     dfs = g["doc_id_count"].to_numpy(zero_copy_only=False)

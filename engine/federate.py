@@ -92,14 +92,106 @@ class Federation:
             },
         }
 
-    def score_all(self, query_text: str) -> tuple[np.ndarray, np.ndarray]:
+    def field_bounds(self, field: str) -> list[tuple[int, int]]:
+        """Per-member (min, max) of a docmap doc-values column as int64
+        (timestamps as epoch-us), from parquet row-group STATISTICS only —
+        the member-pruning metadata for time-partitioned (rollover) search.
+        Cached per field; a file without stats falls back to one bounded
+        column read."""
+        import datetime as _dt
+        import glob as _glob
+        import os as _os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cache = getattr(self, "_bounds_cache", None)
+        if cache is None:
+            cache = self._bounds_cache = {}
+        if field in cache:
+            return cache[field]
+
+        def _i64(v) -> int:
+            if isinstance(v, _dt.datetime):
+                return int(np.datetime64(v.replace(tzinfo=None), "us").astype(np.int64))
+            return int(v)
+
+        out = []
+        for ix in self.members:
+            mn, mx = None, None
+            files = sorted(
+                _glob.glob(
+                    _os.path.join(ix.index_dir, "docmap", "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
+            for p in files:
+                pf = pq.ParquetFile(p)
+                md = pf.metadata
+                names = [md.schema.column(i).name for i in range(md.num_columns)]
+                if field not in names:
+                    continue
+                ci = names.index(field)
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci).statistics
+                    if st is None or st.min is None:
+                        col = pf.read_row_group(g, columns=[field])[field]
+                        col = col.combine_chunks()
+                        if pa.types.is_timestamp(col.type):
+                            col = col.cast(pa.int64())
+                        arr = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                        lo, hi = int(arr.min()), int(arr.max())
+                    else:
+                        lo, hi = _i64(st.min), _i64(st.max)
+                    mn = lo if mn is None else min(mn, lo)
+                    mx = hi if mx is None else max(mx, hi)
+            if mn is None:
+                raise KeyError(
+                    f"member {ix.index_dir} has no doc-values column {field!r}"
+                )
+            out.append((mn, mx))
+        cache[field] = out
+        return out
+
+    def score_all(
+        self,
+        query_text: str,
+        field_range: tuple[str, int, int] | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Union of every member's exact BM25 candidates under the federation
-        stats, sorted by docID."""
+        stats, sorted by docID.
+
+        ``field_range=(field, lo, hi)``: non-scoring doc-values range filter
+        (the rollover / time-partitioned search path). Members whose field
+        bounds don't intersect the window are PRUNED — never opened, never
+        scored (the ES index-level ``can_match`` pre-filter); members fully
+        inside the window skip the per-doc gather; only straddling members
+        pay a doc-values filter on their own candidates. Stats stay the full
+        federation's (a filter never changes BM25 scores), so the full-corpus
+        oracle with a WHERE window stays bit-identical."""
         terms = sorted(set(tokenize_text(query_text)))
         gs = self._global_stats(terms)
+        members = list(self.members)
+        bounds = None
+        if field_range is not None:
+            f, lo, hi = field_range[0], int(field_range[1]), int(field_range[2])
+            all_bounds = self.field_bounds(f)
+            members, bounds = [], []
+            for ix, (mn, mx) in zip(self.members, all_bounds):
+                if mn <= hi and mx >= lo:
+                    members.append(ix)
+                    bounds.append((mn, mx))
+        self.last_members_searched = len(members)
         docs, scores = [], []
-        for ix in self.members:
+        for i, ix in enumerate(members):
             d, s = ix.score_all(query_text, global_stats=gs)
+            if field_range is not None and len(d):
+                f, lo, hi = field_range[0], int(field_range[1]), int(field_range[2])
+                mn, mx = bounds[i]
+                if not (lo <= mn and mx <= hi):  # straddling member only
+                    vals = ix.docvalues_i64(d, f)
+                    mask = (vals >= lo) & (vals <= hi)
+                    d, s = d[mask], s[mask]
             docs.append(d)
             scores.append(s)
         doc = np.concatenate(docs) if docs else np.empty(0, np.int64)
@@ -108,11 +200,16 @@ class Federation:
         return doc[order], sc[order]
 
     def topk(
-        self, query_text: str, k: int, rank_round: int | None = None
+        self,
+        query_text: str,
+        k: int,
+        rank_round: int | None = None,
+        field_range: tuple[str, int, int] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Deterministic federated top-k: (rounded score desc, docID asc) over
-        the merged candidate union — same contract as ``Bm25Index.topk``."""
-        doc, score = self.score_all(query_text)
+        the merged candidate union — same contract as ``Bm25Index.topk``.
+        ``field_range`` routes through the member-pruned rollover path."""
+        doc, score = self.score_all(query_text, field_range=field_range)
         if not len(doc):
             return doc, score
         key = np.round(score, rank_round) if rank_round is not None else score

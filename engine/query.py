@@ -1378,6 +1378,37 @@ class Bm25Index:
         order = np.lexsort((cand, -vals if descending else vals))[:k]
         return cand[order], vals[order]
 
+    def term_vectors(self, doc_ids: list[int]) -> "pa.Table":
+        """Per-document term statistics (the ES ``_termvectors`` API): for
+        each stored doc, its distinct terms with in-doc tf and corpus df —
+        (doc_id, term, tf, df). tf re-derives from the doc store's stored
+        text (point lookups, row-group pruned); df resolves against the
+        inverted index's term dictionary, so corpus-level stats never rescan
+        the corpus. Absent docIDs are omitted (null-doc semantics, same as
+        the doc fetch surface)."""
+        from collections import Counter
+
+        if getattr(self, "_docstore", None) is None:
+            from .docstore import DocStore
+
+            self._docstore = DocStore(self.index_dir)
+        texts = self._docstore.texts(np.asarray(doc_ids, dtype=np.int64))
+        dids, terms, tfs, dfs = [], [], [], []
+        for d in sorted(texts):
+            for t, n in sorted(Counter(tokenize_text(texts[d])).items()):
+                dids.append(d)
+                terms.append(t)
+                tfs.append(n)
+                dfs.append(self.reader.df(t))
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+            }
+        )
+
     def field_stats(
         self, query_text: str, field: str
     ) -> tuple[int, int | None, int | None]:

@@ -1335,3 +1335,39 @@ def test_sort_by_field_vs_bruteforce(tiny_corpus, tmp_path_factory, oracle):
         ][:k]
         assert d.tolist() == [x for x, _ in filt], q
         assert np.allclose(s, [y for _, y in filt], rtol=0, atol=1e-9), q
+
+
+def test_term_vectors_vs_bruteforce(tiny_index, tiny_corpus, oracle):
+    """_termvectors surface: per-doc tf == Counter over the stored text,
+    df == the oracle's posting-list length; absent docIDs omitted."""
+    from collections import Counter
+
+    from engine.tokenize import tokenize_text
+
+    bm = Bm25Index(tiny_index)
+    ids = [0, 3, 11, 10**9]  # last one absent
+    tv = bm.term_vectors(ids).to_pylist()
+    assert {r["doc_id"] for r in tv} == {0, 3, 11}
+    corpus = pq.read_table(tiny_corpus)
+    dm = pq.read_table(tiny_index + "/docmap", columns=["conv_id", "turn_idx", "doc_id"])
+    key_to_doc = {
+        (c, t): d
+        for c, t, d in zip(
+            dm["conv_id"].to_pylist(), dm["turn_idx"].to_pylist(), dm["doc_id"].to_pylist()
+        )
+    }
+    text_of = {
+        key_to_doc[(c, t)]: x
+        for c, t, x in zip(
+            corpus["conv_id"].to_pylist(),
+            corpus["turn_idx"].to_pylist(),
+            corpus["text"].to_pylist(),
+        )
+    }
+    for d in (0, 3, 11):
+        mine = {(r["term"], r["tf"], r["df"]) for r in tv if r["doc_id"] == d}
+        want = {
+            (t, n, len(oracle.postings[t]))
+            for t, n in Counter(tokenize_text(text_of[d])).items()
+        }
+        assert mine == want, d

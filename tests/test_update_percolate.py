@@ -766,3 +766,73 @@ def test_federation_matches_full_build(ray_session, tiny_corpus, tmp_path):
     # collision refusal: a member overlapping another's docID space is refused
     with pytest.raises(ValueError, match="share"):
         Federation([even_d, full_d])
+
+
+def test_rollover_time_sliced_federation(ray_session, tiny_corpus, tmp_path):
+    """Time-partitioned (rollover) search: two ts-sliced builds behind one
+    federation equal the full build bit-identically; a ts window restricted
+    to one slice prunes the other member from docmap METADATA alone
+    (can_match semantics), and the windowed result equals the full index's
+    field_range filter."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from engine.build import build_index
+    from engine.federate import Federation
+    from engine.query import Bm25Index
+
+    corpus = pa.concat_tables(
+        pq.read_table(p) for p in sorted(glob.glob(tiny_corpus + "/*.parquet"))
+    )
+    corpus = corpus.append_column(
+        "doc_id", pa.array(np.arange(corpus.num_rows, dtype=np.int64))
+    )
+    ts = corpus["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    mid = int((ts.min() + ts.max()) // 2)
+    lo_half = corpus.filter(pa.array(ts < mid))
+    hi_half = corpus.filter(pa.array(ts >= mid))
+    assert lo_half.num_rows and hi_half.num_rows
+
+    kw = dict(n_buckets=8, n_salts=2, id_col="doc_id", docvalues=["ts"])
+    full_d, a_d, b_d = (str(tmp_path / n) for n in ("rfull", "ra", "rb"))
+    build_index(ray.data.from_arrow(corpus), full_d, **kw)
+    build_index(ray.data.from_arrow(lo_half), a_d, **kw)
+    build_index(ray.data.from_arrow(hi_half), b_d, **kw)
+
+    ref = Bm25Index(full_d)
+    fed = Federation([a_d, b_d])
+
+    # member ts bounds from parquet stats match the data
+    (amn, amx), (bmn, bmx) = fed.field_bounds("ts")
+    assert amn == ts[ts < mid].min() and amx == ts[ts < mid].max()
+    assert bmn == ts[ts >= mid].min() and bmx == ts[ts >= mid].max()
+
+    # unfiltered: bit-identical to the full build
+    for q in ("the zqmarker0", "w00000", "qqqabsentqqq"):
+        t1 = ref.topk(q, 10, rank_round=9)
+        t2 = fed.topk(q, 10, rank_round=9)
+        np.testing.assert_array_equal(t1[0], t2[0])
+        np.testing.assert_allclose(t1[1], t2[1], rtol=0, atol=0)
+    assert fed.last_members_searched == 2
+
+    # window inside slice A: member B pruned, result == full-index range filter
+    win = ("ts", int(amn), int(amn + (amx - amn) // 3))
+    for q in ("the zqmarker0", "w00000"):
+        d1, s1 = ref.topk(q, 10, rank_round=9, field_range=win)
+        d2, s2 = fed.topk(q, 10, rank_round=9, field_range=win)
+        np.testing.assert_array_equal(d1, d2)
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0)
+    assert fed.last_members_searched == 1
+
+    # window spanning the boundary: both searched, equals the full filter
+    span = ("ts", int(amx - 1), int(bmn + 1))
+    d1, s1 = ref.topk("the", 10, rank_round=9, field_range=span)
+    d2, s2 = fed.topk("the", 10, rank_round=9, field_range=span)
+    np.testing.assert_array_equal(d1, d2)
+    assert fed.last_members_searched == 2
+
+    # empty window beyond all data: zero members searched, empty result
+    d0, s0 = fed.topk("the", 10, field_range=("ts", int(bmx + 10), int(bmx + 20)))
+    assert len(d0) == 0 and fed.last_members_searched == 0
