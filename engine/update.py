@@ -319,13 +319,27 @@ def add_documents(
     )
     has_hash = "content_hash" in dm_schema.names
     cat_col = stats.get("category_col") if "category" in dm_schema.names else None
+    # doc-values passthrough: deltas must carry every docvalues column the
+    # base docmap has, or field sorts / range filters would KeyError on
+    # delta-minted docIDs (and mixed-schema docmap reads would fail)
+    dv_cols = [c for c in (stats.get("docvalues") or []) if c in dm_schema.names]
     if transcripts:
         ds = ds.select_columns(
-            ["conv_id", "turn_idx", text_col] + ([cat_col] if cat_col else [])
+            sorted(
+                {"conv_id", "turn_idx", text_col}
+                | ({cat_col} if cat_col else set())
+                | set(dv_cols)
+            )
         )
     else:
         id_col = id_col or "doc_id"
-        ds = ds.select_columns([id_col, text_col] + ([cat_col] if cat_col else []))
+        ds = ds.select_columns(
+            sorted(
+                {id_col, text_col}
+                | ({cat_col} if cat_col else set())
+                | set(dv_cols)
+            )
+        )
     known_keys, next_id = _build_known_keys(index_dir, transcripts, has_hash)
     kref = ray.put(known_keys)  # O(#shards) object; shard data ships on demand
 
@@ -397,6 +411,14 @@ def add_documents(
             cols["text"] = b[text_col]
         if cat_col:
             cols["category"] = b[cat_col].cast(pa.string())
+        for c in dv_cols:
+            if c not in cols:
+                if c not in b.schema.names:
+                    raise ValueError(
+                        f"ADD delta is missing doc-values column {c!r} "
+                        "required by the base index's docmap schema"
+                    )
+                cols[c] = b[c].cast(dm_schema.field(c).type)
         return pa.table(cols)
 
     delta_dir = os.path.join(_docmap_dir(index_dir), f"delta-{generation:04d}")
@@ -851,8 +873,11 @@ def merge_indexes(dst_dir: str, src_dir: str) -> dict:
     dst = state.read_stats(dst_dir)
     src = state.read_stats(src_dir)
     for key in ("n_buckets", "n_salts", "postings_codec", "hash_scheme",
-                "positional", "category_col", "transcripts_mode"):
-        if dst.get(key) != src.get(key):
+                "positional", "category_col", "transcripts_mode", "docvalues"):
+        a, b = dst.get(key), src.get(key)
+        if key == "docvalues":  # absent (pre-docvalues index) == empty
+            a, b = list(a or []), list(b or [])
+        if a != b:
             raise ValueError(
                 f"merge refused: routing/format contract mismatch on {key!r} "
                 f"({dst.get(key)!r} vs {src.get(key)!r})"

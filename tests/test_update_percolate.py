@@ -836,3 +836,48 @@ def test_rollover_time_sliced_federation(ray_session, tiny_corpus, tmp_path):
     # empty window beyond all data: zero members searched, empty result
     d0, s0 = fed.topk("the", 10, field_range=("ts", int(bmx + 10), int(bmx + 20)))
     assert len(d0) == 0 and fed.last_members_searched == 0
+
+
+def test_add_preserves_docvalues(ray_session, tiny_corpus, tmp_path):
+    """ADD on a docvalues index: delta docmap rows carry the ts column, so
+    field sort / range filter / field stats see delta-minted docs; an ADD
+    source missing the column is refused."""
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.update import add_documents
+
+    idx = str(tmp_path / "dv_upd")
+    build_index(tiny_corpus, idx, n_buckets=8, n_salts=2, docvalues=["ts"])
+    base_n = Bm25Index(idx).n_docs
+
+    far_future = 4_000_000_000_000_000  # epoch-us beyond every base ts
+    new = _new_convs_table(n_convs=2, turns=2)
+    new = new.append_column(
+        "ts",
+        pa.array(
+            [far_future + i for i in range(new.num_rows)], pa.timestamp("us")
+        ),
+    )
+    rep = add_documents(idx, ray.data.from_arrow(new))
+    assert rep["added"] == new.num_rows
+
+    bm = Bm25Index(idx)
+    # most-recent-first sort must surface ONLY the delta docs first
+    d, v = bm.topk_by_field("w00000", "ts", new.num_rows)
+    assert (d >= base_n).all()
+    assert v.tolist() == sorted(
+        (far_future + i for i in range(new.num_rows)), reverse=True
+    )
+    # range filter pinned to the delta window
+    dd, ss = bm.topk("w00000", 50, field_range=("ts", far_future, far_future + 10**6))
+    assert set(dd.tolist()) == set(d.tolist())
+    # stats max == newest delta ts
+    n, lo, hi = bm.field_stats("zqnewmarker0", "ts")
+    assert n == 2 and hi == far_future + 1  # conv 0 = source rows 0,1
+
+    # ADD refusal when the source lacks the doc-values column
+    missing = _new_convs_table(n_convs=1, turns=1, prefix="zzzz-missingdv")
+    with pytest.raises(Exception, match="ts"):
+        add_documents(idx, ray.data.from_arrow(missing))
