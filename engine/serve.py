@@ -434,6 +434,17 @@ class ShardedQueryService:
         Bm25Index.metrics)."""
         return {"failovers": self._failovers, "respawns": self._respawns}
 
+    def _shared_docstore(self):
+        """One coordinator-resident DocStore shared by every per-query
+        gathered view (row-group cache survives across queries; the shallow
+        Bm25Index copies would otherwise each build their own)."""
+        ds = getattr(self._bm, "_docstore", None)
+        if ds is None:
+            from .docstore import DocStore
+
+            ds = self._bm._docstore = DocStore(self._bm.index_dir)
+        return ds
+
     def topk(
         self,
         text: str,
@@ -441,14 +452,49 @@ class ShardedQueryService:
         conjunctive: bool = False,
         timeout_s: float | None = None,
         rank_round: int | None = None,
+        field_range: tuple[str, int, int] | None = None,
     ):
         from .tokenize import tokenize_text
 
         terms = sorted(set(tokenize_text(text)))
         bm = self._gather(terms, timeout_s)
         if conjunctive:
+            if field_range is not None:
+                raise ValueError("range filters are OR-path only")
             return bm.conjunctive_topk(text, k)
-        return bm.topk(text, k, rank_round=rank_round)
+        if field_range is not None:
+            bm._docstore = self._shared_docstore()
+        return bm.topk(text, k, rank_round=rank_round, field_range=field_range)
+
+    def sort_topk(
+        self,
+        text: str,
+        field: str,
+        k: int,
+        descending: bool = True,
+        after: tuple[int, int] | None = None,
+        timeout_s: float | None = None,
+    ):
+        """Sharded field-sorted retrieval: the ANY-term postings union comes
+        from the ordinary scatter/gather; doc-values hydrate through the
+        coordinator's shared row-group-pruned DocStore. Identical to
+        Bm25Index.topk_by_field (tested), search_after cursor included."""
+        from .tokenize import tokenize_text
+
+        bm = self._gather(sorted(set(tokenize_text(text))), timeout_s)
+        bm._docstore = self._shared_docstore()
+        return bm.topk_by_field(text, field, k, descending=descending, after=after)
+
+    def field_stats(
+        self, text: str, field: str, timeout_s: float | None = None
+    ):
+        """Sharded per-query field metric aggregation (n, min, max) — same
+        scatter/gather + shared doc-values path as sort_topk."""
+        from .tokenize import tokenize_text
+
+        bm = self._gather(sorted(set(tokenize_text(text))), timeout_s)
+        bm._docstore = self._shared_docstore()
+        return bm.field_stats(text, field)
 
     def fuzzy_topk(
         self,
