@@ -122,6 +122,20 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("index_dir")
     ph.add_argument("text")
 
+    fq = sub.add_parser(
+        "fedquery",
+        help="federated top-k over 2+ independent indexes (rollover alias: "
+        "--range prunes members by doc-values bounds)",
+    )
+    fq.add_argument("text")
+    fq.add_argument("index_dirs", nargs="+", help="member index directories")
+    fq.add_argument("-k", type=int, default=10)
+    fq.add_argument(
+        "--range", dest="field_range", default=None, metavar="FIELD:LO:HI",
+        help="non-scoring doc-values window; members whose bounds miss it are "
+        "never opened (can_match pruning)",
+    )
+
     px = sub.add_parser(
         "proximity", help="windowed co-occurrence counts (positional index)"
     )
@@ -341,6 +355,28 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+    elif args.cmd == "fedquery":
+        _ray()  # member-collision refusal runs distributed probes
+        from .federate import Federation
+
+        fr = None
+        if args.field_range:
+            f, lo, hi = args.field_range.rsplit(":", 2)
+            fr = (f, int(lo), int(hi))
+        fed = Federation(args.index_dirs)
+        d, s = fed.topk(args.text, args.k, field_range=fr)
+        for i, (dd, sc) in enumerate(zip(d.tolist(), s.tolist()), 1):
+            print(json.dumps({"rank": i, "doc_id": dd, "score": round(sc, 6)}))
+        print(
+            json.dumps(
+                {
+                    "members_searched": getattr(
+                        fed, "last_members_searched", len(fed.members)
+                    ),
+                    "members_total": len(fed.members),
+                }
+            )
+        )
     elif args.cmd == "sort":
         from .query import Bm25Index
 

@@ -308,3 +308,42 @@ def test_cli_sort_and_range(ray_session, tiny_corpus, tmp_path, capsys):
     assert hits
     in_window = {r["doc_id"] for r in page1}
     assert {r["doc_id"] for r in hits} <= in_window | {r["doc_id"] for r in page2}
+
+
+def test_cli_fedquery(ray_session, tiny_corpus, tmp_path, capsys):
+    """Federated CLI: two ts-sliced member indexes behind one alias; --range
+    restricted to one slice reports members_searched=1 (can_match pruning)."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from engine.build import build_index
+    from engine.cli import main
+
+    corpus = pa.concat_tables(
+        pq.read_table(p) for p in sorted(glob.glob(tiny_corpus + "/*.parquet"))
+    )
+    corpus = corpus.append_column(
+        "doc_id", pa.array(np.arange(corpus.num_rows, dtype=np.int64))
+    )
+    ts = corpus["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    mid = int((ts.min() + ts.max()) // 2)
+    a, b = str(tmp_path / "fa"), str(tmp_path / "fb")
+    kw = dict(n_buckets=4, n_salts=2, id_col="doc_id", docvalues=["ts"])
+    build_index(ray.data.from_arrow(corpus.filter(pa.array(ts < mid))), a, **kw)
+    build_index(ray.data.from_arrow(corpus.filter(pa.array(ts >= mid))), b, **kw)
+    capsys.readouterr()
+
+    assert main(["fedquery", "w00000", a, b, "-k", "5"]) == 0
+    rows = _jsonl(capsys.readouterr().out)
+    assert rows[-1] == {"members_searched": 2, "members_total": 2}
+    assert len(rows) == 6 and rows[0]["rank"] == 1
+
+    lo_only = f"ts:{int(ts.min())}:{mid - 1}"
+    assert main(["fedquery", "w00000", a, b, "-k", "5", "--range", lo_only]) == 0
+    rows = _jsonl(capsys.readouterr().out)
+    assert rows[-1] == {"members_searched": 1, "members_total": 2}
+    assert all(r["doc_id"] < corpus.num_rows for r in rows[:-1])
