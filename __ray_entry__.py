@@ -1770,6 +1770,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["n_tok", "pack_id"],
         )
 
+    def chunk_documents(sf_dir):
+        """RAG chunker: overlapping fixed token windows (64/stride 48) per
+        document — stateless vectorized map_batches, no shuffle."""
+        from engine.ops.textstats import chunk_documents as _cd
+
+        return _collect(_cd(_docs(sf_dir, ["doc_id", "text"])))
+
     def clean_corpus(sf_dir):
         """Composite pre-training prep: quality gate -> exact dedup (lowest
         docID per surviving text) -> regex redaction, ONE exchange end to
@@ -2566,6 +2573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hashed_vectors": hashed_vectors,
         "redact_text": redact_text,
         "pack_sequences": pack_sequences,
+        "chunk_documents": chunk_documents,
         "clean_corpus": clean_corpus,
         "clean_corpus_near": clean_corpus_near,
         "decontaminate": decontaminate,
@@ -5235,6 +5243,21 @@ WHERE text IS NOT NULL
             SELECT doc_id, n_tok,
                    ((sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok) // 256)::BIGINT AS pack_id
             FROM t
+        """,
+        "chunk_documents": f"""
+            WITH toks AS (SELECT doc_id, {_TOKEN_SQL} AS tl FROM documents),
+            t AS (SELECT doc_id, tl, len(tl)::BIGINT AS n FROM toks WHERE len(tl) > 0),
+            w AS (
+              SELECT doc_id, tl, n,
+                     unnest(generate_series(0,
+                       CASE WHEN n <= 64 THEN 0
+                            ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS chunk_idx
+              FROM t
+            )
+            SELECT doc_id, chunk_idx,
+                   (least(chunk_idx * 48 + 64, n) - chunk_idx * 48)::BIGINT AS n_tokens,
+                   array_to_string(tl[chunk_idx * 48 + 1 : least(chunk_idx * 48 + 64, n)], ' ') AS chunk_text
+            FROM w
         """,
         "doc_repetition": f"""
             WITH toks AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),

@@ -1095,6 +1095,74 @@ def redact_text(
     return ds.map_batches(scrub, batch_format="pyarrow")
 
 
+def chunk_documents(
+    ds,
+    window: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """RAG/pretraining chunker: each document's token stream split into
+    overlapping fixed-size windows — chunk k starts at token ``k * stride``
+    and takes up to ``window`` tokens; a document emits chunks while a window
+    still adds unseen tokens (one chunk when ``n <= window``, else
+    ``ceil((n - window) / stride) + 1`` — no tail chunk fully contained in
+    its predecessor). Returns (doc_id, chunk_idx, n_tokens, chunk_text);
+    token-less docs emit nothing.
+
+    Scale shape: stateless per-batch transform — one Arrow tokenize per
+    batch, then a loop over CHUNK INDEX (bounded by the longest doc in the
+    batch / stride, not by rows) where every iteration is a vectorized
+    ``list_slice`` + ``binary_join`` across all rows still needing that
+    window. No shuffle, no driver state; chunk volume is ~n_tokens/stride
+    rows regardless of partitioning."""
+    if window < 1 or stride < 1 or stride > window:
+        raise ValueError("require 1 <= stride <= window")
+
+    def fn(b: pa.Table) -> pa.Table:
+        flat, _parent, dl = _explode_tokens(b[text_col])
+        n = len(dl)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(dl, out=offs[1:])
+        toks = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), flat)
+        ids = b[id_col].cast(pa.int64()).combine_chunks()
+        dln = dl.astype(np.int64)
+        parts = []
+        k = 0
+        while True:
+            # window k adds unseen tokens iff n > window + (k-1)*stride
+            need = dln > 0 if k == 0 else dln > window + (k - 1) * stride
+            if not need.any():
+                break
+            sel = pa.array(need)
+            sub = pc.list_slice(toks.filter(sel), k * stride, k * stride + window)
+            parts.append(
+                pa.table(
+                    {
+                        id_col: ids.filter(sel),
+                        "chunk_idx": pa.array(
+                            np.full(int(need.sum()), k, dtype=np.int64)
+                        ),
+                        "n_tokens": pc.list_value_length(sub).cast(pa.int64()),
+                        "chunk_text": pc.binary_join(sub, " "),
+                    }
+                )
+            )
+            k += 1
+        if not parts:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def pack_sequences(ds, budget: int = 256, id_col: str = "doc_id", text_col: str = "text"):
     """Greedy sequence packing by cumulative token budget: docs in ascending
     docID order are assigned ``pack_id = tokens_before // budget`` — the

@@ -1387,3 +1387,68 @@ def test_role_transitions_hand_computed(ray_session):
         ("assistant", "user"): (1, 1),
         ("assistant", "assistant"): (1, 1),
     }
+
+
+def test_chunk_documents_bruteforce(ray_session):
+    """RAG chunker vs a per-doc Python reference: window starts every
+    `stride` tokens while a window adds unseen tokens; one chunk when
+    n <= window; no tail chunk fully contained in its predecessor;
+    token-less docs emit nothing."""
+    import ray.data
+
+    from engine.ops.textstats import chunk_documents
+    from engine.tokenize import tokenize_text
+
+    W, S = 8, 5
+    texts = [
+        "a b c",                                        # n < W: 1 chunk
+        " ".join(f"t{i}" for i in range(8)),            # n == W: 1 chunk
+        " ".join(f"u{i}" for i in range(9)),            # n = W+1: 2 chunks
+        " ".join(f"v{i}" for i in range(13)),           # W + S: 2 chunks exactly
+        " ".join(f"w{i}" for i in range(14)),           # W + S + 1: 3 chunks
+        "",                                             # no tokens: nothing
+        "!!! ???",                                      # tokenizes to nothing
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        chunk_documents(ray.data.from_arrow(tbl), window=W, stride=S)
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    got = pa.concat_tables([t for t in _ray.get(got) if t.num_rows]).to_pylist()
+    got.sort(key=lambda r: (r["doc_id"], r["chunk_idx"]))
+
+    want = []
+    for d, tx in enumerate(texts):
+        toks = tokenize_text(tx)
+        n = len(toks)
+        if n == 0:
+            continue
+        n_chunks = 1 if n <= W else -(-(n - W) // S) + 1
+        for k in range(n_chunks):
+            sl = toks[k * S : k * S + W]
+            want.append(
+                {
+                    "doc_id": d,
+                    "chunk_idx": k,
+                    "n_tokens": len(sl),
+                    "chunk_text": " ".join(sl),
+                }
+            )
+    assert got == want
+    # every token of every doc appears in at least one of its chunks
+    covered = {}
+    for r in got:
+        covered.setdefault(r["doc_id"], set()).update(r["chunk_text"].split())
+    for d, tx in enumerate(texts):
+        toks = set(tokenize_text(tx))
+        if toks:
+            assert toks <= covered[d], d
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(ray.data.from_arrow(tbl), window=4, stride=5)
