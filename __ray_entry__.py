@@ -452,6 +452,48 @@ def _transcripts_rollover(sf_dir: str) -> tuple[str, str]:
     return a, b
 
 
+CHUNK_W, CHUNK_S, CHUNK_ID_BASE = 64, 48, 4096
+
+
+def _chunks_index(sf_dir: str) -> str:
+    """Chunk-level retrieval index (the RAG serving shape): documents ->
+    overlapping token windows (``chunk_documents``) -> BM25 index whose
+    docIDs are ``doc_id * CHUNK_ID_BASE + chunk_idx`` (SQL-reproducible
+    packing) — retrieval returns passages, not whole documents. The chunk
+    Dataset streams straight into the build; it is never collected."""
+    from engine.build import build_index
+    from engine.ops.textstats import chunk_documents
+
+    idx = _cache(sf_dir, "chunks_index")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        import pyarrow.compute as pc
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        ch = chunk_documents(ds, window=CHUNK_W, stride=CHUNK_S)
+
+        def mk(b: pa.Table) -> pa.Table:
+            ci = b["chunk_idx"]
+            if b.num_rows and pc.max(ci).as_py() >= CHUNK_ID_BASE:
+                raise ValueError("chunk_idx overflows the packed chunk-id base")
+            return pa.table(
+                {
+                    "doc_id": pc.add(
+                        pc.multiply(b["doc_id"], CHUNK_ID_BASE), ci
+                    ).cast(pa.int64()),
+                    "text": b["chunk_text"],
+                }
+            )
+
+        build_index(
+            ch.map_batches(mk, batch_format="pyarrow"), idx,
+            id_col="doc_id", n_buckets=8, n_salts=4, hot_fraction=0.05,
+        )
+    return idx
+
+
 def _transcripts_posindex(sf_dir: str) -> str:
     """Positional transcripts index (J4 on the flagship surface)."""
     from engine.build import build_index
@@ -1777,6 +1819,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _collect(_cd(_docs(sf_dir, ["doc_id", "text"])))
 
+    def chunk_bm25_topk(sf_dir):
+        """Chunk-level (passage) retrieval — the chunker composed with the
+        engine: BM25 top-k over the chunk index; hit ids are
+        doc_id * 4096 + chunk_idx, so results point at passages."""
+        from engine.query import batch_topk
+
+        idx = _chunks_index(sf_dir)
+        res = batch_topk(_doc_query_items(), idx, concurrency=2, rank_round=RANK_ROUND)
+        res = _round_scores(res, "score", "score_r", SCORE_ROUND)
+        return _i64(res, ["rank"])
+
     def clean_corpus(sf_dir):
         """Composite pre-training prep: quality gate -> exact dedup (lowest
         docID per surviving text) -> regex redaction, ONE exchange end to
@@ -2574,6 +2627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_text": redact_text,
         "pack_sequences": pack_sequences,
         "chunk_documents": chunk_documents,
+        "chunk_bm25_topk": chunk_bm25_topk,
         "clean_corpus": clean_corpus,
         "clean_corpus_near": clean_corpus_near,
         "decontaminate": decontaminate,
@@ -5238,6 +5292,20 @@ WHERE text IS NOT NULL
                    len(regexp_extract_all(text, '(spark|vector)'))::BIGINT AS n_matches
             FROM documents
         """,
+        "chunk_bm25_topk": _bm25_sql(conjunctive=False, src=f"""(
+  WITH ctoks AS (SELECT doc_id, {_TOKEN_SQL} AS tl FROM documents),
+  ct AS (SELECT doc_id, tl, len(tl)::BIGINT AS n FROM ctoks WHERE len(tl) > 0),
+  cw AS (
+    SELECT doc_id, tl, n,
+           unnest(generate_series(0,
+             CASE WHEN n <= 64 THEN 0
+                  ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) END)) AS chunk_idx
+    FROM ct
+  )
+  SELECT doc_id * 4096 + chunk_idx AS doc_id,
+         array_to_string(tl[chunk_idx * 48 + 1 : least(chunk_idx * 48 + 64, n)], ' ') AS text
+  FROM cw
+)"""),
         "pack_sequences": f"""
             WITH t AS (SELECT doc_id, len({_TOKEN_SQL})::BIGINT AS n_tok FROM documents)
             SELECT doc_id, n_tok,
