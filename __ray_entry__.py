@@ -1613,6 +1613,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = _round_scores(res, "cosine", "cosine_r", SCORE_ROUND)
         return _i64(res, ["rank"])
 
+    def mmr_rerank_topk(sf_dir):
+        """MMR-diversified retrieval (no SQL oracle: greedy ITERATIVE
+        selection — each pick depends on all previous picks — is not
+        SQL-expressible; exactness is pytest-gated against a pure-Python
+        greedy over the full corpus, and lam=1 is asserted equal to the
+        SQL-oracled brute cosine ranking)."""
+        import pyarrow.parquet as pq
+
+        from engine.ops.similarity import mmr_topk
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        qdf = (
+            pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+            .to_pandas()
+        )
+        qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+        res = mmr_topk(
+            ds,
+            np.stack(qdf["embedding"].to_numpy()),
+            qdf["vec_id"].to_numpy(),
+            k=10,
+            fetch_k=50,
+            lam=0.5,
+        )
+        res = _round_scores(res, "cosine", "cosine_r", SCORE_ROUND)
+        return _round_scores(res, "mmr", "mmr_r", SCORE_ROUND)
+
     def ann_ivf_topk(sf_dir):
         """IVF with hive-partitioned parquet inverted lists served by an
         IvfProber actor pool. Probes ALL centroids here so the result is
@@ -2705,6 +2734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_clusters": dedup_embedding_clusters,
         "kmeans_assign": kmeans_assign,
         "ann_ivf_topk": ann_ivf_topk,
+        "mmr_rerank_topk": mmr_rerank_topk,
         "text_quality": text_quality,
         "lang_id": lang_id,
         "unigram_lm": unigram_lm,

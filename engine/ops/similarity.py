@@ -116,6 +116,102 @@ def brute_topk(
     return _merge_partials(parts, query_ids, k, rank_round)
 
 
+def mmr_topk(
+    ds,
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    fetch_k: int = 50,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+    '98; the RAG retriever's diversity rerank): fetch the exact cosine
+    ``fetch_k`` candidates per query with the distributed partial-top-k pass,
+    then greedy MMR on the BOUNDED candidate set —
+    ``argmax lam*cos(q,d) - (1-lam)*max_{s in selected} cos(d,s)`` —
+    ties broken by ascending vec_id (fully deterministic). ``lam=1``
+    degenerates to plain cosine ranking.
+
+    Scale shape: stage 1 is brute_topk's partial-merge (never materializes
+    the corpus); stage 2 gathers ONLY the <= n_queries*fetch_k candidate
+    vectors via one broadcast-id-set filter pass; the O(fetch_k^2) greedy
+    runs per query on that bounded set at the coordinator. Returns
+    (query_id, rank, vec_id, cosine, mmr)."""
+    import ray
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    cands = brute_topk(ds, query_vecs, query_ids, k=fetch_k, id_col=id_col,
+                       vec_col=vec_col)
+    cid = np.unique(cands[id_col].to_numpy(zero_copy_only=False))
+    idref = ray.put(cid)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        want = ray.get(idref)
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(want, ids)
+        hit = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)] == ids)
+        return batch.filter(pa.array(hit))
+
+    got = pa.concat_tables(
+        t for t in (
+            ray.get(r)
+            for r in ds.map_batches(gather, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    )
+    gids = got[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    gmat = _normalize(_stack(got[vec_col]))
+    order = np.argsort(gids)
+    gids, gmat = gids[order], gmat[order]
+
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    out_q, out_r, out_id, out_cos, out_mmr = [], [], [], [], []
+    by_q: dict = {}
+    for qid, vid, cos in zip(
+        cands["query_id"].to_pylist(),
+        cands[id_col].to_pylist(),
+        cands["cosine"].to_pylist(),
+    ):
+        by_q.setdefault(qid, []).append((vid, cos))
+    for qi, qid in enumerate(np.asarray(query_ids).tolist()):
+        pairs = by_q.get(qid, [])
+        if not pairs:
+            continue
+        vids = np.array([v for v, _ in pairs], dtype=np.int64)
+        rel = np.array([c for _, c in pairs], dtype=np.float64)
+        vecs = gmat[np.searchsorted(gids, vids)]
+        sim = vecs @ vecs.T  # (fetch_k, fetch_k) candidate-candidate cosines
+        chosen: list[int] = []
+        alive = np.ones(len(vids), dtype=bool)
+        max_sel = np.full(len(vids), -np.inf)
+        for rank in range(1, min(k, len(vids)) + 1):
+            pen = np.where(np.isfinite(max_sel), max_sel, 0.0)
+            score = lam * rel - (1.0 - lam) * (pen if chosen else 0.0)
+            score = np.where(alive, score, -np.inf)
+            best = np.flatnonzero(score == score.max())
+            j = int(best[np.argmin(vids[best])])  # vec_id ascending tie-break
+            chosen.append(j)
+            alive[j] = False
+            max_sel = np.maximum(max_sel, sim[:, j])
+            out_q.append(qid)
+            out_r.append(rank)
+            out_id.append(int(vids[j]))
+            out_cos.append(float(rel[j]))
+            out_mmr.append(float(score[j]))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_cos, pa.float64()),
+            "mmr": pa.array(out_mmr, pa.float64()),
+        }
+    )
+
+
 def _kmeans_fit(sample_mat: np.ndarray, n_centroids: int, n_iter: int, seed: int) -> np.ndarray:
     """Seeded spherical k-means on a sample matrix (already normalized)."""
     rng = np.random.default_rng(seed)

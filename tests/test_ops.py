@@ -1452,3 +1452,62 @@ def test_chunk_documents_bruteforce(ray_session):
             assert toks <= covered[d], d
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(ray.data.from_arrow(tbl), window=4, stride=5)
+
+
+def test_mmr_topk_vs_bruteforce(ray_session):
+    """MMR rerank vs a pure-Python greedy over the FULL corpus (fetch_k =
+    corpus size, so candidate truncation can't differ): identical ids and
+    scores; lam=1 equals plain cosine ranking."""
+    import ray.data
+
+    from engine.ops.similarity import brute_topk, mmr_topk
+
+    rng = np.random.RandomState(7)
+    n, d = 40, 8
+    vecs = rng.randn(n, d)
+    # two tight clusters: diversity must pull from both
+    vecs[:20] = vecs[0] + 0.01 * rng.randn(20, d)
+    vecs[20:] = vecs[20] + 0.01 * rng.randn(20, d)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(map(list, vecs)), pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    q = vecs[[0, 25]]
+    qids = np.array([100, 101])
+    lam, k = 0.5, 6
+    got = mmr_topk(ds, q, qids, k=k, fetch_k=n, lam=lam).to_pylist()
+
+    def unit(m):
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    U, Q = unit(vecs), unit(q)
+    want = []
+    for qi, qid in enumerate(qids.tolist()):
+        rel = Q[qi] @ U.T
+        sel, alive = [], set(range(n))
+        for rank in range(1, k + 1):
+            best_j, best_s = None, -np.inf
+            for j in sorted(alive):
+                pen = max((float(U[j] @ U[s]) for s in sel), default=0.0)
+                s = lam * rel[j] - (1 - lam) * (pen if sel else 0.0)
+                if s > best_s + 1e-15:
+                    best_j, best_s = j, s
+            sel.append(best_j)
+            alive.discard(best_j)
+            want.append((qid, rank, best_j))
+    assert [(r["query_id"], r["rank"], r["vec_id"]) for r in got] == want
+    # diversity sanity: top-6 plain cosine stays in the query's own cluster,
+    # MMR at lam=0.5 crosses clusters
+    ids_q0 = {r["vec_id"] for r in got if r["query_id"] == 100}
+    assert ids_q0 & set(range(20)) and ids_q0 & set(range(20, 40))
+    # lam=1 == plain cosine order
+    plain = brute_topk(ds, q, qids, k=k).to_pylist()
+    lam1 = mmr_topk(ds, q, qids, k=k, fetch_k=n, lam=1.0).to_pylist()
+    assert [(r["query_id"], r["vec_id"]) for r in lam1] == [
+        (r["query_id"], r["vec_id"]) for r in plain
+    ]
+    with pytest.raises(ValueError, match="lam"):
+        mmr_topk(ds, q, qids, k=k, lam=1.5)
