@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 CACHE_ROOT = "/tmp/graft_cache"
 
@@ -37,6 +38,23 @@ DOC_QUERIES: list[tuple[str, str, int]] = [
 ]
 
 _TOKEN_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+# SQL twin of engine.tokenize.s_stem_array — same three suffix branches,
+# same exceptions, total (bare 's' unchanged); applied AFTER the split
+_STEM_CASE = (
+    "CASE WHEN t = 's' OR t LIKE '%eies' OR t LIKE '%aies' OR t LIKE '%aes' "
+    "OR t LIKE '%ees' OR t LIKE '%oes' OR t LIKE '%us' OR t LIKE '%ss' THEN t "
+    "WHEN t LIKE '%ies' THEN substr(t, 1, len(t) - 3) || 'y' "
+    "WHEN t LIKE '%s' THEN substr(t, 1, len(t) - 1) ELSE t END"
+)
+_STEM_TOKEN_SQL = f"list_transform({_TOKEN_SQL}, t -> {_STEM_CASE})"
+
+# SQL twin of _stem_documents_ds's plural-planting rewrite
+_PLURAL_DOCS_SQL = (
+    "(SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN "
+    "replace(replace(text, 'table', 'tables'), 'query', 'queries') "
+    "ELSE text END AS text FROM documents)"
+)
 
 
 def _boost_of(i: int) -> float:
@@ -331,6 +349,57 @@ def _documents_index_pfor(sf_dir: str) -> str:
     return idx
 
 
+#: queries for the S-stem analyzer entry: plural surface forms that ONLY
+#: match through the stemmer (the raw corpus has no 's'-final tokens; the
+#: derived corpus below plants them on odd doc_ids)
+STEM_QUERIES: list[tuple[str, str, int]] = [
+    ("S1_plural", "tables", 10),
+    ("S2_ies", "queries", 10),
+    ("S3_mixed", "tables queries window", 15),
+    ("S4_singular", "table scan", 10),
+]
+
+
+def _stem_documents_ds(sf_dir: str):
+    """documents with a deterministic plural-planting rewrite: odd doc_ids
+    get 'table'->'tables' and 'query'->'queries' (vectorized Arrow replace;
+    reproduced in SQL by the same nested replace()). Gives the S-stem entry
+    a corpus where stemming actually merges surface forms — the synthetic
+    vocab is otherwise plural-free."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def pluralize(b: pa.Table) -> pa.Table:
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        pl = pc.replace_substring(
+            pc.replace_substring(text, "table", "tables"), "query", "queries"
+        )
+        odd = pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1)
+        return pa.table({"doc_id": b["doc_id"], "text": pc.if_else(odd, pl, text)})
+
+    return ds.map_batches(pluralize, batch_format="pyarrow")
+
+
+def _documents_index_stem(sf_dir: str) -> str:
+    """Inverted index over the plural-planted documents under the
+    ``s_stem`` analyzer (Harman S-stem token filter at index AND query
+    time, persisted in stats.json — engine/tokenize.py:s_stem_array)."""
+    from engine.build import build_index
+
+    idx = _cache(sf_dir, "documents_index_stem")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        build_index(
+            _stem_documents_ds(sf_dir), idx, id_col="doc_id", n_buckets=8,
+            n_salts=4, hot_fraction=0.05, analyzer="s_stem",
+        )
+    return idx
+
+
 def _documents_index_removed(sf_dir: str) -> str:
     """Full documents index, then ``remove_documents`` of every
     ``doc_id % 7 == 3`` victim and a ``compact_index`` — the REMOVE/COMPACT
@@ -618,6 +687,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         idx = _documents_index_pfor(sf_dir)
         res = batch_topk(_doc_query_items(), idx, concurrency=2, rank_round=RANK_ROUND)
+        res = _round_scores(res, "score", "score_r", SCORE_ROUND)
+        return _i64(res, ["rank"])
+
+    def bm25_topk_stemmed(sf_dir):
+        """BM25 over an index built with analyzer="s_stem" (Harman S-stem
+        token filter, the ES `stemmer: minimal_english` analog) on the
+        plural-planted documents corpus: 'tables'/'queries' on odd doc_ids
+        merge with 'table'/'query' at index time, and the plural QUERY
+        surface forms in STEM_QUERIES resolve through the same chain read
+        back from stats.json. The oracle restates the stemmer as a DuckDB
+        CASE over the token list — byte-identical contract."""
+        from engine.query import batch_topk
+
+        idx = _documents_index_stem(sf_dir)
+        items = [{"query_id": q, "text": t, "k": k} for q, t, k in STEM_QUERIES]
+        res = batch_topk(items, idx, concurrency=2, rank_round=RANK_ROUND)
         res = _round_scores(res, "score", "score_r", SCORE_ROUND)
         return _i64(res, ["rank"])
 
@@ -2596,9 +2681,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # to the front, followed by 10 core sentinels to fill the 50-entry window,
     # then the 55 already-driver-green entries.
     return {
-        # ---- new in round 4 (5) -------------------------------------------
+        # ---- new since the last driver window ------------------------------
         "bm25_topk_boolean": bm25_topk_boolean,
         "bm25_topk_pfor": bm25_topk_pfor,
+        "bm25_topk_stemmed": bm25_topk_stemmed,
         "bm25_topk_merged": bm25_topk_merged,
         "dedup_clusters_star": dedup_clusters_star,
         "bm25_topk_removed": bm25_topk_removed,
@@ -2606,7 +2692,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_rollup": rel.pricing_rollup,
         "proximity_match": proximity_match,
         "span_near": span_near,
-        "span_near_scored": span_near_scored,
         "running_totals": lambda sf_dir: _collect(rel.running_totals(sf_dir)),
         "percolate_phrase": percolate_phrase,
         "percolate_boolean": percolate_boolean,
@@ -2652,13 +2737,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_rollover_topk": transcripts_rollover_topk,
         "transcripts_rollover_window": transcripts_rollover_window,
         "bigram_lm": bigram_lm,
+        "clean_corpus": clean_corpus,
+        "clean_corpus_near": clean_corpus_near,
+        # ---- window boundary: entries below queue for the round-5 window ---
+        "span_near_scored": span_near_scored,
         "hashed_vectors": hashed_vectors,
         "redact_text": redact_text,
         "pack_sequences": pack_sequences,
         "chunk_documents": chunk_documents,
         "chunk_bm25_topk": chunk_bm25_topk,
-        "clean_corpus": clean_corpus,
-        "clean_corpus_near": clean_corpus_near,
         "decontaminate": decontaminate,
         "lang_confusion": lang_confusion,
         "label_centroids": label_centroids,
@@ -2766,21 +2853,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ===========================================================================
 
 def _bm25_sql(
-    conjunctive: bool, doc_filter: str | None = None, src: str = "documents"
+    conjunctive: bool, doc_filter: str | None = None, src: str = "documents",
+    queries: list[tuple[str, str, int]] | None = None, stem: bool = False,
 ) -> str:
+    """BM25 top-k oracle. ``stem=True`` restates the s_stem analyzer: corpus
+    tokens run through the CASE twin of engine.tokenize.s_stem_array and
+    query terms are pre-stemmed in Python by the scalar twin — byte-identical
+    three-branch contract on both sides."""
+    term_of = __import__("engine.tokenize", fromlist=["s_stem_token"]).s_stem_token if stem else (lambda t: t)
     vals = ",\n      ".join(
         f"('{qid}', '{t}', {k})"
-        for qid, text, k in DOC_QUERIES
-        for t in sorted(set(text.lower().split()))
+        for qid, text, k in (queries or DOC_QUERIES)
+        # dedup AFTER stemming — the engine dedups analyzed terms too
+        for t in sorted({term_of(x) for x in text.lower().split()})
     )
     conj_filter = (
         "JOIN qsize USING (query_id) WHERE scores.matched = qsize.nt"
         if conjunctive
         else (f"WHERE {doc_filter}" if doc_filter else "")
     )
+    tok = _STEM_TOKEN_SQL if stem else _TOKEN_SQL
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM {src}
+  SELECT doc_id, unnest({tok}) AS term FROM {src}
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM {src} d LEFT JOIN dl USING (doc_id)),
@@ -4734,6 +4829,10 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT term) FROM toks) AS n_terms
         """,
         "bm25_topk": _bm25_sql(conjunctive=False),
+        "bm25_topk_stemmed": _bm25_sql(
+            conjunctive=False, src=_PLURAL_DOCS_SQL, queries=STEM_QUERIES,
+            stem=True,
+        ),
         "bm25_topk_pfor": _bm25_sql(conjunctive=False),
         "bm25_topk_merged": _bm25_sql(conjunctive=False),
         "bm25_topk_removed": _bm25_sql(

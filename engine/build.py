@@ -82,10 +82,17 @@ def detect_hot_terms(
     text_col: str,
     sample_docs: int,
     hot_fraction: float,
+    analyzer: str = "standard",
 ) -> list[str]:
-    """Deterministic sample prefix -> terms whose sample df exceeds the cut."""
+    """Deterministic sample prefix -> terms whose sample df exceeds the cut.
+
+    Runs under the build's analyzer so the hot set names the terms the
+    exchange will actually route (a stemmed build salted on unstemmed
+    surface forms would miss every hot stem — a perf bug, not a
+    correctness one, but a silent 'why is one part 10x' mystery)."""
     sample = ds.limit(sample_docs).map_batches(
-        lambda b: tokenize_batch(b, id_col=id_col, text_col=text_col),
+        lambda b: tokenize_batch(b, id_col=id_col, text_col=text_col,
+                                 analyzer=analyzer),
         batch_format="pyarrow",
     )
     refs = sample.to_arrow_refs()
@@ -399,6 +406,7 @@ def build_index(
     category_col: str | None = None,
     postings_codec: str = "varint",
     docvalues: list[str] | None = None,
+    analyzer: str = "standard",
 ) -> dict:
     """Build (or resume) the inverted index. Returns a build report dict.
 
@@ -571,6 +579,9 @@ def build_index(
         # parts written by a crashed run and parts encoded by the resumed run
         # must share one wire format (InvertedIndexBackend analog)
         "postings_codec": postings_codec,
+        # ... and one analyzer chain: terms stemmed by the crashed run and
+        # unstemmed terms from a resumed run would shard into disjoint vocab
+        "analyzer": analyzer,
     }
     if resume and os.path.exists(routing_path):
         with open(routing_path) as f:
@@ -578,7 +589,12 @@ def build_index(
         if auto_buckets:
             n_buckets = int(contract["n_buckets"])
             caller_args["n_buckets"] = n_buckets
-        committed_args = {k: contract[k] for k in caller_args}
+        # pre-analyzer contracts (no "analyzer" key) committed to the
+        # standard chain — tolerate them instead of KeyErroring the resume
+        committed_args = {
+            k: contract.get(k, "standard" if k == "analyzer" else None)
+            for k in caller_args
+        }
         if committed_args != caller_args:
             raise ValueError(
                 f"refusing to resume {index_dir}: committed routing contract "
@@ -588,7 +604,8 @@ def build_index(
         hot_terms = list(contract["hot_terms"])
     else:
         hot_terms = detect_hot_terms(
-            ds, id_col, text_col, min(sample_docs, n_docs), hot_fraction
+            ds, id_col, text_col, min(sample_docs, n_docs), hot_fraction,
+            analyzer=analyzer,
         )
         state.atomic_write_bytes(
             json.dumps({**caller_args, "hot_terms": hot_terms}).encode(), routing_path
@@ -624,7 +641,7 @@ def build_index(
     tokenized = ds.map_batches(
         lambda b: tokenize_batch(
             b, id_col=id_col, text_col=text_col, positions=positions,
-            with_dl=False, compact_ids=compact_ids,
+            with_dl=False, compact_ids=compact_ids, analyzer=analyzer,
         ),
         batch_format="pyarrow",
     ).map_batches(
@@ -807,6 +824,7 @@ def build_index(
         "docvalues": dv,
         "hash_scheme": hash_scheme(),
         "postings_codec": postings_codec,
+        "analyzer": analyzer,
         # driver-ref-bounding folds that ran during the exchange (0 below
         # GRAFT_COMBINE_SPLITS split tasks — the bench scale)
         "combine_rounds": combine_rounds,

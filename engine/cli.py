@@ -436,18 +436,16 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"rank": rank, "conv_id": str(conv), "score": sc}))
     elif args.cmd == "fuzzy":
         from .query import Bm25Index
-        from .tokenize import tokenize_text
 
         bm = Bm25Index(args.index_dir)
-        d, s = bm.fuzzy_topk(tokenize_text(args.text), args.k)
+        d, s = bm.fuzzy_topk(bm._terms(args.text), args.k)
         for i, (doc, sc) in enumerate(zip(d.tolist(), s.tolist()), start=1):
             print(json.dumps({"rank": i, "doc_id": doc, "score": round(sc, 6)}))
     elif args.cmd == "qld":
         from .query import Bm25Index
-        from .tokenize import tokenize_text
 
         bm = Bm25Index(args.index_dir)
-        d, s = bm.qld_topk(tokenize_text(args.text), args.k, mu=args.mu)
+        d, s = bm.qld_topk(bm._terms(args.text), args.k, mu=args.mu)
         for i, (doc, sc) in enumerate(zip(d.tolist(), s.tolist()), start=1):
             print(json.dumps({"rank": i, "doc_id": doc, "score": round(sc, 6)}))
     elif args.cmd == "expand":

@@ -41,7 +41,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .schema import BM25_B, BM25_K1
-from .tokenize import tokenize_text
 
 _DYADIC_DENOM = 64  # weights must be multiples of 1/64 (exactness contract)
 
@@ -143,7 +142,7 @@ def bm25f_conv_topk(
     n_convs = conv_stats["n_convs"]
     avgdlw = conv_stats["avgdlw"]
     empty = (np.empty(0, dtype=object), np.empty(0, dtype=np.float64))
-    terms = sorted(set(tokenize_text(query_text)))
+    terms = sorted(set(bm._terms(query_text)))
     role_docs = {r: bm.category_docs(r) for r in roles}
 
     per_term = []

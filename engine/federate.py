@@ -30,7 +30,6 @@ from __future__ import annotations
 import numpy as np
 
 from .query import Bm25Index
-from .tokenize import tokenize_text
 
 
 class Federation:
@@ -44,6 +43,13 @@ class Federation:
         if len(index_dirs) < 2:
             raise ValueError("a federation needs at least two member indexes")
         self.members = [Bm25Index(d) for d in index_dirs]
+        analyzers = {m.analyzer for m in self.members}
+        if len(analyzers) > 1:
+            # a stemmed member and an unstemmed member hold disjoint vocab
+            # for the same text — a federated query would silently miss one
+            raise ValueError(
+                f"federation refused: members use different analyzers {sorted(analyzers)}"
+            )
         # disjointness refusal, DISTRIBUTED: for each later member, one task
         # per docmap file probes its ids against each earlier member's
         # range-sharded dl shards (the merge_indexes collision contract,
@@ -169,7 +175,7 @@ class Federation:
         pay a doc-values filter on their own candidates. Stats stay the full
         federation's (a filter never changes BM25 scores), so the full-corpus
         oracle with a WHERE window stays bit-identical."""
-        terms = sorted(set(tokenize_text(query_text)))
+        terms = sorted(set(self.members[0]._terms(query_text)))
         gs = self._global_stats(terms)
         members = list(self.members)
         bounds = None

@@ -81,8 +81,12 @@ def _within_ed1(a: str, b: str) -> bool:
     return True
 
 
-def parse_boolean_query(expr: str):
+def parse_boolean_query(expr: str, analyze=None):
     """Parse a boolean search expression into a nested tuple tree.
+
+    ``analyze``: optional callable str -> list[str] used to normalize leaf
+    terms (defaults to the standard tokenizer). Query surfaces on an
+    analyzed index pass ``Bm25Index._terms`` so leaves stem like the corpus.
 
     Grammar (Lucene BooleanQuery surface; precedence NOT > AND > OR):
 
@@ -140,7 +144,7 @@ def parse_boolean_query(expr: str):
         if t is None or t in (")", "AND", "OR", "NOT"):
             raise ValueError(f"expected term at token {pos} in boolean query {expr!r}")
         pos += 1
-        norm = tokenize_text(t)
+        norm = (analyze or tokenize_text)(t)
         if len(norm) != 1:
             raise ValueError(f"boolean leaf {t!r} does not normalize to one token")
         return ("term", norm[0])
@@ -226,6 +230,10 @@ class Bm25Index:
         self.reader = SegmentReader(index_dir, read_error_strategy=read_error_strategy)
         self.n_docs = int(self.reader.stats["n_docs"])
         self.avgdl = float(self.reader.stats["avgdl"])
+        # index-time analyzer chain, replayed verbatim on every query string
+        # (ES persists this in the mapping for the same reason: an
+        # index/query analyzer mismatch silently returns empty postings)
+        self.analyzer = str(self.reader.stats.get("analyzer", "standard"))
         # block-max bounds were encoded against bounds_avgdl (= build-time
         # avgdl; incremental updates drift the live avgdl without re-encoding).
         # impact_new/impact_old <= max(1, avgdl_new/avgdl_old), so scaling the
@@ -259,6 +267,16 @@ class Bm25Index:
     #: Measured same-window: the fast path recovers the ~15-20% p95 the
     #: per-shard gather costs on scatter-path queries at 1.3M docs.
     DENSE_DL_BUDGET = 1 << 25
+
+    def _terms(self, text: str) -> list[str]:
+        """Analyze one query/document string under the INDEX's analyzer
+        chain (read from stats.json at init) — every query surface in this
+        class tokenizes through here so a stemmed index is queried with
+        stemmed terms and its term-vector/MLT/significant-terms surfaces
+        count the same vocabulary the postings store."""
+        from .tokenize import analyze_text
+
+        return analyze_text(text, self.analyzer)
 
     @property
     def dl_handle(self):
@@ -334,7 +352,7 @@ class Bm25Index:
             if global_stats is None
             else (lambda t, local_df: int(global_stats["df"][t]))
         )
-        terms = sorted(set(tokenize_text(query_text)))
+        terms = sorted(set(self._terms(query_text)))
         postings = []
         for t in terms:
             doc, tf = self.reader.postings(t)
@@ -415,7 +433,7 @@ class Bm25Index:
 
         Cost is the same postings-bounded pass as ``score_all`` with a second
         float64 accumulator for the running max."""
-        terms = sorted(set(tokenize_text(query_text)))
+        terms = sorted(set(self._terms(query_text)))
         postings = []
         for t in terms:
             doc, tf = self.reader.postings(t)
@@ -472,7 +490,7 @@ class Bm25Index:
         ds_sorted = np.sort(d)
         rank_of = {int(x): r for r, x in enumerate(d.tolist(), 1)}
         out_doc, out_rank, out_term, out_contrib = [], [], [], []
-        for t in sorted(set(tokenize_text(query_text))):
+        for t in sorted(set(self._terms(query_text))):
             doc, tf = self.reader.postings(t)
             if not len(doc):
                 continue
@@ -544,7 +562,7 @@ class Bm25Index:
             )
         if rank_round is not None:
             return self._topk_exhaustive(query_text, k, rank_round)
-        terms = sorted(set(tokenize_text(query_text)))
+        terms = sorted(set(self._terms(query_text)))
         live = [t for t in terms if self.reader.df(t) > 0]
         if not live:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -729,7 +747,7 @@ class Bm25Index:
         candidate set shrinks via sorted intersection, EARLY EXIT the moment it
         empties (:108-111); survivors then scored exactly like ``topk``."""
         self._queries_served += 1
-        terms = sorted(set(tokenize_text(query_text)))
+        terms = sorted(set(self._terms(query_text)))
         if not terms:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
@@ -793,7 +811,7 @@ class Bm25Index:
         intersect term_i's positions shifted by -i across the phrase — the
         surviving offsets are the phrase start positions. Returns
         (doc_ids ascending, n_matches per doc), integer-exact."""
-        seq = tokenize_text(phrase_text)
+        seq = self._terms(phrase_text)
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         if not seq:
             return empty
@@ -827,7 +845,7 @@ class Bm25Index:
         Candidates come from the conjunctive block-skip intersection; pair
         counting is two vectorized searchsorted sweeps per doc. Integer-exact.
         """
-        ta, tb = tokenize_text(term_a), tokenize_text(term_b)
+        ta, tb = self._terms(term_a), self._terms(term_b)
         if len(ta) != 1 or len(tb) != 1:
             raise ValueError("proximity_match takes exactly one token per side")
         a, b = ta[0], tb[0]
@@ -891,7 +909,7 @@ class Bm25Index:
         Cross-doc rank offsets cancel in the differences because every
         (a, c) pair lives inside one doc's packed range. Integer-exact.
         """
-        toks = [tokenize_text(t) for t in terms]
+        toks = [self._terms(t) for t in terms]
         if any(len(t) != 1 for t in toks):
             raise ValueError("span_near takes exactly one token per term")
         flat = [t[0] for t in toks]
@@ -957,7 +975,7 @@ class Bm25Index:
         — the per-d weight is constant, so determinism is by construction:
         d ascending, positions ascending. Supports 2 or 3 distinct terms,
         same packing/telescoping as span_near."""
-        toks = [tokenize_text(t) for t in terms]
+        toks = [self._terms(t) for t in terms]
         if any(len(t) != 1 for t in toks):
             raise ValueError("span_near_topk takes exactly one token per term")
         flat_terms = [t[0] for t in toks]
@@ -1034,7 +1052,7 @@ class Bm25Index:
         engines (the kmeans/PageRank cross-engine argsort contract).
         Requires a positional index. Returns (doc_ids, starts,
         rounded_passage_scores) aligned with the hit ranking."""
-        terms = sorted(set(tokenize_text(query_text)))
+        terms = sorted(set(self._terms(query_text)))
         live = [t for t in terms if self.reader.df(t) > 0]
         d, _s = self.topk(query_text, k, rank_round=rank_round)
         if not len(d) or not live:
@@ -1074,7 +1092,7 @@ class Bm25Index:
         Requires a positional index. Returns (doc_ids repeated per occurrence,
         0-based token positions), doc-major ascending, positions ascending
         within a doc — integer-exact."""
-        toks = tokenize_text(term)
+        toks = self._terms(term)
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         if len(toks) != 1:
             raise ValueError("term_positions takes exactly one token")
@@ -1118,7 +1136,7 @@ class Bm25Index:
         the inverse) — the >= m filter prunes before any float scoring, so
         cost is bounded by postings size, never the corpus."""
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-        terms = sorted(set(tokenize_text(query_text)))
+        terms = sorted(set(self._terms(query_text)))
         postings = []
         for t in terms:
             doc, tf = self.reader.postings(t)
@@ -1156,7 +1174,7 @@ class Bm25Index:
         contains ANY of ``neg_terms`` — the J3 anti-join (excludedStructures,
         core/DefaultTargetAssembler.java:151-161) with the exclusion set drawn
         from the index itself (postings union) instead of a caller list."""
-        negs = sorted({t for nt in neg_terms for t in tokenize_text(nt)})
+        negs = sorted({t for nt in neg_terms for t in self._terms(nt)})
         neg_docs = [self.reader.postings(t)[0] for t in negs]
         neg_docs = [d for d in neg_docs if len(d)]
         excluded = np.unique(np.concatenate(neg_docs)) if neg_docs else None
@@ -1180,7 +1198,7 @@ class Bm25Index:
         predicate kept. Deterministic: ascending-term accumulation order,
         (-rounded score, doc_id) ranking — identical contract to topk."""
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-        tree = parse_boolean_query(expr)
+        tree = parse_boolean_query(expr, analyze=self._terms)
         pos_terms, all_terms = boolean_query_leaves(tree)
         postings = {t: self.reader.postings(t) for t in all_terms}
         pos_live = [t for t in pos_terms if len(postings[t][0])]
@@ -1285,7 +1303,7 @@ class Bm25Index:
         Reuses the per-actor FastSS deletion index, so a suggestion costs
         O(|term|) dict probes plus one df lookup per candidate — never a
         vocab scan. Returns [(suggestion, df), ...]."""
-        toks = tokenize_text(term)
+        toks = self._terms(term)
         if len(toks) != 1:
             raise ValueError("suggest_terms takes exactly one token")
         t = toks[0]
@@ -1339,7 +1357,7 @@ class Bm25Index:
         """ANY-term match set (filter context, no scoring): the postings
         union, bounded by the query terms' df — never the corpus."""
         docs = []
-        for t in sorted(set(tokenize_text(query_text))):
+        for t in sorted(set(self._terms(query_text))):
             d, _ = self.reader.postings(t)
             if len(d):
                 docs.append(d)
@@ -1395,7 +1413,7 @@ class Bm25Index:
         texts = self._docstore.texts(np.asarray(doc_ids, dtype=np.int64))
         dids, terms, tfs, dfs = [], [], [], []
         for d in sorted(texts):
-            for t, n in sorted(Counter(tokenize_text(texts[d])).items()):
+            for t, n in sorted(Counter(self._terms(texts[d])).items()):
                 dids.append(d)
                 terms.append(t)
                 tfs.append(n)
@@ -1604,7 +1622,7 @@ class Bm25Index:
         then run the standard exact top-k over that term set."""
         from collections import Counter
 
-        counts = Counter(tokenize_text(doc_text))
+        counts = Counter(self._terms(doc_text))
         scored = sorted(
             (-round(f * self.idf(t), select_round), t)
             for t, f in counts.items()
@@ -1833,7 +1851,7 @@ class Bm25Index:
 
         fg_counts: Counter = Counter()
         for t in texts.values():
-            fg_counts.update(set(tokenize_text(t)))
+            fg_counts.update(set(self._terms(t)))
         cands = sorted(t for t, c in fg_counts.items() if c >= min_doc_count)
         if not cands:
             return empty
@@ -1951,7 +1969,7 @@ class Bm25Index:
         Requires store_text=True at build. ``rank_round`` applies to BOTH
         ranking passes (the feedback cut must be cross-engine stable too)."""
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-        q_terms = set(tokenize_text(query_text))
+        q_terms = set(self._terms(query_text))
         live = sorted(t for t in q_terms if self.reader.df(t) > 0)
         if not live:
             return empty
@@ -1967,7 +1985,7 @@ class Bm25Index:
         for d in fb_ids:
             txt = texts.get(int(d))
             if txt:
-                counts.update(tokenize_text(txt))
+                counts.update(self._terms(txt))
         scored = []
         for t, n in counts.items():
             if t in q_terms:
@@ -2204,7 +2222,7 @@ class Bm25Index:
         union) and distinct conversations containing a match. No scoring —
         one postings union plus a searchsorted into the O(n_convs) conv-start
         array, cost bounded by postings size."""
-        terms = sorted(set(tokenize_text(query_text)))
+        terms = sorted(set(self._terms(query_text)))
         arrs = [self.reader.postings(t)[0] for t in terms]
         arrs = [a for a in arrs if len(a)]
         if not arrs:
@@ -2382,7 +2400,7 @@ def facet_counts(
     bm = Bm25Index(index_dir)
     matched: dict[str, np.ndarray] = {}
     for it in query_items:
-        terms = sorted(set(tokenize_text(it["text"])))
+        terms = sorted(set(bm._terms(it["text"])))
         arrs = [bm.reader.postings(t)[0] for t in terms]
         arrs = [a for a in arrs if len(a)]
         matched[it["query_id"]] = (

@@ -454,9 +454,8 @@ class ShardedQueryService:
         rank_round: int | None = None,
         field_range: tuple[str, int, int] | None = None,
     ):
-        from .tokenize import tokenize_text
 
-        terms = sorted(set(tokenize_text(text)))
+        terms = sorted(set(self._bm._terms(text)))
         bm = self._gather(terms, timeout_s)
         if conjunctive:
             if field_range is not None:
@@ -479,9 +478,8 @@ class ShardedQueryService:
         from the ordinary scatter/gather; doc-values hydrate through the
         coordinator's shared row-group-pruned DocStore. Identical to
         Bm25Index.topk_by_field (tested), search_after cursor included."""
-        from .tokenize import tokenize_text
 
-        bm = self._gather(sorted(set(tokenize_text(text))), timeout_s)
+        bm = self._gather(sorted(set(self._bm._terms(text))), timeout_s)
         bm._docstore = self._shared_docstore()
         return bm.topk_by_field(text, field, k, descending=descending, after=after)
 
@@ -490,9 +488,8 @@ class ShardedQueryService:
     ):
         """Sharded per-query field metric aggregation (n, min, max) — same
         scatter/gather + shared doc-values path as sort_topk."""
-        from .tokenize import tokenize_text
 
-        bm = self._gather(sorted(set(tokenize_text(text))), timeout_s)
+        bm = self._gather(sorted(set(self._bm._terms(text))), timeout_s)
         bm._docstore = self._shared_docstore()
         return bm.field_stats(text, field)
 
@@ -509,9 +506,8 @@ class ShardedQueryService:
         the per-term neighborhoods are unioned, then the variant union goes
         through the ordinary scatter/gather and the unchanged slot-MaxScore
         expanded_topk. Bit-identical to Bm25Index.fuzzy_topk (tested)."""
-        from .tokenize import tokenize_text
 
-        terms = sorted(set(tokenize_text(text)))
+        terms = sorted(set(self._bm._terms(text)))
         maps = self._scatter_calls(
             [(s, "expand_fuzzy", (terms,)) for s in range(self.n_shards)], timeout_s
         )
@@ -538,9 +534,8 @@ class ShardedQueryService:
         reads only gathered postings plus coordinator-resident docmap/stats,
         so it runs over the scatter/gather view unchanged. Bit-identical to
         Bm25Index.qld_topk (tested)."""
-        from .tokenize import tokenize_text
 
-        terms = sorted(set(tokenize_text(text)))
+        terms = sorted(set(self._bm._terms(text)))
         bm = self._gather(terms, timeout_s)
         return bm.qld_topk(terms, k, mu=mu, rank_round=rank_round)
 
@@ -557,7 +552,7 @@ class ShardedQueryService:
         the coordinator. Bit-identical to Bm25Index.boolean_topk (tested)."""
         from .query import boolean_query_leaves, parse_boolean_query
 
-        tree = parse_boolean_query(expr)
+        tree = parse_boolean_query(expr, analyze=self._bm._terms)
         _pos, all_terms = boolean_query_leaves(tree)
         bm = self._gather(all_terms, timeout_s)
         return bm.boolean_topk(expr, k, rank_round=rank_round)
@@ -568,9 +563,8 @@ class ShardedQueryService:
         """Sharded ordered multi-term spans: positions=True scatter/gather,
         then the rank-telescoped span counting at the coordinator.
         Integer-exact, identical to Bm25Index.span_near (tested)."""
-        from .tokenize import tokenize_text
 
-        toks = sorted({x for t in terms for x in tokenize_text(t)})
+        toks = sorted({x for t in terms for x in self._bm._terms(t)})
         bm = self._gather(toks, timeout_s, positions=True)
         return bm.span_near(terms, window)
 
@@ -579,18 +573,16 @@ class ShardedQueryService:
         ships the phrase terms' position streams alongside the postings, then
         the unchanged positional intersection runs at the coordinator.
         Integer-exact, identical to Bm25Index.phrase_match (tested)."""
-        from .tokenize import tokenize_text
 
-        terms = sorted(set(tokenize_text(phrase_text)))
+        terms = sorted(set(self._bm._terms(phrase_text)))
         bm = self._gather(terms, timeout_s, positions=True)
         return bm.phrase_match(phrase_text)
 
     def term_positions(self, term: str, timeout_s: float | None = None):
         """Sharded highlight primitive: every (doc, position) occurrence of
         one term, from shipped position streams."""
-        from .tokenize import tokenize_text
 
-        bm = self._gather(sorted(set(tokenize_text(term))), timeout_s, positions=True)
+        bm = self._gather(sorted(set(self._bm._terms(term))), timeout_s, positions=True)
         return bm.term_positions(term)
 
     def shutdown(self) -> None:

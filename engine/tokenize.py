@@ -47,9 +47,86 @@ def _explode_tokens(text: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndar
     return flat, parent, dl
 
 
+#: analyzers the index understands. "standard" = the bare split contract
+#: above; "s_stem" = standard + Harman S-stem token filter. Persisted in
+#: stats.json at build time so ADD deltas and the query side reuse the exact
+#: chain (an index/query analyzer mismatch silently returns empty postings —
+#: the classic Lucene/ES foot-gun — so both sides read it from ONE place).
+ANALYZERS = ("standard", "s_stem")
+
+
+def s_stem_array(flat: pa.Array) -> pa.Array:
+    """Vectorized Harman S-stemmer (Harman '91, the classic weak English
+    plural stemmer — the analyzer-chain analog of ES's ``stemmer: minimal_
+    english``), if/else per token with suffix-LIKE semantics so a DuckDB
+    CASE expression reproduces it byte-for-byte:
+
+      0. protected suffixes pass through UNCHANGED: 'eies' 'aies' (rule-1
+         exceptions), 'aes' 'ees' 'oes' (rule-2), 'us' 'ss' (rule-3), and
+         the bare token 's'
+      1. else ends 'ies' -> 'ies' => 'y'
+      2. else ends 'es'  -> drop the 's'
+      3. else ends 's'   -> drop the 's'
+
+    Exceptions are TERMINAL (a protected word is done, it does not fall
+    through to a weaker rule — 'goes' stays 'goes', never 'goe'), which is
+    the flat exception-first form below; it is equivalent to per-rule
+    protection because each exception suffix implies its own rule's suffix
+    test and rules order by suffix specificity ('ies' < 'es' < 's').
+
+    All branches are arrow compute (masks + regex tail replace + if_else) —
+    no per-row Python. The stem is TOTAL (never empty), so token counts —
+    and therefore BM25 ``dl`` and the docmap — are analyzer-invariant."""
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+
+    def ew(s):
+        return pc.ends_with(flat, s)
+
+    protected = pc.equal(flat, "s")
+    for sfx in ("eies", "aies", "aes", "ees", "oes", "us", "ss"):
+        protected = pc.or_(protected, ew(sfx))
+    r1 = pc.replace_substring_regex(flat, "ies$", "y")
+    r_drop = pc.replace_substring_regex(flat, "s$", "")
+    stemmed = pc.if_else(
+        ew("ies"), r1, pc.if_else(ew("es"), r_drop, pc.if_else(ew("s"), r_drop, flat))
+    )
+    return pc.if_else(protected, flat, stemmed)
+
+
+#: rule-exception suffixes, shared by the scalar twin and (restated as LIKE
+#: patterns) the SQL oracle twin in __ray_entry__._STEM_CASE
+S_STEM_PROTECTED = ("eies", "aies", "aes", "ees", "oes", "us", "ss")
+
+
+def s_stem_token(t: str) -> str:
+    """Scalar twin of :func:`s_stem_array` — one token in, one token out
+    (identical protected-suffix-first rules; total, never empty)."""
+    if t == "s" or t.endswith(S_STEM_PROTECTED):
+        return t
+    if t.endswith("ies"):
+        return t[:-3] + "y"
+    if t.endswith("es") or t.endswith("s"):
+        return t[:-1]
+    return t
+
+
+def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
+    """Query-side analyzer chain: tokenize, then apply the index's token
+    filters. MUST mirror what :func:`tokenize_batch` did at build time —
+    callers get the analyzer name from the index's stats.json."""
+    toks = tokenize_text(text)
+    if analyzer == "s_stem":
+        return [s_stem_token(t) for t in toks]
+    if analyzer != "standard":
+        raise ValueError(f"unknown analyzer {analyzer!r}; expected one of {ANALYZERS}")
+    return toks
+
+
 def tokenize_batch(
     batch: pa.Table, id_col: str = "doc_id", text_col: str = "text",
     positions: bool = False, with_dl: bool = True, compact_ids: bool = False,
+    analyzer: str = "standard",
 ) -> pa.Table:
     """One Arrow batch of docs -> exploded (term, doc_id, tf[, dl]) table.
 
@@ -67,8 +144,18 @@ def tokenize_batch(
     keeps per-occurrence residue identifiers beside each docID). Grouping is
     done with one lexsort instead of the hash group_by so the per-group
     position lists come out ordered for free.
+
+    ``analyzer="s_stem"`` runs the vectorized S-stem token filter over the
+    flat token array BEFORE grouping, so tokens that stem together ("file",
+    "files") merge into one (term, doc) row with summed tf; positions keep
+    the ORIGINAL token offsets (standard Lucene stemming behavior). The
+    stem is total, so ``dl`` is identical under either analyzer.
     """
     flat, parent, dl = _explode_tokens(batch[text_col])
+    if analyzer == "s_stem":
+        flat = s_stem_array(flat)
+    elif analyzer != "standard":
+        raise ValueError(f"unknown analyzer {analyzer!r}; expected one of {ANALYZERS}")
     if len(flat) == 0:
         cols = {
             "term": pa.array([], pa.string()),

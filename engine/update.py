@@ -438,10 +438,12 @@ def add_documents(
     router = _Router(hot_ref, n_buckets, n_salts)
     run_offset = generation * n_salts
     positional = bool(stats.get("positional"))
+    analyzer = str(stats.get("analyzer", "standard"))
 
     def route_offset(batch: pa.Table) -> pa.Table:
         rows = router(
-            tokenize_batch(batch, id_col=id_col, text_col=text_col, positions=positional)
+            tokenize_batch(batch, id_col=id_col, text_col=text_col,
+                           positions=positional, analyzer=analyzer)
         )
         return rows.set_column(
             rows.schema.get_field_index("salt"),
@@ -873,10 +875,13 @@ def merge_indexes(dst_dir: str, src_dir: str) -> dict:
     dst = state.read_stats(dst_dir)
     src = state.read_stats(src_dir)
     for key in ("n_buckets", "n_salts", "postings_codec", "hash_scheme",
-                "positional", "category_col", "transcripts_mode", "docvalues"):
+                "positional", "category_col", "transcripts_mode", "docvalues",
+                "analyzer"):
         a, b = dst.get(key), src.get(key)
         if key == "docvalues":  # absent (pre-docvalues index) == empty
             a, b = list(a or []), list(b or [])
+        elif key == "analyzer":  # absent (pre-analyzer index) == standard
+            a, b = a or "standard", b or "standard"
         if a != b:
             raise ValueError(
                 f"merge refused: routing/format contract mismatch on {key!r} "

@@ -1,0 +1,206 @@
+"""S-stem analyzer chain: vectorized/scalar twin parity, build+query
+round-trip, lifecycle contracts (ADD deltas, merge refusal, federation
+refusal). Analyzer analog of the reference's fixed residue-descriptor
+quantization: the index and the query MUST run one tokenization contract
+(ResidueGraph.java descriptor binning is baked into both sides there)."""
+
+import pyarrow as pa
+import pytest
+
+from engine.tokenize import (
+    analyze_text,
+    s_stem_array,
+    s_stem_token,
+    tokenize_batch,
+)
+
+# token -> expected stem, covering every branch + every exception
+STEM_CASES = {
+    "tables": "table",      # plain -s drop (branch 3)
+    "queries": "query",     # -ies -> -y (branch 1)
+    "eies": "eies",         # protected suffix — terminal, no fall-through
+    "aies": "aies",         # protected suffix — terminal, no fall-through
+    "merges": "merge",      # -es: drop only the s (branch 2)
+    "aes": "aes",           # branch-2 exception
+    "sees": "sees",         # -ees exception
+    "goes": "goes",         # -oes exception
+    "bus": "bus",           # -us exception
+    "pass": "pass",         # -ss exception
+    "s": "s",               # bare token: total stem, never empty
+    "cat": "cat",           # no suffix
+    "as": "a",              # 2-char -s drop
+}
+
+
+def test_s_stem_scalar_branches():
+    for tok, want in STEM_CASES.items():
+        assert s_stem_token(tok) == want, tok
+
+
+def test_s_stem_array_matches_scalar():
+    toks = sorted(STEM_CASES)
+    arr = s_stem_array(pa.array(toks, pa.string()))
+    assert arr.to_pylist() == [s_stem_token(t) for t in toks]
+
+
+def test_s_stem_is_total():
+    # the stem never produces an empty token, so dl is analyzer-invariant
+    for tok in list(STEM_CASES) + ["ss", "us", "es", "ies"]:
+        assert s_stem_token(tok) != ""
+
+
+def test_analyze_text_chains_and_validates():
+    assert analyze_text("Tables & queries!", "s_stem") == ["table", "query"]
+    assert analyze_text("Tables & queries!", "standard") == ["tables", "queries"]
+    with pytest.raises(ValueError):
+        analyze_text("x", "porter")
+
+
+def test_tokenize_batch_stem_merges_tf():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": ["table tables queries query s"],
+        }
+    )
+    out = tokenize_batch(t, analyzer="s_stem")
+    rows = {r["term"]: (r["tf"], r["dl"]) for r in out.to_pylist()}
+    # surface forms merged, dl still counts all 5 raw tokens
+    assert rows == {"table": (2, 5), "query": (2, 5), "s": (1, 5)}
+
+
+def test_tokenize_batch_stem_positions_keep_raw_offsets():
+    t = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": ["tables x table"]}
+    )
+    out = tokenize_batch(t, analyzer="s_stem", positions=True)
+    rows = {r["term"]: r["pos"] for r in out.to_pylist()}
+    assert rows["table"] == [0, 2]  # both occurrences, original offsets
+    assert rows["x"] == [1]
+
+
+@pytest.fixture(scope="module")
+def stem_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    from engine.build import build_index
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": [
+                "tables hold rows",
+                "a table holds a row",
+                "queries scan tables",
+                "query planner",
+                "no match here",
+                "bus pass grass",  # -us/-ss exceptions stay distinct terms
+            ],
+        }
+    )
+    idx = str(tmp_path_factory.mktemp("stem") / "idx")
+    build_index(
+        ray.data.from_arrow(docs), idx, id_col="doc_id", n_buckets=2,
+        n_salts=1, analyzer="s_stem", store_text=True,
+    )
+    return idx
+
+
+def test_stemmed_index_query_roundtrip(stem_index):
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(stem_index)
+    assert bm.analyzer == "s_stem"
+    # plural query reaches singular docs and vice versa
+    d_plural, _ = bm.topk("tables", k=10)
+    d_singular, _ = bm.topk("table", k=10)
+    assert sorted(d_plural.tolist()) == sorted(d_singular.tolist()) == [0, 1, 2]
+    d_q, _ = bm.topk("queries", k=10)
+    assert sorted(d_q.tolist()) == [2, 3]
+    # exception tokens did NOT merge with their stems
+    d_bus, _ = bm.topk("bus", k=10)
+    assert d_bus.tolist() == [5]
+    assert len(bm.topk("bu", k=10)[0]) == 0
+
+
+def test_stemmed_boolean_and_phrase(stem_index):
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(stem_index)
+    d, _ = bm.boolean_topk("tables AND rows", k=10)
+    assert sorted(d.tolist()) == [0, 1]
+    d, _ = bm.boolean_topk("tables AND NOT rows", k=10)
+    assert sorted(d.tolist()) == [2]
+
+
+def test_stemmed_add_delta_uses_index_analyzer(ray_session, tmp_path):
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.update import add_documents
+
+    base = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": ["tables here", "other doc"]}
+    )
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(base), idx, id_col="doc_id",
+                n_buckets=2, n_salts=1, analyzer="s_stem")
+    delta = pa.table(
+        {"doc_id": pa.array([2], pa.int64()), "text": ["more tables arrive"]}
+    )
+    add_documents(idx, ray.data.from_arrow(delta), id_col="doc_id")
+    bm = Bm25Index(idx)
+    d, _ = bm.topk("table", k=10)  # singular finds the STEMMED delta doc
+    assert sorted(d.tolist()) == [0, 2]
+
+
+def test_merge_refuses_analyzer_mismatch(ray_session, tmp_path):
+    import ray.data
+
+    from engine.build import build_index
+    from engine.update import merge_indexes
+
+    a = pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["tables"]})
+    b = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["tables"]})
+    ia, ib = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(ray.data.from_arrow(a), ia, id_col="doc_id", n_buckets=2,
+                n_salts=1, analyzer="s_stem")
+    build_index(ray.data.from_arrow(b), ib, id_col="doc_id", n_buckets=2,
+                n_salts=1, analyzer="standard")
+    with pytest.raises(ValueError, match="analyzer"):
+        merge_indexes(ia, ib)
+
+
+def test_federation_refuses_analyzer_mismatch(ray_session, tmp_path):
+    import ray.data
+
+    from engine.build import build_index
+    from engine.federate import Federation
+
+    a = pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["tables"]})
+    b = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["tables"]})
+    ia, ib = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(ray.data.from_arrow(a), ia, id_col="doc_id", n_buckets=2,
+                n_salts=1, analyzer="s_stem")
+    build_index(ray.data.from_arrow(b), ib, id_col="doc_id", n_buckets=2,
+                n_salts=1, analyzer="standard")
+    with pytest.raises(ValueError, match="analyzer"):
+        Federation([ia, ib])
+
+
+def test_resume_refuses_analyzer_flip(ray_session, tmp_path):
+    import ray.data
+
+    from engine.build import build_index
+
+    docs = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()), "text": ["tables", "rows"]}
+    )
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(docs), idx, id_col="doc_id",
+                n_buckets=2, n_salts=1, analyzer="s_stem")
+    with pytest.raises(ValueError, match="routing contract"):
+        build_index(ray.data.from_arrow(docs), idx, id_col="doc_id",
+                    n_buckets=2, n_salts=1, analyzer="standard", resume=True)
