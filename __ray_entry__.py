@@ -47,8 +47,6 @@ _STEM_CASE = (
     "WHEN t LIKE '%ies' THEN substr(t, 1, len(t) - 3) || 'y' "
     "WHEN t LIKE '%s' THEN substr(t, 1, len(t) - 1) ELSE t END"
 )
-_STEM_TOKEN_SQL = f"list_transform({_TOKEN_SQL}, t -> {_STEM_CASE})"
-
 # SQL twin of _stem_documents_ds's plural-planting rewrite
 _PLURAL_DOCS_SQL = (
     "(SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN "
@@ -400,6 +398,33 @@ def _documents_index_stem(sf_dir: str) -> str:
     return idx
 
 
+#: stop set for the stop-filter entry — the corpus's two head terms, so the
+#: filter visibly reshapes df/dl AND query D4_head_terms ("the a") analyzes
+#: to ZERO terms (the all-stopped edge case must return no hits)
+STOP_SET = ("the", "a")
+
+
+def _documents_index_stopped(sf_dir: str) -> str:
+    """Inverted index over documents with the stop token filter (ES `stop`
+    filter analog; the M1 drop-disallowed-components chain's text analog).
+    dl counts the ANALYZED stream — the docmap and BM25 length norms change,
+    not just the vocab."""
+    from engine.build import build_index
+
+    idx = _cache(sf_dir, "documents_index_stopped")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        build_index(
+            ds, idx, id_col="doc_id", n_buckets=8, n_salts=4,
+            hot_fraction=0.05, stopwords=list(STOP_SET),
+        )
+    return idx
+
+
 def _documents_index_removed(sf_dir: str) -> str:
     """Full documents index, then ``remove_documents`` of every
     ``doc_id % 7 == 3`` victim and a ``compact_index`` — the REMOVE/COMPACT
@@ -703,6 +728,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _documents_index_stem(sf_dir)
         items = [{"query_id": q, "text": t, "k": k} for q, t, k in STEM_QUERIES]
         res = batch_topk(items, idx, concurrency=2, rank_round=RANK_ROUND)
+        res = _round_scores(res, "score", "score_r", SCORE_ROUND)
+        return _i64(res, ["rank"])
+
+    def bm25_topk_stopped(sf_dir):
+        """BM25 over an index built with stopwords=("the","a") — the stop
+        filter removes tokens, so df, tf AND the BM25 length norm (dl counts
+        the analyzed stream) all shift vs bm25_topk; the D4_head_terms query
+        ("the a") analyzes to zero terms and must return no hits. Oracle
+        restates the filter as list_filter + dropped VALUES rows."""
+        from engine.query import batch_topk
+
+        idx = _documents_index_stopped(sf_dir)
+        res = batch_topk(_doc_query_items(), idx, concurrency=2, rank_round=RANK_ROUND)
         res = _round_scores(res, "score", "score_r", SCORE_ROUND)
         return _i64(res, ["rank"])
 
@@ -2685,6 +2723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_boolean": bm25_topk_boolean,
         "bm25_topk_pfor": bm25_topk_pfor,
         "bm25_topk_stemmed": bm25_topk_stemmed,
+        "bm25_topk_stopped": bm25_topk_stopped,
         "bm25_topk_merged": bm25_topk_merged,
         "dedup_clusters_star": dedup_clusters_star,
         "bm25_topk_removed": bm25_topk_removed,
@@ -2735,11 +2774,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_match_ts_stats": transcripts_match_ts_stats,
         "transcripts_term_vectors": transcripts_term_vectors,
         "transcripts_rollover_topk": transcripts_rollover_topk,
-        "transcripts_rollover_window": transcripts_rollover_window,
         "bigram_lm": bigram_lm,
         "clean_corpus": clean_corpus,
         "clean_corpus_near": clean_corpus_near,
         # ---- window boundary: entries below queue for the round-5 window ---
+        "transcripts_rollover_window": transcripts_rollover_window,
         "span_near_scored": span_near_scored,
         "hashed_vectors": hashed_vectors,
         "redact_text": redact_text,
@@ -2855,24 +2894,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _bm25_sql(
     conjunctive: bool, doc_filter: str | None = None, src: str = "documents",
     queries: list[tuple[str, str, int]] | None = None, stem: bool = False,
+    stopwords: tuple[str, ...] = (),
 ) -> str:
     """BM25 top-k oracle. ``stem=True`` restates the s_stem analyzer: corpus
     tokens run through the CASE twin of engine.tokenize.s_stem_array and
     query terms are pre-stemmed in Python by the scalar twin — byte-identical
-    three-branch contract on both sides."""
-    term_of = __import__("engine.tokenize", fromlist=["s_stem_token"]).s_stem_token if stem else (lambda t: t)
-    vals = ",\n      ".join(
-        f"('{qid}', '{t}', {k})"
-        for qid, text, k in (queries or DOC_QUERIES)
-        # dedup AFTER stemming — the engine dedups analyzed terms too
-        for t in sorted({term_of(x) for x in text.lower().split()})
-    )
+    three-branch contract on both sides. ``stopwords`` restates the stop
+    token filter (list_filter on the corpus side, dropped from the query
+    VALUES on the query side) — both filters in build order: stop, stem."""
+    from engine.tokenize import s_stem_token
+
+    stop = frozenset(stopwords)
+    term_of = s_stem_token if stem else (lambda t: t)
+    vals_rows = []
+    for qid, text, k in (queries or DOC_QUERIES):
+        # analyzer order as at build: stop first, stem second, dedup LAST —
+        # exactly what Bm25Index._terms + sorted(set(...)) does
+        terms = sorted({term_of(x) for x in text.lower().split() if x not in stop})
+        vals_rows.extend(f"('{qid}', '{t}', {k})" for t in terms)
+    vals = ",\n      ".join(vals_rows)
     conj_filter = (
         "JOIN qsize USING (query_id) WHERE scores.matched = qsize.nt"
         if conjunctive
         else (f"WHERE {doc_filter}" if doc_filter else "")
     )
-    tok = _STEM_TOKEN_SQL if stem else _TOKEN_SQL
+    tok = _TOKEN_SQL
+    if stop:
+        inlist = ", ".join(f"'{w}'" for w in sorted(stop))
+        tok = f"list_filter({tok}, t -> t NOT IN ({inlist}))"
+    if stem:
+        tok = f"list_transform({tok}, t -> {_STEM_CASE})"
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({tok}) AS term FROM {src}
@@ -4833,6 +4884,7 @@ def oracle_sql() -> dict[str, str]:
             conjunctive=False, src=_PLURAL_DOCS_SQL, queries=STEM_QUERIES,
             stem=True,
         ),
+        "bm25_topk_stopped": _bm25_sql(conjunctive=False, stopwords=STOP_SET),
         "bm25_topk_pfor": _bm25_sql(conjunctive=False),
         "bm25_topk_merged": _bm25_sql(conjunctive=False),
         "bm25_topk_removed": _bm25_sql(

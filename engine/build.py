@@ -83,6 +83,7 @@ def detect_hot_terms(
     sample_docs: int,
     hot_fraction: float,
     analyzer: str = "standard",
+    stopwords: list[str] | None = None,
 ) -> list[str]:
     """Deterministic sample prefix -> terms whose sample df exceeds the cut.
 
@@ -92,7 +93,7 @@ def detect_hot_terms(
     correctness one, but a silent 'why is one part 10x' mystery)."""
     sample = ds.limit(sample_docs).map_batches(
         lambda b: tokenize_batch(b, id_col=id_col, text_col=text_col,
-                                 analyzer=analyzer),
+                                 analyzer=analyzer, stopwords=stopwords),
         batch_format="pyarrow",
     )
     refs = sample.to_arrow_refs()
@@ -407,6 +408,7 @@ def build_index(
     postings_codec: str = "varint",
     docvalues: list[str] | None = None,
     analyzer: str = "standard",
+    stopwords: list[str] | None = None,
 ) -> dict:
     """Build (or resume) the inverted index. Returns a build report dict.
 
@@ -420,6 +422,12 @@ def build_index(
     Lucene doc-values analog): per-doc fields query paths can gather by docID
     through the row-group-pruned DocStore (sort-by-field, field collapsing on
     arbitrary fields) without touching the raw corpus at query time.
+
+    ``analyzer`` / ``stopwords``: the token-filter chain (stop first, stem
+    second — engine/tokenize.py) applied at index time, persisted in
+    stats.json + the routing contract, and replayed verbatim by every query
+    surface, ADD delta, and hot-term detection. Stop removal changes ``dl``
+    (it counts the analyzed stream); the S-stem is total and does not.
     """
     t0 = time.perf_counter()
     os.makedirs(index_dir, exist_ok=True)
@@ -443,6 +451,9 @@ def build_index(
 
     # --- docID assignment + docmap + global stats ---------------------------
     dv = list(docvalues or [])
+    # canonical form for the routing contract / stats.json: sorted unique
+    # surface forms (order-insensitive equality on resume/merge/federate)
+    stop_list = sorted(set(stopwords or []))
     if transcripts:
         ds = ds.select_columns(
             sorted(
@@ -456,7 +467,7 @@ def build_index(
         id_col = "doc_id"
 
         def docmap_fn(b: pa.Table) -> pa.Table:
-            dl = doc_length_batch(b, id_col="doc_id", text_col=text_col)
+            dl = doc_length_batch(b, id_col="doc_id", text_col=text_col, stopwords=stop_list)
             cols = {
                 "doc_id": dl["doc_id"],
                 "conv_id": b["conv_id"],
@@ -496,7 +507,7 @@ def build_index(
         )
 
         def docmap_fn(b: pa.Table) -> pa.Table:
-            dl = doc_length_batch(b, id_col=id_col, text_col=text_col)
+            dl = doc_length_batch(b, id_col=id_col, text_col=text_col, stopwords=stop_list)
             out = dl.append_column(
                 "content_hash",
                 pa.array(hash64_text(b[text_col]).astype(np.int64), pa.int64()),
@@ -582,6 +593,7 @@ def build_index(
         # ... and one analyzer chain: terms stemmed by the crashed run and
         # unstemmed terms from a resumed run would shard into disjoint vocab
         "analyzer": analyzer,
+        "stopwords": stop_list,
     }
     if resume and os.path.exists(routing_path):
         with open(routing_path) as f:
@@ -591,9 +603,9 @@ def build_index(
             caller_args["n_buckets"] = n_buckets
         # pre-analyzer contracts (no "analyzer" key) committed to the
         # standard chain — tolerate them instead of KeyErroring the resume
+        _defaults = {"analyzer": "standard", "stopwords": []}
         committed_args = {
-            k: contract.get(k, "standard" if k == "analyzer" else None)
-            for k in caller_args
+            k: contract.get(k, _defaults.get(k)) for k in caller_args
         }
         if committed_args != caller_args:
             raise ValueError(
@@ -605,7 +617,7 @@ def build_index(
     else:
         hot_terms = detect_hot_terms(
             ds, id_col, text_col, min(sample_docs, n_docs), hot_fraction,
-            analyzer=analyzer,
+            analyzer=analyzer, stopwords=stop_list,
         )
         state.atomic_write_bytes(
             json.dumps({**caller_args, "hot_terms": hot_terms}).encode(), routing_path
@@ -642,6 +654,7 @@ def build_index(
         lambda b: tokenize_batch(
             b, id_col=id_col, text_col=text_col, positions=positions,
             with_dl=False, compact_ids=compact_ids, analyzer=analyzer,
+            stopwords=stop_list,
         ),
         batch_format="pyarrow",
     ).map_batches(
@@ -825,6 +838,7 @@ def build_index(
         "hash_scheme": hash_scheme(),
         "postings_codec": postings_codec,
         "analyzer": analyzer,
+        "stopwords": stop_list,
         # driver-ref-bounding folds that ran during the exchange (0 below
         # GRAFT_COMBINE_SPLITS split tasks — the bench scale)
         "combine_rounds": combine_rounds,

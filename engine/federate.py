@@ -43,12 +43,13 @@ class Federation:
         if len(index_dirs) < 2:
             raise ValueError("a federation needs at least two member indexes")
         self.members = [Bm25Index(d) for d in index_dirs]
-        analyzers = {m.analyzer for m in self.members}
+        analyzers = {(m.analyzer, m.stopwords) for m in self.members}
         if len(analyzers) > 1:
             # a stemmed member and an unstemmed member hold disjoint vocab
             # for the same text — a federated query would silently miss one
             raise ValueError(
-                f"federation refused: members use different analyzers {sorted(analyzers)}"
+                "federation refused: members use different analyzer chains "
+                f"{sorted((a, sorted(s)) for a, s in analyzers)}"
             )
         # disjointness refusal, DISTRIBUTED: for each later member, one task
         # per docmap file probes its ids against each earlier member's

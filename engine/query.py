@@ -234,6 +234,7 @@ class Bm25Index:
         # (ES persists this in the mapping for the same reason: an
         # index/query analyzer mismatch silently returns empty postings)
         self.analyzer = str(self.reader.stats.get("analyzer", "standard"))
+        self.stopwords = frozenset(self.reader.stats.get("stopwords") or ())
         # block-max bounds were encoded against bounds_avgdl (= build-time
         # avgdl; incremental updates drift the live avgdl without re-encoding).
         # impact_new/impact_old <= max(1, avgdl_new/avgdl_old), so scaling the
@@ -276,7 +277,7 @@ class Bm25Index:
         count the same vocabulary the postings store."""
         from .tokenize import analyze_text
 
-        return analyze_text(text, self.analyzer)
+        return analyze_text(text, self.analyzer, stopwords=self.stopwords)
 
     @property
     def dl_handle(self):

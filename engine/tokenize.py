@@ -111,11 +111,18 @@ def s_stem_token(t: str) -> str:
     return t
 
 
-def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
+def analyze_text(
+    text: str, analyzer: str = "standard", stopwords=None
+) -> list[str]:
     """Query-side analyzer chain: tokenize, then apply the index's token
-    filters. MUST mirror what :func:`tokenize_batch` did at build time —
-    callers get the analyzer name from the index's stats.json."""
+    filters in build order — STOP first (stopwords are surface forms, the
+    Lucene/ES convention), stem second. MUST mirror what
+    :func:`tokenize_batch` did at build time — callers get the analyzer name
+    and stopword list from the index's stats.json."""
     toks = tokenize_text(text)
+    if stopwords:
+        stop = stopwords if isinstance(stopwords, (set, frozenset)) else set(stopwords)
+        toks = [t for t in toks if t not in stop]
     if analyzer == "s_stem":
         return [s_stem_token(t) for t in toks]
     if analyzer != "standard":
@@ -126,7 +133,7 @@ def analyze_text(text: str, analyzer: str = "standard") -> list[str]:
 def tokenize_batch(
     batch: pa.Table, id_col: str = "doc_id", text_col: str = "text",
     positions: bool = False, with_dl: bool = True, compact_ids: bool = False,
-    analyzer: str = "standard",
+    analyzer: str = "standard", stopwords=None,
 ) -> pa.Table:
     """One Arrow batch of docs -> exploded (term, doc_id, tf[, dl]) table.
 
@@ -150,8 +157,24 @@ def tokenize_batch(
     "files") merge into one (term, doc) row with summed tf; positions keep
     the ORIGINAL token offsets (standard Lucene stemming behavior). The
     stem is total, so ``dl`` is identical under either analyzer.
+
+    ``stopwords``: surface-form stop filter (ES ``stop`` token filter; the
+    text analog of the reference's M1 drop-disallowed-components chain,
+    DefaultStructureWriter.java:127-158), applied BEFORE stemming. Unlike
+    stemming it REMOVES tokens, so ``dl`` counts the ANALYZED stream and
+    positions are offsets in the post-stop sequence (phrase adjacency means
+    "adjacent after stop removal" — documented contract, shared with the
+    SQL oracle's list_filter + row_number restatement).
     """
     flat, parent, dl = _explode_tokens(batch[text_col])
+    if stopwords:
+        keep = pc.invert(
+            pc.is_in(flat, value_set=pa.array(sorted(set(stopwords)), pa.string()))
+        )
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        flat = flat.filter(keep)
+        parent = parent[keep_np]
+        dl = np.bincount(parent, minlength=batch.num_rows).astype(np.int32)
     if analyzer == "s_stem":
         flat = s_stem_array(flat)
     elif analyzer != "standard":
@@ -227,15 +250,35 @@ def tokenize_batch(
 
 
 def doc_length_batch(
-    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text",
+    stopwords=None,
 ) -> pa.Table:
     """One batch -> (doc_id, dl) token counts (docmap / BM25 ``dl``).
 
     Counts regex matches instead of materializing the split: one maximal
     [a-z0-9] run == one surviving token of the split contract, so this equals
     ``len(_explode_tokens(...))`` per row at a fraction of the cost
-    (no flat token array is built)."""
+    (no flat token array is built).
+
+    ``stopwords`` forces the exact explode+filter path — stop removal drops
+    tokens, so dl must count the ANALYZED stream (the same contract
+    :func:`tokenize_batch` writes into postings). Stemming never needs this:
+    the stem is total, counts are unchanged."""
     from .schema import TOKEN_MATCH_REGEX
+
+    if stopwords:
+        flat, parent, _dl = _explode_tokens(batch[text_col])
+        keep = pc.is_in(
+            flat, value_set=pa.array(sorted(set(stopwords)), pa.string())
+        )
+        kept_parent = parent[pc.invert(keep).to_numpy(zero_copy_only=False)]
+        dl_np = np.bincount(kept_parent, minlength=batch.num_rows).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "dl": pa.array(dl_np, pa.int32()),
+            }
+        )
 
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):

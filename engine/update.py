@@ -401,7 +401,8 @@ def add_documents(
     has_text = "text" in dm_schema.names  # index built with a doc store
 
     def docmap_fn(b: pa.Table) -> pa.Table:
-        dl = doc_length_batch(b, id_col=id_col, text_col=text_col)
+        dl = doc_length_batch(b, id_col=id_col, text_col=text_col,
+                              stopwords=stats.get("stopwords") or None)
         cols = {"doc_id": dl["doc_id"]}
         if transcripts:
             cols.update(conv_id=b["conv_id"], turn_idx=b["turn_idx"])
@@ -439,11 +440,13 @@ def add_documents(
     run_offset = generation * n_salts
     positional = bool(stats.get("positional"))
     analyzer = str(stats.get("analyzer", "standard"))
+    stop_list = stats.get("stopwords") or None
 
     def route_offset(batch: pa.Table) -> pa.Table:
         rows = router(
             tokenize_batch(batch, id_col=id_col, text_col=text_col,
-                           positions=positional, analyzer=analyzer)
+                           positions=positional, analyzer=analyzer,
+                           stopwords=stop_list)
         )
         return rows.set_column(
             rows.schema.get_field_index("salt"),
@@ -876,12 +879,14 @@ def merge_indexes(dst_dir: str, src_dir: str) -> dict:
     src = state.read_stats(src_dir)
     for key in ("n_buckets", "n_salts", "postings_codec", "hash_scheme",
                 "positional", "category_col", "transcripts_mode", "docvalues",
-                "analyzer"):
+                "analyzer", "stopwords"):
         a, b = dst.get(key), src.get(key)
         if key == "docvalues":  # absent (pre-docvalues index) == empty
             a, b = list(a or []), list(b or [])
         elif key == "analyzer":  # absent (pre-analyzer index) == standard
             a, b = a or "standard", b or "standard"
+        elif key == "stopwords":  # absent == no stop filter
+            a, b = list(a or []), list(b or [])
         if a != b:
             raise ValueError(
                 f"merge refused: routing/format contract mismatch on {key!r} "

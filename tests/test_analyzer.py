@@ -204,3 +204,82 @@ def test_resume_refuses_analyzer_flip(ray_session, tmp_path):
     with pytest.raises(ValueError, match="routing contract"):
         build_index(ray.data.from_arrow(docs), idx, id_col="doc_id",
                     n_buckets=2, n_salts=1, analyzer="standard", resume=True)
+
+
+def test_tokenize_batch_stopwords_change_dl_and_positions():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": ["the quick fox and the slow fox"],
+        }
+    )
+    out = tokenize_batch(t, stopwords=("the", "and"))
+    rows = {r["term"]: (r["tf"], r["dl"]) for r in out.to_pylist()}
+    # dl counts the ANALYZED stream (4 survivors of 7 raw tokens)
+    assert rows == {"quick": (1, 4), "fox": (2, 4), "slow": (1, 4)}
+    # positions are offsets in the post-stop sequence
+    outp = tokenize_batch(t, stopwords=("the", "and"), positions=True)
+    pos = {r["term"]: r["pos"] for r in outp.to_pylist()}
+    assert pos == {"quick": [0], "fox": [1, 3], "slow": [2]}
+
+
+def test_doc_length_batch_stopword_path_matches_explode():
+    from engine.tokenize import doc_length_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["the the the", "a fox", ""],
+        }
+    )
+    out = doc_length_batch(t, stopwords=("the", "a"))
+    assert out.to_pylist() == [
+        {"doc_id": 1, "dl": 0},
+        {"doc_id": 2, "dl": 1},
+        {"doc_id": 3, "dl": 0},
+    ]
+
+
+def test_analyze_text_stop_then_stem_order():
+    # stop matches SURFACE forms: 'tables' is not in the stop set, so it
+    # survives stop and stems to 'table'; stopping 'table' would NOT remove
+    # the plural (order contract: stop first, stem second)
+    from engine.tokenize import analyze_text
+
+    assert analyze_text("the tables", "s_stem", stopwords=("the",)) == ["table"]
+    # stopping the SINGULAR does not catch the plural (stop sees surface forms)
+    assert analyze_text("the tables", "s_stem", stopwords=("the", "table")) == ["table"]
+    assert analyze_text("the tables", "s_stem", stopwords=("the", "tables")) == []
+
+
+def test_stopped_index_roundtrip(ray_session, tmp_path):
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import Bm25Index
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["the fox ran", "the the the fox", "no match"],
+        }
+    )
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(docs), idx, id_col="doc_id",
+                n_buckets=2, n_salts=1, stopwords=["the"])
+    bm = Bm25Index(idx)
+    assert bm.stopwords == frozenset({"the"})
+    # stopped term yields nothing; doc 1's dl is 1 (analyzed stream)
+    assert len(bm.topk("the", k=10)[0]) == 0
+    d, _ = bm.topk("the fox", k=10)
+    assert sorted(d.tolist()) == [0, 1]
+    from engine.build import ShardedDl, _build_dl_lookup
+
+    dl_ref, _n, _avg, _fit, _meta = _build_dl_lookup(idx + "/docmap")
+    import numpy as np
+
+    import ray as _ray
+
+    sdl = _ray.get(dl_ref) if not isinstance(dl_ref, ShardedDl) else dl_ref
+    got = sdl.gather(np.array([0, 1, 2], dtype=np.int64))
+    assert got.tolist() == [2, 1, 2]
