@@ -398,6 +398,20 @@ def _documents_index_stem(sf_dir: str) -> str:
     return idx
 
 
+def _documents_index_destem(sf_dir: str) -> str:
+    """`engine.update.reindex` of the s_stem index back to the STANDARD
+    analyzer — an analyzer-change rebuild from the index's own doc store
+    (the ES _reindex verb). The docmap text is the raw pre-analysis corpus,
+    so the rebuilt index must equal a standard build over the plural-planted
+    derived table; the oracle restates exactly that."""
+    from engine.update import reindex
+
+    idx = _cache(sf_dir, "documents_index_destem")
+    if not os.path.exists(os.path.join(idx, "stats.json")):
+        reindex(_documents_index_stem(sf_dir), idx, analyzer="standard")
+    return idx
+
+
 #: stop set for the stop-filter entry — the corpus's two head terms, so the
 #: filter visibly reshapes df/dl AND query D4_head_terms ("the a") analyzes
 #: to ZERO terms (the all-stopped edge case must return no hits)
@@ -741,6 +755,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         idx = _documents_index_stopped(sf_dir)
         res = batch_topk(_doc_query_items(), idx, concurrency=2, rank_round=RANK_ROUND)
+        res = _round_scores(res, "score", "score_r", SCORE_ROUND)
+        return _i64(res, ["rank"])
+
+    def bm25_topk_reindexed(sf_dir):
+        """BM25 over an index REBUILT from the stemmed index's own doc store
+        with analyzer="standard" (engine.update.reindex — the _reindex
+        verb): plural query surface forms now match only the odd (planted)
+        docs; the oracle is plain BM25 over the derived table."""
+        from engine.query import batch_topk
+
+        idx = _documents_index_destem(sf_dir)
+        items = [{"query_id": q, "text": t, "k": k} for q, t, k in STEM_QUERIES]
+        res = batch_topk(items, idx, concurrency=2, rank_round=RANK_ROUND)
         res = _round_scores(res, "score", "score_r", SCORE_ROUND)
         return _i64(res, ["rank"])
 
@@ -2778,6 +2805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": clean_corpus,
         "clean_corpus_near": clean_corpus_near,
         # ---- window boundary: entries below queue for the round-5 window ---
+        "bm25_topk_reindexed": bm25_topk_reindexed,
         "transcripts_rollover_window": transcripts_rollover_window,
         "span_near_scored": span_near_scored,
         "hashed_vectors": hashed_vectors,
@@ -4885,6 +4913,9 @@ def oracle_sql() -> dict[str, str]:
             stem=True,
         ),
         "bm25_topk_stopped": _bm25_sql(conjunctive=False, stopwords=STOP_SET),
+        "bm25_topk_reindexed": _bm25_sql(
+            conjunctive=False, src=_PLURAL_DOCS_SQL, queries=STEM_QUERIES,
+        ),
         "bm25_topk_pfor": _bm25_sql(conjunctive=False),
         "bm25_topk_merged": _bm25_sql(conjunctive=False),
         "bm25_topk_removed": _bm25_sql(

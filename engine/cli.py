@@ -70,6 +70,14 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated source columns stored per-doc in the docmap "
         "(field sorts, range filters, field metric aggs at query time)",
     )
+    b.add_argument(
+        "--analyzer", choices=["standard", "s_stem"], default="standard",
+        help="token-filter chain (persisted; replayed at query/ADD time)",
+    )
+    b.add_argument(
+        "--stopwords", default=None,
+        help="comma-separated surface-form stop list (applied before the stemmer)",
+    )
 
     a = sub.add_parser("add", help="incrementally add documents")
     a.add_argument("index_dir")
@@ -83,6 +91,19 @@ def main(argv: list[str] | None = None) -> int:
 
     c = sub.add_parser("compact", help="re-encode segments under live stats")
     c.add_argument("index_dir")
+
+    ri = sub.add_parser(
+        "reindex",
+        help="rebuild an index from its own doc store under a new analyzer "
+        "chain / codec (_reindex analog; None-ish flags inherit the source)",
+    )
+    ri.add_argument("src_dir")
+    ri.add_argument("dst_dir")
+    ri.add_argument("--analyzer", choices=["standard", "s_stem"], default=None)
+    ri.add_argument("--stopwords", default=None,
+                    help="comma-separated; pass '' to CLEAR the source's stop list")
+    ri.add_argument("--postings-codec", choices=["varint", "pfor", "raw64"], default=None)
+    ri.add_argument("--positions", action="store_true", default=None)
 
     mg = sub.add_parser("merge", help="merge two indexes (segment concat; same routing, disjoint docIDs)")
     mg.add_argument("index_a")
@@ -276,6 +297,8 @@ def main(argv: list[str] | None = None) -> int:
             positions=args.positions,
             category_col=args.category_col,
             postings_codec=args.postings_codec,
+            analyzer=args.analyzer,
+            stopwords=args.stopwords.split(",") if args.stopwords else None,
             docvalues=args.docvalues.split(",") if args.docvalues else None,
         )
         print(json.dumps({k: rep[k] for k in ("n_docs", "n_parts", "n_postings", "timings_sec", "parts_written_this_run")}))
@@ -304,6 +327,19 @@ def main(argv: list[str] | None = None) -> int:
         from .update import compact_index
 
         print(json.dumps(compact_index(args.index_dir)))
+    elif args.cmd == "reindex":
+        _ray()
+        from .update import reindex
+
+        stop = None
+        if args.stopwords is not None:
+            stop = [w for w in args.stopwords.split(",") if w]
+        rep = reindex(
+            args.src_dir, args.dst_dir, analyzer=args.analyzer,
+            stopwords=stop, postings_codec=args.postings_codec,
+            positions=args.positions,
+        )
+        print(json.dumps({k: rep[k] for k in ("n_docs", "n_parts", "analyzer", "stopwords", "postings_codec") if k in rep}))
     elif args.cmd == "merge":
         _ray()
         from .merge import merge_indexes

@@ -780,6 +780,93 @@ def compact_index(index_dir: str) -> dict:
     return {"parts": new_stats["n_parts"], "bounds_avgdl": avgdl}
 
 
+def reindex(
+    src_dir: str,
+    dst_dir: str,
+    *,
+    analyzer: str | None = None,
+    stopwords: list[str] | None = None,
+    postings_codec: str | None = None,
+    positions: bool | None = None,
+    n_buckets=None,
+    n_salts: int | None = None,
+) -> dict:
+    """Rebuild an index FROM ITS OWN DOC STORE under a new analyzer chain /
+    codec / positional setting — the ES ``_reindex`` lifecycle verb. The
+    reference's analog is re-running the update pipeline over the persisted
+    renumbered structures (CORE/io/DefaultStructureDataProvider.java: the
+    renumbered store is the system of record once ingested); here the docmap
+    text column is that system of record, so no raw corpus access is needed.
+
+    ``None`` params inherit the source index's setting (stats.json), so
+    ``reindex(src, dst, analyzer="s_stem")`` changes ONLY the analyzer.
+    DocIDs are preserved: id-mode rebuilds on the stored ``doc_id``;
+    transcripts mode re-mints from the stored ``(conv_id, turn_idx)``, and
+    the minting invariant (dense ids in sorted key order) reproduces the
+    identical assignment. Category + doc-values columns are carried through.
+    The destination build is resumable like any other (per-part manifests);
+    re-running a crashed reindex with the same args resumes it.
+
+    Scale shape: one streaming read of the docmap (pruned to the needed
+    columns) feeding the normal build exchange — never materializes the
+    corpus on the driver.
+    """
+    stats = state.read_stats(src_dir)
+    dm_schema = pq.read_schema(
+        next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(_docmap_dir(src_dir))
+            for f in sorted(fs)
+            if f.endswith(".parquet")
+        )
+    )
+    if "text" not in dm_schema.names:
+        raise ValueError(
+            "reindex requires an index built with store_text=True "
+            "(the docmap is the system of record; this one has no text column)"
+        )
+    transcripts = bool(stats.get("transcripts_mode"))
+    cat_col = stats.get("category_col")
+    dv = [c for c in (stats.get("docvalues") or []) if c in dm_schema.names]
+    cols = ["text"] + dv
+    if transcripts:
+        cols += ["conv_id", "turn_idx"]
+    else:
+        cols += ["doc_id"]
+    if cat_col and "category" in dm_schema.names and "category" not in cols:
+        cols.append("category")
+    files = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(_docmap_dir(src_dir))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    ds = ray.data.read_parquet(files, columns=sorted(set(cols)))
+    if cat_col and cat_col != "category" and "category" in ds.schema().names:
+        # the docmap stores the class column under the fixed name "category";
+        # build_index(category_col=...) wants the ORIGINAL source name back
+        ds = ds.rename_columns({"category": cat_col})
+
+    from .build import build_index
+
+    return build_index(
+        ds,
+        dst_dir,
+        id_col=None if transcripts else "doc_id",
+        n_buckets=stats["n_buckets"] if n_buckets is None else n_buckets,
+        n_salts=int(stats["n_salts"]) if n_salts is None else int(n_salts),
+        positions=bool(stats.get("positional")) if positions is None else bool(positions),
+        store_text=True,
+        category_col=cat_col,
+        postings_codec=stats.get("postings_codec", "varint")
+        if postings_codec is None
+        else postings_codec,
+        docvalues=dv,
+        analyzer=str(stats.get("analyzer", "standard")) if analyzer is None else analyzer,
+        stopwords=list(stats.get("stopwords") or []) if stopwords is None else stopwords,
+    )
+
+
 @ray.remote
 def _graft_part(dst_dir: str, part: int, src_path: str, run_offset: int) -> int:
     """Append one src segment file to dst part ``part`` with run ids offset —

@@ -283,3 +283,76 @@ def test_stopped_index_roundtrip(ray_session, tmp_path):
     sdl = _ray.get(dl_ref) if not isinstance(dl_ref, ShardedDl) else dl_ref
     got = sdl.gather(np.array([0, 1, 2], dtype=np.int64))
     assert got.tolist() == [2, 1, 2]
+
+
+def test_reindex_new_analyzer_matches_direct_build(ray_session, tmp_path):
+    """reindex(src, analyzer=s_stem) must equal a from-scratch s_stem build:
+    same docIDs, same topk docs and scores (the _reindex contract)."""
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.update import reindex
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([3, 7, 11, 20], pa.int64()),
+            "text": [
+                "tables hold rows",
+                "a table holds a row",
+                "queries scan tables",
+                "the the filler doc",
+            ],
+        }
+    )
+    src = str(tmp_path / "src")
+    direct = str(tmp_path / "direct")
+    dst = str(tmp_path / "dst")
+    kw = dict(id_col="doc_id", n_buckets=2, n_salts=1, store_text=True)
+    build_index(ray.data.from_arrow(docs), src, **kw)
+    build_index(ray.data.from_arrow(docs), direct, analyzer="s_stem",
+                stopwords=["the"], **kw)
+    rep = reindex(src, dst, analyzer="s_stem", stopwords=["the"])
+    assert rep["analyzer"] == "s_stem" and rep["stopwords"] == ["the"]
+
+    bm_d, bm_r = Bm25Index(direct), Bm25Index(dst)
+    for q in ("tables", "table row", "the", "queries scan"):
+        dd, sd = bm_d.topk(q, k=10)
+        dr, sr = bm_r.topk(q, k=10)
+        assert dd.tolist() == dr.tolist(), q
+        assert sd.tolist() == sr.tolist(), q
+
+
+def test_reindex_transcripts_preserves_ids(ray_session, tmp_path):
+    """Transcripts reindex re-mints from stored (conv_id, turn_idx) — the
+    minting invariant reproduces the identical docID assignment."""
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.synth import write_corpus
+    from engine.update import reindex
+
+    corpus = write_corpus(str(tmp_path / "corpus"), n_convs=20, seed=7, n_shards=2)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    build_index(corpus, src, n_buckets=2, n_salts=1, category_col="role")
+    reindex(src, dst)  # no changes: a pure rebuild
+    a, b = Bm25Index(src), Bm25Index(dst)
+    assert a.n_docs == b.n_docs and a.avgdl == b.avgdl
+    d1, s1 = a.topk("w00001 w00002", k=20)
+    d2, s2 = b.topk("w00001 w00002", k=20)
+    assert d1.tolist() == d2.tolist() and s1.tolist() == s2.tolist()
+    # category survived the round trip
+    assert sorted(b.categories()) == sorted(a.categories())
+
+
+def test_reindex_refuses_without_doc_store(ray_session, tmp_path):
+    import ray.data
+
+    from engine.build import build_index
+    from engine.update import reindex
+
+    docs = pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["x y"]})
+    src = str(tmp_path / "src")
+    build_index(ray.data.from_arrow(docs), src, id_col="doc_id",
+                n_buckets=2, n_salts=1, store_text=False)
+    with pytest.raises(ValueError, match="store_text"):
+        reindex(src, str(tmp_path / "dst"))
