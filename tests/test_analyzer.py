@@ -4,6 +4,7 @@ refusal). Analyzer analog of the reference's fixed residue-descriptor
 quantization: the index and the query MUST run one tokenization contract
 (ResidueGraph.java descriptor binning is baked into both sides there)."""
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -356,3 +357,41 @@ def test_reindex_refuses_without_doc_store(ray_session, tmp_path):
                 n_buckets=2, n_salts=1, store_text=False)
     with pytest.raises(ValueError, match="store_text"):
         reindex(src, str(tmp_path / "dst"))
+
+
+def test_stemmed_positional_phrase_and_sharded(ray_session, tmp_path):
+    """Analyzer must hold through the positional path (phrase adjacency on
+    RAW offsets) and the scatter/gather serving path (coordinator analyzes
+    with the template index's chain)."""
+    import ray.data
+
+    from engine.build import build_index
+    from engine.query import Bm25Index
+    from engine.serve import ShardedQueryService
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": [
+                "tables hold rows",
+                "tables x hold",      # not adjacent
+                "table holds rows",   # 'holds' stems to 'hold' too
+            ],
+        }
+    )
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(docs), idx, id_col="doc_id",
+                n_buckets=2, n_salts=1, analyzer="s_stem", positions=True)
+    bm = Bm25Index(idx)
+    # phrase analyzed: ['table', 'hold']; adjacency on raw offsets
+    d, _n = bm.phrase_match("tables hold")
+    assert sorted(np.asarray(d).tolist()) == [0, 2]
+
+    svc = ShardedQueryService(idx, n_shards=2)
+    try:
+        d1, s1 = bm.topk("tables holds", k=10)
+        d2, s2 = svc.topk("tables holds", k=10)
+        assert d1.tolist() == d2.tolist()
+        assert s1.tolist() == s2.tolist()
+    finally:
+        svc.shutdown()
