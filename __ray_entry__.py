@@ -193,6 +193,28 @@ REGEX_QUERIES: list[tuple[str, str, int]] = [  # (qid, RE2 pattern, k)
     ("RX4_charclass", "s[cl]\\w+", 10),   # scan, slow, small
     ("RX5_absent", "zz+", 10),
 ]
+# wildcard term queries (Lucene WildcardQuery): '*' = any run, '?' = one char;
+# translated to RE2 ONCE (engine.query.wildcard_to_regex) and shared verbatim
+# with the SQL oracle, so the variant sets are identical by construction
+WILDCARD_QUERIES: list[tuple[str, str, int]] = [  # (qid, glob pattern, k)
+    ("W1_qmark_star", "s?a*", 10),   # scan, small, spark
+    ("W2_fixed_len", "?a??", 10),    # data, fast, hash, part
+    ("W3_suffix", "*le", 10),        # table
+    ("W4_prefix", "gr*", 10),        # group
+    ("W5_absent", "zz*", 10),
+]
+# match_phrase_prefix (ES surface): exact phrase, last token treated as a
+# prefix and expanded against the term dictionary (cap = ES max_expansions)
+PHRASE_PREFIX_QUERIES: list[tuple[str, str]] = [
+    ("PPX1_s_words", "table s"),     # table {scan,slow,small,sort,spark,stream}
+    ("PPX2_join", "hash jo"),        # -> hash join
+    ("PPX3_c_words", "key c"),       # key {column, customer}
+    ("PPX4_bare_prefix", "va"),      # no fixed terms: pure prefix tf counts
+    ("PPX5_absent", "table zz"),     # prefix expands to nothing -> empty
+]
+# DSIR importance resampling (Xie et al. 2023): hashed uni+bigram features,
+# target slice = lang == 'en'; constants shared verbatim with the oracle SQL
+DSIR_BUCKETS, DSIR_K, DSIR_GRES = 1024, 100, 1 << 20
 
 # --- fuzzy queries: each term expands to its ed<=1 vocab neighborhood -------
 FUZZY_QUERIES: list[tuple[str, list[str], int]] = [  # (qid, typo'd terms, k)
@@ -1305,6 +1327,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tables.append(_hits_table(qid, d, s))
         res = pa.concat_tables([t for t in tables if t.num_rows])
         return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
+    def bm25_topk_wildcard(sf_dir):
+        """Wildcard term query (Lucene WildcardQuery): '*'/'?' glob compiled
+        to an RE2 full match (shared verbatim with the oracle), expanded
+        against the term dictionary and scored max-over-variants through the
+        same expanded-topk path as prefix/regex."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_index(sf_dir))
+        tables = []
+        for qid, patt, k in WILDCARD_QUERIES:
+            variants = bm.wildcard_terms(patt)
+            if not variants:
+                continue
+            d, s = bm.expanded_topk([variants], k, rank_round=RANK_ROUND)
+            tables.append(_hits_table(qid, d, s))
+        res = pa.concat_tables([t for t in tables if t.num_rows])
+        return _round_scores(res, "score", "score_r", SCORE_ROUND)
+
+    def phrase_prefix_match(sf_dir):
+        """ES match_phrase_prefix: exact phrase on every token but the last,
+        which expands as a prefix against the vocab (capped); occurrence
+        counts summed over the disjoint expansions. Integer-exact."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_posindex(sf_dir))
+        qids, dids, cnts = [], [], []
+        for qid, phrase in PHRASE_PREFIX_QUERIES:
+            d, n = bm.phrase_prefix_match(phrase)
+            qids.extend([qid] * len(d))
+            dids.extend(d.tolist())
+            cnts.extend(n.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "n_matches": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    def dsir_select(sf_dir):
+        """DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169):
+        hashed uni+bigram bag importance weights of raw docs against the
+        target slice (lang == 'en'), deterministic hash-Gumbel top-k
+        selection — the train-like-the-target data-selection pass. The
+        per-doc weight table is corpus-sized but the driver only ranks it
+        after the bounded top-k filter below at real scale; here the whole
+        (small) table collects and the selection is vectorized."""
+        import pyarrow.compute as pc
+
+        from engine.ops.textstats import dsir_weights
+
+        ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+            lambda b: b.append_column("is_tgt", pc.equal(b["lang"], "en")),
+            batch_format="pyarrow",
+        )
+        w = _collect(
+            dsir_weights(ds, "is_tgt", n_buckets=DSIR_BUCKETS, g_res=DSIR_GRES)
+        )
+        order = pc.sort_indices(
+            w, sort_keys=[("gkey_r", "descending"), ("doc_id", "ascending")]
+        )
+        sel = w.take(order.slice(0, DSIR_K))
+        return sel.append_column(
+            "rank", pa.array(np.arange(1, sel.num_rows + 1, dtype=np.int64))
+        )
 
     def bm25_topk_expanded(sf_dir):
         """Q1/Q2 analog: per-slot OR-groups (tolerance expansion / exchanges,
@@ -2808,6 +2896,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_reindexed": bm25_topk_reindexed,
         "transcripts_rollover_window": transcripts_rollover_window,
         "span_near_scored": span_near_scored,
+        "bm25_topk_wildcard": bm25_topk_wildcard,
+        "phrase_prefix_match": phrase_prefix_match,
+        "dsir_select": dsir_select,
         "hashed_vectors": hashed_vectors,
         "redact_text": redact_text,
         "pack_sequences": pack_sequences,
@@ -3702,6 +3793,123 @@ hits AS (
   FROM contrib GROUP BY query_id, k, doc_id
 ),
 {_rank_cut_sql()}
+"""
+
+
+def _wildcard_sql() -> str:
+    """Wildcard-term oracle: the SAME translated RE2 string the engine scans
+    with (engine.query.wildcard_to_regex runs at SQL-render time here), so
+    both sides' variant sets are identical by construction; score = max
+    variant contribution (single-slot expansion contract)."""
+    from engine.query import wildcard_to_regex
+
+    vals = ",\n      ".join(
+        f"('{qid}', '{wildcard_to_regex(patt)}', {k})"
+        for qid, patt, k in WILDCARD_QUERIES
+    )
+    return f"""{_BM25_CORE_SQL},
+q(query_id, pattern, k) AS (VALUES
+      {vals}),
+contrib AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         {_BM25_CONTRIB_SQL} AS c
+  FROM q
+  JOIN tf ON regexp_full_match(tf.term, q.pattern)
+  JOIN df ON df.term = tf.term
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+),
+hits AS (
+  SELECT query_id, k, doc_id, max(c) AS score
+  FROM contrib GROUP BY query_id, k, doc_id
+),
+{_rank_cut_sql()}
+"""
+
+
+def _phrase_prefix_sql() -> str:
+    """match_phrase_prefix oracle: the k-way positional self-join of
+    :func:`_phrase_sql` with the LAST term predicate relaxed to
+    ``LIKE 'prefix%'`` — each (start position, expansion occurrence) row
+    counts once, exactly the engine's sum over disjoint expansions."""
+    parts = []
+    for qid, phrase in PHRASE_PREFIX_QUERIES:
+        terms = phrase.lower().split()
+        last = len(terms) - 1
+        froms = ", ".join(f"toks t{i}" for i in range(len(terms)))
+        conds = [f"t{i}.tok = '{t}'" for i, t in enumerate(terms[:-1])]
+        conds.append(f"t{last}.tok LIKE '{terms[last]}%'")
+        conds += [f"t{i}.doc_id = t0.doc_id" for i in range(1, len(terms))]
+        conds += [f"t{i}.i = t0.i + {i}" for i in range(1, len(terms))]
+        parts.append(
+            f"SELECT '{qid}' AS query_id, t0.doc_id, "
+            f"count(*)::BIGINT AS n_matches "
+            f"FROM {froms} WHERE {' AND '.join(conds)} GROUP BY t0.doc_id"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH l AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM l)
+{union}
+"""
+
+
+def _dsir_sql() -> str:
+    """DSIR oracle: full relational restatement — hashed uni+bigram feature
+    buckets (md5_number_lower, the engine's md5_lower64 bridge), add-1
+    smoothed target-vs-raw log ratios, per-doc ratio sums, hash-Gumbel
+    perturbation, top-K by (rounded key DESC, doc_id)."""
+    B, K, G = DSIR_BUCKETS, DSIR_K, DSIR_GRES
+    return f"""
+WITH d AS (
+  SELECT doc_id, (lang = 'en') AS tgt, {_TOKEN_SQL} AS l FROM documents
+),
+toks AS (
+  SELECT doc_id, tgt, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM d
+),
+grams AS (
+  SELECT doc_id, tgt, tok FROM toks
+  UNION ALL
+  SELECT a.doc_id, a.tgt, a.tok || ' ' || b.tok AS tok
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+feats AS (
+  SELECT doc_id, tgt,
+         (md5_number_lower(tok)::UBIGINT % {B})::BIGINT AS bucket
+  FROM grams
+),
+cnt AS (
+  SELECT bucket, count(*)::BIGINT AS n_raw,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS n_tgt
+  FROM feats GROUP BY bucket
+),
+tot AS (SELECT sum(n_raw)::DOUBLE AS nr, sum(n_tgt)::DOUBLE AS nt FROM cnt),
+lr AS (
+  SELECT bucket,
+         ln((n_tgt + 1.0) / (t.nt + 1.0 * {B}))
+       - ln((n_raw + 1.0) / (t.nr + 1.0 * {B})) AS lr
+  FROM cnt CROSS JOIN tot t
+),
+dw AS (
+  SELECT f.doc_id, count(*)::BIGINT AS n_feats, sum(lr.lr) AS logw
+  FROM feats f JOIN lr USING (bucket) GROUP BY f.doc_id
+),
+w AS (
+  SELECT a.doc_id,
+         coalesce(dw.n_feats, 0)::BIGINT AS n_feats,
+         coalesce(dw.logw, 0.0) AS logw,
+         -ln(-ln(((md5_number_lower(CAST(a.doc_id AS VARCHAR))::UBIGINT
+                   % {G})::DOUBLE + 0.5) / {G}.0)) AS g
+  FROM documents a LEFT JOIN dw USING (doc_id)
+),
+r AS (
+  SELECT doc_id, n_feats, round(logw, 6) AS logw_r,
+         round(logw + g, 6) AS gkey_r,
+         row_number() OVER (ORDER BY round(logw + g, 6) DESC, doc_id) AS rank
+  FROM w
+)
+SELECT rank, doc_id, n_feats, logw_r, gkey_r FROM r WHERE rank <= {K}
+ORDER BY rank
 """
 
 
@@ -5000,6 +5208,9 @@ WHERE text IS NOT NULL
         "bm25_topk_boolean": _boolean_sql(),
         "bm25_topk_prefix": _prefix_sql(),
         "bm25_topk_regex": _regex_sql(),
+        "bm25_topk_wildcard": _wildcard_sql(),
+        "phrase_prefix_match": _phrase_prefix_sql(),
+        "dsir_select": _dsir_sql(),
         "rm3_topk": _rm3_sql(),
         "hybrid_rrf_topk": _hybrid_sql(),
         "bm25_topk_page2": _bm25_page2_sql(),

@@ -443,6 +443,137 @@ def bigram_lm_scores(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def dsir_weights(
+    ds,
+    target_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    round_to: int = 6,
+    g_res: int = 1 << 20,
+):
+    """Data Selection via Importance Resampling (DSIR; Xie et al. 2023,
+    arXiv:2302.03169): score every raw doc by how target-like its hashed
+    n-gram bag is, then resample with Gumbel-top-k — the standard
+    train-like-the-target selection pass of an LLM data pipeline.
+
+    Features are every token (unigram) plus every ADJACENT in-doc token pair
+    (bigram, space-joined), hashed ``md5_lower64 % n_buckets`` — the paper's
+    hashed n-gram features, on the same md5 bridge every hash op here shares
+    with DuckDB's ``md5_number_lower``. ONE streamed counting pass tallies
+    per-bucket occurrence counts for the RAW corpus (all rows) and the
+    TARGET slice (rows where boolean ``target_col`` is true) side by side:
+    per-batch bincount partials before the exchange, so <= ``n_buckets``
+    rows per batch cross it and the driver collect is bounded by
+    ``n_buckets`` regardless of corpus size. The add-``alpha``-smoothed log
+    importance ratio per bucket
+
+        lr_b = log((n_tgt_b + a) / (N_tgt + a*B))
+             - log((n_raw_b + a) / (N_raw + a*B))
+
+    is broadcast once via ``ray.put``; a second stateless pass sums lr over
+    each doc's feature occurrences (``logw``) and adds a DETERMINISTIC
+    hash-Gumbel perturbation ``g = -ln(-ln((md5(doc_id) % g_res + 0.5) /
+    g_res))`` — Gumbel-top-k sampling with the randomness replaced by the
+    doc-id hash, so selection is resume-stable, shuffle-free, and exactly
+    restatable in oracle SQL (the same order-by-hash contract as
+    ``ops/sampling.py``). Select the resampled subset downstream by
+    ``(gkey_r DESC, doc_id)`` top-k.
+
+    Returns per-doc rows ``(doc_id, n_feats, logw_r, gkey_r)``; docs with no
+    tokens carry ``logw = 0`` and still draw a Gumbel key.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..tokenize import md5_lower64
+
+    B = int(n_buckets)
+
+    def _features(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """-> (bucket_id, parent_row) for every unigram + adjacent bigram."""
+        flat, parent, _dl = _explode_tokens(batch[text_col])
+        if not len(flat):
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        bu = (md5_lower64(flat) % np.uint64(B)).astype(np.int64)
+        par = parent.astype(np.int64)
+        adj = np.flatnonzero(parent[1:] == parent[:-1]) + 1
+        if len(adj):
+            bs = pc.binary_join_element_wise(
+                flat.take(pa.array(adj - 1)), flat.take(pa.array(adj)), " "
+            )
+            bu = np.concatenate(
+                [bu, (md5_lower64(bs) % np.uint64(B)).astype(np.int64)]
+            )
+            par = np.concatenate([par, parent[adj].astype(np.int64)])
+        return bu, par
+
+    def pcount(batch: pa.Table) -> pa.Table:
+        b, par = _features(batch)
+        if not len(b):
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "n_raw": pa.array([], pa.int64()),
+                    "n_tgt": pa.array([], pa.int64()),
+                }
+            )
+        tgt = batch[target_col].to_numpy(zero_copy_only=False).astype(bool)
+        n_raw = np.bincount(b, minlength=B)
+        n_tgt = np.bincount(b, weights=tgt[par].astype(np.float64), minlength=B)
+        nz = np.flatnonzero(n_raw)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "n_raw": pa.array(n_raw[nz], pa.int64()),
+                "n_tgt": pa.array(n_tgt[nz].astype(np.int64)),
+            }
+        )
+
+    cnt = (
+        ds.map_batches(pcount, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_raw", alias_name="n_raw"), Sum("n_tgt", alias_name="n_tgt"))
+        .to_pandas()  # bounded: <= n_buckets rows by construction
+    )
+    raw = np.zeros(B, dtype=np.float64)
+    tgt = np.zeros(B, dtype=np.float64)
+    if len(cnt):
+        raw[cnt["bucket"].to_numpy()] = cnt["n_raw"].to_numpy()
+        tgt[cnt["bucket"].to_numpy()] = cnt["n_tgt"].to_numpy()
+    n_raw_total, n_tgt_total = raw.sum(), tgt.sum()
+    lr = np.log((tgt + alpha) / (n_tgt_total + alpha * B)) - np.log(
+        (raw + alpha) / (n_raw_total + alpha * B)
+    )
+    ref = ray.put(lr)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lrv = ray.get(ref)
+        b, par = _features(batch)
+        n = batch.num_rows
+        if len(b):
+            logw = np.bincount(par, weights=lrv[b], minlength=n)
+            n_feats = np.bincount(par, minlength=n).astype(np.int64)
+        else:
+            logw = np.zeros(n, dtype=np.float64)
+            n_feats = np.zeros(n, dtype=np.int64)
+        ids = batch[id_col].cast(pa.int64())
+        h = md5_lower64(pc.cast(ids, pa.string())) % np.uint64(g_res)
+        u = (h.astype(np.float64) + 0.5) / float(g_res)
+        g = -np.log(-np.log(u))
+        return pa.table(
+            {
+                id_col: ids,
+                "n_feats": pa.array(n_feats),
+                "logw_r": pa.array(np.round(logw, round_to)),
+                "gkey_r": pa.array(np.round(logw + g, round_to)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def doc_top_terms(
     ds,
     m: int = 3,

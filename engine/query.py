@@ -32,6 +32,18 @@ from .segments import SegmentReader
 from .tokenize import tokenize_text
 
 
+def wildcard_to_regex(pattern: str) -> str:
+    """Deterministic wildcard -> RE2 translation shared by the engine and
+    the SQL oracle (both sides embed RE2, so one translated string defines
+    the query): ``*`` -> ``.*``, ``?`` -> ``.``, everything else escaped."""
+    import re as _re
+
+    return "".join(
+        ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+        for ch in pattern
+    )
+
+
 def build_deletion_index(terms) -> dict[str, set[str]]:
     """FastSS deletion-neighborhood index over a vocabulary slice:
     variant -> terms producing it by 0 or 1 character deletions. Shared by
@@ -813,9 +825,14 @@ class Bm25Index:
         surviving offsets are the phrase start positions. Returns
         (doc_ids ascending, n_matches per doc), integer-exact."""
         seq = self._terms(phrase_text)
-        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         if not seq:
-            return empty
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        return self._phrase_count(seq)
+
+    def _phrase_count(self, seq: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Phrase occurrence counting over already-analyzed tokens ``seq``
+        (the shared core of phrase_match / phrase_prefix_match)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
         uniq = sorted(set(seq))
         candidates, _ = self._conjunctive_candidates(uniq)
         if len(candidates) == 0:
@@ -831,6 +848,42 @@ class Bm25Index:
             counts[i] = len(m)
         keep = counts > 0
         return candidates[keep], counts[keep]
+
+    def phrase_prefix_match(
+        self, phrase_text: str, max_expansions: int = 16
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ES ``match_phrase_prefix``: exact phrase on every token but the
+        last, whose analyzed form is treated as a PREFIX and expanded against
+        the term dictionary (:meth:`prefix_terms`, capped at
+        ``max_expansions`` — the ES knob of the same name, raising instead of
+        silently truncating). Returns (doc_ids ascending, n_matches) where
+        n_matches sums phrase occurrences over all expansions — expansions
+        are distinct terms, so their occurrence sets are disjoint and the sum
+        is integer-exact. Cost is one :meth:`_phrase_count` per expansion over
+        the J4 positional-join path; the fixed-prefix terms bound candidates
+        exactly as in :meth:`phrase_match`."""
+        seq = self._terms(phrase_text)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        if not seq:
+            return empty
+        *fixed, last = seq
+        variants = self.prefix_terms(last, max_terms=max_expansions)
+        if not variants:
+            return empty
+        all_d, all_c = [], []
+        for v in variants:
+            d, c = self._phrase_count(fixed + [v])
+            if len(d):
+                all_d.append(d)
+                all_c.append(c)
+        if not all_d:
+            return empty
+        d = np.concatenate(all_d)
+        c = np.concatenate(all_c)
+        uniq_d, inv = np.unique(d, return_inverse=True)
+        sums = np.zeros(len(uniq_d), dtype=np.int64)
+        np.add.at(sums, inv, c)
+        return uniq_d, sums
 
     def proximity_match(
         self, term_a: str, term_b: str, window: int, ordered: bool = False
@@ -1263,6 +1316,16 @@ class Bm25Index:
                 f"regex '{pattern}' expands to {len(terms)} > {max_terms} terms"
             )
         return terms
+
+    def wildcard_terms(self, pattern: str, max_terms: int = 64) -> list[str]:
+        """Lucene WildcardQuery over the term dictionary: ``*`` matches any
+        run of characters, ``?`` exactly one; everything else is literal.
+        Compiled to an RE2 full match and evaluated through the same
+        vectorized vocab scan as :meth:`regex_terms` (Lucene compiles the
+        wildcard to an automaton and intersects it with the term dictionary
+        the same way). Same hard expansion cap — silent truncation would
+        change results unpredictably."""
+        return self.regex_terms(wildcard_to_regex(pattern), max_terms=max_terms)
 
     def _deletion_index(self) -> dict[str, set[str]]:
         """FastSS deletion-neighborhood index over the vocab, built lazily

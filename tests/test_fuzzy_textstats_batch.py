@@ -775,3 +775,86 @@ def test_redact_text_counts_and_replacement(ray_session):
     assert list(out["n_matches"]) == [2, 0, 2]
     assert out["text_redacted"][0] == "[TOOL] and [TOOL] soup"
     assert out["text_redacted"][2] == "[TOOL][TOOL]"
+
+
+def test_wildcard_terms_translation_and_expansion(fuzzy_index):
+    """Lucene WildcardQuery surface: glob -> RE2 translation is shared with
+    the SQL oracle, expansion is the exact vocab subset, literal regex
+    metacharacters stay literal."""
+    from engine.query import Bm25Index, wildcard_to_regex
+
+    assert wildcard_to_regex("a*c") == "a.*c"
+    assert wildcard_to_regex("a?c") == "a.c"
+    assert wildcard_to_regex("a.b*") == "a\\.b.*"  # '.' escaped, not any-char
+
+    bm = Bm25Index(fuzzy_index)  # vocab {ab, abc, axc, ba, join, x}
+    assert bm.wildcard_terms("a*") == ["ab", "abc", "axc"]
+    assert bm.wildcard_terms("a?c") == ["abc", "axc"]
+    assert bm.wildcard_terms("?b") == ["ab"]
+    assert bm.wildcard_terms("zz*") == []
+    with pytest.raises(ValueError, match="expands to"):
+        bm.wildcard_terms("*", max_terms=3)
+    # wildcard-expanded ranking == the equivalent manual OR-slot
+    d1, s1 = bm.expanded_topk([bm.wildcard_terms("a*")], 10)
+    d2, s2 = bm.expanded_topk([["ab", "abc", "axc"]], 10)
+    assert d1.tolist() == d2.tolist()
+    np.testing.assert_allclose(s1, s2)
+
+
+def test_dsir_weights_hand_computed(ray_session):
+    """DSIR (Xie et al. 2023) vs a pure-Python reference: hashed uni+bigram
+    bucket counts, add-1 smoothed log ratios, per-doc sums, hash-Gumbel."""
+    import hashlib
+    import math
+
+    import ray.data
+
+    from engine.ops.textstats import dsir_weights
+
+    texts = ["cat dog cat", "dog dog", "fish", "", "cat fish dog"]
+    tgt = [True, False, False, True, False]
+    B, G = 64, 1 << 20
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "is_tgt": pa.array(tgt),
+            }
+        )
+    )
+    out = (
+        dsir_weights(ds, "is_tgt", n_buckets=B, g_res=G)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    def h64(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+
+    feats = []
+    for t in texts:
+        toks = t.split()
+        f = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        feats.append([h64(x) % B for x in f])
+    raw, tg = [0] * B, [0] * B
+    for fl, is_t in zip(feats, tgt):
+        for b in fl:
+            raw[b] += 1
+            if is_t:
+                tg[b] += 1
+    nr, nt = sum(raw), sum(tg)
+    lr = [
+        math.log((tg[b] + 1.0) / (nt + B)) - math.log((raw[b] + 1.0) / (nr + B))
+        for b in range(B)
+    ]
+    for i, fl in enumerate(feats):
+        logw = sum(lr[b] for b in fl)
+        u = (h64(str(i)) % G + 0.5) / G
+        g = -math.log(-math.log(u))
+        row = out.iloc[i]
+        assert row["n_feats"] == len(fl)
+        assert abs(row["logw_r"] - round(logw, 6)) < 1e-9, i
+        assert abs(row["gkey_r"] - round(logw + g, 6)) < 1e-9, i
+    # empty doc: zero features, weight 0, still draws a Gumbel key
+    assert out.iloc[3]["n_feats"] == 0 and out.iloc[3]["logw_r"] == 0.0

@@ -529,3 +529,44 @@ def test_best_passages_vs_bruteforce(pos_index, doc_tokens):
             assert toks[got_s] in idf  # anchored at a query-term occurrence
             checked += 1
     assert checked >= 10
+
+
+def _oracle_phrase_prefix(doc_tokens, phrase):
+    """ES match_phrase_prefix oracle: last token is a prefix; counts sum
+    over every vocab expansion's exact-phrase occurrences."""
+    seq = tokenize_text(phrase)
+    *fixed, last = seq
+    vocab = sorted({t for toks in doc_tokens.values() for t in toks})
+    out = {}
+    for v in (t for t in vocab if t.startswith(last)):
+        for d, n in _oracle_phrase(doc_tokens, " ".join(fixed + [v])).items():
+            out[d] = out.get(d, 0) + n
+    return out
+
+
+def test_phrase_prefix_match_vs_oracle(pos_index, doc_tokens):
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(pos_index)
+    some = doc_tokens[min(doc_tokens)]
+    phrases = [
+        f"{some[0]} {some[1][:-1]}",  # harvested bigram, last char stripped
+        some[0][:-2],                 # bare prefix: sums expansion tfs
+        "w00000 zzq",                 # prefix with no expansions -> empty
+    ]
+    any_hits = 0
+    for p in phrases:
+        d, n = bm.phrase_prefix_match(p, max_expansions=4096)
+        want = _oracle_phrase_prefix(doc_tokens, p)
+        assert dict(zip(d.tolist(), n.tolist())) == want, p
+        assert list(d) == sorted(d)
+        any_hits += len(d)
+    assert any_hits > 0
+
+
+def test_phrase_prefix_expansion_cap_raises(pos_index):
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(pos_index)
+    with pytest.raises(ValueError, match="expands to"):
+        bm.phrase_prefix_match("w00000 w", max_expansions=2)
