@@ -839,6 +839,7 @@ def build_index(
         "postings_codec": postings_codec,
         "analyzer": analyzer,
         "stopwords": stop_list,
+        "store_text": bool(store_text),
         # driver-ref-bounding folds that ran during the exchange (0 below
         # GRAFT_COMBINE_SPLITS split tasks — the bench scale)
         "combine_rounds": combine_rounds,

@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 
 from .schema import BM25_B, BM25_K1
-from .tokenize import tokenize_text
+from .tokenize import analyze_text
 
 
 class Percolator:
@@ -42,6 +42,12 @@ class Percolator:
         reader = SegmentReader(index_dir)
         self.n_docs = int(reader.stats["n_docs"])
         self.avgdl = float(reader.stats["avgdl"])
+        # replay the INDEX's persisted analyzer chain on stored queries and
+        # streamed docs alike — df/avgdl describe the ANALYZED stream, so
+        # tokenizing raw here would silently never match on a stemmed or
+        # stopword index (same contract as Bm25Index._terms)
+        self._analyzer = str(reader.stats.get("analyzer", "standard"))
+        self._stopwords = frozenset(reader.stats.get("stopwords") or ())
         # resolve df once per stored query term (the informativeness table
         # analog, ResiduePairOccurrence.java:229-463)
         self.queries = []
@@ -51,7 +57,12 @@ class Percolator:
                 # parse/eval machinery and match semantics as boolean_topk
                 from .query import boolean_query_leaves, parse_boolean_query
 
-                tree = parse_boolean_query(q["expr"])
+                tree = parse_boolean_query(
+                    q["expr"],
+                    analyze=lambda s: analyze_text(
+                        s, self._analyzer, stopwords=self._stopwords
+                    ),
+                )
                 pos_terms, all_terms = boolean_query_leaves(tree)
                 self.queries.append(
                     {
@@ -62,7 +73,7 @@ class Percolator:
                     }
                 )
                 continue
-            seq = tokenize_text(q["text"])
+            seq = analyze_text(q["text"], self._analyzer, stopwords=self._stopwords)
             terms = sorted(set(seq))
             self.queries.append(
                 {
@@ -87,7 +98,7 @@ class Percolator:
         'phrase': the query's exact token sequence occurs contiguously —
         score is the occurrence count (overlapping occurrences included),
         matching Bm25Index.phrase_match on an index holding only this doc."""
-        toks = tokenize_text(text)
+        toks = analyze_text(text, self._analyzer, stopwords=self._stopwords)
         if self.mode == "phrase":
             out = []
             for q in self.queries:

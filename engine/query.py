@@ -307,14 +307,12 @@ class Bm25Index:
 
             obj = self._dl_obj = ray.get(self._dl_ref)
         if self._dense and self.n_docs <= self.DENSE_DL_BUDGET:
-            # one-time per-actor concat on FIRST use (init stays O(#files))
-            if isinstance(obj, tuple):
-                fast = obj[1].astype(np.float64)
-            else:
-                fast = obj.gather(
-                    np.arange(self.n_docs, dtype=np.int64), dtype=np.float64
-                )
-            self._dl_fast = fast
+            # one-time per-actor concat on FIRST use (init stays O(#files));
+            # dense0 implies disjoint shards, i.e. obj is always a ShardedDl
+            # here (the merged-tuple fallback only exists when NOT disjoint)
+            fast = self._dl_fast = obj.gather(
+                np.arange(self.n_docs, dtype=np.int64), dtype=np.float64
+            )
             return fast[doc_ids]
         if isinstance(obj, tuple):
             # merged fallback (overlapping docmap shards): one worker-built

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import copy
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -360,9 +361,11 @@ class ShardedQueryService:
         the fresh replica also counts as a retry target, so an
         ``n_replicas=1`` service survives a kill too). Attempts per call are
         bounded by replicas + 1; exhaustion raises ShardUnavailable.
-        ``timeout_s`` applies per gather attempt (a failover restarts the
-        clock — slow-degraded mode beats a spurious timeout during recovery).
-        Results come back in call order."""
+        ``timeout_s`` is a DEADLINE shared by all of a round's calls (the
+        refs are gathered sequentially, so a per-get timeout would let a
+        query overrun by n_shards x timeout_s); a failover round restarts
+        the clock — slow-degraded mode beats a spurious timeout during
+        recovery. Results come back in call order."""
         n = len(calls)
         results: list = [None] * n
         attempts = [1] * n
@@ -371,10 +374,19 @@ class ShardedQueryService:
         ]
         while inflight:
             retry = []
+            deadline = None if timeout_s is None else time.monotonic() + timeout_s
             try:
                 for i, actor, ref in inflight:
                     try:
-                        results[i] = ray.get(ref, timeout=timeout_s)
+                        if deadline is None:
+                            remaining = None
+                        else:
+                            remaining = deadline - time.monotonic()
+                            if remaining <= 0:
+                                raise ray.exceptions.GetTimeoutError(
+                                    "shared query deadline exhausted"
+                                )
+                        results[i] = ray.get(ref, timeout=remaining)
                     except ray.exceptions.RayActorError as e:
                         s, m, a = calls[i]
                         self._failovers += 1

@@ -608,10 +608,16 @@ def _recover_docmap_swap(ddir: str) -> None:
     ddir parquet files are partial new-generation output; drop them and
     restore the complete originals (postings may already be purged — a
     docmap superset is query-consistent, and re-running the remove
-    converges). Every path ends with a complete docmap and no backup dir."""
+    converges). A ``.old.deleting`` dir is a backup already RENAMED AWAY
+    after a completed swap (the rename is the commit point of the delete) —
+    pure garbage, removed without looking inside; a crash mid-rmtree can
+    therefore never be mistaken for a mid-evacuation crash and restore
+    stale-generation files over new ones. Every path ends with a complete
+    docmap and no backup dir."""
     import shutil
 
     backup = ddir + ".old"
+    shutil.rmtree(backup + ".deleting", ignore_errors=True)
     if not os.path.isdir(backup):
         return
     marker = os.path.join(backup, "COMMIT")
@@ -694,7 +700,13 @@ def _purge_doc_ids(index_dir: str, remove: np.ndarray, bounds_avgdl: float,
         os.replace(
             os.path.join(tmp_dir, f), os.path.join(ddir, f"docmap-{i:04d}.parquet")
         )
-    shutil.rmtree(backup)
+    # commit the delete with ONE atomic rename before any unlink: a crash
+    # mid-rmtree must never leave a marker-less backup that the next
+    # _recover_docmap_swap would "restore" over the new generation
+    doomed = backup + ".deleting"
+    shutil.rmtree(doomed, ignore_errors=True)
+    os.rename(backup, doomed)
+    shutil.rmtree(doomed)
     shutil.rmtree(tmp_dir, ignore_errors=True)
     return sum(1 for r in results if r is not None)
 
@@ -983,6 +995,27 @@ def merge_indexes(dst_dir: str, src_dir: str) -> dict:
         raise ValueError(
             "merge refused: transcripts-mode bundles mint overlapping dense "
             "docIDs; merge id-mode indexes (or re-ADD the raw transcripts)"
+        )
+    # docmap SCHEMA equality (the old standalone-merge guard): src rows copy
+    # into dst verbatim, so any column-set/type drift — store_text on one
+    # side, a differently-typed docvalue — would produce a mixed-schema
+    # docmap whose text/values surfaces fail long after the merge "succeeded"
+    def _docmap_schema(d: str) -> dict[str, str]:
+        files = sorted(
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(_docmap_dir(d))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        s = pq.read_schema(files[0])
+        return {n: str(t) for n, t in zip(s.names, s.types)}
+
+    a, b = _docmap_schema(dst_dir), _docmap_schema(src_dir)
+    if a != b:
+        raise ValueError(
+            f"merge refused: docmap schemas differ (dst {sorted(a.items())} "
+            f"vs src {sorted(b.items())}); rebuild one side with matching "
+            "store_text/category/docvalues settings"
         )
 
     src_files = sorted(

@@ -395,3 +395,61 @@ def test_stemmed_positional_phrase_and_sharded(ray_session, tmp_path):
         assert s1.tolist() == s2.tolist()
     finally:
         svc.shutdown()
+
+
+def test_percolator_replays_index_analyzer(ray_session, tmp_path):
+    """Percolation must analyze stored queries AND streamed docs with the
+    index's persisted chain — df/avgdl describe the analyzed stream, so raw
+    tokenization would silently never match on a stemmed index."""
+    import ray.data
+
+    from engine.build import build_index
+    from engine.percolate import Percolator
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": ["tables hold rows", "the filter runs"],
+        }
+    )
+    idx = str(tmp_path / "idx")
+    build_index(ray.data.from_arrow(docs), idx, id_col="doc_id",
+                n_buckets=2, n_salts=1, analyzer="s_stem")
+    # surface forms differ on both sides; stems agree ('table', 'hold')
+    p = Percolator(idx, [{"query_id": "q1", "text": "table holds"}], mode="all")
+    hits = p.percolate("tables hold everything")
+    assert [qid for qid, _ in hits] == ["q1"]
+    # phrase mode: adjacency over the ANALYZED stream
+    pp = Percolator(idx, [{"query_id": "p1", "text": "tables hold"}], mode="phrase")
+    assert [q for q, _ in pp.percolate("one table holds here")] == ["p1"]
+    # boolean mode: leaves analyzed through the same chain
+    pb = Percolator(idx, [{"query_id": "b1", "expr": "tables AND NOT filters"}],
+                    mode="boolean")
+    assert [q for q, _ in pb.percolate("the table stands")] == ["b1"]
+    assert pb.percolate("table near a filter") == []
+
+
+def test_merge_refuses_docmap_schema_mismatch(ray_session, tmp_path):
+    """merge_indexes must refuse a store_text=True x store_text=False graft:
+    the mixed-schema docmap would crash text surfaces long after the merge."""
+    import ray.data
+
+    from engine.build import build_index
+    from engine.update import merge_indexes
+
+    def mk(name, ids, store_text):
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": [f"doc {i} words" for i in ids],
+            }
+        )
+        d = str(tmp_path / name)
+        build_index(ray.data.from_arrow(t), d, id_col="doc_id",
+                    n_buckets=2, n_salts=1, store_text=store_text)
+        return d
+
+    dst = mk("dst", [0, 1], store_text=True)
+    src = mk("src", [2, 3], store_text=False)
+    with pytest.raises(ValueError, match="docmap schemas differ"):
+        merge_indexes(dst, src)

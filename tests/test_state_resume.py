@@ -344,6 +344,18 @@ def test_docmap_swap_crash_recovery(tmp_path):
     _recover_docmap_swap(ddir)
     assert sorted(os.listdir(ddir)) == ["docmap-0000.parquet", "docmap-0001.parquet"]
 
+    # crash mid-DELETE of a committed swap: the backup was renamed to
+    # .old.deleting before any unlink, so its stale files are garbage —
+    # recovery must drop them, NOT restore them over the new generation
+    ddir = setup([("docmap-0000.parquet", "NEWGEN")], None, commit=False)
+    os.makedirs(ddir + ".old.deleting")
+    with open(os.path.join(ddir + ".old.deleting", "docmap-0000.parquet"), "w") as f:
+        f.write("stale-old-gen")
+    _recover_docmap_swap(ddir)
+    assert sorted(os.listdir(ddir)) == ["docmap-0000.parquet"]
+    assert open(os.path.join(ddir, "docmap-0000.parquet")).read() == "NEWGEN"
+    assert not os.path.isdir(ddir + ".old.deleting")
+
 
 def test_known_keys_sharded_and_overlap_fallback(ray_session, tmp_path):
     """Range-sharded known-key snapshot: disjoint docmap files route by
