@@ -1078,6 +1078,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _collect(_gsk(sf_dir))
 
+    def domain_mix_sample(sf_dir):
+        """Mixture sampling (data mixing): integer-exact per-lang keep rates
+        realizing the target mixture, then the hash-bucket gate."""
+        from engine.ops.sampling import domain_mix_sample as _dms
+
+        return _collect(_dms(sf_dir))
+
+    def gopher_filter(sf_dir):
+        """Gopher-rule composite quality gate: integer cross-multiplied
+        thresholds over the quality_batch counters; emits survivors."""
+        from engine.ops.textstats import gopher_filter as _gf
+
+        return _collect(_gf(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id")
+
+    def dedup_incremental(sf_dir):
+        """Cross-snapshot dedup: new (odd-id) docs sharing any 16-token
+        window with the old (even-id) slice are dropped; emits survivors."""
+        from engine.ops.dedup import dedup_incremental as _di
+
+        return _collect(_di(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id")
+
     def facet_counts(sf_dir):
         """Search faceting: per-(query, source) matched-doc counts; matched
         sets from postings union (ANY semantics), attribution streamed over
@@ -2913,6 +2934,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantile_sketch": lambda sf_dir: __import__(
             "engine.ops.sketch", fromlist=["grouped_quantile_sketch"]
         ).grouped_quantile_sketch(sf_dir, qs=(50, 90, 99), eps=0.02),
+        "gopher_filter": gopher_filter,
+        "domain_mix_sample": domain_mix_sample,
+        "dedup_incremental": dedup_incremental,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -5898,6 +5922,49 @@ WHERE text IS NOT NULL
                    coalesce(a.n_uniq, 0) AS n_uniq, coalesce(a.n_stop, 0) AS n_stop,
                    coalesce(a.sum_token_len, 0) AS sum_token_len
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # integer cross-multiplied Gopher rules — no float anywhere
+        "gopher_filter": f"""
+            WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens, count(DISTINCT term)::BIGINT AS n_uniq,
+                     sum(CASE WHEN term IN ('the','a','of','to','and','in','is','it','for','on') THEN 1 ELSE 0 END)::BIGINT AS n_stop,
+                     sum(length(term))::BIGINT AS sum_token_len
+              FROM toks GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, n_uniq, n_stop, sum_token_len
+            FROM agg
+            WHERE n_tokens >= 20 AND n_tokens <= 100000
+              AND 10 * sum_token_len >= 30 * n_tokens
+              AND 10 * sum_token_len <= 100 * n_tokens
+              AND n_stop >= 2
+              AND 1000 * n_uniq >= 200 * n_tokens
+        """,
+        # HUGEINT twin of engine.ops.sampling.domain_mix_rates + the Knuth gate
+        "domain_mix_sample": """
+            WITH c AS (SELECT lang, count(*)::HUGEINT AS n FROM documents GROUP BY lang),
+            p(lang, pm) AS (VALUES ('en', 400), ('de', 150), ('es', 150), ('fr', 150), ('zh', 150)),
+            j AS (SELECT c.lang, c.n, CAST(p.pm AS HUGEINT) AS pm
+                  FROM c JOIN p USING (lang) WHERE p.pm > 0),
+            s AS (SELECT min(n * 1000000 // pm) AS scale FROM j),
+            r AS (SELECT lang, least(CAST(1000 AS HUGEINT), pm * (SELECT scale FROM s) // (n * 1000)) AS rate FROM j),
+            d AS (SELECT doc_id, lang,
+                         CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000 AS BIGINT) AS bucket
+                  FROM documents)
+            SELECT d.doc_id, d.lang, d.bucket FROM d JOIN r USING (lang) WHERE d.bucket < r.rate
+        """,
+        # window STRINGS recomputed here — an engine-side 64-bit hash
+        # collision would surface as a value mismatch
+        "dedup_incremental": f"""
+            WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+            w AS (SELECT doc_id, array_to_string(toks[g.i:g.i+15], ' ') AS win
+                  FROM t CROSS JOIN LATERAL (
+                    SELECT unnest(generate_series(1, greatest(len(toks) - 15, 0))) AS i) g),
+            old AS (SELECT DISTINCT win FROM w WHERE doc_id % 2 = 0),
+            flagged AS (SELECT DISTINCT doc_id FROM w
+                        WHERE doc_id % 2 = 1 AND win IN (SELECT win FROM old))
+            SELECT doc_id FROM documents
+            WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM flagged)
         """,
         "fingerprint": f"""
             SELECT doc_id, md5(array_to_string({tok}, ' ')) AS fp_md5 FROM documents

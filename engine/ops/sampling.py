@@ -190,3 +190,81 @@ def group_sample_k(
         .map_groups(final, batch_format="pyarrow")
         .sort([group_col, "rk"])
     )
+
+
+#: target corpus mixture in permille per domain (lang), the fixed contract
+#: shared verbatim with the oracle SQL; domains not listed are dropped.
+MIX_TARGET_PERMILLE: dict[str, int] = {
+    "en": 400, "de": 150, "es": 150, "fr": 150, "zh": 150,
+}
+
+
+def domain_mix_rates(
+    counts: dict[str, int], targets: dict[str, int]
+) -> dict[str, int]:
+    """Per-domain keep rates (permille) that realize the largest corpus with
+    mixture ``targets`` given per-domain availability ``counts`` — the data
+    mixing step of a pre-training pipeline (fixed target proportions per
+    domain, downsample the over-represented ones).
+
+    Pure INTEGER arithmetic (Python bigints, overflow-free at any corpus
+    size) so the rate table is bit-reproducible by the HUGEINT oracle SQL:
+
+        scale  = min over domains of (count_d * 1_000_000) // target_d
+        rate_d = min(1000, (target_d * scale) // (count_d * 1000))
+
+    The binding (scarcest-relative-to-target) domain keeps ~100%; every
+    other domain is hash-downsampled to match the mixture."""
+    live = {d: p for d, p in targets.items() if p > 0 and counts.get(d)}
+    if not live:
+        return {}
+    scale = min((int(counts[d]) * 1_000_000) // int(p) for d, p in live.items())
+    return {
+        d: min(1000, (int(p) * scale) // (int(counts[d]) * 1000))
+        for d, p in live.items()
+    }
+
+
+def domain_mix_sample(
+    sf_dir: str,
+    target_permille: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+):
+    """Deterministic mixture sampling of the documents table: downsample each
+    domain (language) so the output approximates ``target_permille``
+    proportions, keeping a row iff its Knuth hash bucket falls below the
+    domain's computed rate. Emits (doc_id, lang, bucket).
+
+    Scale shape: ONE tiny groupby-count (#domains rows) feeds the driver-side
+    integer rate computation (bounded: one int per domain), then a stateless
+    per-batch filter over a 2-column pruned read — the rate table rides in
+    the task closure. Same multiplicative hash as hash_split, so re-runs,
+    resumes and the DuckDB oracle agree bit-for-bit."""
+    targets = dict(MIX_TARGET_PERMILLE if target_permille is None else target_permille)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=[id_col, domain_col]
+    )
+    counts = {
+        r[domain_col]: int(r["count()"])
+        for r in ds.groupby(domain_col).count().take_all()  # bounded: #domains
+    }
+    rates = domain_mix_rates(counts, targets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = hash_buckets(ids)
+        dom = batch[domain_col].to_numpy(zero_copy_only=False)
+        thr = np.zeros(len(dom), dtype=np.int64)  # unlisted domains drop
+        for d, r in rates.items():
+            thr[dom == d] = r
+        keep = bucket < thr
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                domain_col: batch[domain_col],
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        ).filter(pa.array(keep))
+
+    return ds.map_batches(tag, batch_format="pyarrow").sort(id_col)

@@ -1425,3 +1425,56 @@ def source_top_terms(ds, m: int = 5, group_col: str = "source", text_col: str = 
         .map_groups(finish, batch_format="pyarrow")
         .sort([group_col, "rank"])
     )
+
+
+def gopher_filter(
+    ds,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_len_x10: int = 30,
+    max_mean_len_x10: int = 100,
+    min_stop_hits: int = 2,
+    min_uniq_permille: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Gopher-style composite quality gate (Rae et al. 2021, arXiv
+    2112.11446 Table A1 rules, over this engine's tokenizer): keep a doc iff
+
+    - token count in [min_tokens, max_tokens]
+    - mean token length in [min_mean_len_x10, max_mean_len_x10] / 10
+    - at least ``min_stop_hits`` stopword occurrences (the "contains >= 2
+      of a small stop list" rule)
+    - distinct-token ratio >= min_uniq_permille / 1000 (the repetition rule)
+
+    Every threshold is evaluated with INTEGER cross-multiplication over the
+    integer-exact counters of ``quality_batch`` (mean-length rule:
+    ``10 * sum_token_len >= min_mean_len_x10 * n_tokens``), so the keep set
+    is bit-reproducible by any engine — no float rounding anywhere. Emits
+    the surviving docs' counters (doc_id, n_tokens, n_uniq, n_stop,
+    sum_token_len).
+
+    Scale shape: stateless per-batch map over a 2-column pruned read; no
+    shuffle, no state. Analogous to the reference's residue-quality gate
+    (strucmotif-search CORE/io/DefaultStructureWriter.java:80-86 — a
+    per-record threshold filter applied before indexing)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch, id_col=id_col, text_col=text_col)
+        nt = q["n_tokens"].to_numpy(zero_copy_only=False)
+        nu = q["n_uniq"].to_numpy(zero_copy_only=False)
+        ns = q["n_stop"].to_numpy(zero_copy_only=False)
+        sl = q["sum_token_len"].to_numpy(zero_copy_only=False)
+        keep = (
+            (nt >= min_tokens)
+            & (nt <= max_tokens)
+            & (10 * sl >= min_mean_len_x10 * nt)
+            & (10 * sl <= max_mean_len_x10 * nt)
+            & (ns >= min_stop_hits)
+            & (1000 * nu >= min_uniq_permille * nt)
+        )
+        return q.select(
+            ["doc_id", "n_tokens", "n_uniq", "n_stop", "sum_token_len"]
+        ).filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

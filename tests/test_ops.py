@@ -1511,3 +1511,123 @@ def test_mmr_topk_vs_bruteforce(ray_session):
     ]
     with pytest.raises(ValueError, match="lam"):
         mmr_topk(ds, q, qids, k=k, lam=1.5)
+
+
+def test_gopher_filter_brute(ray_session):
+    """Composite Gopher gate vs a per-doc pure-Python recompute."""
+    import re
+
+    from engine.ops.textstats import STOPWORDS, gopher_filter
+
+    texts = [
+        " ".join(["the", "a"] + [f"word{i}" for i in range(30)]),  # passes
+        "the a short doc",                               # too few tokens
+        " ".join(["the", "a"] + ["word"] * 30),          # uniq ratio fails
+        " ".join(["alpha beta gamma"] * 12),             # no stopwords
+        " ".join(["the", "a"] + ["xy"] * 40),            # mean len < 3 (and uniq)
+        " ".join(["the", "a"] + [f"{'w' * 14}{i}" for i in range(40)]),  # mean len > 10
+        "",                                              # empty
+    ]
+    got = sorted(
+        gopher_filter(_docs_ds(texts)).to_pandas()["doc_id"].tolist()
+    )
+    want = []
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        nt, nu = len(toks), len(set(toks))
+        ns = sum(w in STOPWORDS for w in toks)
+        sl = sum(len(w) for w in toks)
+        if (
+            20 <= nt <= 100_000
+            and 30 * nt <= 10 * sl <= 100 * nt
+            and ns >= 2
+            and 1000 * nu >= 200 * nt
+        ):
+            want.append(i)
+    assert got == want == [0]
+
+
+def test_domain_mix_rates_integer_math():
+    from engine.ops.sampling import domain_mix_rates
+
+    counts = {"en": 800, "de": 100, "zh": 100}
+    targets = {"en": 500, "de": 250, "zh": 250}
+    rates = domain_mix_rates(counts, targets)
+    # de/zh are binding (100 avail for 250permille): scale = 100*1e6//250
+    scale = 100 * 1_000_000 // 250
+    assert rates == {
+        "en": min(1000, 500 * scale // (800 * 1000)),
+        "de": min(1000, 250 * scale // (100 * 1000)),
+        "zh": min(1000, 250 * scale // (100 * 1000)),
+    }
+    assert rates["de"] == rates["zh"] == 1000  # binding domains keep ~all
+    assert rates["en"] == 250  # 800 avail, need 200 => 250 permille
+    # degenerate inputs
+    assert domain_mix_rates({}, targets) == {}
+    assert domain_mix_rates(counts, {"en": 0}) == {}
+
+
+def test_domain_mix_sample_respects_rates(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.sampling import domain_mix_rates, domain_mix_sample, hash_buckets
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    n = 4000
+    langs = ["en"] * 3000 + ["de"] * 500 + ["zh"] * 500
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "lang": pa.array(langs),
+                "text": pa.array(["x"] * n),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    targets = {"en": 500, "de": 250, "zh": 250}
+    out = domain_mix_sample(sf, target_permille=targets).to_pandas()
+    rates = domain_mix_rates({"en": 3000, "de": 500, "zh": 500}, targets)
+    # row-level gate: exactly the rows whose hash bucket < their lang's rate
+    ids = np.arange(n, dtype=np.int64)
+    buckets = hash_buckets(ids)
+    thr = np.array([rates[l] for l in langs])
+    assert sorted(out["doc_id"]) == ids[buckets < thr].tolist()
+    # mixture realized within hash noise: en share near 50%
+    share_en = (out["lang"] == "en").mean()
+    assert 0.40 < share_en < 0.60
+
+
+def test_dedup_incremental_brute(ray_session):
+    """Window-overlap incremental dedup vs brute-force set logic, including
+    token-poor new docs (no window) surviving."""
+    from engine.ops.dedup import dedup_incremental
+
+    base = " ".join(f"w{i}" for i in range(20))          # 20 tokens
+    other = " ".join(f"v{i}" for i in range(20))
+    texts = [
+        base,                       # 0 old
+        other,                      # 1 new: shares nothing -> kept
+        base + " tail stuff here",  # 2 old
+        "w5 " + base,               # 3 new: contains old windows -> dropped
+        "short new doc",            # 4 old (even)
+        "tiny",                     # 5 new, no 16-gram -> kept
+        other + " " + base,         # 6 old
+        other,                      # 7 new: shares windows with nothing old?
+    ]
+    # doc 7 == doc 1 (both new) but doc 6 (old) CONTAINS other's windows
+    got = sorted(dedup_incremental(_docs_ds(texts), k=16).to_pandas()["doc_id"])
+
+    def windows(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 16]) for i in range(len(toks) - 15)}
+
+    old_w = set().union(*(windows(texts[i]) for i in range(0, len(texts), 2)))
+    want = sorted(
+        i for i in range(1, len(texts), 2) if not (windows(texts[i]) & old_w)
+    )
+    assert got == want
+    assert 5 in got and 3 not in got and 1 not in got  # 1 dropped via doc 6
