@@ -1099,6 +1099,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _collect(_di(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id")
 
+    def lm_quality_buckets(sf_dir):
+        """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
+        corpus-unigram-LM mean log-prob, integer-exact thresholds."""
+        from engine.ops.textstats import lm_quality_buckets as _lqb
+
+        return _collect(
+            _lqb(_docs(sf_dir, ["doc_id", "lang", "text"]))
+        ).sort_by("doc_id")
+
     def facet_counts(sf_dir):
         """Search faceting: per-(query, source) matched-doc counts; matched
         sets from postings union (ANY semantics), attribution streamed over
@@ -2937,6 +2946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": gopher_filter,
         "domain_mix_sample": domain_mix_sample,
         "dedup_incremental": dedup_incremental,
+        "lm_quality_buckets": lm_quality_buckets,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -5965,6 +5975,34 @@ WHERE text IS NOT NULL
                         WHERE doc_id % 2 = 1 AND win IN (SELECT win FROM old))
             SELECT doc_id FROM documents
             WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        """,
+        # integer-exact nearest-rank-lower terciles over 1e-6 fixed-point
+        # scores; same global unigram LM as the unigram_lm oracle
+        "lm_quality_buckets": f"""
+            WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+            tc AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+            tot AS (SELECT count(*) AS total FROM toks),
+            ll AS (SELECT t.doc_id, count(*) AS dl,
+                          sum(ln(tc.n::DOUBLE / tot.total)) AS ll
+                   FROM toks t JOIN tc USING (term) CROSS JOIN tot
+                   GROUP BY t.doc_id),
+            sc AS (SELECT d.doc_id, d.lang,
+                          round(ll.ll / ll.dl, 6) AS avg_logprob_r,
+                          CAST(round(round(ll.ll / ll.dl, 6) * 1000000, 0) AS BIGINT) AS score_c
+                   FROM documents d JOIN ll USING (doc_id) WHERE ll.dl > 0),
+            ranked AS (SELECT lang, score_c,
+                              row_number() OVER (PARTITION BY lang ORDER BY score_c) AS rk,
+                              count(*) OVER (PARTITION BY lang) AS n
+                       FROM sc),
+            thr AS (SELECT lang,
+                           max(CASE WHEN rk = ((n - 1) * 33) // 100 + 1 THEN score_c END) AS t_lo,
+                           max(CASE WHEN rk = ((n - 1) * 66) // 100 + 1 THEN score_c END) AS t_hi
+                    FROM ranked GROUP BY lang)
+            SELECT sc.doc_id, sc.lang, sc.avg_logprob_r,
+                   CASE WHEN sc.score_c >= thr.t_hi THEN 'head'
+                        WHEN sc.score_c >= thr.t_lo THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sc JOIN thr USING (lang)
         """,
         "fingerprint": f"""
             SELECT doc_id, md5(array_to_string({tok}, ' ')) AS fp_md5 FROM documents

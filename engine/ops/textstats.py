@@ -241,7 +241,8 @@ def _vocab_gather(ts: np.ndarray, nv: np.ndarray, words: np.ndarray, oov_count: 
 
 
 def unigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
-                      round_to: int = 6, max_vocab: int | None = DEFAULT_MAX_VOCAB):
+                      round_to: int = 6, max_vocab: int | None = DEFAULT_MAX_VOCAB,
+                      extra_cols: tuple[str, ...] = ()):
     """Per-doc mean token log-probability under the corpus unigram LM — the
     CCNet-style perplexity quality filter, exactly restatable in SQL.
 
@@ -276,13 +277,14 @@ def unigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
         else:
             ll = np.zeros(n, dtype=np.float64)
         safe = np.maximum(dl.astype(np.float64), 1.0)
-        return pa.table(
-            {
-                id_col: batch[id_col].cast(pa.int64()),
-                "dl": pa.array(dl.astype(np.int64)),
-                "avg_logprob_r": pa.array(np.round(ll / safe, round_to)),
-            }
-        )
+        cols = {
+            id_col: batch[id_col].cast(pa.int64()),
+            "dl": pa.array(dl.astype(np.int64)),
+            "avg_logprob_r": pa.array(np.round(ll / safe, round_to)),
+        }
+        for c in extra_cols:  # passthrough (e.g. lang for grouped consumers)
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
 
@@ -1478,3 +1480,123 @@ def gopher_filter(
         ).filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lm_quality_buckets(
+    ds,
+    lo_pct: int = 33,
+    hi_pct: int = 66,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    max_vocab: int | None = DEFAULT_MAX_VOCAB,
+):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019, arXiv
+    1911.00359 §3.3): per LANGUAGE, split docs into head / middle / tail
+    thirds by their corpus-unigram-LM mean log-probability. Head = the
+    best-modeled (lowest-perplexity) third — the slice CCNet keeps first.
+
+    Token-less docs are excluded (their 0.0 sentinel would outrank every
+    real log-prob). Thresholds are exact nearest-rank-lower values at
+    0-based rank ``((n-1)*pct)//100`` over the ASCENDING fixed-point scores
+    (``score_c = round(avg_logprob_r * 1e6)`` — avg_logprob_r is already
+    quantized to 6 decimals, so the int64 conversion is lossless and the
+    bucket rule is integer-exact, mirrored verbatim by the oracle SQL).
+    Labels: head iff score_c >= t_hi, middle iff >= t_lo, else tail.
+    Emits (doc_id, lang, avg_logprob_r, bucket).
+
+    Shape: the scored stream is consumed twice (once reduced to per-lang
+    value-count histograms for thresholds, once for labeling) — at real
+    scale, checkpoint the scores to parquet between the passes, or swap the
+    exact histogram for grouped_quantile_sketch (engine/ops/sketch.py),
+    whose mergeable KLL summaries bound the threshold exchange; this
+    variant keeps the exact, SQL-restatable contract. The threshold
+    exchange carries distinct (lang, score_c) pairs; the per-lang groups
+    are value-count rows, not docs. Driver state: #langs threshold pairs,
+    broadcast once via ray.put."""
+    import ray
+
+    scored = unigram_lm_scores(
+        ds, id_col=id_col, text_col=text_col, max_vocab=max_vocab,
+        extra_cols=(lang_col,),
+    )
+
+    def _score_c(tbl: pa.Table) -> np.ndarray:
+        return np.round(
+            tbl["avg_logprob_r"].to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        nz = batch.filter(pc.greater(batch["dl"], 0))
+        sc = _score_c(nz)
+        dic = nz[lang_col].dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # packed (lang, score) value counts; scores are ~[-40e6, 0] — shift
+        # into nonnegative 48-bit space so the pack is collision-free
+        shifted = sc + (np.int64(1) << 47)
+        packed = codes * (np.int64(1) << 48) + shifted
+        u, cnt = np.unique(packed, return_counts=True)
+        langs = dic.dictionary.take(pa.array((u >> np.int64(48)).astype(np.int64)))
+        return pa.table(
+            {
+                lang_col: langs,
+                "score_c": pa.array(
+                    (u & ((np.int64(1) << 48) - 1)) - (np.int64(1) << 47), pa.int64()
+                ),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def thresholds(group: pa.Table) -> pa.Table:
+        sc = group["score_c"].to_numpy(zero_copy_only=False)
+        cnt = group["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sc)
+        sc, cnt = sc[order], cnt[order]
+        cum = np.cumsum(cnt, dtype=np.int64)
+        n = int(cum[-1])
+        out = {}
+        for name, pct in (("t_lo_c", lo_pct), ("t_hi_c", hi_pct)):
+            rank = ((n - 1) * pct) // 100  # 0-based nearest-rank lower
+            out[name] = int(sc[np.searchsorted(cum, rank + 1)])
+        return pa.table(
+            {
+                lang_col: group[lang_col].slice(0, 1),
+                "t_lo_c": pa.array([out["t_lo_c"]], pa.int64()),
+                "t_hi_c": pa.array([out["t_hi_c"]], pa.int64()),
+            }
+        )
+
+    thr_rows = (
+        scored.map_batches(hist, batch_format="pyarrow")
+        .groupby(lang_col)
+        .map_groups(thresholds, batch_format="pyarrow")
+        .take_all()  # bounded: one row per language
+    )
+    thr = {r[lang_col]: (int(r["t_lo_c"]), int(r["t_hi_c"])) for r in thr_rows}
+    ref = ray.put(thr)
+
+    def label(batch: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        nz = batch.filter(pc.greater(batch["dl"], 0))
+        sc = _score_c(nz)
+        langs = nz[lang_col].to_numpy(zero_copy_only=False)
+        # init above any score: a lang somehow absent from thr labels 'tail'
+        t_lo = np.full(len(sc), np.iinfo(np.int64).max, dtype=np.int64)
+        t_hi = np.full(len(sc), np.iinfo(np.int64).max, dtype=np.int64)
+        for lg, (lo, hi) in t.items():
+            m = langs == lg
+            t_lo[m], t_hi[m] = lo, hi
+        labels = pa.array(["tail", "middle", "head"], pa.string())
+        idx = (sc >= t_lo).astype(np.int8) + (sc >= t_hi).astype(np.int8)
+        return pa.table(
+            {
+                id_col: nz[id_col].cast(pa.int64()),
+                lang_col: nz[lang_col],
+                "avg_logprob_r": nz["avg_logprob_r"],
+                "bucket": labels.take(pa.array(idx)),
+            }
+        )
+
+    return scored.map_batches(label, batch_format="pyarrow")

@@ -1631,3 +1631,76 @@ def test_dedup_incremental_brute(ray_session):
     )
     assert got == want
     assert 5 in got and 3 not in got and 1 not in got  # 1 dropped via doc 6
+
+
+def test_lm_quality_buckets_brute(ray_session):
+    """CCNet tercile bucketing vs a pure-Python recompute of the unigram LM,
+    the fixed-point thresholds, and the labels."""
+    import math
+    import re
+    from collections import Counter
+
+    from engine.ops.textstats import lm_quality_buckets
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    langs = ["en", "de"]
+    texts, doc_langs = [], []
+    for i in range(40):
+        k = int(rng.integers(5, 25))
+        texts.append(" ".join(rng.choice(vocab, size=k)))
+        doc_langs.append(langs[i % 2])
+    texts.append("")  # token-less: must be excluded
+    doc_langs.append("en")
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "lang": pa.array(doc_langs),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    got = (
+        lm_quality_buckets(ds)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    toks = [
+        [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w] for t in texts
+    ]
+    tc = Counter(w for ws in toks for w in ws)
+    total = sum(tc.values())
+    score_c, scores = {}, {}
+    for i, ws in enumerate(toks):
+        if not ws:
+            continue
+        s = round(sum(math.log(tc[w] / total) for w in ws) / len(ws), 6)
+        scores[i] = s
+        score_c[i] = round(s * 1e6)
+    want_rows = []
+    for lg in langs:
+        sc = sorted(score_c[i] for i in score_c if doc_langs[i] == lg)
+        n = len(sc)
+        t_lo = sc[((n - 1) * 33) // 100]
+        t_hi = sc[((n - 1) * 66) // 100]
+        for i in sorted(score_c):
+            if doc_langs[i] != lg:
+                continue
+            b = (
+                "head"
+                if score_c[i] >= t_hi
+                else "middle" if score_c[i] >= t_lo else "tail"
+            )
+            want_rows.append((i, lg, scores[i], b))
+    want_rows.sort()
+    assert len(got) == len(want_rows) == 40  # empty doc excluded
+    for (i, lg, s, b), row in zip(want_rows, got.itertuples(index=False)):
+        assert (row.doc_id, row.lang, row.bucket) == (i, lg, b)
+        assert abs(row.avg_logprob_r - s) < 1e-9
+    # roughly thirds per lang
+    en = got[got["lang"] == "en"]["bucket"].value_counts()
+    assert set(en.index) == {"head", "middle", "tail"}
