@@ -2459,6 +2459,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def transcripts_has_child(sf_dir):
+        """Parent/child conversation join (the ES ``has_child`` serving
+        surface): top-k conversations where a USER turn and an ASSISTANT
+        turn both match the query; each side's representative is its
+        conversation's best role-filtered turn (collapse rule) and the
+        conversation scores their sum. The reference's per-pair candidate
+        intersection (DefaultTargetAssembler.java:79-112) one level up."""
+        from engine.queries import QUERY_SET
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_transcripts_index(sf_dir))
+        qids, convs, pds, cds, ranks, scores = [], [], [], [], [], []
+        for q in QUERY_SET:
+            c, pd_, cd_, s = bm.conv_joint_topk(
+                q["text"], q["text"], "user", "assistant", q["k"],
+                rank_round=RANK_ROUND,
+            )
+            qids.extend([q["query_id"]] * len(c))
+            convs.extend([str(x) for x in c])
+            pds.extend(pd_.tolist())
+            cds.extend(cd_.tolist())
+            ranks.extend(range(1, len(c) + 1))
+            scores.extend(np.round(s, SCORE_ROUND).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "rank": pa.array(ranks, pa.int64()),
+                "conv_id": pa.array(convs, pa.string()),
+                "parent_doc": pa.array(pds, pa.int64()),
+                "child_doc": pa.array(cds, pa.int64()),
+                "score_r": pa.array(scores, pa.float64()),
+            }
+        )
+
     def transcripts_significant_terms(sf_dir):
         """Significant-terms aggregation (the Lucene/ES ``significant_terms``
         serving surface): per query, terms over-represented in the FOREGROUND
@@ -2984,6 +3018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_did_you_mean": suggest_did_you_mean,
         "best_passages": best_passages,
         "transcripts_collapse_topk": transcripts_collapse_topk,
+        "transcripts_has_child": transcripts_has_child,
         "transcripts_significant_terms": transcripts_significant_terms,
         "transcripts_match_stats": transcripts_match_stats,
         "transcripts_date_histogram": transcripts_date_histogram,
@@ -4303,6 +4338,78 @@ FROM ranked WHERE rank <= k
 """
 
 
+def _transcripts_has_child_sql() -> str:
+    """Oracle for the parent/child conversation join: full turn-level BM25,
+    per-(query, conv, role) best turn by the collapse rule, an inner join of
+    the user-side and assistant-side representatives on the conversation, the
+    sum of the two scores ranked (rounded DESC, conv_id ASC)."""
+    from engine.queries import QUERY_SET
+    from engine.tokenize import tokenize_text
+
+    vals = ",\n      ".join(
+        f"('{q['query_id']}', '{t}', {q['k']})"
+        for q in QUERY_SET
+        for t in sorted(set(tokenize_text(q["text"])))
+    )
+    return f"""
+WITH corpus AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id,
+         conv_id, role, text
+  FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM corpus
+),
+dl AS MATERIALIZED (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS MATERIALIZED (SELECT c.doc_id, coalesce(dl.dl, 0) AS dl FROM corpus c LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, k) AS (VALUES
+      {vals}),
+scores AS MATERIALIZED (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, tf.doc_id
+),
+hits AS (
+  SELECT s.query_id, s.k, s.doc_id, s.score, c.conv_id, c.role
+  FROM scores s JOIN corpus c USING (doc_id)
+  WHERE c.role IN ('user', 'assistant')
+),
+rep AS (
+  SELECT * FROM (
+    SELECT query_id, k, conv_id, role, doc_id, score,
+           row_number() OVER (PARTITION BY query_id, conv_id, role
+                              ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rn
+    FROM hits) WHERE rn = 1
+),
+joined AS (
+  SELECT p.query_id, p.k, p.conv_id,
+         p.doc_id AS parent_doc, ch.doc_id AS child_doc,
+         p.score + ch.score AS total
+  FROM rep p JOIN rep ch
+    ON p.query_id = ch.query_id AND p.conv_id = ch.conv_id
+  WHERE p.role = 'user' AND ch.role = 'assistant'
+),
+ranked AS (
+  SELECT query_id, k, conv_id, parent_doc, child_doc, total,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(total, {RANK_ROUND}) DESC, conv_id) AS rank
+  FROM joined
+)
+SELECT query_id, rank::BIGINT AS rank, conv_id, parent_doc, child_doc,
+       round(total, {SCORE_ROUND}) AS score_r
+FROM ranked WHERE rank <= k
+"""
+
+
 def _transcripts_sig_terms_sql() -> str:
     """Oracle for significant_terms: full turn-level BM25 scores, the
     per-query top-SIG_K_DOCS foreground set (rounded score DESC, doc_id ASC),
@@ -5251,6 +5358,7 @@ WHERE text IS NOT NULL
         "suggest_did_you_mean": _suggest_sql(),
         "best_passages": _passages_sql(),
         "transcripts_collapse_topk": _transcripts_collapse_sql(),
+        "transcripts_has_child": _transcripts_has_child_sql(),
         "transcripts_significant_terms": _transcripts_sig_terms_sql(),
         "transcripts_match_stats": _transcripts_match_stats_sql(),
         "transcripts_date_histogram": _transcripts_date_hist_sql(),

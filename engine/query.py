@@ -1870,6 +1870,82 @@ class Bm25Index:
         convs = [meta[int(x)][0] for x in win_docs.tolist()]
         return convs, win_docs, win_scores
 
+    def conv_joint_topk(
+        self,
+        parent_query: str,
+        child_query: str,
+        parent_role: str,
+        child_role: str,
+        k: int,
+        rank_round: int | None = None,
+    ) -> tuple[list[str], np.ndarray, np.ndarray, np.ndarray]:
+        """Parent/child join on the conversation hierarchy (the Lucene/ES
+        ``has_child`` / parent-join serving surface): top-``k``
+        CONVERSATIONS containing BOTH a ``parent_role`` turn matching
+        ``parent_query`` AND a ``child_role`` turn matching ``child_query``.
+        Each side elects its conversation's best role-filtered turn by the
+        collapse rule (rounded score desc, docID asc); the conversation
+        scores the SUM of its two representatives, ranked (rounded sum
+        desc, conv ordinal asc — conv ordinal order is conv_id
+        lexicographic by the docID-minting invariant).
+
+        The same shape as the reference's multi-pair candidate
+        intersection (DefaultTargetAssembler.java:79-112: per-pair hit
+        sets intersected on structureIndex, survivors scored), one level
+        up: per-role hit sets intersected on the conversation key.
+
+        Scale shape: two score_all passes + O(hits) vectorized collapse
+        via the conv-start searchsorted; the join is an np.intersect1d on
+        conv ordinals — no corpus re-read, only the <= k winners hydrate
+        conv_id strings through the doc store.
+
+        Returns (conv_ids, parent_docs, child_docs, scores) in rank
+        order."""
+        empty: tuple[list[str], np.ndarray, np.ndarray, np.ndarray] = (
+            [],
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float64),
+        )
+
+        def side(query_text: str, role: str):
+            doc, score = self.score_all(query_text)
+            rd = self.category_docs(role)
+            if not len(doc) or not len(rd):
+                return None
+            pos = np.clip(np.searchsorted(rd, doc), 0, len(rd) - 1)
+            m = rd[pos] == doc
+            doc, score = doc[m], score[m]
+            if not len(doc):
+                return None
+            key = np.round(score, rank_round) if rank_round is not None else score
+            grp = np.searchsorted(self._conv_starts(), doc, side="right") - 1
+            order = np.lexsort((doc, -key))
+            u, first_idx = np.unique(grp[order], return_index=True)
+            sel = order[first_idx]
+            return u, doc[sel], score[sel]
+
+        p = side(parent_query, parent_role)
+        c = side(child_query, child_role)
+        if p is None or c is None:
+            return empty
+        common, ip, ic = np.intersect1d(p[0], c[0], return_indices=True)
+        if not len(common):
+            return empty
+        p_doc, p_sc = p[1][ip], p[2][ip]
+        c_doc, c_sc = c[1][ic], c[2][ic]
+        total = p_sc + c_sc
+        key = np.round(total, rank_round) if rank_round is not None else total
+        order = np.lexsort((common, -key))[:k]
+        win_p, win_c, win_s = p_doc[order], c_doc[order], total[order]
+        if getattr(self, "_docstore", None) is None:
+            from .docstore import DocStore
+
+            self._docstore = DocStore(self.index_dir)
+        meta = self._docstore.rows(win_p, ["conv_id"])
+        convs = [meta[int(x)][0] for x in win_p.tolist()]
+        return convs, win_p, win_c, win_s
+
     def significant_terms(
         self,
         query_text: str,

@@ -1371,3 +1371,60 @@ def test_term_vectors_vs_bruteforce(tiny_index, tiny_corpus, oracle):
             for t, n in Counter(tokenize_text(text_of[d])).items()
         }
         assert mine == want, d
+
+
+def test_conv_joint_topk_vs_bruteforce(tiny_index_cat):
+    """Parent/child conversation join (has_child): engine's two-sided
+    collapse + conv-ordinal intersect must equal a brute-force pandas
+    recompute — per-role best turn by (rounded score desc, doc asc), inner
+    join on conv, score sum, (rounded sum desc, conv asc) ranking."""
+    import pandas as pd
+
+    bm = Bm25Index(tiny_index_cat)
+    dm = pq.read_table(
+        tiny_index_cat + "/docmap", columns=["doc_id", "conv_id", "category"]
+    )
+    conv_of = dict(zip(dm["doc_id"].to_pylist(), dm["conv_id"].to_pylist()))
+    role_of = dict(zip(dm["doc_id"].to_pylist(), dm["category"].to_pylist()))
+    saw_nonempty = False
+    for q in QUERY_SET:
+        convs, pdoc, cdoc, total = bm.conv_joint_topk(
+            q["text"], q["text"], "user", "assistant", q["k"], rank_round=9
+        )
+        doc, score = bm.score_all(q["text"])
+        if not len(doc):
+            assert convs == []
+            continue
+        df = pd.DataFrame(
+            {
+                "doc": doc,
+                "key": np.round(score, 9),
+                "score": score,
+                "conv": [conv_of[int(d)] for d in doc],
+                "role": [role_of[int(d)] for d in doc],
+            }
+        ).sort_values(["key", "doc"], ascending=[False, True], kind="stable")
+        reps = {
+            r: df[df["role"] == r].groupby("conv", sort=False).head(1)
+            for r in ("user", "assistant")
+        }
+        j = reps["user"].merge(
+            reps["assistant"], on="conv", suffixes=("_p", "_c")
+        )
+        if j.empty:
+            assert convs == []
+            continue
+        saw_nonempty = True
+        j["total"] = j["score_p"] + j["score_c"]
+        j["tkey"] = np.round(j["total"], 9)
+        j = j.sort_values(["tkey", "conv"], ascending=[False, True], kind="stable")
+        exp = j.head(q["k"])
+        assert convs == exp["conv"].tolist(), q["query_id"]
+        assert pdoc.tolist() == exp["doc_p"].tolist()
+        assert cdoc.tolist() == exp["doc_c"].tolist()
+        np.testing.assert_allclose(total, exp["total"].to_numpy(), rtol=0, atol=0)
+        # every conv appears once, and both reps really match their roles
+        assert len(set(convs)) == len(convs)
+        assert all(role_of[int(d)] == "user" for d in pdoc)
+        assert all(role_of[int(d)] == "assistant" for d in cdoc)
+    assert saw_nonempty
