@@ -1108,6 +1108,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _lqb(_docs(sf_dir, ["doc_id", "lang", "text"]))
         ).sort_by("doc_id")
 
+    def cms_heavy_hitters(sf_dir):
+        """Count-min-sketch heavy hitters: top-25 tokens by CMS estimate
+        (mergeable depth x width counters, md5_number_lower-parity cells) —
+        the sketch, estimates and ranking restated exactly by the oracle."""
+        from engine.ops.sketch import cms_heavy_hitters as _cms
+
+        return _collect(_cms(_docs(sf_dir, ["doc_id", "text"])))
+
     def facet_counts(sf_dir):
         """Search faceting: per-(query, source) matched-doc counts; matched
         sets from postings union (ANY semantics), attribution streamed over
@@ -2981,6 +2989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix_sample": domain_mix_sample,
         "dedup_incremental": dedup_incremental,
         "lm_quality_buckets": lm_quality_buckets,
+        "cms_heavy_hitters": cms_heavy_hitters,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -6083,6 +6092,30 @@ WHERE text IS NOT NULL
                         WHERE doc_id % 2 = 1 AND win IN (SELECT win FROM old))
             SELECT doc_id FROM documents
             WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        """,
+        # the entire CMS (counters, min-estimates, ranking) restated in SQL
+        "cms_heavy_hitters": f"""
+            WITH toks AS (SELECT unnest({tok}) AS term FROM documents),
+            depths(d) AS (VALUES (0), (1), (2), (3)),
+            cells AS (
+              SELECT dd.d,
+                     (md5_number_lower(concat(dd.d, ':', t.term))::UBIGINT % 1024)::BIGINT AS cell,
+                     count(*)::BIGINT AS n
+              FROM toks t CROSS JOIN depths dd
+              GROUP BY 1, 2),
+            terms AS (SELECT DISTINCT term FROM toks),
+            est AS (
+              SELECT t.term, min(c.n)::BIGINT AS est
+              FROM terms t CROSS JOIN depths dd
+              JOIN cells c
+                ON c.d = dd.d
+               AND c.cell = (md5_number_lower(concat(dd.d, ':', t.term))::UBIGINT % 1024)::BIGINT
+              GROUP BY t.term),
+            ranked AS (
+              SELECT term, est,
+                     row_number() OVER (ORDER BY est DESC, term) AS rank
+              FROM est)
+            SELECT rank::BIGINT AS rank, term, est FROM ranked WHERE rank <= 25
         """,
         # integer-exact nearest-rank-lower terciles over 1e-6 fixed-point
         # scores; same global unigram LM as the unigram_lm oracle

@@ -255,3 +255,132 @@ def grouped_quantile_sketch(
         .map_groups(finish, batch_format="pyarrow")
         .sort(["event_type", "q"])
     )
+
+
+def cms_heavy_hitters(
+    ds,
+    width: int = 1024,
+    depth: int = 4,
+    topn: int = 25,
+    text_col: str = "text",
+):
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005): the
+    corpus's ``topn`` most frequent tokens ranked by their CMS ESTIMATE —
+    ``est(t) = min over rows d of counter[d][cell(d, t)]`` with
+    ``cell(d, t) = md5_lower64(f"{d}:{t}") % width``. Counters are pure
+    sums, so the sketch is mergeable and the estimate is independent of
+    partitioning; with the md5_number_lower-parity hash the WHOLE sketch —
+    counters, estimates, ranking — is restated exactly by the oracle SQL
+    (the KMV pattern: a value-hash-checked approximate operator; only
+    accuracy is probabilistic, the output is not). Estimates only ever
+    OVER-count (CMS guarantee), so true heavy hitters cannot be pushed out
+    by light ones, only joined by collided ones.
+
+    Shape: per-batch (row, cell) bincount partials -> one TINY groupby
+    (<= depth x width cells cross the exchange per batch, regardless of
+    batch size) -> the depth x width counter matrix broadcast once via
+    ray.put -> per-batch distinct-term estimation with a local top-``topn``
+    partial, so the final sort sees <= topn x blocks rows, never the
+    vocabulary. Returns (rank, term, est) — est int64.
+    """
+    import ray
+
+    from ..tokenize import _explode_tokens
+
+    if width < 1 or depth < 1 or topn < 1:
+        raise ValueError("require width, depth, topn >= 1")
+
+    def cells_of(terms: pa.Array) -> np.ndarray:
+        """(depth, n_terms) CMS cell ids, md5_number_lower-exact."""
+        out = np.empty((depth, len(terms)), dtype=np.int64)
+        for d in range(depth):
+            salted = pa.array([f"{d}:{t}" for t in terms.to_pylist()])
+            out[d] = (md5_lower64(salted) % np.uint64(width)).astype(np.int64)
+        return out
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, _parent, _dl = _explode_tokens(batch[text_col])
+        if not len(flat):
+            return pa.table(
+                {
+                    "d": pa.array([], pa.int64()),
+                    "cell": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        dic = flat.dictionary_encode()
+        counts = np.bincount(
+            dic.indices.to_numpy(zero_copy_only=False),
+            minlength=len(dic.dictionary),
+        ).astype(np.int64)
+        cells = cells_of(dic.dictionary)  # md5 per UNIQUE term only
+        ds_, cs_, ns_ = [], [], []
+        for d in range(depth):
+            cnt = np.bincount(cells[d], weights=counts, minlength=width)
+            nz = np.flatnonzero(cnt)
+            ds_.append(np.full(len(nz), d, dtype=np.int64))
+            cs_.append(nz.astype(np.int64))
+            ns_.append(cnt[nz].astype(np.int64))
+        return pa.table(
+            {
+                "d": pa.array(np.concatenate(ds_)),
+                "cell": pa.array(np.concatenate(cs_)),
+                "n": pa.array(np.concatenate(ns_)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["d", "cell"])
+        .aggregate(Sum("n"))
+        .to_pandas()  # bounded: <= depth x width rows by construction
+    )
+    counters = np.zeros((depth, width), dtype=np.int64)
+    counters[agg["d"].to_numpy(), agg["cell"].to_numpy()] = agg["sum(n)"].to_numpy()
+    ref = ray.put(counters)
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cnts = ray.get(ref)
+        flat, _parent, _dl = _explode_tokens(batch[text_col])
+        if not len(flat):
+            return pa.table(
+                {"term": pa.array([], pa.string()), "est": pa.array([], pa.int64())}
+            )
+        terms = pc.unique(flat)
+        cells = cells_of(terms)
+        est = cnts[np.arange(depth)[:, None], cells].min(axis=0)
+        t_np = np.asarray(terms.to_pylist(), dtype=object)
+        order = np.lexsort((t_np, -est))[:topn]  # local partial top-n
+        return pa.table(
+            {
+                "term": pa.array(t_np[order].tolist(), pa.string()),
+                "est": pa.array(est[order], pa.int64()),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        t = group["term"].to_numpy(zero_copy_only=False)
+        e = group["est"].to_numpy(zero_copy_only=False)
+        # a term estimated in several batches repeats with the SAME global
+        # estimate — dedupe before the final rank
+        tu, first = np.unique(t, return_index=True)
+        eu = e[first]
+        order = np.lexsort((tu, -eu))[:topn]
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "term": pa.array(tu[order].tolist(), pa.string()),
+                "est": pa.array(eu[order], pa.int64()),
+            }
+        )
+
+    # the final rank runs over <= topn x blocks partial rows on ONE task
+    return (
+        ds.map_batches(estimate, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -1704,3 +1704,42 @@ def test_lm_quality_buckets_brute(ray_session):
     # roughly thirds per lang
     en = got[got["lang"] == "en"]["bucket"].value_counts()
     assert set(en.index) == {"head", "middle", "tail"}
+
+
+def test_cms_heavy_hitters_overcount_and_rank(ray_session):
+    """CMS invariants vs exact counts: estimates never under-count, exact
+    heavy hitters surface in rank order, and the estimate is partitioning-
+    independent (2-block run == 1-block run)."""
+    from collections import Counter
+
+    import ray.data
+
+    from engine.ops.sketch import cms_heavy_hitters
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i:03d}" for i in range(120)]
+    weights = np.arange(len(vocab), 0, -1, dtype=np.float64)
+    weights /= weights.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(10, 60)), p=weights))
+        for _ in range(300)
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    got = cms_heavy_hitters(
+        ray.data.from_arrow(tbl), width=512, depth=4, topn=10
+    ).to_pandas()
+    exact = Counter(w for t in texts for w in t.split())
+    # CMS only over-counts
+    for r in got.itertuples(index=False):
+        assert r.est >= exact[r.term], r.term
+    # rank order is (est desc, term asc) and ranks are 1..n
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
+    keys = list(zip(-got["est"], got["term"]))
+    assert keys == sorted(keys)
+    # partitioning independence
+    got2 = cms_heavy_hitters(
+        ray.data.from_arrow(tbl).repartition(7), width=512, depth=4, topn=10
+    ).to_pandas()
+    assert got.equals(got2)
