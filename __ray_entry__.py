@@ -1099,6 +1099,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _collect(_di(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id")
 
+
+    def near_dedup_incremental(sf_dir):
+        """Cross-snapshot NEAR-dup dedup: new (odd-id) docs that are
+        LSH-candidate + exact-Jaccard >= 4/5 near-dups of an old (even-id)
+        doc are dropped; emits survivors."""
+        from engine.ops.dedup import near_dedup_incremental as _ndi
+
+        return _collect(
+            _ndi(_docs(sf_dir, ["doc_id", "text"]),
+                 threshold_num=4, threshold_den=5)
+        ).sort_by("doc_id")
+
     def lm_quality_buckets(sf_dir):
         """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
         corpus-unigram-LM mean log-prob, integer-exact thresholds."""
@@ -2990,6 +3002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": dedup_incremental,
         "lm_quality_buckets": lm_quality_buckets,
         "cms_heavy_hitters": cms_heavy_hitters,
+        "near_dedup_incremental": near_dedup_incremental,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -6090,6 +6103,30 @@ WHERE text IS NOT NULL
             old AS (SELECT DISTINCT win FROM w WHERE doc_id % 2 = 0),
             flagged AS (SELECT DISTINCT doc_id FROM w
                         WHERE doc_id % 2 = 1 AND win IN (SELECT win FROM old))
+            SELECT doc_id FROM documents
+            WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        """,
+        # exact-Jaccard restatement; banding recall is total on this corpus
+        # (see _jaccard_sql), so LSH-candidate + verify == exact pairs
+        "near_dedup_incremental": f"""
+            WITH {_SHINGLE_CTE},
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b
+            ),
+            nd AS (
+              SELECT p.doc_a, p.doc_b
+              FROM pairs p
+              JOIN sz sa ON p.doc_a = sa.doc_id
+              JOIN sz sb ON p.doc_b = sb.doc_id
+              WHERE p.common * 5 >= 4 * (sa.n + sb.n - p.common)
+            ),
+            flagged AS (
+              SELECT doc_a AS doc_id FROM nd WHERE doc_a % 2 = 1 AND doc_b % 2 = 0
+              UNION
+              SELECT doc_b AS doc_id FROM nd WHERE doc_b % 2 = 1 AND doc_a % 2 = 0
+            )
             SELECT doc_id FROM documents
             WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM flagged)
         """,

@@ -1861,6 +1861,23 @@ def dedup_incremental(
             }
         )
 
+    marked = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("shbucket")
+        .map_groups(mark, batch_format="pyarrow")
+        .select_columns(["doc_id", "flag", "docbucket"])
+    )
+    return _surviving_new(ds, marked, old_mod, id_col, num_partitions)
+
+
+def _surviving_new(ds, marked, old_mod: int, id_col: str, num_partitions: int):
+    """NEW docs (``doc_id % old_mod != 0``) minus the flagged set, join-free:
+    a per-batch presence stream (every new doc, flag 0) unions with
+    ``marked`` ((doc_id, flag, docbucket) rows, flag 1 = drop) and one
+    doc-bucket groupby keeps docs whose max flag is 0 — so token-poor /
+    signature-less new docs that never reached the flagging pipeline still
+    survive. Emits (doc_id)."""
+
     def presence(batch: pa.Table) -> pa.Table:
         d = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         dn = d[d % old_mod != 0]
@@ -1880,12 +1897,6 @@ def dedup_incremental(
         np.maximum.at(fmax, inv, f)
         return pa.table({"doc_id": pa.array(ud[fmax == 0], pa.int64())})
 
-    marked = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("shbucket")
-        .map_groups(mark, batch_format="pyarrow")
-        .select_columns(["doc_id", "flag", "docbucket"])
-    )
     pres = ds.map_batches(presence, batch_format="pyarrow")
     return (
         marked.union(pres)
@@ -1893,3 +1904,53 @@ def dedup_incremental(
         .map_groups(keep, batch_format="pyarrow")
         .select_columns(["doc_id"])
     )
+
+
+def near_dedup_incremental(
+    ds,
+    *,
+    old_mod: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+    **lsh_kwargs,
+):
+    """Cross-snapshot NEAR-dup dedup: drop NEW docs (``doc_id % old_mod !=
+    0``) that are MinHash-LSH-candidate AND exact-Jaccard-verified near
+    duplicates of ANY doc in the OLD slice — the fuzzy companion of
+    :func:`dedup_incremental` (which needs a shared exact window); the
+    recurring-crawl hygiene pass that keeps lightly-edited recrawls of
+    already-trained documents out of the next training mix.
+
+    NEW-vs-NEW near-dups are intentionally kept (that is
+    :func:`near_dedup_keep`'s job within one snapshot); only pairs that
+    straddle the old/new boundary flag a doc. Emits (doc_id) per surviving
+    new doc, token-poor docs included.
+
+    Shape: the verified pair pipeline of :func:`minhash_lsh_pairs`
+    (signatures -> LSH buckets -> distinct candidates -> join-free exact
+    verify) feeds one stateless flag map (a pair flags its new side iff its
+    other side is old) and the shared presence-union survivor reduction —
+    no joins, no driver-side doc state beyond the LSH pipeline's own
+    bounded refs."""
+    pairs = minhash_lsh_pairs(
+        ds, id_col=id_col, text_col=text_col, num_partitions=num_partitions,
+        **lsh_kwargs,
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        a_old = a % old_mod == 0
+        b_old = b % old_mod == 0
+        flagged = np.concatenate([a[~a_old & b_old], b[~b_old & a_old]])
+        return pa.table(
+            {
+                "doc_id": pa.array(flagged, pa.int64()),
+                "flag": pa.array(np.ones(len(flagged), dtype=np.int64)),
+                "docbucket": pa.array(flagged % num_partitions, pa.int64()),
+            }
+        )
+
+    marked = pairs.map_batches(flag, batch_format="pyarrow")
+    return _surviving_new(ds, marked, old_mod, id_col, num_partitions)

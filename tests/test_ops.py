@@ -1743,3 +1743,29 @@ def test_cms_heavy_hitters_overcount_and_rank(ray_session):
         ray.data.from_arrow(tbl).repartition(7), width=512, depth=4, topn=10
     ).to_pandas()
     assert got.equals(got2)
+
+
+def test_near_dedup_incremental_brute(ray_session):
+    """Cross-snapshot near-dup: new docs near an old doc (Jaccard >= 4/5 on
+    3-gram shingles) drop; new-vs-new near-dups and unique docs survive."""
+    from engine.ops.dedup import near_dedup_incremental
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        base,                                 # 0 old
+        base + " extra",                      # 1 new: near-dup of old 0 -> drop
+        "one two three four five six seven",  # 2 old
+        "unrelated words entirely here now",  # 3 new: unique -> keep
+        "completely different text block",    # 4 old
+        "pair text aa bb cc dd ee ff gg",     # 5 new
+        "fill fill fill fill fill",           # 6 old
+        "pair text aa bb cc dd ee ff gg hh",  # 7 new: near-dup of NEW 5 -> keep
+        "tiny",                               # 8 old
+        "xy",                                 # 9 new: shingle-less -> keep
+    ]
+    got = sorted(
+        near_dedup_incremental(
+            _docs_ds(texts), threshold_num=4, threshold_den=5
+        ).to_pandas()["doc_id"]
+    )
+    assert got == [3, 5, 7, 9]
