@@ -1111,6 +1111,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                  threshold_num=4, threshold_den=5)
         ).sort_by("doc_id")
 
+
+    def rank_eval(sf_dir):
+        """Ranking evaluation (the ES _rank_eval endpoint): P@k, recall@k
+        and MRR of each query's BM25 top-k against conjunctive-containment
+        judgments derived from the corpus itself."""
+        from engine.ops.serving import rank_eval as _re
+
+        return _re(
+            _documents_index(sf_dir), _doc_query_items(), rank_round=RANK_ROUND
+        )
+
     def lm_quality_buckets(sf_dir):
         """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
         corpus-unigram-LM mean log-prob, integer-exact thresholds."""
@@ -3003,6 +3014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_quality_buckets": lm_quality_buckets,
         "cms_heavy_hitters": cms_heavy_hitters,
         "near_dedup_incremental": near_dedup_incremental,
+        "rank_eval": rank_eval,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -3167,6 +3179,70 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, round(score, {SCORE_ROUND}) AS score_r
 FROM ranked WHERE rank <= k
+"""
+
+
+def _rank_eval_sql() -> str:
+    """Oracle for rank_eval: the plain BM25 ranking CTE, conjunctive-
+    containment judgments (matched == query term count), and the ES metric
+    conventions (P@k over requested k, recall over |relevant| with 0.0
+    fallback, MRR of the first relevant retrieved rank)."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}', {k})"
+        for qid, text, k in DOC_QUERIES
+        for t in sorted(set(text.lower().split()))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, k) AS (VALUES
+      {vals}),
+qsize AS (SELECT query_id, count(*) AS nt FROM q GROUP BY query_id),
+scores AS (
+  SELECT q.query_id, q.k, tf.doc_id, count(*) AS matched,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, tf.doc_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT query_id, k, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+    FROM scores) WHERE rank <= k
+),
+rel AS (
+  SELECT s.query_id, s.doc_id FROM scores s JOIN qsize USING (query_id)
+  WHERE s.matched = qsize.nt
+),
+relcnt AS (SELECT query_id, count(*)::BIGINT AS n_relevant FROM rel GROUP BY query_id),
+hit AS (
+  SELECT t.query_id, count(*)::BIGINT AS n_hits, min(t.rank) AS first_rank
+  FROM topk t JOIN rel r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+  GROUP BY t.query_id
+)
+SELECT q2.query_id,
+       coalesce(rc.n_relevant, 0)::BIGINT AS n_relevant,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       round(coalesce(h.n_hits, 0) / (q2.k * 1.0), 6) AS p_at_k_r,
+       CASE WHEN coalesce(rc.n_relevant, 0) > 0
+            THEN round(coalesce(h.n_hits, 0) / (rc.n_relevant * 1.0), 6)
+            ELSE 0.0 END AS recall_r,
+       CASE WHEN h.first_rank IS NOT NULL
+            THEN round(1.0 / h.first_rank, 6) ELSE 0.0 END AS mrr_r
+FROM (SELECT DISTINCT query_id, k FROM q) q2
+LEFT JOIN relcnt rc USING (query_id)
+LEFT JOIN hit h USING (query_id)
 """
 
 
@@ -6156,6 +6232,7 @@ WHERE text IS NOT NULL
         """,
         # integer-exact nearest-rank-lower terciles over 1e-6 fixed-point
         # scores; same global unigram LM as the unigram_lm oracle
+        "rank_eval": _rank_eval_sql(),
         "lm_quality_buckets": f"""
             WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
             tc AS (SELECT term, count(*) AS n FROM toks GROUP BY term),

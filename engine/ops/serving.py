@@ -210,3 +210,61 @@ def rescore_recency(
             "score": pa.array(bases, pa.float64()),
         }
     )
+
+
+def rank_eval(
+    index_dir: str,
+    queries: list[dict],
+    rank_round: int | None = None,
+    round_to: int = 6,
+) -> pa.Table:
+    """Ranking-evaluation API (the Lucene/ES ``_rank_eval`` endpoint):
+    precision@k, recall@k and MRR of each query's BM25 top-k against
+    DERIVED relevance judgments — a doc is relevant iff it contains ALL the
+    query's terms (the conjunctive containment set, so judgments are a pure
+    function of the corpus and the oracle can recompute them). ES
+    conventions: P@k divides by the REQUESTED k even when fewer docs are
+    retrieved or relevant; recall divides by |relevant| (0.0 when none);
+    MRR is 1/rank of the first relevant retrieved doc (0.0 when none).
+
+    Scale shape: per-query work is the existing pruned top-k plus one
+    posting intersection over the query's terms (rarest-first early-exit
+    order, the reference's candidate-intersection loop,
+    DefaultTargetAssembler.java:79-112) — no corpus pass, no judgment file.
+    Emits (query_id, n_relevant, n_hits, p_at_k_r, recall_r, mrr_r)."""
+    from ..query import Bm25Index
+
+    bm = Bm25Index(index_dir)
+    qids, n_rel_l, n_hits_l, p_l, r_l, mrr_l = [], [], [], [], [], []
+    for q in queries:
+        doc, _score = bm.topk(q["text"], q["k"], rank_round=rank_round)
+        terms = sorted(set(bm._terms(q["text"])))
+        # conjunctive judgment set, rarest-first with early exit
+        terms.sort(key=lambda t: bm.reader.df(t))
+        rel = None
+        for t in terms:
+            d, _tf = bm.reader.postings(t)
+            rel = d if rel is None else rel[np.isin(rel, d, assume_unique=True)]
+            if rel is None or not len(rel):
+                break
+        rel = rel if rel is not None else np.empty(0, dtype=np.int64)
+        hits = np.isin(doc, rel, assume_unique=True)
+        n_hits = int(hits.sum())
+        nz = np.flatnonzero(hits)
+        first = int(nz[0]) + 1 if n_hits else 0
+        qids.append(q["query_id"])
+        n_rel_l.append(len(rel))
+        n_hits_l.append(n_hits)
+        p_l.append(round(n_hits / q["k"], round_to))
+        r_l.append(round(n_hits / len(rel), round_to) if len(rel) else 0.0)
+        mrr_l.append(round(1.0 / first, round_to) if first else 0.0)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "n_relevant": pa.array(n_rel_l, pa.int64()),
+            "n_hits": pa.array(n_hits_l, pa.int64()),
+            "p_at_k_r": pa.array(p_l, pa.float64()),
+            "recall_r": pa.array(r_l, pa.float64()),
+            "mrr_r": pa.array(mrr_l, pa.float64()),
+        }
+    )

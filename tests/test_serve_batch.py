@@ -53,3 +53,41 @@ def test_query_metrics_counters(ray_session, tiny_index):
         assert m["n_replicas"] == 2 and m["queries_served"] == 2
     finally:
         svc.shutdown()
+
+
+def test_rank_eval_metrics_brute(tiny_index):
+    """rank_eval vs a brute recompute: conjunctive judgments, ES P@k /
+    recall / MRR conventions including the no-relevant and absent-term
+    edges."""
+    from engine.oracle import bm25_scores  # noqa: F401 (fixture parity style)
+    from engine.ops.serving import rank_eval
+    from engine.query import Bm25Index
+    from engine.queries import QUERY_SET
+    from engine.tokenize import tokenize_text
+
+    queries = list(QUERY_SET) + [
+        {"query_id": "QZ_absent", "text": "zzznotaterm", "k": 5}
+    ]
+    got = rank_eval(tiny_index, queries, rank_round=9).to_pandas()
+    assert list(got["query_id"]) == [q["query_id"] for q in queries]
+    bm = Bm25Index(tiny_index)
+    for q, row in zip(queries, got.itertuples(index=False)):
+        doc, _ = bm.topk(q["text"], q["k"], rank_round=9)
+        terms = sorted(set(tokenize_text(q["text"])))
+        rel = None
+        for t in terms:
+            d, _tf = bm.reader.postings(t)
+            s = set(d.tolist())
+            rel = s if rel is None else rel & s
+        rel = rel or set()
+        hits = [int(d) in rel for d in doc]
+        n_hits = sum(hits)
+        assert row.n_relevant == len(rel)
+        assert row.n_hits == n_hits
+        assert row.p_at_k_r == round(n_hits / q["k"], 6)
+        assert row.recall_r == (round(n_hits / len(rel), 6) if rel else 0.0)
+        first = hits.index(True) + 1 if n_hits else 0
+        assert row.mrr_r == (round(1.0 / first, 6) if first else 0.0)
+    # the absent-term query exercises every zero fallback
+    z = got.iloc[-1]
+    assert (z.n_relevant, z.n_hits, z.p_at_k_r, z.recall_r, z.mrr_r) == (0, 0, 0.0, 0.0, 0.0)
