@@ -111,8 +111,12 @@ def main(argv: list[str] | None = None) -> int:
     mg.add_argument("out_dir")
 
     q = sub.add_parser("query", help="top-k BM25 query")
-    q.add_argument("index_dir")
+    q.add_argument("index_dir", help="index path, or an alias name with --registry")
     q.add_argument("text")
+    q.add_argument(
+        "--registry", default=None,
+        help="alias registry dir: resolve INDEX_DIR as an alias name first",
+    )
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--and", dest="conjunctive", action="store_true", help="all terms must match")
     q.add_argument("--csv", default=None, help="write hits to CSV (result-sink analog)")
@@ -212,6 +216,16 @@ def main(argv: list[str] | None = None) -> int:
 
     s = sub.add_parser("stats", help="print index stats.json")
     s.add_argument("index_dir")
+
+    al = sub.add_parser(
+        "alias",
+        help="alias registry: stable names over swappable index dirs "
+        "(atomic repoint = the zero-downtime reindex swap)",
+    )
+    al.add_argument("registry", help="registry directory (holds aliases.json)")
+    al.add_argument("action", choices=["set", "remove", "list", "resolve"])
+    al.add_argument("name", nargs="?", default=None)
+    al.add_argument("target", nargs="?", default=None, help="index dir (set only)")
 
     vf = sub.add_parser(
         "verify", help="integrity check: per-part CRC vs manifest (read-error-strategy analog)"
@@ -345,9 +359,33 @@ def main(argv: list[str] | None = None) -> int:
         from .merge import merge_indexes
 
         print(json.dumps(merge_indexes(args.index_a, args.index_b, args.out_dir)))
+    elif args.cmd == "alias":
+        from . import aliases
+
+        if args.action == "set":
+            if not args.name or not args.target:
+                raise SystemExit("alias set needs NAME and TARGET")
+            m = aliases.set_alias(args.registry, args.name, args.target)
+        elif args.action == "remove":
+            if not args.name:
+                raise SystemExit("alias remove needs NAME")
+            m = aliases.remove_alias(args.registry, args.name)
+        elif args.action == "resolve":
+            if not args.name:
+                raise SystemExit("alias resolve needs NAME")
+            print(aliases.resolve(args.name, args.registry))
+            return 0
+        else:
+            m = aliases.list_aliases(args.registry)
+        print(json.dumps(m, indent=1, sort_keys=True))
+
     elif args.cmd == "query":
         from .query import Bm25Index, write_hits_csv
 
+        if args.registry:
+            from . import aliases
+
+            args.index_dir = aliases.resolve(args.index_dir, args.registry)
         if args.sharded:
             if args.field_range:
                 raise SystemExit("--range is single-reader only (no --sharded)")

@@ -347,3 +347,65 @@ def test_cli_fedquery(ray_session, tiny_corpus, tmp_path, capsys):
     rows = _jsonl(capsys.readouterr().out)
     assert rows[-1] == {"members_searched": 1, "members_total": 2}
     assert all(r["doc_id"] < corpus.num_rows for r in rows[:-1])
+
+
+def test_alias_registry_and_query(ray_session, tiny_index, tmp_path, capsys):
+    """Alias lifecycle: set -> query through the alias == direct query;
+    atomic repoint to a second index changes what the alias serves; remove
+    and dangling-target failures are loud."""
+    from engine import aliases
+    from engine.cli import main
+
+    reg = str(tmp_path / "reg")
+    # set + list
+    assert main(["alias", reg, "set", "prod", tiny_index]) == 0
+    capsys.readouterr()
+    assert main(["alias", reg, "list"]) == 0
+    m = json.loads(capsys.readouterr().out)
+    assert m == {"prod": os.path.abspath(tiny_index)}
+    # resolve verb
+    assert main(["alias", reg, "resolve", "prod"]) == 0
+    assert capsys.readouterr().out.strip() == os.path.abspath(tiny_index)
+    # query through the alias == direct query
+    assert main(["query", "prod", "zqmarker0", "-k", "5", "--registry", reg]) == 0
+    via_alias = _jsonl(capsys.readouterr().out)
+    assert main(["query", tiny_index, "zqmarker0", "-k", "5"]) == 0
+    direct = _jsonl(capsys.readouterr().out)
+    assert via_alias == direct
+    # swap to a second index (different corpus slice): alias now serves it
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.build import build_index
+
+    corpus2 = str(tmp_path / "c2")
+    os.makedirs(corpus2)
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array(["c1"] * 2),
+                "turn_idx": pa.array([0, 1], pa.int32()),
+                "role": pa.array(["user", "assistant"]),
+                "text": pa.array(["swapped corpus marker", "other words"]),
+                "tool": pa.array(["", ""]),
+                "ts": pa.array([0, 1], pa.timestamp("us")),
+            }
+        ),
+        f"{corpus2}/part-00000.parquet",
+    )
+    idx2 = str(tmp_path / "idx2")
+    build_index(corpus2, idx2, n_buckets=2, n_salts=1)
+    assert main(["alias", reg, "set", "prod", idx2]) == 0
+    capsys.readouterr()
+    assert main(["query", "prod", "swapped", "-k", "5", "--registry", reg]) == 0
+    hits = _jsonl(capsys.readouterr().out)
+    assert len(hits) == 1  # only the new corpus has the term
+    # remove; resolving then fails
+    assert main(["alias", reg, "remove", "prod"]) == 0
+    with pytest.raises(KeyError):
+        aliases.resolve("prod", reg)
+    # guardrails: path-like names and uncommitted targets refused
+    with pytest.raises(ValueError):
+        aliases.set_alias(reg, "a/b", tiny_index)
+    with pytest.raises(FileNotFoundError):
+        aliases.set_alias(reg, "x", str(tmp_path / "nope"))
