@@ -1122,6 +1122,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _documents_index(sf_dir), _doc_query_items(), rank_round=RANK_ROUND
         )
 
+
+    def trim_repeated_windows(sf_dir):
+        """Repeated-substring removal (Lee et al. 2021 bounded to 8-token
+        windows): tokens covered by a corpus-duplicated window drop, docs
+        re-emit as analyzer-normalized clean text."""
+        from engine.ops.textstats import trim_repeated_windows as _trw
+
+        return _collect(
+            _trw(_docs(sf_dir, ["doc_id", "text"]), k=8, min_count=2)
+        ).sort_by("doc_id")
+
     def lm_quality_buckets(sf_dir):
         """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
         corpus-unigram-LM mean log-prob, integer-exact thresholds."""
@@ -3015,6 +3026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": cms_heavy_hitters,
         "near_dedup_incremental": near_dedup_incremental,
         "rank_eval": rank_eval,
+        "trim_repeated_windows": trim_repeated_windows,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -6233,6 +6245,32 @@ WHERE text IS NOT NULL
         # integer-exact nearest-rank-lower terciles over 1e-6 fixed-point
         # scores; same global unigram LM as the unigram_lm oracle
         "rank_eval": _rank_eval_sql(),
+        # window STRINGS recomputed; coverage via positional anti-join
+        "trim_repeated_windows": f"""
+            WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),
+            w AS (SELECT doc_id, g.i - 1 AS pos, array_to_string(toks[g.i:g.i+7], ' ') AS win
+                  FROM t CROSS JOIN LATERAL (
+                    SELECT unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i) g),
+            dupw AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+            dpos AS (SELECT w.doc_id, w.pos FROM w JOIN dupw USING (win)),
+            tokpos AS (SELECT doc_id, g.i - 1 AS tpos, toks[g.i] AS tok
+                       FROM t CROSS JOIN LATERAL (
+                         SELECT unnest(generate_series(1, len(toks))) AS i) g),
+            covered AS (SELECT DISTINCT tp.doc_id, tp.tpos
+                        FROM tokpos tp JOIN dpos d
+                          ON tp.doc_id = d.doc_id
+                         AND tp.tpos BETWEEN d.pos AND d.pos + 7),
+            agg AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM covered GROUP BY doc_id),
+            kept AS (SELECT tp.doc_id, tp.tpos, tp.tok
+                     FROM tokpos tp ANTI JOIN covered c
+                       ON tp.doc_id = c.doc_id AND tp.tpos = c.tpos),
+            keptagg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text_clean
+                        FROM kept GROUP BY doc_id)
+            SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+                   coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+                   coalesce(ka.text_clean, '') AS text_clean
+            FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN keptagg ka USING (doc_id)
+        """,
         "lm_quality_buckets": f"""
             WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
             tc AS (SELECT term, count(*) AS n FROM toks GROUP BY term),

@@ -1600,3 +1600,144 @@ def lm_quality_buckets(
         )
 
     return scored.map_batches(label, batch_format="pyarrow")
+
+
+def trim_repeated_windows(
+    ds,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+):
+    """Repeated-substring REMOVAL (the transform behind Lee et al. 2021,
+    arXiv 2107.06499 "Deduplicating Training Data Makes Language Models
+    Better", bounded to k-token windows so it stays exactly SQL-restatable):
+    every token covered by a k-token window whose string occurs >=
+    ``min_count`` times CORPUS-WIDE (any doc, including within-doc repeats)
+    is dropped; the doc re-emits as its surviving tokens space-joined
+    (analyzer-normalized text, like every downstream tokenizer sees it).
+    Emits (doc_id, n_tokens, n_removed, text_clean) for EVERY doc —
+    untouched docs pass through with n_removed = 0.
+
+    Shape: the positional window-hash explode + duplicated-run filter of
+    :func:`substring_dup_stats` (one corpus-wide hash-bucket groupby), then
+    the duplicated (doc, pos) rows UNION a full-pass doc stream (pos = -1
+    sentinel rows carrying the raw text) into ONE doc-bucket groupby whose
+    vectorized body rebuilds each doc: re-tokenize, difference-array span
+    coverage (np.add.at on window starts/ends — no interval
+    materialization), list-reassembly + binary_join. No joins, no driver
+    state; the second exchange carries the dup subset plus one text row per
+    doc. The oracle recomputes over window STRINGS, so a 64-bit hash
+    collision surfaces as a value mismatch."""
+    import polars as pl  # noqa: F401  (window hashing dependency, as in stats)
+
+    n_hash_buckets = max(64, num_partitions * 8)
+
+    def win_with_bucket(batch: pa.Table) -> pa.Table:
+        t = _window_hash_table(batch, k, id_col, text_col)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "hbucket", pa.array((h % n_hash_buckets).astype(np.int64))
+        )
+
+    def keep_dup_runs(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy(zero_copy_only=False)
+        if len(h) < min_count:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        order = np.argsort(h, kind="stable")
+        h_s = h[order]
+        first = np.empty(len(h_s), dtype=bool)
+        first[0] = True
+        np.not_equal(h_s[1:], h_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        runlen = np.diff(np.r_[starts, len(h_s)])
+        sel = order[np.repeat(runlen >= min_count, runlen)]
+        take = pa.array(sel)
+        return pa.table(
+            {"doc_id": group["doc_id"].take(take), "pos": group["pos"].take(take)}
+        )
+
+    def dup_rows(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pos": batch["pos"],
+                "text": pa.array([""] * len(d), pa.string()),
+                "bucket": pa.array(d % num_partitions, pa.int64()),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        d = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "pos": pa.array(np.full(len(d), -1, dtype=np.int64)),
+                "text": batch[text_col].cast(pa.string()),
+                "bucket": pa.array(d % num_partitions, pa.int64()),
+            }
+        )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        p = group["pos"].to_numpy(zero_copy_only=False)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        is_doc = p < 0
+        doc_sel = np.flatnonzero(is_doc)
+        order = np.argsort(d[doc_sel], kind="stable")
+        doc_sel = doc_sel[order]
+        doc_ids = d[doc_sel]  # sorted, one row per doc
+        texts = group["text"].take(pa.array(doc_sel))
+        flat, parent, dl = _explode_tokens(texts)
+        n = len(doc_ids)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(dl, out=starts[1:])
+        # difference-array span coverage from the dup (doc, pos) rows
+        covered = np.zeros(len(flat), dtype=bool)
+        dup_sel = np.flatnonzero(~is_doc)
+        if len(dup_sel):
+            loc = np.searchsorted(doc_ids, d[dup_sel])
+            lo = starts[loc] + p[dup_sel]
+            diff = np.zeros(len(flat) + 1, dtype=np.int64)
+            np.add.at(diff, lo, 1)
+            np.add.at(diff, lo + k, -1)  # windows fit their doc by construction
+            covered = np.cumsum(diff[:-1]) > 0
+        n_removed = (
+            np.bincount(parent[covered], minlength=n).astype(np.int64)
+            if covered.any()
+            else np.zeros(n, dtype=np.int64)
+        )
+        keep_np = ~covered
+        kept_flat = flat.filter(pa.array(keep_np))
+        kept_dl = (
+            np.bincount(parent[keep_np], minlength=n).astype(np.int64)
+            if keep_np.any()
+            else np.zeros(n, dtype=np.int64)
+        )
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(kept_dl, out=offs[1:])
+        lists = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), kept_flat)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "n_tokens": pa.array(dl.astype(np.int64)),
+                "n_removed": pa.array(n_removed),
+                "text_clean": pc.binary_join(lists, " "),
+            }
+        )
+
+    dup = (
+        ds.map_batches(win_with_bucket, batch_format="pyarrow")
+        .groupby("hbucket")
+        .map_groups(keep_dup_runs, batch_format="pyarrow")
+        .map_batches(dup_rows, batch_format="pyarrow")
+    )
+    docs = ds.map_batches(doc_rows, batch_format="pyarrow")
+    return (
+        dup.union(docs)
+        .groupby("bucket")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )

@@ -1769,3 +1769,49 @@ def test_near_dedup_incremental_brute(ray_session):
         ).to_pandas()["doc_id"]
     )
     assert got == [3, 5, 7, 9]
+
+
+def test_trim_repeated_windows_brute(ray_session):
+    """Repeated-window removal vs brute force: corpus-wide AND within-doc
+    repeats trim, overlapping spans merge, untouched/empty docs pass
+    through, and surviving text is the space-joined kept tokens."""
+    from engine.ops.textstats import trim_repeated_windows
+
+    boiler = "standard legal boilerplate footer text here now"  # 7 tokens
+    texts = [
+        boiler + " unique alpha tail",                 # shares 7-gram w/ 1? k=4 below
+        boiler + " different omega ending",
+        "one two three four five six seven eight",     # unique -> untouched
+        "rep rep rep rep rep rep rep rep",             # within-doc repeats
+        "",                                            # empty
+    ]
+    k = 4
+    got = (
+        trim_repeated_windows(_docs_ds(texts), k=k, min_count=2)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+
+    tok = [t.split() for t in texts]
+    wins = {}
+    for i, ws in enumerate(tok):
+        for p in range(len(ws) - k + 1):
+            wins.setdefault(" ".join(ws[p : p + k]), []).append((i, p))
+    dup = {w: occ for w, occ in wins.items() if len(occ) >= 2}
+    want = []
+    for i, ws in enumerate(tok):
+        cov = np.zeros(len(ws), dtype=bool)
+        for occ in dup.values():
+            for j, p in occ:
+                if j == i:
+                    cov[p : p + k] = True
+        kept = [w for w, c in zip(ws, cov) if not c]
+        want.append((i, len(ws), int(cov.sum()), " ".join(kept)))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    # sanity on the shape of the scenario itself
+    assert got.loc[0, "n_removed"] > 0          # boilerplate trimmed
+    assert got.loc[2, "n_removed"] == 0         # unique doc untouched
+    assert got.loc[2, "text_clean"] == texts[2]
+    assert got.loc[3, "n_removed"] == len(tok[3])  # all-repeat doc emptied
+    assert got.loc[3, "text_clean"] == ""
+    assert got.loc[4, "n_tokens"] == 0
