@@ -101,6 +101,14 @@ SPAN_QUERIES: list[tuple[str, list[str], int]] = [  # (qid, ordered terms, windo
     ("SN5_absent", ["key", "zzzabsentzzz", "table"], 6),
 ]
 
+
+SPAN_NOT_QUERIES: list[tuple[str, str, str, int]] = [  # (qid, include, exclude, dist)
+    ("SX1_table_not_window", "table", "window", 3),
+    ("SX2_slow_not_fast", "slow", "fast", 2),
+    ("SX3_key_not_absent", "key", "zzzabsentzzz", 4),  # exclude absent: all survive
+    ("SX4_tight", "hash", "join", 1),
+]
+
 # --- phrase queries over the positional TRANSCRIPTS index (tier surface) ----
 # head-of-Zipf bigrams guaranteed by the synthetic generator; TP2 is a
 # repeated-token phrase, exercising overlapping-occurrence counting
@@ -1132,6 +1140,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _collect(
             _trw(_docs(sf_dir, ["doc_id", "text"]), k=8, min_count=2)
         ).sort_by("doc_id")
+
+
+    def span_not(sf_dir):
+        """Exclusion spans (Lucene SpanNotQuery): include-term occurrences
+        with no exclude-term within dist tokens; surviving counts per doc."""
+        from engine.query import Bm25Index
+
+        bm = Bm25Index(_documents_posindex(sf_dir))
+        qids, dids, cnts = [], [], []
+        for qid, inc, exc, dist in SPAN_NOT_QUERIES:
+            d, n = bm.span_not(inc, exc, dist)
+            qids.extend([qid] * len(d))
+            dids.extend(d.tolist())
+            cnts.extend(n.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "n_spans": pa.array(cnts, pa.int64()),
+            }
+        )
 
     def lm_quality_buckets(sf_dir):
         """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
@@ -3027,6 +3056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_incremental": near_dedup_incremental,
         "rank_eval": rank_eval,
         "trim_repeated_windows": trim_repeated_windows,
+        "span_not": span_not,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -4986,6 +5016,30 @@ toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM l)
 """
 
 
+def _span_not_sql() -> str:
+    """SpanNot oracle: positional anti-join — include occurrences minus
+    those with an exclude occurrence within dist (absolute distance)."""
+    parts = []
+    for qid, inc, exc, dist in SPAN_NOT_QUERIES:
+        parts.append(f"""
+SELECT '{qid}' AS query_id, s.doc_id, s.n_spans FROM (
+  SELECT a.doc_id, count(*)::BIGINT AS n_spans
+  FROM (SELECT doc_id, i FROM toks WHERE tok = '{inc}') a
+  ANTI JOIN (
+    SELECT DISTINCT a2.doc_id, a2.i
+    FROM (SELECT doc_id, i FROM toks WHERE tok = '{inc}') a2
+    JOIN (SELECT doc_id, i FROM toks WHERE tok = '{exc}') b
+      ON a2.doc_id = b.doc_id AND abs(a2.i - b.i) <= {dist}
+  ) bad ON a.doc_id = bad.doc_id AND a.i = bad.i
+  GROUP BY a.doc_id) s""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH l AS (SELECT doc_id, {_TOKEN_SQL} AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i FROM l)
+{union}
+"""
+
+
 def _span_scored_sql() -> str:
     """Ranked-sloppy-span oracle: per-tuple weight 1/(slop+1) summed per doc
     (sloppy frequency), BM25 over sf with the query's summed idf; same
@@ -5384,6 +5438,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_phrase": _transcripts_phrase_sql(),
         "proximity_match": _proximity_sql(),
         "span_near": _span_near_sql(),
+        "span_not": _span_not_sql(),
         "span_near_scored": _span_scored_sql(),
         "running_totals": """
             SELECT event_id, user_id,

@@ -1009,6 +1009,63 @@ class Bm25Index:
         keep = counts > 0
         return candidates[keep], counts[keep]
 
+    def span_not(
+        self, include: str, exclude: str, dist: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exclusion span matching over a POSITIONAL index (Lucene
+        SpanNotQuery with pre/post slop = ``dist``): occurrences of
+        ``include`` that have NO occurrence of ``exclude`` within ``dist``
+        tokens (|pos_b - pos_a| <= dist). Returns (doc_ids ascending,
+        surviving-occurrence count per doc) for docs with >= 1 survivor —
+        the negative-context filter ("spark but not near vector") the
+        positive span family cannot express.
+
+        Shape: candidates are simply ``include``'s postings; only docs also
+        containing ``exclude`` pay the positional work — one packed-range
+        searchsorted sweep (the proximity_match trick) marks excluded
+        occurrences, a reduceat folds per doc. Integer-exact, no per-doc
+        loop."""
+        ta, tb = self._terms(include), self._terms(exclude)
+        if len(ta) != 1 or len(tb) != 1:
+            raise ValueError("span_not takes exactly one token per side")
+        a, b = ta[0], tb[0]
+        if a == b:
+            raise ValueError("span_not terms must differ")
+        if dist < 0:
+            raise ValueError("dist must be >= 0")
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        docs_a, tfs_a = self.reader.postings(a)
+        if not len(docs_a):
+            return empty
+        counts = tfs_a.astype(np.int64).copy()
+        docs_b, _tfs_b = self.reader.postings(b)
+        both = (
+            np.isin(docs_a, docs_b, assume_unique=True)
+            if len(docs_b)
+            else np.zeros(len(docs_a), dtype=bool)
+        )
+        cand = docs_a[both]
+        if len(cand):
+            pos_a = self.reader.positions_lookup(a, cand)
+            pos_b = self.reader.positions_lookup(b, cand)
+            len_a = np.fromiter((len(p) for p in pos_a), np.int64, len(cand))
+            len_b = np.fromiter((len(p) for p in pos_b), np.int64, len(cand))
+            base = np.arange(len(cand), dtype=np.int64) << np.int64(32)
+            flat_a = np.concatenate(pos_a) + np.repeat(base, len_a)
+            flat_b = np.concatenate(pos_b) + np.repeat(base, len_b)
+            lo = np.searchsorted(flat_b, flat_a - dist, side="left")
+            hi = np.searchsorted(flat_b, flat_a + dist, side="right")
+            excluded = (hi - lo) > 0
+            a_bounds = np.zeros(len(cand) + 1, dtype=np.int64)
+            np.cumsum(len_a, out=a_bounds[1:])
+            n_excl = np.zeros(len(cand), dtype=np.int64)
+            nz = np.flatnonzero(len_a)
+            if len(nz) and len(excluded):
+                n_excl[nz] = np.add.reduceat(excluded.astype(np.int64), a_bounds[nz])
+            counts[both] -= n_excl
+        keep = counts > 0
+        return docs_a[keep], counts[keep]
+
     def span_near_topk(
         self,
         terms: list[str],

@@ -570,3 +570,34 @@ def test_phrase_prefix_expansion_cap_raises(pos_index):
     bm = Bm25Index(pos_index)
     with pytest.raises(ValueError, match="expands to"):
         bm.phrase_prefix_match("w00000 w", max_expansions=2)
+
+
+def test_span_not_vs_bruteforce(pos_index, doc_tokens):
+    """SpanNot vs brute force over the raw positions: exclusion window,
+    absent-exclude passthrough, fully-excluded docs dropped."""
+    from engine.query import Bm25Index
+
+    bm = Bm25Index(pos_index)
+    checked_nontrivial = False
+    for inc, exc, dist in [
+        ("zqmarker0", "zqmarker1", 2),
+        ("zqmarker0", "zqmarker1", 0),
+        ("w00000", "w00001", 2),
+        ("zqmarker1", "zzzabsent", 3),
+    ]:
+        d, n = bm.span_not(inc, exc, dist)
+        want = {}
+        n_excluded_docs = 0
+        for doc_id, toks in doc_tokens.items():
+            pa_ = [i for i, t in enumerate(toks) if t == inc]
+            pb = [i for i, t in enumerate(toks) if t == exc]
+            surv = sum(1 for i in pa_ if not any(abs(i - j) <= dist for j in pb))
+            if pa_ and surv < len(pa_):
+                n_excluded_docs += 1
+            if surv:
+                want[doc_id] = surv
+        assert dict(zip(d.tolist(), n.tolist())) == want, (inc, exc, dist)
+        checked_nontrivial = checked_nontrivial or n_excluded_docs > 0
+    assert checked_nontrivial  # at least one case actually excluded spans
+    with pytest.raises(ValueError):
+        bm.span_not("zqmarker0", "zqmarker0", 2)
