@@ -1162,6 +1162,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+
+    def vocab_drift(sf_dir):
+        """Corpus drift report: old-vs-new slice per-term df, top movers by
+        add-1-smoothed log ratio with a rare-term floor."""
+        from engine.ops.textstats import vocab_drift as _vd
+
+        return _collect(_vd(_docs(sf_dir, ["doc_id", "text"])))
+
     def lm_quality_buckets(sf_dir):
         """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
         corpus-unigram-LM mean log-prob, integer-exact thresholds."""
@@ -3057,6 +3065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_eval": rank_eval,
         "trim_repeated_windows": trim_repeated_windows,
         "span_not": span_not,
+        "vocab_drift": vocab_drift,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -6299,6 +6308,20 @@ WHERE text IS NOT NULL
         """,
         # integer-exact nearest-rank-lower terciles over 1e-6 fixed-point
         # scores; same global unigram LM as the unigram_lm oracle
+        "vocab_drift": f"""
+            WITH toks AS (SELECT DISTINCT doc_id, unnest({tok}) AS term FROM documents),
+            agg AS (SELECT term,
+                           sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS df_old,
+                           sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS df_new
+                    FROM toks GROUP BY term),
+            fl AS (SELECT term, df_old, df_new,
+                          round(ln((df_new + 1.0) / (df_old + 1.0)), 6) AS logratio_r
+                   FROM agg WHERE df_old + df_new >= 5),
+            ranked AS (SELECT *, row_number() OVER (ORDER BY abs(logratio_r) DESC, term) AS rank
+                       FROM fl)
+            SELECT rank::BIGINT AS rank, term, df_old, df_new, logratio_r
+            FROM ranked WHERE rank <= 25
+        """,
         "rank_eval": _rank_eval_sql(),
         # window STRINGS recomputed; coverage via positional anti-join
         "trim_repeated_windows": f"""

@@ -1741,3 +1741,110 @@ def trim_repeated_windows(
         .groupby("bucket")
         .map_groups(rebuild, batch_format="pyarrow")
     )
+
+
+def vocab_drift(
+    ds,
+    topn: int = 25,
+    min_df: int = 5,
+    old_mod: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 8,
+):
+    """Corpus drift report between two snapshots (the data-ops monitoring
+    pass a recurring-crawl pipeline runs before training): per-term document
+    frequency in the OLD slice (``doc_id % old_mod == 0``) vs the NEW slice,
+    ranked by the add-1-smoothed log ratio ``ln((df_new+1)/(df_old+1))`` —
+    biggest risers and sinkers first. Terms with ``df_old + df_new <
+    min_df`` are floored out (rare-term noise dominates drift otherwise).
+    Emits (rank, term, df_old, df_new, logratio_r) for the ``topn`` largest
+    |log ratio| movers, ties (|ratio| then term) deterministic.
+
+    Shape: per-batch distinct (term, side) doc counts (docs never span
+    batches, so in-batch distinct is exact) -> ONE term-bucket groupby
+    summing partials and emitting each bucket's local top-``topn`` by the
+    GLOBAL key (the grouped-top-k partial argument: a global top-n member
+    is in its bucket's top-n) -> single-task final rank over <= topn x
+    buckets rows. No broadcast, no driver vocab."""
+    from ..tokenize import md5_lower64
+
+    n_buckets = max(64, num_partitions * 8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, parent, _dl = _explode_tokens(batch[text_col])
+        if not len(flat):
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "side": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "tbucket": pa.array([], pa.int64()),
+                }
+            )
+        d = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        side = (d[parent] % old_mod != 0).astype(np.int64)  # 0 old, 1 new
+        t = pa.table({"term": flat, "side": pa.array(side), "p": pa.array(parent)})
+        g = (
+            t.group_by(["term", "side", "p"], use_threads=False)
+            .aggregate([])
+            .group_by(["term", "side"], use_threads=False)
+            .aggregate([("term", "count")])
+        )
+        h = md5_lower64(g["term"].combine_chunks())
+        return pa.table(
+            {
+                "term": g["term"],
+                "side": g["side"],
+                "df": g["term_count"].cast(pa.int64()),
+                "tbucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        g = group.group_by(["term", "side"], use_threads=False).aggregate(
+            [("df", "sum")]
+        )
+        terms = g["term"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        df = g["df_sum"].to_numpy(zero_copy_only=False)
+        ut, inv = np.unique(terms, return_inverse=True)
+        df_old = np.zeros(len(ut), dtype=np.int64)
+        df_new = np.zeros(len(ut), dtype=np.int64)
+        np.add.at(df_old, inv[side == 0], df[side == 0])
+        np.add.at(df_new, inv[side == 1], df[side == 1])
+        keep = (df_old + df_new) >= min_df
+        ut, df_old, df_new = ut[keep], df_old[keep], df_new[keep]
+        ratio = np.round(np.log((df_new + 1.0) / (df_old + 1.0)), 6)
+        order = np.lexsort((ut, -np.abs(ratio)))[:topn]  # local partial top-n
+        return pa.table(
+            {
+                "term": pa.array(ut[order].tolist(), pa.string()),
+                "df_old": pa.array(df_old[order]),
+                "df_new": pa.array(df_new[order]),
+                "logratio_r": pa.array(ratio[order], pa.float64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch["term"].to_numpy(zero_copy_only=False)
+        r = batch["logratio_r"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -np.abs(r)))[:topn]
+        take = pa.array(order)
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "term": batch["term"].take(take),
+                "df_old": batch["df_old"].take(take),
+                "df_new": batch["df_new"].take(take),
+                "logratio_r": batch["logratio_r"].take(take),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tbucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -1815,3 +1815,38 @@ def test_trim_repeated_windows_brute(ray_session):
     assert got.loc[3, "n_removed"] == len(tok[3])  # all-repeat doc emptied
     assert got.loc[3, "text_clean"] == ""
     assert got.loc[4, "n_tokens"] == 0
+
+
+def test_vocab_drift_brute(ray_session):
+    """Drift report vs brute force: per-slice df, smoothing, floor, rank
+    order, and partitioning independence."""
+    import math
+    import re
+
+    from engine.ops.textstats import vocab_drift
+
+    rng = np.random.default_rng(11)
+    old_vocab = ["alpha", "beta", "gamma", "shared1", "shared2"]
+    new_vocab = ["delta", "epsilon", "shared1", "shared2", "riser"]
+    texts = []
+    for i in range(200):
+        pool = old_vocab if i % 2 == 0 else new_vocab
+        texts.append(" ".join(rng.choice(pool, size=8)))
+    got = vocab_drift(_docs_ds(texts), topn=6, min_df=5).to_pandas()
+
+    df_old, df_new = {}, {}
+    for i, t in enumerate(texts):
+        toks = set(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
+        tgt = df_old if i % 2 == 0 else df_new
+        for w in toks:
+            tgt[w] = tgt.get(w, 0) + 1
+    rows = []
+    for w in set(df_old) | set(df_new):
+        o, n = df_old.get(w, 0), df_new.get(w, 0)
+        if o + n >= 5:
+            rows.append((w, o, n, round(math.log((n + 1) / (o + 1)), 6)))
+    rows.sort(key=lambda r: (-abs(r[3]), r[0]))
+    want = [(i + 1, *r) for i, r in enumerate(rows[:6])]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    got2 = vocab_drift(_docs_ds(texts).repartition(5), topn=6, min_df=5).to_pandas()
+    assert got.equals(got2)
