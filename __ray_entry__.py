@@ -1170,6 +1170,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _collect(_vd(_docs(sf_dir, ["doc_id", "text"])))
 
+
+    def transcripts_tool_chains(sf_dir):
+        """Tool-call chain mining: consecutive (tool_from -> tool_to) pairs
+        in each conversation's ordered non-empty tool sequence + distinct
+        conversations per pair."""
+        from engine.ops.transcripts import tool_chains
+
+        ds = ray.data.read_parquet(_transcripts_corpus(sf_dir))
+        return tool_chains(ds)
+
     def lm_quality_buckets(sf_dir):
         """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
         corpus-unigram-LM mean log-prob, integer-exact thresholds."""
@@ -3066,6 +3076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trim_repeated_windows": trim_repeated_windows,
         "span_not": span_not,
         "vocab_drift": vocab_drift,
+        "transcripts_tool_chains": transcripts_tool_chains,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -5566,6 +5577,23 @@ WHERE text IS NOT NULL
             FROM t
             WHERE role = 'user' AND nrole = 'assistant' AND nidx = turn_idx + 1
             GROUP BY conv_id
+        """,
+        "transcripts_tool_chains": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, tool
+              FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+              WHERE tool <> ''
+            ),
+            seq AS (
+              SELECT conv_id, tool,
+                     lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next
+              FROM t
+            )
+            SELECT tool AS tool_from, next AS tool_to,
+                   count(*)::BIGINT AS n_chains,
+                   count(DISTINCT conv_id)::BIGINT AS n_convs
+            FROM seq WHERE next IS NOT NULL
+            GROUP BY tool, next
         """,
         "transcripts_tool_usage": f"""
             SELECT tool, role, count(*)::BIGINT AS n_calls,

@@ -309,3 +309,92 @@ def role_transitions(ds, num_partitions: int = 8):
     return grouped.map_batches(rename, batch_format="pyarrow").sort(
         ["role_from", "role_to"]
     )
+
+
+def tool_chains(ds, num_partitions: int = 8):
+    """Tool-call chain mining: for every conversation, the ORDERED sequence
+    of non-empty ``tool`` values (by turn_idx); count each consecutive pair
+    (tool_from -> tool_to) — consecutive IN THE TOOL SEQUENCE, turns
+    without a tool call in between are skipped — plus the distinct
+    conversations exhibiting each pair. The agent-behavior analytics a
+    transcript pipeline wants: which tools chain into which.
+    Returns (tool_from, tool_to, n_chains, n_convs), sorted.
+
+    Shape: identical to role_transitions — conv-bucketed groupby (one
+    bucket holds a conversation's full sequence, so chain pairing is exact
+    and disjoint across buckets), per-bucket vectorized pairing, then a
+    bounded (<= |tools|^2 rows per bucket) dim-table exchange."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"].cast(pa.int64()),
+                "tool": batch["tool"],
+            }
+        ).filter(pc.not_equal(batch["tool"], ""))
+        return t.append_column(
+            "bucket", _bucket_of(t["conv_id"].combine_chunks(), num_partitions)
+        )
+
+    def pair(group: pa.Table) -> pa.Table:
+        conv = group["conv_id"].combine_chunks().dictionary_encode()
+        codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tool = group["tool"].combine_chunks().dictionary_encode()
+        tcodes = tool.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = group["turn_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, codes))
+        c_s, t_s = codes[order], tcodes[order]
+        ok = c_s[1:] == c_s[:-1]  # adjacency in the FILTERED tool sequence
+        i = np.flatnonzero(ok)
+        empty = pa.table(
+            {
+                "tool_from": pa.array([], pa.string()),
+                "tool_to": pa.array([], pa.string()),
+                "n_chains": pa.array([], pa.int64()),
+                "n_convs": pa.array([], pa.int64()),
+            }
+        )
+        if not len(i):
+            return empty
+        nt = len(tool.dictionary)
+        pair_code = t_s[i] * nt + t_s[i + 1]
+        n_chains = np.bincount(pair_code, minlength=nt * nt)
+        uniq = np.unique(pair_code * (c_s.max() + 1) + c_s[i])
+        n_convs = np.bincount(
+            (uniq // (c_s.max() + 1)).astype(np.int64), minlength=nt * nt
+        )
+        live = np.flatnonzero(n_chains)
+        return pa.table(
+            {
+                "tool_from": tool.dictionary.take(pa.array(live // nt)),
+                "tool_to": tool.dictionary.take(pa.array(live % nt)),
+                "n_chains": pa.array(n_chains[live].astype(np.int64)),
+                "n_convs": pa.array(n_convs[live].astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    grouped = (
+        ds.select_columns(["conv_id", "turn_idx", "tool"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pair, batch_format="pyarrow")
+        .groupby(["tool_from", "tool_to"])
+        .aggregate(Sum("n_chains"), Sum("n_convs"))
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tool_from": batch["tool_from"],
+                "tool_to": batch["tool_to"],
+                "n_chains": batch["sum(n_chains)"].cast(pa.int64()),
+                "n_convs": batch["sum(n_convs)"].cast(pa.int64()),
+            }
+        )
+
+    return grouped.map_batches(rename, batch_format="pyarrow").sort(
+        ["tool_from", "tool_to"]
+    )

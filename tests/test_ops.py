@@ -1850,3 +1850,48 @@ def test_vocab_drift_brute(ray_session):
     assert [tuple(r) for r in got.itertuples(index=False)] == want
     got2 = vocab_drift(_docs_ds(texts).repartition(5), topn=6, min_df=5).to_pandas()
     assert got.equals(got2)
+
+
+def test_tool_chains_brute(ray_session):
+    """Tool-chain mining vs brute force: filtered-sequence adjacency (turns
+    without tools are skipped), per-pair chain and distinct-conv counts,
+    multi-block independence."""
+    from collections import Counter
+
+    import ray.data
+
+    from engine.ops.transcripts import tool_chains
+
+    rows = []
+    seqs = {
+        "c1": ["search", "", "code", "search", "", "code"],
+        "c2": ["code", "search", ""],
+        "c3": ["", "", ""],
+        "c4": ["search"],
+    }
+    for conv, tools in seqs.items():
+        for i, tool in enumerate(tools):
+            rows.append((conv, i, "assistant", f"turn {i}", tool, i))
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows]),
+            "text": pa.array([r[3] for r in rows]),
+            "tool": pa.array([r[4] for r in rows]),
+            "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+        }
+    )
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        got = tool_chains(ds, num_partitions=2).to_pandas()
+        chains, convs = Counter(), {}
+        for conv, tools in seqs.items():
+            seq = [t for t in tools if t]
+            for a, b in zip(seq, seq[1:]):
+                chains[(a, b)] += 1
+                convs.setdefault((a, b), set()).add(conv)
+        want = sorted(
+            (a, b, n, len(convs[(a, b)])) for (a, b), n in chains.items()
+        )
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
