@@ -1180,6 +1180,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(_transcripts_corpus(sf_dir))
         return tool_chains(ds)
 
+
+    def profile_events(sf_dir):
+        """Column profiler over the events table: per-column row/null counts
+        + exact distinct counts (native-value groupbys, no hashing)."""
+        from engine.ops.relational import profile_columns
+
+        return profile_columns(sf_dir, table="events")
+
     def lm_quality_buckets(sf_dir):
         """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
         corpus-unigram-LM mean log-prob, integer-exact thresholds."""
@@ -3077,6 +3085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_not": span_not,
         "vocab_drift": vocab_drift,
         "transcripts_tool_chains": transcripts_tool_chains,
+        "profile_events": profile_events,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -6349,6 +6358,9 @@ WHERE text IS NOT NULL
                        FROM fl)
             SELECT rank::BIGINT AS rank, term, df_old, df_new, logratio_r
             FROM ranked WHERE rank <= 25
+        """,
+        "profile_events": """
+            SELECT 'event_id' AS column, count(*)::BIGINT AS n_rows, (count(*) - count(event_id))::BIGINT AS n_null, count(DISTINCT event_id)::BIGINT AS n_distinct FROM events UNION ALL SELECT 'event_type' AS column, count(*)::BIGINT AS n_rows, (count(*) - count(event_type))::BIGINT AS n_null, count(DISTINCT event_type)::BIGINT AS n_distinct FROM events UNION ALL SELECT 'props' AS column, count(*)::BIGINT AS n_rows, (count(*) - count(props))::BIGINT AS n_null, count(DISTINCT props)::BIGINT AS n_distinct FROM events UNION ALL SELECT 'ts' AS column, count(*)::BIGINT AS n_rows, (count(*) - count(ts))::BIGINT AS n_null, count(DISTINCT ts)::BIGINT AS n_distinct FROM events UNION ALL SELECT 'user_id' AS column, count(*)::BIGINT AS n_rows, (count(*) - count(user_id))::BIGINT AS n_null, count(DISTINCT user_id)::BIGINT AS n_distinct FROM events UNION ALL SELECT 'value' AS column, count(*)::BIGINT AS n_rows, (count(*) - count(value))::BIGINT AS n_null, count(DISTINCT value)::BIGINT AS n_distinct FROM events
         """,
         "rank_eval": _rank_eval_sql(),
         # window STRINGS recomputed; coverage via positional anti-join

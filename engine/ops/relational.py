@@ -1333,3 +1333,61 @@ def revenue_by_region(sf_dir: str):
         .aggregate(Sum("revenue_sum", alias_name="revenue_c4"))
         .sort("r_name")
     )
+
+
+def profile_columns(sf_dir: str, table: str = "events", columns: list[str] | None = None):
+    """Column profiler (the schema-observability pass a pipeline runs on a
+    new data drop): per column, row count, null count, and EXACT distinct
+    count (nulls excluded, SQL COUNT(DISTINCT) semantics). Emits
+    (column, n_rows, n_null, n_distinct), sorted by column name.
+
+    Shape: one pruned single-column read per column. Null/row counts are
+    per-batch integer partials folded by a tiny Sum; the distinct count is
+    a per-batch in-block dedup (Arrow group_by on the NATIVE value — no
+    hashing, no collision risk) followed by one value-keyed groupby whose
+    GROUP COUNT is the answer — the distinct values themselves never leave
+    the cluster, and each column's exchange carries at most its per-block
+    distinct sets. Driver state: one 3-int row per column."""
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    path = f"{sf_dir}/{table}.parquet"
+    cols = columns or _pq.read_schema(path).names
+    out_rows = []
+    for c in sorted(cols):
+        one = ray.data.read_parquet(path, columns=[c])
+
+        def counts(batch: pa.Table) -> pa.Table:
+            col = batch[c]
+            return pa.table(
+                {
+                    "n": pa.array([batch.num_rows], pa.int64()),
+                    "n_null": pa.array([col.null_count], pa.int64()),
+                }
+            )
+
+        agg = one.map_batches(counts, batch_format="pyarrow").sum(["n", "n_null"])
+        n_rows, n_null = int(agg["sum(n)"]), int(agg["sum(n_null)"])
+
+        def in_block_distinct(batch: pa.Table) -> pa.Table:
+            return (
+                batch.filter(pc.is_valid(batch[c]))
+                .group_by([c], use_threads=False)
+                .aggregate([])
+            )
+
+        n_distinct = (
+            one.map_batches(in_block_distinct, batch_format="pyarrow")
+            .groupby(c)
+            .count()
+            .count()
+        )
+        out_rows.append((c, n_rows, n_null, int(n_distinct)))
+    return pa.table(
+        {
+            "column": pa.array([r[0] for r in out_rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in out_rows], pa.int64()),
+            "n_null": pa.array([r[2] for r in out_rows], pa.int64()),
+            "n_distinct": pa.array([r[3] for r in out_rows], pa.int64()),
+        }
+    )

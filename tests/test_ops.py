@@ -1895,3 +1895,26 @@ def test_tool_chains_brute(ray_session):
             (a, b, n, len(convs[(a, b)])) for (a, b), n in chains.items()
         )
         assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_profile_columns_brute(ray_session, tmp_path):
+    """Profiler vs brute force incl. nulls and a duplicated value column."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import profile_columns
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 2, 2, None, 3], pa.int64()),
+            "b": pa.array(["x", None, None, "x", "y"], pa.string()),
+            "c": pa.array([1.5, 1.5, 1.5, 1.5, 1.5], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, f"{sf}/events.parquet")
+    got = profile_columns(sf, table="events").to_pandas()
+    want = [("a", 5, 1, 3), ("b", 5, 2, 2), ("c", 5, 0, 1)]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
