@@ -270,7 +270,8 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument(
         "--mode",
         choices=["exact", "passage", "jaccard", "containment", "minhash",
-                 "clusters", "pagerank", "central"],
+                 "clusters", "pagerank", "central", "incremental",
+                 "near-incremental"],
         default="exact",
     )
     dd.add_argument("--window", type=int, default=16, help="passage token window")
@@ -280,6 +281,20 @@ def main(argv: list[str] | None = None) -> int:
         help="clusters mode: label propagation (O(diameter) rounds) or "
         "large-star/small-star contraction (O(log n) on deep chains)",
     )
+
+    cp = sub.add_parser(
+        "corpus",
+        help="training-data corpus passes over a parquet of (doc_id, text[, lang])",
+    )
+    cp.add_argument("parquet")
+    cp.add_argument(
+        "--mode",
+        choices=["gopher", "trim", "drift", "buckets", "hitters"],
+        default="gopher",
+    )
+    cp.add_argument("--window", type=int, default=8, help="trim: token window")
+    cp.add_argument("--min-df", type=int, default=5, help="drift: rare-term floor")
+    cp.add_argument("--limit", type=int, default=50)
 
     ol = sub.add_parser(
         "outliers", help="per-user z-score value outliers over an events parquet dir"
@@ -630,8 +645,43 @@ def main(argv: list[str] | None = None) -> int:
             from .ops.dedup import central_cluster_reps
 
             out = central_cluster_reps(ds)
+        elif args.mode == "incremental":
+            from .ops.dedup import dedup_incremental
+
+            out = dedup_incremental(ds, k=args.window).sort("doc_id")
+        elif args.mode == "near-incremental":
+            from .ops.dedup import near_dedup_incremental
+
+            out = near_dedup_incremental(ds).sort("doc_id")
         else:
             out = ngram_jaccard_pairs(ds, containment=(args.mode == "containment"))
+        for row in out.limit(args.limit).take_all():
+            print(json.dumps(row))
+    elif args.cmd == "corpus":
+        _ray()
+        import ray.data
+
+        ds = ray.data.read_parquet(args.parquet)
+        if args.mode == "gopher":
+            from .ops.textstats import gopher_filter
+
+            out = gopher_filter(ds).sort("doc_id")
+        elif args.mode == "trim":
+            from .ops.textstats import trim_repeated_windows
+
+            out = trim_repeated_windows(ds, k=args.window).sort("doc_id")
+        elif args.mode == "drift":
+            from .ops.textstats import vocab_drift
+
+            out = vocab_drift(ds, min_df=args.min_df)
+        elif args.mode == "buckets":
+            from .ops.textstats import lm_quality_buckets
+
+            out = lm_quality_buckets(ds).sort("doc_id")
+        else:
+            from .ops.sketch import cms_heavy_hitters
+
+            out = cms_heavy_hitters(ds)
         for row in out.limit(args.limit).take_all():
             print(json.dumps(row))
     elif args.cmd == "outliers":

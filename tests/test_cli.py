@@ -409,3 +409,46 @@ def test_alias_registry_and_query(ray_session, tiny_index, tmp_path, capsys):
         aliases.set_alias(reg, "a/b", tiny_index)
     with pytest.raises(FileNotFoundError):
         aliases.set_alias(reg, "x", str(tmp_path / "nope"))
+
+
+def test_cli_corpus_and_incremental_dedup(ray_session, tmp_path, capsys):
+    """corpus verb (gopher/trim/drift/hitters) + dedup incremental modes
+    produce JSONL with the expected shapes over a small parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.cli import main
+
+    docs = str(tmp_path / "docs.parquet")
+    base = "the a " + " ".join(f"word{i}" for i in range(30))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": pa.array(
+                    [base, base + " tail", "tiny", base.replace("word0", "quad0"),
+                     "the a " + " ".join(f"verb{i}" for i in range(25)), ""]
+                ),
+                "lang": pa.array(["en", "en", "de", "en", "de", "en"]),
+            }
+        ),
+        docs,
+    )
+    assert main(["corpus", docs, "--mode", "gopher"]) == 0
+    rows = _jsonl(capsys.readouterr().out)
+    assert rows and {"doc_id", "n_tokens", "n_stop"} <= set(rows[0])
+    assert main(["corpus", docs, "--mode", "trim", "--window", "4"]) == 0
+    rows = _jsonl(capsys.readouterr().out)
+    assert len(rows) == 6 and "text_clean" in rows[0]
+    assert main(["corpus", docs, "--mode", "drift", "--min-df", "2"]) == 0
+    rows = _jsonl(capsys.readouterr().out)
+    assert rows and "logratio_r" in rows[0]
+    assert main(["corpus", docs, "--mode", "hitters"]) == 0
+    rows = _jsonl(capsys.readouterr().out)
+    assert rows and rows[0]["rank"] == 1
+    assert main(["dedup", docs, "--mode", "incremental", "--window", "4"]) == 0
+    rows = _jsonl(capsys.readouterr().out)
+    assert all(r["doc_id"] % 2 == 1 for r in rows)
+    assert main(["dedup", docs, "--mode", "near-incremental"]) == 0
+    rows = _jsonl(capsys.readouterr().out)
+    assert all(r["doc_id"] % 2 == 1 for r in rows)
