@@ -1188,6 +1188,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return profile_columns(sf_dir, table="events")
 
+
+    def transcripts_sft_pairs(sf_dir):
+        """Transcripts -> SFT prompt/response records: adjacent user ->
+        assistant turn pairs with token counts."""
+        from engine.ops.transcripts import sft_pairs
+
+        ds = ray.data.read_parquet(_transcripts_corpus(sf_dir))
+        return sft_pairs(ds)
+
+    def weak_label(sf_dir):
+        """Snorkel-style keyword weak labeling: distinct-rule-term votes,
+        argmax label with lexicographic ties, abstain on zero votes."""
+        from engine.ops.textstats import weak_label as _wl
+
+        return _collect(_wl(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id")
+
     def lm_quality_buckets(sf_dir):
         """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
         corpus-unigram-LM mean log-prob, integer-exact thresholds."""
@@ -3086,6 +3102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_drift": vocab_drift,
         "transcripts_tool_chains": transcripts_tool_chains,
         "profile_events": profile_events,
+        "transcripts_sft_pairs": transcripts_sft_pairs,
+        "weak_label": weak_label,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -6361,6 +6379,35 @@ WHERE text IS NOT NULL
         """,
         "profile_events": """
             SELECT 'event_id' AS column, count(*)::BIGINT AS n_rows, (count(*) - count(event_id))::BIGINT AS n_null, count(DISTINCT event_id)::BIGINT AS n_distinct FROM events UNION ALL SELECT 'event_type' AS column, count(*)::BIGINT AS n_rows, (count(*) - count(event_type))::BIGINT AS n_null, count(DISTINCT event_type)::BIGINT AS n_distinct FROM events UNION ALL SELECT 'props' AS column, count(*)::BIGINT AS n_rows, (count(*) - count(props))::BIGINT AS n_null, count(DISTINCT props)::BIGINT AS n_distinct FROM events UNION ALL SELECT 'ts' AS column, count(*)::BIGINT AS n_rows, (count(*) - count(ts))::BIGINT AS n_null, count(DISTINCT ts)::BIGINT AS n_distinct FROM events UNION ALL SELECT 'user_id' AS column, count(*)::BIGINT AS n_rows, (count(*) - count(user_id))::BIGINT AS n_null, count(DISTINCT user_id)::BIGINT AS n_distinct FROM events UNION ALL SELECT 'value' AS column, count(*)::BIGINT AS n_rows, (count(*) - count(value))::BIGINT AS n_null, count(DISTINCT value)::BIGINT AS n_distinct FROM events
+        """,
+        "weak_label": f"""
+            WITH toks AS (SELECT DISTINCT doc_id, unnest({tok}) AS term FROM documents),
+            votes AS (
+              SELECT doc_id, 'db' AS label, count(*) AS n FROM toks WHERE term IN ('join', 'key', 'merge', 'scan', 'table') GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, 'infra' AS label, count(*) AS n FROM toks WHERE term IN ('part', 'spark', 'stream', 'vector') GROUP BY doc_id
+              UNION ALL
+              SELECT doc_id, 'perf' AS label, count(*) AS n FROM toks WHERE term IN ('batch', 'fast', 'slow', 'window') GROUP BY doc_id
+            ),
+            best AS (SELECT doc_id, label, n,
+                            row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, label) AS rk
+                     FROM votes)
+            SELECT doc_id, label, n::BIGINT AS n_votes FROM best WHERE rk = 1
+        """,
+        "transcripts_sft_pairs": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, role, text,
+                     lead(role) OVER w AS nrole,
+                     lead(turn_idx) OVER w AS nidx,
+                     lead(text) OVER w AS ntext
+              FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id, nidx::BIGINT AS turn_idx, text AS prompt, ntext AS response,
+                   len({_TOKEN_SQL})::BIGINT AS n_prompt_tokens,
+                   len(list_filter(regexp_split_to_array(lower(ntext), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_response_tokens
+            FROM t
+            WHERE role = 'user' AND nrole = 'assistant' AND nidx = turn_idx + 1
         """,
         "rank_eval": _rank_eval_sql(),
         # window STRINGS recomputed; coverage via positional anti-join

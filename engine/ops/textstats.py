@@ -1848,3 +1848,61 @@ def vocab_drift(
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+#: keyword labeling functions for weak supervision — the fixed contract
+#: shared verbatim with the oracle SQL (labels sorted; terms per label).
+WEAK_RULES: dict[str, tuple[str, ...]] = {
+    "db": ("table", "scan", "join", "merge", "key"),
+    "infra": ("spark", "vector", "stream", "part"),
+    "perf": ("slow", "fast", "window", "batch"),
+}
+
+
+def weak_label(
+    ds,
+    rules: dict[str, tuple[str, ...]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Weak-supervision labeling (the Snorkel-style keyword labeling-function
+    pass that bootstraps classifier training data): each label's rule is a
+    term set; a doc's vote for a label = how many DISTINCT rule terms it
+    contains; the doc takes the argmax label (ties -> label name ascending);
+    docs hitting no rule abstain (emit nothing). Emits
+    (doc_id, label, n_votes) — integer-exact.
+
+    Shape: stateless per-batch map — one tokenize, one in-batch distinct
+    (doc, term) dedup, one ``is_in`` + bincount per label (|labels| is a
+    handful); no shuffle, no state. The rule table rides in the closure."""
+    r = dict(WEAK_RULES if rules is None else rules)
+    labels = sorted(r)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, parent, _dl = _explode_tokens(batch[text_col])
+        n = batch.num_rows
+        votes = np.zeros((n, len(labels)), dtype=np.int64)
+        if len(flat):
+            pair = pa.table({"p": pa.array(parent), "t": flat})
+            uniq = pair.group_by(["p", "t"], use_threads=False).aggregate([])
+            up = uniq["p"].to_numpy(zero_copy_only=False)
+            ut = uniq["t"]
+            for j, lab in enumerate(labels):
+                m = pc.is_in(
+                    ut, value_set=pa.array(sorted(r[lab]))
+                ).to_numpy(zero_copy_only=False)
+                if m.any():
+                    votes[:, j] = np.bincount(up[m], minlength=n)
+        best = votes.argmax(axis=1)  # ties -> first = lexicographically least
+        n_votes = votes.max(axis=1)
+        keep = n_votes > 0
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "label": pa.array(np.array(labels, dtype=object)[best[keep]].tolist(), pa.string()),
+                "n_votes": pa.array(n_votes[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -398,3 +398,93 @@ def tool_chains(ds, num_partitions: int = 8):
     return grouped.map_batches(rename, batch_format="pyarrow").sort(
         ["tool_from", "tool_to"]
     )
+
+
+def sft_pairs(ds, num_partitions: int = 8):
+    """Transcripts -> supervised-fine-tuning pairs: every assistant turn
+    whose IMMEDIATE predecessor (turn_idx - 1) is a user turn becomes one
+    training record (conv_id, turn_idx of the assistant turn, prompt =
+    the user text, response = the assistant text, n_prompt_tokens,
+    n_response_tokens under the index tokenizer's dl contract). The bridge
+    from raw agent transcripts to instruction-tuning data — the op a
+    transcript pipeline exists to feed.
+
+    Shape: the response_latency pairing one column wider — conv-bucketed
+    groupby (a conversation's turns land in ONE bucket, so adjacency is
+    exact across input blocks), vectorized pair detection, texts carried
+    through the single exchange only for the rows that pair."""
+    from ..schema import TOKEN_MATCH_REGEX
+
+    def project(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ntok = pc.coalesce(
+            pc.count_substring_regex(pc.utf8_lower(text), TOKEN_MATCH_REGEX),
+            pa.scalar(0, pa.int32()),
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"].cast(pa.int64()),
+                "is_user": pc.cast(pc.equal(batch["role"], "user"), pa.int8()),
+                "is_assistant": pc.cast(
+                    pc.equal(batch["role"], "assistant"), pa.int8()
+                ),
+                "text": text,
+                "ntok": ntok,
+                "bucket": _bucket_of(
+                    batch["conv_id"].combine_chunks()
+                    if isinstance(batch["conv_id"], pa.ChunkedArray)
+                    else batch["conv_id"],
+                    num_partitions,
+                ),
+            }
+        )
+
+    def pair(group: pa.Table) -> pa.Table:
+        conv = group["conv_id"].combine_chunks().dictionary_encode()
+        codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = group["turn_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, codes))
+        c_s, t_s = codes[order], turn[order]
+        user = group["is_user"].to_numpy(zero_copy_only=False)[order]
+        asst = group["is_assistant"].to_numpy(zero_copy_only=False)[order]
+        ntok = group["ntok"].to_numpy(zero_copy_only=False)[order]
+        text = group["text"].combine_chunks().take(pa.array(order))
+        ok = (
+            (c_s[1:] == c_s[:-1])
+            & (t_s[1:] == t_s[:-1] + 1)
+            & (user[:-1] == 1)
+            & (asst[1:] == 1)
+        )
+        i = np.flatnonzero(ok)
+        if not len(i):
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int64()),
+                    "prompt": pa.array([], pa.string()),
+                    "response": pa.array([], pa.string()),
+                    "n_prompt_tokens": pa.array([], pa.int64()),
+                    "n_response_tokens": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "conv_id": conv.dictionary.take(pa.array(c_s[i])),
+                "turn_idx": pa.array(t_s[i + 1], pa.int64()),
+                "prompt": text.take(pa.array(i)),
+                "response": text.take(pa.array(i + 1)),
+                "n_prompt_tokens": pa.array(ntok[i], pa.int64()),
+                "n_response_tokens": pa.array(ntok[i + 1], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pair, batch_format="pyarrow")
+        .sort(["conv_id", "turn_idx"])
+    )

@@ -1918,3 +1918,63 @@ def test_profile_columns_brute(ray_session, tmp_path):
     got = profile_columns(sf, table="events").to_pandas()
     want = [("a", 5, 1, 3), ("b", 5, 2, 2), ("c", 5, 0, 1)]
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_sft_pairs_brute(ray_session):
+    """SFT pair extraction vs brute force: only immediate user->assistant
+    adjacency pairs, texts and token counts carried, multi-block safe."""
+    import ray.data
+
+    from engine.ops.transcripts import sft_pairs
+
+    rows = [
+        ("c1", 0, "user", "how do i scan", "", 0),
+        ("c1", 1, "assistant", "use the fast scan", "", 1),
+        ("c1", 2, "assistant", "follow-up not paired", "", 2),
+        ("c1", 3, "user", "dangling user", "", 3),
+        ("c2", 0, "assistant", "starts with assistant", "", 0),
+        ("c2", 1, "user", "then user", "", 1),
+        ("c2", 2, "assistant", "paired here", "t1", 2),
+        ("c3", 0, "user", "gap next", "", 0),
+        ("c3", 2, "assistant", "turn gap: not adjacent", "", 2),
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows]),
+            "text": pa.array([r[3] for r in rows]),
+            "tool": pa.array([r[4] for r in rows]),
+            "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+        }
+    )
+    got = sft_pairs(ray.data.from_arrow(tbl).repartition(3)).to_pandas()
+    want = [
+        ("c1", 1, "how do i scan", "use the fast scan", 4, 4),
+        ("c2", 2, "then user", "paired here", 2, 2),
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_weak_label_brute(ray_session):
+    """Weak labeling vs hand-computed votes: distinct-term votes, argmax
+    with lexicographic ties, abstain rows dropped."""
+    from engine.ops.textstats import weak_label
+
+    texts = [
+        "table scan join today",            # db 3
+        "slow fast window",                 # perf 3
+        "table slow",                       # db 1, perf 1 -> tie -> 'db'
+        "spark vector stream part extras",  # infra 4
+        "nothing matching here",            # abstain
+        "table table table scan",           # distinct votes: db 2
+    ]
+    got = weak_label(_docs_ds(texts)).to_pandas().sort_values("doc_id", ignore_index=True)
+    want = [
+        (0, "db", 3),
+        (1, "perf", 3),
+        (2, "db", 1),
+        (3, "infra", 4),
+        (5, "db", 2),
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
