@@ -1978,3 +1978,43 @@ def test_weak_label_brute(ray_session):
         (5, "db", 2),
     ]
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_trim_repeated_windows_property(ray_session):
+    """Property test: random small-vocab corpora (repeats guaranteed) — the
+    engine's distributed trim equals the brute-force window-coverage trim
+    for every doc, across several seeds and partitionings."""
+    from engine.ops.textstats import trim_repeated_windows
+
+    for seed in (0, 1, 2, 3):
+        rng = np.random.default_rng(seed)
+        vocab = [f"t{i}" for i in range(6)]  # tiny vocab -> dense repeats
+        texts = [
+            " ".join(rng.choice(vocab, size=int(rng.integers(0, 24))))
+            for _ in range(40)
+        ]
+        k = int(rng.integers(2, 5))
+        got = (
+            trim_repeated_windows(
+                _docs_ds(texts).repartition(int(rng.integers(1, 5))), k=k, min_count=2
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        wins = {}
+        tok = [t.split() for t in texts]
+        for i, ws in enumerate(tok):
+            for p in range(len(ws) - k + 1):
+                wins.setdefault(" ".join(ws[p : p + k]), []).append((i, p))
+        want = []
+        for i, ws in enumerate(tok):
+            cov = np.zeros(len(ws), dtype=bool)
+            for occ in wins.values():
+                if len(occ) < 2:
+                    continue
+                for j, p in occ:
+                    if j == i:
+                        cov[p : p + k] = True
+            kept = [w for w, c in zip(ws, cov) if not c]
+            want.append((i, len(ws), int(cov.sum()), " ".join(kept)))
+        assert [tuple(r) for r in got.itertuples(index=False)] == want, (seed, k)
