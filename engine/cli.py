@@ -296,6 +296,19 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--min-df", type=int, default=5, help="drift: rare-term floor")
     cp.add_argument("--limit", type=int, default=50)
 
+    rg = sub.add_parser(
+        "rollover",
+        help="ILM rollover group: capped write member + federated search "
+        "(init/add/query/status)",
+    )
+    rg.add_argument("group_dir")
+    rg.add_argument("action", choices=["init", "add", "query", "status"])
+    rg.add_argument("arg", nargs="?", default=None,
+                    help="add: parquet path; query: text")
+    rg.add_argument("--max-docs", type=int, default=100000, help="init only")
+    rg.add_argument("--id-col", default="doc_id")
+    rg.add_argument("-k", type=int, default=10)
+
     ol = sub.add_parser(
         "outliers", help="per-user z-score value outliers over an events parquet dir"
     )
@@ -684,6 +697,30 @@ def main(argv: list[str] | None = None) -> int:
             out = cms_heavy_hitters(ds)
         for row in out.limit(args.limit).take_all():
             print(json.dumps(row))
+    elif args.cmd == "rollover":
+        from . import rollover as ro
+
+        if args.action == "init":
+            print(json.dumps(ro.init_group(args.group_dir, args.max_docs)))
+        elif args.action == "status":
+            print(json.dumps(ro.status(args.group_dir)))
+        elif args.action == "add":
+            if not args.arg:
+                raise SystemExit("rollover add needs a parquet path")
+            _ray()
+            import ray.data
+
+            rep = ro.add(
+                args.group_dir, ray.data.read_parquet(args.arg), id_col=args.id_col
+            )
+            print(json.dumps(rep))
+        else:
+            if not args.arg:
+                raise SystemExit("rollover query needs text")
+            _ray()
+            doc, score = ro.topk(args.group_dir, args.arg, args.k)
+            for r, (d, s) in enumerate(zip(doc.tolist(), score.tolist()), 1):
+                print(json.dumps({"rank": r, "doc_id": d, "score": s}))
     elif args.cmd == "outliers":
         _ray()
         from .ops.relational import value_outliers

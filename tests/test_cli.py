@@ -452,3 +452,78 @@ def test_cli_corpus_and_incremental_dedup(ray_session, tmp_path, capsys):
     assert main(["dedup", docs, "--mode", "near-incremental"]) == 0
     rows = _jsonl(capsys.readouterr().out)
     assert all(r["doc_id"] % 2 == 1 for r in rows)
+
+
+def test_rollover_group_lifecycle(ray_session, tmp_path, capsys):
+    """ILM rollover: capped write member rolls to a new index when full;
+    federated group search is bit-identical to one monolithic build."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine import rollover as ro
+    from engine.build import build_index
+    from engine.cli import main
+    from engine.query import Bm25Index
+
+    rng = np.random.default_rng(5)
+    vocab = ["table", "scan", "join", "fast", "slow", "merge", "key", "row"]
+
+    def mk(ids):
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(
+                    [" ".join(rng.choice(vocab, size=12)) for _ in ids]
+                ),
+            }
+        )
+
+    batches = [mk(range(0, 6)), mk(range(6, 10)), mk(range(10, 18))]
+    paths = []
+    for i, t in enumerate(batches):
+        p = str(tmp_path / f"b{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+
+    grp = str(tmp_path / "grp")
+    assert main(["rollover", grp, "init", "--max-docs", "8"]) == 0
+    capsys.readouterr()
+    import ray.data
+
+    # batch 0 (6 docs) -> new member m-000001 (6 < 8: next add appends)
+    r0 = ro.add(grp, ray.data.read_parquet(paths[0]))
+    assert (r0["member"], r0["rolled"], r0["n_docs"]) == ("m-000001", False, 6)
+    # batch 1 (4 docs) -> appends into m-000001 (now 10 >= 8: next rolls)
+    r1 = ro.add(grp, ray.data.read_parquet(paths[1]))
+    assert (r1["member"], r1["rolled"], r1["n_docs"]) == ("m-000001", False, 10)
+    # batch 2 -> rolls to m-000002
+    r2 = ro.add(grp, ray.data.read_parquet(paths[2]))
+    assert (r2["member"], r2["rolled"], r2["n_docs"]) == ("m-000002", True, 8)
+    st = ro.status(grp)
+    assert [m["n_docs"] for m in st["members"]] == [10, 8]
+
+    # federated group search == one monolithic build over all batches
+    mono_src = str(tmp_path / "mono")
+    import os
+
+    os.makedirs(mono_src)
+    pq.write_table(pa.concat_tables(batches), f"{mono_src}/all.parquet")
+    mono = str(tmp_path / "mono_idx")
+    build_index(
+        ray.data.read_parquet(f"{mono_src}/all.parquet"), mono,
+        id_col="doc_id", n_buckets=8, n_salts=4,
+    )
+    bm = Bm25Index(mono)
+    for q in ["table scan", "fast join merge", "slow row"]:
+        dg, sg = ro.topk(grp, q, 10, rank_round=9)
+        dm, sm = bm.topk(q, 10, rank_round=9)
+        assert dg.tolist() == dm.tolist(), q
+        np.testing.assert_array_equal(sg, sm)
+
+    # CLI query surface
+    assert main(["rollover", grp, "query", "table scan", "-k", "3"]) == 0
+    rows = _jsonl(capsys.readouterr().out)
+    assert rows and rows[0]["rank"] == 1
+    with pytest.raises(FileExistsError):
+        ro.init_group(grp, 8)
