@@ -1204,6 +1204,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _collect(_wl(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id")
 
+
+    def transcripts_pack(sf_dir):
+        """Context-window packing: per-conv chunk assignment by cumulative
+        token budget (chunk = tokens_before // budget)."""
+        from engine.ops.transcripts import pack_conversations
+
+        ds = ray.data.read_parquet(_transcripts_corpus(sf_dir))
+        return pack_conversations(ds, budget=128)
+
+    def transcripts_boilerplate(sf_dir):
+        """Cross-conversation boilerplate: 3-token turn PREFIXES in >= 3 distinct
+        conversations with conv/turn counts."""
+        from engine.ops.transcripts import boilerplate_turns
+
+        ds = ray.data.read_parquet(_transcripts_corpus(sf_dir))
+        return boilerplate_turns(ds, min_convs=3, prefix_tokens=3)
+
     def lm_quality_buckets(sf_dir):
         """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
         corpus-unigram-LM mean log-prob, integer-exact thresholds."""
@@ -3104,6 +3121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": profile_events,
         "transcripts_sft_pairs": transcripts_sft_pairs,
         "weak_label": weak_label,
+        "transcripts_pack": transcripts_pack,
+        "transcripts_boilerplate": transcripts_boilerplate,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -5621,6 +5640,28 @@ WHERE text IS NOT NULL
                    count(DISTINCT conv_id)::BIGINT AS n_convs
             FROM seq WHERE next IS NOT NULL
             GROUP BY tool, next
+        """,
+        "transcripts_pack": f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx,
+                     len({_TOKEN_SQL})::BIGINT AS n_tokens
+              FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+            )
+            SELECT conv_id, turn_idx::BIGINT AS turn_idx,
+                   (coalesce(sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 128)::BIGINT AS chunk_idx,
+                   n_tokens
+            FROM t
+        """,
+        "transcripts_boilerplate": f"""
+            WITH t AS (
+              SELECT conv_id,
+                     array_to_string(({_TOKEN_SQL})[1:3], ' ') AS text
+              FROM read_parquet('{CACHE_ROOT}/sf0.01/transcripts_2000/part-*.parquet')
+            )
+            SELECT text, count(DISTINCT conv_id)::BIGINT AS n_convs,
+                   count(*)::BIGINT AS n_turns
+            FROM t GROUP BY text HAVING count(DISTINCT conv_id) >= 3
         """,
         "transcripts_tool_usage": f"""
             SELECT tool, role, count(*)::BIGINT AS n_calls,

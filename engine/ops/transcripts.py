@@ -488,3 +488,146 @@ def sft_pairs(ds, num_partitions: int = 8):
         .map_groups(pair, batch_format="pyarrow")
         .sort(["conv_id", "turn_idx"])
     )
+
+
+def pack_conversations(ds, budget: int = 128, num_partitions: int = 8):
+    """Context-window packing of conversations: within each conversation
+    (turn_idx order), turn ``t`` lands in chunk ``tokens_before(t) //
+    budget`` — the deterministic fixed-budget split of a long conversation
+    into training context windows (the conversation-level companion of
+    ``textstats.pack_sequences``). Emits (conv_id, turn_idx, chunk_idx,
+    n_tokens); token counts under the index tokenizer's dl contract.
+
+    Shape: conv-bucketed groupby; the group body is one lexsort + one
+    segment cumsum (global cumsum minus per-conv offset) — no per-conv
+    loop, no driver state."""
+    from ..schema import TOKEN_MATCH_REGEX
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+
+    def project(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ntok = pc.coalesce(
+            pc.count_substring_regex(pc.utf8_lower(text), TOKEN_MATCH_REGEX),
+            pa.scalar(0, pa.int32()),
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"].cast(pa.int64()),
+                "ntok": ntok,
+                "bucket": _bucket_of(
+                    batch["conv_id"].combine_chunks()
+                    if isinstance(batch["conv_id"], pa.ChunkedArray)
+                    else batch["conv_id"],
+                    num_partitions,
+                ),
+            }
+        )
+
+    def pack(group: pa.Table) -> pa.Table:
+        conv = group["conv_id"].combine_chunks().dictionary_encode()
+        codes = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = group["turn_idx"].to_numpy(zero_copy_only=False)
+        ntok = group["ntok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, codes))
+        c_s, t_s, n_s = codes[order], turn[order], ntok[order]
+        cum = np.cumsum(n_s, dtype=np.int64)
+        first = np.empty(len(c_s), dtype=bool)
+        if len(c_s):
+            first[0] = True
+            np.not_equal(c_s[1:], c_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        # tokens BEFORE each turn within its conv: cum shifted, minus the
+        # cumulative total at the conv's start
+        before = np.zeros(len(c_s), dtype=np.int64)
+        before[1:] = cum[:-1]
+        conv_base = np.repeat(before[starts], np.diff(np.r_[starts, len(c_s)]))
+        before -= conv_base
+        return pa.table(
+            {
+                "conv_id": conv.dictionary.take(pa.array(c_s)),
+                "turn_idx": pa.array(t_s, pa.int64()),
+                "chunk_idx": pa.array(before // budget, pa.int64()),
+                "n_tokens": pa.array(n_s, pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["conv_id", "turn_idx", "text"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pack, batch_format="pyarrow")
+        .sort(["conv_id", "turn_idx"])
+    )
+
+
+def boilerplate_turns(
+    ds, min_convs: int = 3, prefix_tokens: int | None = None, num_partitions: int = 8
+):
+    """Cross-conversation boilerplate detection: turn TEXTS (or, with
+    ``prefix_tokens`` set, their first-N-token prefixes — templated
+    greetings and canned system prompts share openings long before they
+    share whole turns) appearing in at least ``min_convs`` DISTINCT
+    conversations — the transcript-domain boilerplate a dedup pass should
+    strip before training. Emits (text, n_convs, n_turns), sorted by
+    (-n_convs, text).
+
+    Shape: per-batch partial (key, conv) dedup + counts, ONE key-hash
+    bucket groupby whose body groups by the TRUE key string (hash
+    collisions cannot merge keys) and counts distinct convs; only keys
+    crossing the threshold leave the final groupby."""
+    import polars as pl
+
+    from ..tokenize import _explode_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if prefix_tokens is not None:
+            flat, _parent, dl = _explode_tokens(text)
+            offs = np.zeros(len(dl) + 1, dtype=np.int64)
+            np.cumsum(dl, out=offs[1:])
+            lists = pa.LargeListArray.from_arrays(pa.array(offs, pa.int64()), flat)
+            text = pc.binary_join(
+                pc.list_slice(lists, 0, prefix_tokens), " "
+            )
+        t = pa.table({"text": text, "conv_id": batch["conv_id"]})
+        g = t.group_by(["text", "conv_id"], use_threads=False).aggregate(
+            [("conv_id", "count")]
+        )
+        h = pl.from_arrow(g.select(["text"]))["text"].hash(seed=11).to_numpy()
+        return pa.table(
+            {
+                "text": g["text"],
+                "conv_id": g["conv_id"],
+                "n_turns": g["conv_id_count"].cast(pa.int64()),
+                "hbucket": pa.array((h % (num_partitions * 8)).astype(np.int64)),
+            }
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        g = group.group_by(["text"], use_threads=False).aggregate(
+            [("conv_id", "count_distinct"), ("n_turns", "sum")]
+        )
+        keep = pc.greater_equal(g["conv_id_count_distinct"], min_convs)
+        g = g.filter(keep)
+        return pa.table(
+            {
+                "text": g["text"],
+                "n_convs": g["conv_id_count_distinct"].cast(pa.int64()),
+                "n_turns": g["n_turns_sum"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns(["conv_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("hbucket")
+        .map_groups(finish, batch_format="pyarrow")
+        .sort(["n_convs", "text"], descending=[True, False])
+    )

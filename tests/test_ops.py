@@ -2018,3 +2018,73 @@ def test_trim_repeated_windows_property(ray_session):
             kept = [w for w, c in zip(ws, cov) if not c]
             want.append((i, len(ws), int(cov.sum()), " ".join(kept)))
         assert [tuple(r) for r in got.itertuples(index=False)] == want, (seed, k)
+
+
+def test_pack_conversations_brute(ray_session):
+    """Conversation packing vs brute force: per-conv token prefix sums,
+    chunk boundaries, zero-token turns, multi-block conv reassembly."""
+    import ray.data
+
+    from engine.ops.transcripts import pack_conversations
+
+    rows = [
+        ("c1", 0, "a b c"),        # 3 tok, before 0 -> chunk 0
+        ("c1", 1, "d e f g"),      # before 3 -> chunk 0
+        ("c1", 2, "h i"),          # before 7 -> chunk 1 (budget 5)
+        ("c1", 3, ""),             # before 9 -> chunk 1
+        ("c2", 0, "x y z w v u"),  # before 0 -> chunk 0
+        ("c2", 1, "q"),            # before 6 -> chunk 1
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows)),
+            "text": pa.array([r[2] for r in rows]),
+            "tool": pa.array([""] * len(rows)),
+            "ts": pa.array(range(len(rows)), pa.timestamp("us")),
+        }
+    )
+    got = pack_conversations(
+        ray.data.from_arrow(tbl).repartition(3), budget=5
+    ).to_pandas()
+    want = [
+        ("c1", 0, 0, 3), ("c1", 1, 0, 4), ("c1", 2, 1, 2), ("c1", 3, 1, 0),
+        ("c2", 0, 0, 6), ("c2", 1, 1, 1),
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_boilerplate_turns_brute(ray_session):
+    """Prefix boilerplate detection vs brute force: distinct-conv threshold,
+    prefix keying, whole-text mode."""
+    import ray.data
+
+    from engine.ops.transcripts import boilerplate_turns
+
+    rows = [
+        ("c1", 0, "hello how can i help with this"),
+        ("c2", 0, "hello how can you do that thing"),
+        ("c3", 0, "hello how can someone fix it"),
+        ("c1", 1, "totally unique turn one"),
+        ("c2", 1, "hello how can"),  # same prefix, 4th conv? no — c2 again
+        ("c4", 0, "different opening entirely here"),
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows)),
+            "text": pa.array([r[2] for r in rows]),
+            "tool": pa.array([""] * len(rows)),
+            "ts": pa.array(range(len(rows)), pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    got = boilerplate_turns(ds, min_convs=3, prefix_tokens=3).to_pandas()
+    assert [tuple(r) for r in got.itertuples(index=False)] == [
+        ("hello how can", 3, 4)
+    ]
+    # whole-text mode: nothing repeats across 3 convs
+    got2 = boilerplate_turns(ds, min_convs=3).to_pandas()
+    assert len(got2) == 0
