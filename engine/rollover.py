@@ -102,6 +102,14 @@ def add(group_dir: str, source, *, id_col: str = "doc_id", **build_kwargs) -> di
         rolled = True
     name = f"m-{len(g['members']) + 1:06d}"
     dst = os.path.join(group_dir, name)
+    if os.path.exists(dst):
+        # a crashed previous add left an UNREFERENCED member dir (the group
+        # file is the publish point): it may hold a different delta's
+        # half-built state, and build_index would resume into it — wipe it
+        # and build fresh (the recover-diff rule: unreferenced = garbage)
+        import shutil
+
+        shutil.rmtree(dst)
     build_kwargs.setdefault("n_buckets", 8)
     build_kwargs.setdefault("n_salts", 4)
     build_index(source, dst, id_col=id_col, **build_kwargs)

@@ -527,3 +527,61 @@ def test_rollover_group_lifecycle(ray_session, tmp_path, capsys):
     assert rows and rows[0]["rank"] == 1
     with pytest.raises(FileExistsError):
         ro.init_group(grp, 8)
+
+
+def test_rollover_crash_between_build_and_publish(ray_session, tmp_path, monkeypatch):
+    """A crash AFTER the member build but BEFORE the group-file publish
+    leaves an unreferenced member dir; the retry wipes it and rebuilds from
+    ITS OWN delta — no half-state, no cross-delta contamination."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from engine import rollover as ro
+    from engine import state
+
+    rng = np.random.default_rng(9)
+    vocab = ["table", "scan", "join", "fast"]
+
+    def mk(ids):
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([" ".join(rng.choice(vocab, size=8)) for _ in ids]),
+            }
+        )
+
+    grp = str(tmp_path / "grp")
+    ro.init_group(grp, max_docs=4)
+    ro.add(grp, ray.data.from_arrow(mk(range(0, 5))))  # member 1, 5 >= 4: full
+
+    # crash simulation: _save raises after the second member's build commits
+    real_save = ro._save
+    calls = {"n": 0}
+
+    def boom(group_dir, g):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before publish")
+
+    monkeypatch.setattr(ro, "_save", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        ro.add(grp, ray.data.from_arrow(mk(range(5, 8))))
+    monkeypatch.setattr(ro, "_save", real_save)
+
+    # the orphan exists on disk but the group doesn't reference it
+    import os
+
+    assert os.path.exists(os.path.join(grp, "m-000002", "stats.json"))
+    assert [m["member"] for m in ro.status(grp)["members"]] == ["m-000001"]
+
+    # retry with a DIFFERENT delta: orphan wiped, rebuilt from this delta
+    rep = ro.add(grp, ray.data.from_arrow(mk(range(100, 103))))
+    assert rep == {"member": "m-000002", "rolled": True, "n_docs": 3}
+    st = state.read_stats(os.path.join(grp, "m-000002"))
+    assert int(st["n_docs"]) == 3
+    # group search sees exactly the published members' docs
+    doc, _ = ro.topk(grp, "table scan join fast", 50, rank_round=9)
+    assert set(doc.tolist()) <= set(range(0, 5)) | set(range(100, 103))
