@@ -1221,6 +1221,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(_transcripts_corpus(sf_dir))
         return boilerplate_turns(ds, min_convs=3, prefix_tokens=3)
 
+
+    def hard_negatives(sf_dir):
+        """DPR-style hard-negative mining: each conjunctive-containment
+        positive paired with the query's top-ranked non-relevant BM25 hits."""
+        from engine.ops.serving import hard_negatives as _hn
+
+        return _hn(
+            _documents_index(sf_dir), _doc_query_items(), n_neg=3,
+            rank_round=RANK_ROUND,
+        )
+
     def lm_quality_buckets(sf_dir):
         """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
         corpus-unigram-LM mean log-prob, integer-exact thresholds."""
@@ -3123,6 +3134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weak_label": weak_label,
         "transcripts_pack": transcripts_pack,
         "transcripts_boilerplate": transcripts_boilerplate,
+        "hard_negatives": hard_negatives,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -3351,6 +3363,61 @@ SELECT q2.query_id,
 FROM (SELECT DISTINCT query_id, k FROM q) q2
 LEFT JOIN relcnt rc USING (query_id)
 LEFT JOIN hit h USING (query_id)
+"""
+
+
+
+
+def _hard_negatives_sql() -> str:
+    """Oracle for hard_negatives: the rank_eval CTEs (ranking + conjunctive
+    judgments), negatives = top-ranked non-relevant hits re-ranked 1..n,
+    cross-joined with every positive."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}', {k})"
+        for qid, text, k in DOC_QUERIES
+        for t in sorted(set(text.lower().split()))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, k) AS (VALUES
+      {vals}),
+qsize AS (SELECT query_id, count(*) AS nt FROM q GROUP BY query_id),
+scores AS (
+  SELECT q.query_id, q.k, tf.doc_id, count(*) AS matched,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+  FROM scores
+),
+rel AS (
+  SELECT s.query_id, s.doc_id FROM scores s JOIN qsize USING (query_id)
+  WHERE s.matched = qsize.nt
+),
+negs AS (
+  SELECT * FROM (
+    SELECT t.query_id, t.doc_id, t.rank,
+           row_number() OVER (PARTITION BY t.query_id ORDER BY t.rank) AS nn
+    FROM ranked t ANTI JOIN rel r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+  ) WHERE nn <= 3
+)
+SELECT r.query_id, r.doc_id AS pos_doc, n.doc_id AS neg_doc, n.rank::BIGINT AS neg_rank
+FROM rel r JOIN negs n USING (query_id)
 """
 
 
@@ -6451,6 +6518,7 @@ WHERE text IS NOT NULL
             WHERE role = 'user' AND nrole = 'assistant' AND nidx = turn_idx + 1
         """,
         "rank_eval": _rank_eval_sql(),
+        "hard_negatives": _hard_negatives_sql(),
         # window STRINGS recomputed; coverage via positional anti-join
         "trim_repeated_windows": f"""
             WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),

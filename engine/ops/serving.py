@@ -268,3 +268,64 @@ def rank_eval(
             "mrr_r": pa.array(mrr_l, pa.float64()),
         }
     )
+
+
+def hard_negatives(
+    index_dir: str,
+    queries: list[dict],
+    n_neg: int = 3,
+    rank_round: int | None = None,
+) -> pa.Table:
+    """Hard-negative mining for retriever training (the BM25-negatives
+    recipe of DPR, Karpukhin et al. 2020, arXiv 2004.04906 §3.2): for each
+    query, positives are its conjunctive-containment docs (same derived
+    judgments as :func:`rank_eval`) and hard negatives are the TOP-RANKED
+    BM25 hits that are NOT positive — lexically close, semantically wrong,
+    exactly what contrastive training wants. Each positive pairs with the
+    query's ``n_neg`` highest-ranked negatives. Emits
+    (query_id, pos_doc, neg_doc, neg_rank) — integer-exact, fully
+    SQL-restatable (no model in the loop; swap the scorer for a model to
+    get the ANCE-style iterated variant).
+
+    Scale shape: per-query work is one pruned top-k + one rarest-first
+    posting intersection; output is |positives| x n_neg rows per query."""
+    from ..query import Bm25Index
+
+    bm = Bm25Index(index_dir)
+    qids, pos_l, neg_l, rk_l = [], [], [], []
+    for q in queries:
+        # rank the FULL match set: on conjunctive-friendly corpora the top-k
+        # band can be entirely positive, so negatives come from the first
+        # non-relevant docs anywhere in the ranking (partial matchers)
+        doc, score = bm.score_all(q["text"])
+        key = np.round(score, rank_round) if rank_round is not None else score
+        order = np.lexsort((doc, -key))
+        doc = doc[order]
+        terms = sorted(set(bm._terms(q["text"])))
+        terms.sort(key=lambda t: bm.reader.df(t))
+        rel = None
+        for t in terms:
+            d, _tf = bm.reader.postings(t)
+            rel = d if rel is None else rel[np.isin(rel, d, assume_unique=True)]
+            if rel is None or not len(rel):
+                break
+        rel = rel if rel is not None else np.empty(0, dtype=np.int64)
+        if not len(rel):
+            continue  # no positives -> nothing to contrast
+        is_pos = np.isin(doc, rel)
+        negs = doc[~is_pos][:n_neg]
+        neg_ranks = (np.flatnonzero(~is_pos)[:n_neg] + 1).astype(np.int64)
+        for p in rel:
+            for nd, nr in zip(negs.tolist(), neg_ranks.tolist()):
+                qids.append(q["query_id"])
+                pos_l.append(int(p))
+                neg_l.append(nd)
+                rk_l.append(nr)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.string()),
+            "pos_doc": pa.array(pos_l, pa.int64()),
+            "neg_doc": pa.array(neg_l, pa.int64()),
+            "neg_rank": pa.array(rk_l, pa.int64()),
+        }
+    )

@@ -91,3 +91,44 @@ def test_rank_eval_metrics_brute(tiny_index):
     # the absent-term query exercises every zero fallback
     z = got.iloc[-1]
     assert (z.n_relevant, z.n_hits, z.p_at_k_r, z.recall_r, z.mrr_r) == (0, 0, 0.0, 0.0, 0.0)
+
+
+def test_hard_negatives_brute(tiny_index):
+    """Hard-negative mining vs brute force: positives = conjunctive set,
+    negatives = first non-relevant docs in the full (rounded score, doc)
+    ranking, cross product, zero-positive and single-term edges."""
+    import numpy as np
+
+    from engine.ops.serving import hard_negatives
+    from engine.query import Bm25Index
+    from engine.queries import QUERY_SET
+    from engine.tokenize import tokenize_text
+
+    queries = list(QUERY_SET) + [
+        {"query_id": "QZ_absent", "text": "zzznotaterm", "k": 5}
+    ]
+    got = hard_negatives(tiny_index, queries, n_neg=2, rank_round=9).to_pandas()
+    bm = Bm25Index(tiny_index)
+    want_rows = []
+    for q in queries:
+        doc, score = bm.score_all(q["text"])
+        order = np.lexsort((doc, -np.round(score, 9)))
+        ranked = doc[order].tolist()
+        rel = None
+        for t in sorted(set(tokenize_text(q["text"]))):
+            d, _tf = bm.reader.postings(t)
+            s = set(d.tolist())
+            rel = s if rel is None else rel & s
+        rel = rel or set()
+        if not rel:
+            continue
+        negs = [(d, r + 1) for r, d in enumerate(ranked) if d not in rel][:2]
+        for p in sorted(rel):
+            for nd, nr in negs:
+                want_rows.append((q["query_id"], p, nd, nr))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want_rows
+    assert len(got) > 0
+    # no negative is ever a positive for its query
+    assert not set(map(tuple, got[["query_id", "neg_doc"]].values)) & set(
+        map(tuple, got[["query_id", "pos_doc"]].values)
+    )
