@@ -1232,6 +1232,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rank_round=RANK_ROUND,
         )
 
+
+    def rerank_stub_topk(sf_dir):
+        """Retrieve-then-rerank serving: BM25 top-k -> doc-store hydration ->
+        stateful actor-pool re-scoring (deterministic stub cross-encoder) ->
+        re-rank; the whole plumbing value-hash-gated."""
+        from engine.ops.serving import rerank_stub_topk as _rr
+
+        return _rr(_documents_index(sf_dir), _doc_query_items(), rank_round=RANK_ROUND)
+
     def lm_quality_buckets(sf_dir):
         """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
         corpus-unigram-LM mean log-prob, integer-exact thresholds."""
@@ -3135,6 +3144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_pack": transcripts_pack,
         "transcripts_boilerplate": transcripts_boilerplate,
         "hard_negatives": hard_negatives,
+        "rerank_stub_topk": rerank_stub_topk,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -3418,6 +3428,56 @@ negs AS (
 )
 SELECT r.query_id, r.doc_id AS pos_doc, n.doc_id AS neg_doc, n.rank::BIGINT AS neg_rank
 FROM rel r JOIN negs n USING (query_id)
+"""
+
+
+
+
+def _rerank_stub_sql() -> str:
+    """Oracle for the rerank-stub path: BM25 top-k, join back to the stored
+    text, the md5 stub score, re-rank (stub desc, doc asc)."""
+    vals = ",\n      ".join(
+        f"('{qid}', '{t}', {k})"
+        for qid, text, k in DOC_QUERIES
+        for t in sorted(set(text.lower().split()))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+dl_all AS (SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_all),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term, k) AS (VALUES
+      {vals}),
+scores AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl_all.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN df USING (term)
+  JOIN dl_all ON tf.doc_id = dl_all.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, q.k, tf.doc_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT query_id, k, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY round(score, {RANK_ROUND}) DESC, doc_id) AS rank
+    FROM scores) WHERE rank <= k
+),
+stub AS (
+  SELECT t.query_id, t.doc_id,
+         round((md5_number_lower(concat(t.query_id, ':', d.text))::UBIGINT % 1000000)::DOUBLE / 1000000, 6) AS stub_r
+  FROM topk t JOIN documents d USING (doc_id)
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY stub_r DESC, doc_id)::BIGINT AS rank,
+       doc_id, stub_r
+FROM stub
 """
 
 
@@ -6519,6 +6579,7 @@ WHERE text IS NOT NULL
         """,
         "rank_eval": _rank_eval_sql(),
         "hard_negatives": _hard_negatives_sql(),
+        "rerank_stub_topk": _rerank_stub_sql(),
         # window STRINGS recomputed; coverage via positional anti-join
         "trim_repeated_windows": f"""
             WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),

@@ -329,3 +329,112 @@ def hard_negatives(
             "neg_rank": pa.array(rk_l, pa.int64()),
         }
     )
+
+
+class _StubCrossEncoder:
+    """Deterministic stand-in for a cross-encoder reranker: 'loads' its
+    model once per actor (__init__ — where a real implementation deserializes
+    weights) and scores (query, doc_text) pairs per batch (__call__ — where a
+    real one runs batched inference). The score is the md5_number_lower hash
+    of "query_id:text" scaled to [0, 1) — deterministic and restated exactly
+    by the oracle SQL, so the WHOLE serving path (hit hydration, batching,
+    actor-pool plumbing, re-ranking) is value-hash-gated while the model
+    itself stays a brief-sanctioned stub (no inference libs in the image)."""
+
+    def __init__(self, scale: int = 1_000_000):
+        from ..tokenize import md5_lower64  # "model load" happens here, once
+
+        self._hash = md5_lower64
+        self._scale = scale
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        key = pc.binary_join_element_wise(
+            batch["query_id"].cast(pa.string()), batch["text"], ":"
+        )
+        h = self._hash(key)
+        s = (h % np.uint64(self._scale)).astype(np.float64) / float(self._scale)
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "doc_id": batch["doc_id"],
+                "stub_r": pa.array(np.round(s, 6), pa.float64()),
+            }
+        )
+
+
+def rerank_stub_topk(
+    index_dir: str,
+    queries: list[dict],
+    rank_round: int | None = None,
+    concurrency: int = 2,
+) -> pa.Table:
+    """Two-stage retrieve-then-rerank serving (the cross-encoder topology of
+    every production neural search stack): stage 1 is the exact BM25 top-k;
+    stage 2 hydrates the hits' stored texts through the row-group-pruned doc
+    store and re-scores them in a STATEFUL ACTOR POOL (model in __init__,
+    batched scoring in __call__ — :class:`_StubCrossEncoder`), then re-ranks
+    by (rounded stub score desc, doc asc). Work scales with hit count, never
+    the corpus. Emits (query_id, rank, doc_id, stub_r)."""
+    import ray.data
+
+    from ..docstore import DocStore
+    from ..query import Bm25Index
+
+    bm = Bm25Index(index_dir)
+    store = DocStore(index_dir)
+    qids, dids, texts = [], [], []
+    for q in queries:
+        doc, _score = bm.topk(q["text"], q["k"], rank_round=rank_round)
+        hydrated = store.texts(doc)
+        for d in doc.tolist():
+            qids.append(q["query_id"])
+            dids.append(int(d))
+            texts.append(hydrated[int(d)])
+    if not qids:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "stub_r": pa.array([], pa.float64()),
+            }
+        )
+    hits = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(qids, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    scored = hits.map_batches(
+        _StubCrossEncoder,
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),  # never pin pool == CPU budget
+        num_cpus=1,
+    ).to_arrow_refs()
+    import ray as _ray
+
+    tbl = pa.concat_tables([t for t in _ray.get(scored) if t.num_rows])
+    qs = tbl["query_id"].to_numpy(zero_copy_only=False)
+    ds_ = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    ss = tbl["stub_r"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ds_, -ss, qs))
+    qs, ds_, ss = qs[order], ds_[order], ss[order]
+    first = np.empty(len(qs), dtype=bool)
+    first[0] = True
+    np.not_equal(qs[1:], qs[:-1], out=first[1:])
+    rank = np.arange(len(qs), dtype=np.int64)
+    starts = np.flatnonzero(first)
+    rank -= np.repeat(rank[starts], np.diff(np.r_[starts, len(qs)]))
+    return pa.table(
+        {
+            "query_id": pa.array(qs.tolist(), pa.string()),
+            "rank": pa.array(rank + 1, pa.int64()),
+            "doc_id": pa.array(ds_, pa.int64()),
+            "stub_r": pa.array(ss, pa.float64()),
+        }
+    )

@@ -132,3 +132,35 @@ def test_hard_negatives_brute(tiny_index):
     assert not set(map(tuple, got[["query_id", "neg_doc"]].values)) & set(
         map(tuple, got[["query_id", "pos_doc"]].values)
     )
+
+
+def test_rerank_stub_topk_brute(tiny_index):
+    """Rerank serving path vs brute force: hit set preserved (same docs as
+    BM25 top-k), stub scores reproducible from md5, rank = (stub desc,
+    doc asc) within each query."""
+    import numpy as np
+
+    from engine.ops.serving import rerank_stub_topk
+    from engine.query import Bm25Index
+    from engine.queries import QUERY_SET
+    from engine.tokenize import md5_lower64
+
+    got = rerank_stub_topk(tiny_index, QUERY_SET, rank_round=9).to_pandas()
+    bm = Bm25Index(tiny_index)
+    from engine.docstore import DocStore
+
+    store = DocStore(tiny_index)
+    for q in QUERY_SET:
+        doc, _ = bm.topk(q["text"], q["k"], rank_round=9)
+        sub = got[got["query_id"] == q["query_id"]]
+        assert set(sub["doc_id"]) == set(doc.tolist())  # same hit set
+        texts = store.texts(doc)
+        import pyarrow as pa
+
+        want = []
+        for d in doc.tolist():
+            h = int(md5_lower64(pa.array([f"{q['query_id']}:{texts[int(d)]}"]))[0])
+            want.append((int(d), round((h % 1_000_000) / 1_000_000, 6)))
+        want.sort(key=lambda r: (-r[1], r[0]))
+        assert list(zip(sub["doc_id"], sub["stub_r"])) == want
+        assert sub["rank"].tolist() == list(range(1, len(want) + 1))
