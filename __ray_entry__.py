@@ -3107,6 +3107,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": clean_corpus,
         "clean_corpus_near": clean_corpus_near,
         # ---- window boundary: entries below queue for the round-5 window ---
+        # ROUND-5 ROTATION PLAN (the driver verifies only the FIRST 50 keys):
+        # promote, in order, (1) the 21 session-9 ops never seen by any
+        # driver — gopher_filter, domain_mix_sample, dedup_incremental,
+        # lm_quality_buckets, cms_heavy_hitters, near_dedup_incremental,
+        # rank_eval, hard_negatives, rerank_stub_topk, trim_repeated_windows,
+        # span_not, vocab_drift, transcripts_tool_chains, profile_events,
+        # transcripts_sft_pairs, weak_label, transcripts_pack,
+        # transcripts_boilerplate, transcripts_has_child (+2 sentinels) —
+        # then (2) the remaining pre-r4 queue below, newest first.
         "bm25_topk_reindexed": bm25_topk_reindexed,
         "transcripts_rollover_window": transcripts_rollover_window,
         "span_near_scored": span_near_scored,
