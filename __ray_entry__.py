@@ -1241,6 +1241,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _rr(_documents_index(sf_dir), _doc_query_items(), rank_round=RANK_ROUND)
 
+
+    def embedding_drift(sf_dir):
+        """Vector drift report: per-label centroid L2 shift between the
+        old (even vec_id) and new (odd) slices."""
+        from engine.ops.similarity import embedding_drift as _ed
+
+        return _ed(sf_dir)
+
     def lm_quality_buckets(sf_dir):
         """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
         corpus-unigram-LM mean log-prob, integer-exact thresholds."""
@@ -3154,6 +3162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_boilerplate": transcripts_boilerplate,
         "hard_negatives": hard_negatives,
         "rerank_stub_topk": rerank_stub_topk,
+        "embedding_drift": embedding_drift,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -6096,6 +6105,25 @@ WHERE text IS NOT NULL
             SELECT d.lang AS gold, p.pred_lang AS pred, count(*)::BIGINT AS n
             FROM documents d JOIN pred p USING (doc_id)
             GROUP BY gold, pred
+        """,
+        "embedding_drift": """
+            WITH e AS (SELECT label, (vec_id % 2 <> 0)::INT AS side,
+                              unnest(embedding) AS v,
+                              generate_subscripts(embedding, 1) AS dim
+                       FROM embeddings),
+            cent AS (
+              SELECT label, side, dim, avg(v::DOUBLE) AS m, count(*)::BIGINT AS n
+              FROM e GROUP BY label, side, dim),
+            j AS (
+              SELECT o.label, o.n AS n_old, w.n AS n_new,
+                     sum(pow(w.m - o.m, 2)) AS ss
+              FROM cent o JOIN cent w
+                ON o.label = w.label AND o.dim = w.dim
+               AND o.side = 0 AND w.side = 1
+              GROUP BY o.label, o.n, w.n)
+            SELECT label::BIGINT AS label, n_old, n_new,
+                   round(sqrt(ss), 6) AS shift_r
+            FROM j
         """,
         "label_centroids": """
             WITH e AS (SELECT label, unnest(embedding) AS v,

@@ -881,3 +881,80 @@ def kmeans_train(
             "centroid": pa.array([np.round(c, 9) for c in cent]),
         }
     )
+
+
+def embedding_drift(sf_dir: str, old_mod: int = 2, round_to: int = 6):
+    """Embedding drift report between two snapshots (the vector companion
+    of ``textstats.vocab_drift``): per label, the L2 distance between the
+    OLD slice's (``vec_id % old_mod == 0``) and the NEW slice's centroid —
+    the embedding-space monitoring pass a pipeline runs when the upstream
+    encoder or corpus mix changes. Emits (label, n_old, n_new, shift_r),
+    labels present in BOTH slices only (a one-sided label has no drift to
+    measure), sorted by label.
+
+    Shape: the label_centroids partial (per-batch (label, side, dim) float64
+    sums — the exchange carries <= labels x 2 x dim rows per block, never
+    vectors) -> tiny groupby Sum -> driver fold over <= labels x 2 x dim
+    rows for the distance. Same float contract as label_centroids: float64
+    accumulation from float32 storage, 6-dp rounding shared with the
+    oracle."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = _stack(batch["embedding"])
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        side = (
+            batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % old_mod
+            != 0
+        ).astype(np.int64)
+        key = labels * 2 + side
+        uniq, codes = np.unique(key, return_inverse=True)
+        u, d = len(uniq), emb.shape[1]
+        sums = np.zeros((u, d), dtype=np.float64)
+        np.add.at(sums, codes, emb)
+        cnt = np.bincount(codes, minlength=u).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq // 2, d), pa.int64()),
+                "side": pa.array(np.repeat(uniq % 2, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), u)),
+                "s": pa.array(sums.ravel()),
+                "c": pa.array(np.repeat(cnt, d), pa.int64()),
+            }
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "side", "dim"])
+        .aggregate(Sum("s"), Sum("c"))
+        .to_pandas()  # bounded: <= labels x 2 x dim rows by construction
+    )
+    out = {}
+    for (lab, side), grp in agg.groupby(["label", "side"]):
+        grp = grp.sort_values("dim")
+        mean = grp["sum(s)"].to_numpy() / grp["sum(c)"].to_numpy()
+        n = int(grp["sum(c)"].iloc[0]) // 1  # same count repeated per dim
+        out.setdefault(int(lab), {})[int(side)] = (mean, int(grp["sum(c)"].iloc[0]))
+    labs, n_old_l, n_new_l, shift_l = [], [], [], []
+    for lab in sorted(out):
+        if 0 not in out[lab] or 1 not in out[lab]:
+            continue
+        mo, no = out[lab][0]
+        mn, nn = out[lab][1]
+        labs.append(lab)
+        n_old_l.append(no)
+        n_new_l.append(nn)
+        shift_l.append(round(float(np.sqrt(((mn - mo) ** 2).sum())), round_to))
+    return pa.table(
+        {
+            "label": pa.array(labs, pa.int64()),
+            "n_old": pa.array(n_old_l, pa.int64()),
+            "n_new": pa.array(n_new_l, pa.int64()),
+            "shift_r": pa.array(shift_l, pa.float64()),
+        }
+    )

@@ -2088,3 +2088,47 @@ def test_boilerplate_turns_brute(ray_session):
     # whole-text mode: nothing repeats across 3 convs
     got2 = boilerplate_turns(ds, min_convs=3).to_pandas()
     assert len(got2) == 0
+
+
+def test_embedding_drift_brute(ray_session, tmp_path):
+    """Centroid-shift drift vs brute numpy: per-label per-slice means, L2
+    distance, one-sided labels dropped."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.similarity import embedding_drift
+
+    rng = np.random.default_rng(13)
+    n, d = 120, 8
+    labels = rng.integers(0, 3, size=n)
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    # label 2 exists only on the even (old) side -> must be dropped
+    keep = ~((labels == 2) & (np.arange(n) % 2 == 1))
+    ids = np.arange(n)[keep]
+    labels, emb = labels[keep], emb[keep]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        f"{sf}/embeddings.parquet",
+    )
+    got = embedding_drift(sf).to_pandas()
+    want = []
+    for lab in sorted(set(labels.tolist())):
+        mo = emb[(labels == lab) & (ids % 2 == 0)]
+        mn = emb[(labels == lab) & (ids % 2 == 1)]
+        if not len(mo) or not len(mn):
+            continue
+        shift = np.sqrt(
+            ((mn.astype(np.float64).mean(0) - mo.astype(np.float64).mean(0)) ** 2).sum()
+        )
+        want.append((lab, len(mo), len(mn), round(float(shift), 6)))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert {r[0] for r in want} == {0, 1}  # label 2 dropped as one-sided
