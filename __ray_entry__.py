@@ -1249,6 +1249,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _ed(sf_dir)
 
+
+    def tokenizer_fertility(sf_dir):
+        """Per-lang tokenizer fertility: BPE-ish pre-tokens per whitespace
+        token, integer-exact partials + one rounded division."""
+        from engine.ops.textstats import tokenizer_fertility as _tf
+
+        return _collect(_tf(_docs(sf_dir, ["doc_id", "lang", "text"])))
+
     def lm_quality_buckets(sf_dir):
         """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
         corpus-unigram-LM mean log-prob, integer-exact thresholds."""
@@ -3163,6 +3171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": hard_negatives,
         "rerank_stub_topk": rerank_stub_topk,
         "embedding_drift": embedding_drift,
+        "tokenizer_fertility": tokenizer_fertility,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -6132,6 +6141,16 @@ WHERE text IS NOT NULL
             SELECT label::BIGINT AS label, (dim - 1)::BIGINT AS dim,
                    round(avg(v::DOUBLE), 6) AS centroid_r
             FROM e GROUP BY label, dim
+        """,
+        "tokenizer_fertility": f"""
+            WITH c AS (
+              SELECT lang, count(*)::BIGINT AS n_docs,
+                     sum(len(regexp_extract_all(coalesce(text, ''), '{_BPE_SQL_PATTERN}')))::BIGINT AS n_bpe,
+                     sum(len(regexp_extract_all(coalesce(text, ''), '\\S+')))::BIGINT AS n_ws
+              FROM documents GROUP BY lang)
+            SELECT lang, n_docs, n_bpe, n_ws,
+                   CASE WHEN n_ws > 0 THEN round(n_bpe / (n_ws * 1.0), 6) ELSE 0.0 END AS fertility_r
+            FROM c
         """,
         "bpe_token_counts": f"""
             SELECT doc_id,

@@ -1906,3 +1906,54 @@ def weak_label(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def tokenizer_fertility(ds, group_col: str = "lang", text_col: str = "text"):
+    """Tokenizer fertility by group (the per-language token-cost audit run
+    before fixing a data mixture: how many model tokens each whitespace
+    token costs): per ``group_col``, total BPE-ish pre-tokens, total
+    whitespace tokens, and their ratio in 1e-6 fixed point
+    (``fertility_r = round(n_bpe / n_ws, 6)``, 0.0 when a group has no
+    whitespace tokens). Emits (lang, n_docs, n_bpe, n_ws, fertility_r),
+    sorted.
+
+    Shape: per-batch integer partials per group (two streaming RE2 passes +
+    one tiny group_by), then a #groups-row groupby Sum — integer-exact
+    counters, one float division at the end."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col], "")
+        t = pa.table(
+            {
+                group_col: batch[group_col],
+                "n_docs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "n_bpe": pc.count_substring_regex(text, BPE_SPLIT_PATTERN).cast(pa.int64()),
+                "n_ws": pc.count_substring_regex(text, WS_TOKEN_PATTERN).cast(pa.int64()),
+            }
+        )
+        return t.group_by([group_col], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("n_bpe", "sum"), ("n_ws", "sum")]
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nb = batch["sum(n_bpe_sum)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nw = batch["sum(n_ws_sum)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fert = np.round(np.divide(nb, nw, out=np.zeros_like(nb), where=nw > 0), 6)
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "n_docs": batch["sum(n_docs_sum)"].cast(pa.int64()),
+                "n_bpe": batch["sum(n_bpe_sum)"].cast(pa.int64()),
+                "n_ws": batch["sum(n_ws_sum)"].cast(pa.int64()),
+                "fertility_r": pa.array(fert, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("n_docs_sum"), Sum("n_bpe_sum"), Sum("n_ws_sum"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(group_col)
+    )

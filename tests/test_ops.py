@@ -2132,3 +2132,38 @@ def test_embedding_drift_brute(ray_session, tmp_path):
         want.append((lab, len(mo), len(mn), round(float(shift), 6)))
     assert [tuple(r) for r in got.itertuples(index=False)] == want
     assert {r[0] for r in want} == {0, 1}  # label 2 dropped as one-sided
+
+
+def test_tokenizer_fertility_brute(ray_session):
+    """Fertility vs brute counts incl. the zero-whitespace-token group."""
+    import re
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from engine.ops.textstats import BPE_SPLIT_PATTERN, tokenizer_fertility
+
+    texts = ["hello world's test", "unsplittable", "", "a b c d"]
+    langs = ["en", "en", "zz", "de"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "lang": pa.array(langs),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    got = tokenizer_fertility(ds).to_pandas()
+    want = []
+    for lang in sorted(set(langs)):
+        nb = nw = nd = 0
+        for l, t in zip(langs, texts):
+            if l != lang:
+                continue
+            nd += 1
+            nb += int(pc.count_substring_regex(pa.array([t]), BPE_SPLIT_PATTERN)[0].as_py())
+            nw += len(re.findall(r"\S+", t))
+        fert = round(nb / nw, 6) if nw else 0.0
+        want.append((lang, nd, nb, nw, fert))
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
