@@ -10,6 +10,10 @@
     python -m engine.cli phrase <index_dir> "exact phrase" (positional index)
     python -m engine.cli expand <index_dir> --slot "a|b" --slot "c" [-k N]
     python -m engine.cli stats  <index_dir>
+    python -m engine.cli alias  <registry> set|remove|list|resolve [NAME] [TARGET]
+    python -m engine.cli rollover <group_dir> init|add|query|status [ARG]
+    python -m engine.cli corpus <parquet> --mode gopher|trim|drift|buckets|hitters
+    python -m engine.cli dedup  <parquet> --mode ...|incremental|near-incremental
 
 Owns its Ray session (guarded init) per the driver contract: library code
 never calls ray.init; CLIs and benches do.

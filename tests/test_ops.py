@@ -2167,3 +2167,46 @@ def test_tokenizer_fertility_brute(ray_session):
         fert = round(nb / nw, 6) if nw else 0.0
         want.append((lang, nd, nb, nw, fert))
     assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=0, max_value=10**12),
+        min_size=1,
+        max_size=4,
+    ),
+    targets=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=0, max_value=1000),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_domain_mix_rates_invariants(counts, targets):
+    """Property test of the integer mixture-rate math: rates bounded, the
+    binding domain keeps ~everything, realized counts never exceed targets'
+    proportion of the implied output, and big-int inputs never overflow."""
+    from engine.ops.sampling import domain_mix_rates
+
+    rates = domain_mix_rates(counts, targets)
+    live = {d for d, p in targets.items() if p > 0 and counts.get(d)}
+    assert set(rates) == live
+    for d, r in rates.items():
+        assert 0 <= r <= 1000
+    if not live:
+        return
+    scale = min((counts[d] * 1_000_000) // targets[d] for d in live)
+    # the binding domain's unclamped rate is within one floor step of 1000
+    binding = min(live, key=lambda d: (counts[d] * 1_000_000) // targets[d])
+    unclamped = targets[binding] * scale // (counts[binding] * 1000)
+    assert rates[binding] == min(1000, unclamped) and unclamped >= 999
+    # expected kept mass tracks the target mixture: rate*count is
+    # proportional to target (within integer-floor slack)
+    for d in live:
+        assert rates[d] * counts[d] * 1000 <= targets[d] * scale + counts[d] * 1000
