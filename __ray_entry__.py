@@ -1257,6 +1257,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _collect(_tf(_docs(sf_dir, ["doc_id", "lang", "text"])))
 
+
+    def source_lang_mix(sf_dir):
+        """Corpus composition audit: source x lang counts + within-source
+        language shares."""
+        from engine.ops.relational import source_lang_mix as _slm
+
+        return _slm(sf_dir)
+
     def lm_quality_buckets(sf_dir):
         """CCNet perplexity bucketing: per-lang head/middle/tail thirds by
         corpus-unigram-LM mean log-prob, integer-exact thresholds."""
@@ -3172,6 +3180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank_stub_topk": rerank_stub_topk,
         "embedding_drift": embedding_drift,
         "tokenizer_fertility": tokenizer_fertility,
+        "source_lang_mix": source_lang_mix,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -6141,6 +6150,14 @@ WHERE text IS NOT NULL
             SELECT label::BIGINT AS label, (dim - 1)::BIGINT AS dim,
                    round(avg(v::DOUBLE), 6) AS centroid_r
             FROM e GROUP BY label, dim
+        """,
+        "source_lang_mix": """
+            WITH c AS (SELECT source, lang, count(*)::BIGINT AS n_docs
+                       FROM documents GROUP BY source, lang),
+            t AS (SELECT source, sum(n_docs) AS total FROM c GROUP BY source)
+            SELECT c.source, c.lang, c.n_docs,
+                   round(c.n_docs / (t.total * 1.0), 6) AS share_r
+            FROM c JOIN t USING (source)
         """,
         "tokenizer_fertility": f"""
             WITH c AS (

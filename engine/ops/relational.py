@@ -1391,3 +1391,49 @@ def profile_columns(sf_dir: str, table: str = "events", columns: list[str] | Non
             "n_distinct": pa.array([r[3] for r in out_rows], pa.int64()),
         }
     )
+
+
+def source_lang_mix(sf_dir: str):
+    """Source x language crosstab (the corpus-composition audit behind every
+    mixture decision): per (source, lang), document count and the language's
+    share WITHIN its source in 1e-6-rounded fixed point. Emits
+    (source, lang, n_docs, share_r), sorted.
+
+    Shape: per-batch integer partials per (source, lang) -> a #cells-row
+    groupby Sum -> a stateless share divide against the per-source totals
+    (computed in the same bounded table). Nothing corpus-sized leaves the
+    map stage."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "n", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        return t.group_by(["source", "lang"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_sum"))
+        .to_pandas()  # bounded: #sources x #langs cells
+    )
+    agg = agg.rename(columns={"sum(n_sum)": "n_docs"})
+    totals = agg.groupby("source")["n_docs"].transform("sum").to_numpy()
+    n = agg["n_docs"].to_numpy()
+    agg["share_r"] = np.round(n / totals.astype(np.float64), 6)
+    agg = agg.sort_values(["source", "lang"], ignore_index=True)
+    return pa.table(
+        {
+            "source": pa.array(agg["source"].tolist(), pa.string()),
+            "lang": pa.array(agg["lang"].tolist(), pa.string()),
+            "n_docs": pa.array(agg["n_docs"].to_numpy(), pa.int64()),
+            "share_r": pa.array(agg["share_r"].to_numpy(), pa.float64()),
+        }
+    )

@@ -2210,3 +2210,38 @@ def test_domain_mix_rates_invariants(counts, targets):
     # proportional to target (within integer-floor slack)
     for d in live:
         assert rates[d] * counts[d] * 1000 <= targets[d] * scale + counts[d] * 1000
+
+
+def test_source_lang_mix_brute(ray_session, tmp_path):
+    from collections import Counter
+
+    import os
+
+    import pyarrow.parquet as pq
+
+    from engine.ops.relational import source_lang_mix
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    rng = np.random.default_rng(21)
+    srcs = rng.choice(["s1", "s2"], size=200)
+    langs = rng.choice(["en", "de", "zh"], size=200)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(200), pa.int64()),
+                "source": pa.array(srcs),
+                "lang": pa.array(langs),
+                "text": pa.array(["x"] * 200),
+            }
+        ),
+        f"{sf}/documents.parquet",
+    )
+    got = source_lang_mix(sf).to_pandas()
+    cells = Counter(zip(srcs.tolist(), langs.tolist()))
+    tot = Counter(srcs.tolist())
+    want = sorted(
+        (s, l, n, round(n / tot[s], 6)) for (s, l), n in cells.items()
+    )
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+    assert abs(got.groupby("source")["share_r"].sum() - 1.0).max() < 1e-5
