@@ -3068,10 +3068,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # Entry ORDER is evidence-driven: the driver's correctness sweep verifies
     # only the FIRST 50 keys. Rounds 1-3 greenlit 65 entries; the 40 below had
-    # never been driver-verified (only local parity), so round 4 rotates them
-    # to the front, followed by 10 core sentinels to fill the 50-entry window,
-    # then the 55 already-driver-green entries.
-    return {
+    # never been driver-verified (only local parity), so round 4 rotated them
+    # to the front. Round 5 reorders again via _R5_WINDOW below — the literal
+    # keeps the historical r4 ordering; the return statement applies the
+    # round-5 rotation.
+    q = {
         # ---- new since the last driver window ------------------------------
         "bm25_topk_boolean": bm25_topk_boolean,
         "bm25_topk_pfor": bm25_topk_pfor,
@@ -3272,6 +3273,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_synonyms": bm25_topk_synonyms,
         "suggest_complete": suggest_complete,
         "transcripts_sort_recent": transcripts_sort_recent,
+    }
+
+    # ROUND-5 WINDOW (the driver verifies only the FIRST 50 keys). Slots:
+    # 2 core sentinels + `sliding_window` (the single r4 hash-red; its oracle's
+    # windowed HUGEINT sum is now CAST back to BIGINT — kept in the window to
+    # prove the fix) + 47 of the 61 entries no driver round has ever checked
+    # (all local-parity green; session-9 ops first, then the pre-r4 queue).
+    # The 14 never-checked entries left below the boundary (mmr_rerank_topk
+    # [rows-only], bm25_topk_page2/_boosted/_synonyms/_dismax/_federated,
+    # bm25_explain, bm25_top_hits_by_source, suggest_complete,
+    # transcripts_sort_recent/_collapse_topk/_match_stats/_date_histogram/
+    # _rescore_recency) are scoring/serving variants whose underlying
+    # machinery is already multiply driver-green via siblings.
+    _R5_WINDOW = [
+        "tokenize_tf",
+        "bm25_topk",
+        "sliding_window",
+        # session-9 ops (never driver-checked)
+        "gopher_filter",
+        "domain_mix_sample",
+        "dedup_incremental",
+        "lm_quality_buckets",
+        "cms_heavy_hitters",
+        "near_dedup_incremental",
+        "rank_eval",
+        "hard_negatives",
+        "rerank_stub_topk",
+        "trim_repeated_windows",
+        "span_not",
+        "vocab_drift",
+        "embedding_drift",
+        "tokenizer_fertility",
+        "transcripts_tool_chains",
+        "transcripts_sft_pairs",
+        "transcripts_pack",
+        "transcripts_boilerplate",
+        "weak_label",
+        "profile_events",
+        "source_lang_mix",
+        # pre-r4 queue (never driver-checked)
+        "bm25_topk_reindexed",
+        "transcripts_rollover_window",
+        "span_near_scored",
+        "bm25_topk_wildcard",
+        "phrase_prefix_match",
+        "dsir_select",
+        "hashed_vectors",
+        "redact_text",
+        "pack_sequences",
+        "chunk_documents",
+        "chunk_bm25_topk",
+        "decontaminate",
+        "lang_confusion",
+        "label_centroids",
+        "bpe_token_counts",
+        "substring_dup_stats",
+        "uniform_sample_k",
+        "grouped_quantile_sketch",
+        "transcripts_role_transitions",
+        "bm25_topk_regex",
+        "rm3_topk",
+        "hybrid_rrf_topk",
+        "suggest_did_you_mean",
+        "best_passages",
+        "transcripts_has_child",
+        "transcripts_significant_terms",
+    ]
+    assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
+    in_window = set(_R5_WINDOW)
+    return {
+        **{k: q[k] for k in _R5_WINDOW},
+        **{k: v for k, v in q.items() if k not in in_window},
     }
 
 
@@ -6913,11 +6986,14 @@ WHERE text IS NOT NULL
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY event_type
         """,
-        # RANGE frame == engine contract: same-ts peers included both sides
+        # RANGE frame == engine contract: same-ts peers included both sides.
+        # Outer CAST: DuckDB types a windowed BIGINT sum as HUGEINT, which
+        # .df() materializes as float64 — the r4 driver hash-mismatch
+        # (VERDICT r4 #1). Engine emits int64, so cast the sum back.
         "sliding_window": """
             SELECT event_id,
                    count(*) OVER w AS w_count,
-                   sum(CAST(round(value * 100) AS BIGINT)) OVER w AS w_sum_c
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS w_sum_c
             FROM events
             WINDOW w AS (
               PARTITION BY user_id ORDER BY ts

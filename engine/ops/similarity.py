@@ -584,15 +584,24 @@ def tfidf_similar_pairs(
         g = dedup.group_by(["term"], use_threads=False).aggregate([("p", "count")])
         return pa.table({"term": g["term"], "df": g["p_count"].cast(pa.int64())})
 
-    df_tbl = (
+    df_ds = (
         ds.map_batches(partial_df, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()
     )
-    n_docs = int(ds.count())
     if max_df is not None:
-        df_tbl = df_tbl[df_tbl["df"] <= int(max_df)]
+        # max_df prune happens DISTRIBUTED, before the driver collect (same
+        # pattern as bigram_lm_scores' min-count prune): at open-vocabulary
+        # scale the driver table is bounded by max_df-surviving terms, not
+        # by the corpus vocabulary.
+        _cap = int(max_df)
+
+        def prune_df(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.less_equal(batch["df"], pa.scalar(_cap)))
+
+        df_ds = df_ds.map_batches(prune_df, batch_format="pyarrow")
+    df_tbl = df_ds.to_pandas()
+    n_docs = int(ds.count())
     df_terms = np.asarray(df_tbl["term"], dtype=object)
     o = np.argsort(df_terms, kind="stable")
     df_ref = ray.put((df_terms[o], np.asarray(df_tbl["df"])[o].astype(np.int64)))

@@ -8,6 +8,7 @@ the fixed query set over the deterministic tiny corpus.
 import glob
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -722,6 +723,31 @@ def test_build_parallelism_invariant(ray_session, tiny_corpus, tmp_path):
     dm_a = pq.read_table(idx_a + "/docmap").sort_by("doc_id")
     dm_b = pq.read_table(idx_b + "/docmap").sort_by("doc_id")
     assert dm_a.equals(dm_b)
+
+
+def test_hot_term_detection_samples_corpus_wide(ray_session):
+    """A hot term living ONLY in the tail of the corpus (the
+    time/source-correlated layout of a real crawl) must still be detected:
+    the sampler is an id-hash gate over the whole corpus, not a prefix
+    ``limit()`` (VERDICT r4 #4 — a prefix sample would return zero
+    occurrences here and leave one fat part). Also pins determinism: the
+    gate is content-derived, so repeated runs agree."""
+    import ray.data
+
+    from engine.build import detect_hot_terms
+
+    n, sample = 800, 200
+    texts = [f"w{i % 97} x{i}" for i in range(n)]
+    for i in range(n - 200, n):  # hot term only in the LAST quarter
+        texts[i] += " zzhot"
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)})
+    )
+    hot = detect_hot_terms(ds, "doc_id", "text", sample, hot_fraction=0.05, n_docs=n)
+    assert "zzhot" in hot
+    # w* terms appear in ~8 docs each (~1% of corpus) — under the 5% cut
+    assert not any(t.startswith("w") for t in hot)
+    assert detect_hot_terms(ds, "doc_id", "text", sample, hot_fraction=0.05, n_docs=n) == hot
 
 
 def test_boolean_parser():

@@ -183,6 +183,28 @@ def test_doc_top_terms_ranks_and_tie_order(ray_session):
     assert sc[(3, "dd")] == round(3 * idf1, 4)  # tf=3
 
 
+def test_doc_top_terms_bucketed_path_matches_broadcast(ray_session):
+    """Above max_vocab the op switches to the exact term-bucket join (no
+    vocab broadcast); rows must be identical to the broadcast path,
+    including the (-rounded score, term) tie order."""
+    from engine.ops.textstats import doc_top_terms
+
+    docs = ["aa bb", "aa cc", "ee ff", "dd dd dd", "gg aa bb", "hh hh cc"]
+    broadcast = (
+        doc_top_terms(_docs_ds(docs), m=3, max_vocab=None)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"], ignore_index=True)
+    )
+    # vocab is 8 terms > max_vocab=2 -> forces the bucketed path; odd bucket
+    # counts exercise term/doc co-partitioning with multi-term buckets
+    bucketed = (
+        doc_top_terms(_docs_ds(docs), m=3, max_vocab=2, num_term_buckets=3, num_doc_buckets=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"], ignore_index=True)
+    )
+    assert broadcast.equals(bucketed)
+
+
 def test_bigram_counts_no_cross_doc_pairs_and_tie_order(ray_session):
     from engine.ops.textstats import bigram_top_counts
 

@@ -31,6 +31,22 @@ def to_pandas(res) -> pd.DataFrame:
     return pd.DataFrame(res)
 
 
+def dtype_family(dtype) -> str:
+    """Coarse dtype family as the driver's value-hash sees it: int64 `1234`
+    vs float64 `1234.0` format differently and hash-mismatch even when the
+    values are equal (the r4 `sliding_window` red — DuckDB HUGEINT sums
+    materialize as float64 via .df())."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "object"
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -93,6 +109,16 @@ def main():
             ok = False
         elif len(got) != len(want):
             print(f"[FAIL] {name}: rows {len(got)} vs {len(want)}")
+            ok = False
+        elif len(got) > 0 and [dtype_family(got[c].dtype) for c in got.columns] != [
+            dtype_family(want[c].dtype) for c in want.columns
+        ]:
+            mism = {
+                c: (dtype_family(got[c].dtype), dtype_family(want[c].dtype))
+                for c in got.columns
+                if dtype_family(got[c].dtype) != dtype_family(want[c].dtype)
+            }
+            print(f"[FAIL] {name}: dtype family mismatch (engine, oracle): {mism}")
             ok = False
         else:
             try:
