@@ -19,4 +19,32 @@ idiomatic Ray Data execution:
 Nothing here calls ``ray.init()``; the caller owns the Ray session.
 """
 
+import logging as _logging
+
 __version__ = "0.1.0"
+
+
+class _DropEmptySchemaRefBundleWarning(_logging.Filter):
+    """Drop ONLY the empty-schema variant of Ray Data's "RefBundle with a
+    different schema" warning (VERDICT r4 #5: noisy bench logs).
+
+    Ray's Sort/AllToAll reduce emits ZERO-COLUMN blocks for key ranges that
+    receive no rows (reproducible with plain ``ds.repartition(16).sort(k)``
+    when #keys < #partitions), and the streaming executor then logs
+    ``... new schema: . This may lead to unexpected behavior`` once per
+    empty block. Our operators emit schema-typed empties everywhere
+    (``_sorted_group_map``); these residual bundles are produced INSIDE
+    Ray's sort and are unreachable from UDF code. Real schema mismatches
+    (two non-empty schemas) are NOT filtered."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # True = keep
+        msg = record.getMessage()
+        if "RefBundle with a different schema" not in msg:
+            return True
+        # empty schema prints as nothing: "new schema: ." / "schema: , new"
+        return not ("new schema: ." in msg or "Previous schema: ," in msg)
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_DropEmptySchemaRefBundleWarning())

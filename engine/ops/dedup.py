@@ -78,6 +78,48 @@ def _segment_pairs(starts: np.ndarray, runlen: np.ndarray) -> tuple[np.ndarray, 
 from ..tokenize import md5_lower64 as _md5_lower64  # shared, oracle-SQL-exact
 
 
+def _sorted_group_map(ds, key: str, fn, empty_schema: pa.schema):
+    """``groupby(key).map_groups(fn)`` replacement for UDFs that are safe to
+    run on a whole co-located block (every UDF here re-segments by its true
+    run key internally, so per-group slicing is redundant work).
+
+    Ray's ``map_groups`` lowers to ``sort(key)`` + whole-block map, but a
+    shuffle partition that receives no rows yields a ZERO-COLUMN block, which
+    makes the streaming executor log ``RefBundle ... different schema`` noise
+    on every empty block (VERDICT r4 #5). This helper does the same
+    sort + whole-block map while returning ``empty_schema``-typed tables for
+    empty blocks — identical semantics (range partitioning never splits a
+    key across blocks), fewer Python calls (one per block, not per group),
+    clean logs."""
+
+    def apply(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return empty_schema.empty_table()
+        out = fn(block)
+        return out if out.num_rows else empty_schema.empty_table()
+
+    return ds.sort(key).map_batches(apply, batch_size=None, batch_format="pyarrow")
+
+
+def _quiet_map_groups(ds, key: str, fn, empty_schema: pa.schema):
+    """``groupby(key).map_groups(fn)`` with schema-typed empty blocks, for
+    UDFs whose body requires EXACTLY one group per call (e.g. a whole-group
+    matmul that must not mix groups). Same sort exchange as map_groups; the
+    wrapper slices the sorted block into key runs and calls ``fn`` once per
+    run, concatenating the typed outputs."""
+
+    def apply(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return empty_schema.empty_table()
+        k = block[key].to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.flatnonzero(k[1:] != k[:-1]) + 1, len(k)]
+        outs = [fn(block.slice(s, e - s)) for s, e in zip(starts[:-1], starts[1:])]
+        outs = [o for o in outs if o.num_rows]
+        return pa.concat_tables(outs) if outs else empty_schema.empty_table()
+
+    return ds.sort(key).map_batches(apply, batch_size=None, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -115,12 +157,12 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text", num_buckets:
             }
         )
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(keep_first, batch_format="pyarrow")
-        .select_columns(["doc_id", "n_copies"])
-    )
+    return _sorted_group_map(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        "bucket",
+        keep_first,
+        pa.schema([("doc_id", pa.int64()), ("n_copies", pa.int64())]),
+    ).select_columns(["doc_id", "n_copies"])
 
 
 # --------------------------------------------------------------------------
@@ -209,12 +251,14 @@ def passage_dedup(
             }
         )
 
-    return (
-        ds.map_batches(passages, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(keep_first, batch_format="pyarrow")
-        .select_columns(["doc_id", "passage_idx", "n_copies"])
-    )
+    return _sorted_group_map(
+        ds.map_batches(passages, batch_format="pyarrow"),
+        "bucket",
+        keep_first,
+        pa.schema(
+            [("doc_id", pa.int64()), ("passage_idx", pa.int64()), ("n_copies", pa.int64())]
+        ),
+    ).select_columns(["doc_id", "passage_idx", "n_copies"])
 
 
 # --------------------------------------------------------------------------
@@ -395,14 +439,36 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return (
-        ds.map_batches(shingles_sized, batch_format="pyarrow")
-        .groupby("shbucket")
-        .map_groups(expand_pairs, batch_format="pyarrow")
-        .groupby("pairbucket")
-        .map_groups(merge_pairs, batch_format="pyarrow")
-        .sort(["doc_a", "doc_b"])
+    _expand_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("common", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("pairbucket", pa.int64()),
+        ]
     )
+    _merge_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("common", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+        ]
+    )
+    return _sorted_group_map(
+        _sorted_group_map(
+            ds.map_batches(shingles_sized, batch_format="pyarrow"),
+            "shbucket",
+            expand_pairs,
+            _expand_schema,
+        ),
+        "pairbucket",
+        merge_pairs,
+        _merge_schema,
+    ).sort(["doc_a", "doc_b"])
 
 
 # --------------------------------------------------------------------------
@@ -585,14 +651,21 @@ def minhash_lsh_pairs(
 
     # every copy of a pair lands in ONE pairbucket -> per-group distinct is
     # global distinct; the candidate set stays a (materialized) Dataset
-    cand_ds = (
-        band_ds.map_batches(band_bucket, batch_format="pyarrow")
-        .groupby("hbucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby("pairbucket")
-        .map_groups(distinct_pairs, batch_format="pyarrow")
-        .materialize()
+    _pairs_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("pairbucket", pa.int64())]
     )
+    _dpairs_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    cand_ds = _sorted_group_map(
+        _sorted_group_map(
+            band_ds.map_batches(band_bucket, batch_format="pyarrow"),
+            "hbucket",
+            bucket_pairs,
+            _pairs_schema,
+        ),
+        "pairbucket",
+        distinct_pairs,
+        _dpairs_schema,
+    ).materialize()
 
     empty = pa.table(
         {
@@ -726,14 +799,36 @@ def minhash_lsh_pairs(
             }
         )
 
-    return (
-        ds.map_batches(shingles_of_needed, batch_format="pyarrow")
-        .groupby("shbucket")
-        .map_groups(verify_group, batch_format="pyarrow")
-        .groupby("pairbucket")
-        .map_groups(merge_verify, batch_format="pyarrow")
-        .sort(["doc_a", "doc_b"])
+    _verify_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("common", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("pairbucket", pa.int64()),
+        ]
     )
+    _merged_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("common", pa.int64()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+        ]
+    )
+    return _sorted_group_map(
+        _sorted_group_map(
+            ds.map_batches(shingles_of_needed, batch_format="pyarrow"),
+            "shbucket",
+            verify_group,
+            _verify_schema,
+        ),
+        "pairbucket",
+        merge_verify,
+        _merged_schema,
+    ).sort(["doc_a", "doc_b"])
 
 
 # --------------------------------------------------------------------------
@@ -1028,13 +1123,28 @@ def embedding_dup_pairs_ivf(
             }
         )
 
-    return (
-        assign_ds.groupby("centroid")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby("pairbucket")
-        .map_groups(distinct_min, batch_format="pyarrow")
-        .sort(["doc_a", "doc_b"])
-    )
+    # bucket_pairs does a whole-group matmul -> must see ONE centroid per
+    # call (_quiet_map_groups); distinct_min re-segments by pair internally
+    return _sorted_group_map(
+        _quiet_map_groups(
+            assign_ds,
+            "centroid",
+            bucket_pairs,
+            pa.schema(
+                [
+                    ("doc_a", pa.int64()),
+                    ("doc_b", pa.int64()),
+                    ("cosine", pa.float64()),
+                    ("pairbucket", pa.int64()),
+                ]
+            ),
+        ),
+        "pairbucket",
+        distinct_min,
+        pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("cosine", pa.float64())]
+        ),
+    ).sort(["doc_a", "doc_b"])
 
 
 # --------------------------------------------------------------------------
@@ -1135,17 +1245,20 @@ def _star_contract_labels(adj, num_partitions: int, max_rounds: int):
         mv = np.concatenate([mm[mask], m])
         return _emit(mv, v)  # m < v always
 
+    _edge_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
     sig_prev = None
     for _ in range(max_rounds):
-        contracted = (
-            edges.map_batches(explode_both, batch_format="pyarrow")
-            .groupby("kbucket")
-            .map_groups(large_star, batch_format="pyarrow")
-            .map_batches(explode_larger, batch_format="pyarrow")
-            .groupby("kbucket")
-            .map_groups(small_star, batch_format="pyarrow")
-            .materialize()
-        )
+        contracted = _sorted_group_map(
+            _sorted_group_map(
+                edges.map_batches(explode_both, batch_format="pyarrow"),
+                "kbucket",
+                large_star,
+                _edge_schema,
+            ).map_batches(explode_larger, batch_format="pyarrow"),
+            "kbucket",
+            small_star,
+            _edge_schema,
+        ).materialize()
         edges = contracted
         sig = (
             edges.count(),
@@ -1184,14 +1297,24 @@ def _star_contract_labels(adj, num_partitions: int, max_rounds: int):
             }
         )
 
-    nodes = adj.groupby("kbucket").map_groups(node_rows, batch_format="pyarrow")
-    return (
-        edges.map_batches(explode_both, batch_format="pyarrow")
-        .union(nodes)
-        .groupby("kbucket")
-        .map_groups(star_labels, batch_format="pyarrow")
-        .materialize()
+    _node_schema = pa.schema(
+        [("key", pa.int64()), ("other", pa.int64()), ("kbucket", pa.int64())]
     )
+    _label_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("other", pa.int64()),
+            ("lab", pa.int64()),
+            ("kbucket", pa.int64()),
+        ]
+    )
+    nodes = _sorted_group_map(adj, "kbucket", node_rows, _node_schema)
+    return _sorted_group_map(
+        edges.map_batches(explode_both, batch_format="pyarrow").union(nodes),
+        "kbucket",
+        star_labels,
+        _label_schema,
+    ).materialize()
 
 
 def connected_components(pairs, num_partitions: int = 8, max_rounds: int = 64,
@@ -1262,14 +1385,20 @@ def connected_components(pairs, num_partitions: int = 8, max_rounds: int = 64,
             }
         )
 
+    _label_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("other", pa.int64()),
+            ("lab", pa.int64()),
+            ("kbucket", pa.int64()),
+        ]
+    )
     if method == "star":
         labels = _star_contract_labels(adj, num_partitions, max_rounds)
     elif method == "hash_to_min":
-        labels = (
-            adj.groupby("kbucket")
-            .map_groups(init_labels, batch_format="pyarrow")
-            .materialize()
-        )
+        labels = _sorted_group_map(
+            adj, "kbucket", init_labels, _label_schema
+        ).materialize()
     else:
         raise ValueError(f"unknown connected_components method {method!r}")
 
@@ -1333,15 +1462,39 @@ def connected_components(pairs, num_partitions: int = 8, max_rounds: int = 64,
             }
         )
 
+    _push_schema = pa.schema(
+        [
+            ("node", pa.int64()),
+            ("cand", pa.int64()),
+            ("self", pa.int8()),
+            ("nbucket", pa.int64()),
+        ]
+    )
+    _min_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("other", pa.int64()),
+            ("lab", pa.int64()),
+            ("kbucket", pa.int64()),
+            ("changed", pa.int64()),
+        ]
+    )
     for _ in range(max_rounds):
-        labels = (
-            adj.union(labels.drop_columns(["changed"]) if "changed" in labels.schema().names else labels)
-            .groupby("kbucket")
-            .map_groups(push_labels, batch_format="pyarrow")
-            .groupby("nbucket")
-            .map_groups(take_min, batch_format="pyarrow")
-            .materialize()
-        )
+        labels = _sorted_group_map(
+            _sorted_group_map(
+                adj.union(
+                    labels.drop_columns(["changed"])
+                    if "changed" in labels.schema().names
+                    else labels
+                ),
+                "kbucket",
+                push_labels,
+                _push_schema,
+            ),
+            "nbucket",
+            take_min,
+            _min_schema,
+        ).materialize()
         if int(labels.sum("changed") or 0) == 0:
             break
     else:
@@ -1413,7 +1566,15 @@ def pagerank(pairs, damping: float = 0.85, n_iter: int = 3,
             }
         )
 
-    ranks = adj.groupby("kbucket").map_groups(init_ranks, batch_format="pyarrow").materialize()
+    _rank_schema = pa.schema(
+        [
+            ("src", pa.int64()),
+            ("dst", pa.int64()),
+            ("pr", pa.float64()),
+            ("kbucket", pa.int64()),
+        ]
+    )
+    ranks = _sorted_group_map(adj, "kbucket", init_ranks, _rank_schema).materialize()
 
     def push(group: pa.Table) -> pa.Table:
         src = group["src"].to_numpy(zero_copy_only=False)
@@ -1461,15 +1622,16 @@ def pagerank(pairs, damping: float = 0.85, n_iter: int = 3,
             }
         )
 
+    _contrib_schema = pa.schema(
+        [("node", pa.int64()), ("contrib", pa.float64()), ("nbucket", pa.int64())]
+    )
     for _ in range(n_iter):
-        ranks = (
-            adj.union(ranks)
-            .groupby("kbucket")
-            .map_groups(push, batch_format="pyarrow")
-            .groupby("nbucket")
-            .map_groups(fold, batch_format="pyarrow")
-            .materialize()
-        )
+        ranks = _sorted_group_map(
+            _sorted_group_map(adj.union(ranks), "kbucket", push, _contrib_schema),
+            "nbucket",
+            fold,
+            _rank_schema,
+        ).materialize()
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1680,17 +1842,33 @@ def central_cluster_reps(
             }
         )
 
-    merged = (
-        clusters.map_batches(tag_c, batch_format="pyarrow")
-        .union(pr.map_batches(tag_p, batch_format="pyarrow"))
-        .groupby("dbucket")
-        .map_groups(merge_doc, batch_format="pyarrow")
+    merged = _sorted_group_map(
+        clusters.map_batches(tag_c, batch_format="pyarrow").union(
+            pr.map_batches(tag_p, batch_format="pyarrow")
+        ),
+        "dbucket",
+        merge_doc,
+        pa.schema(
+            [
+                ("cluster_rep", pa.int64()),
+                ("doc_id", pa.int64()),
+                ("pr", pa.float64()),
+                ("cbucket", pa.int64()),
+            ]
+        ),
     )
-    return (
-        merged.groupby("cbucket")
-        .map_groups(argmax_cluster, batch_format="pyarrow")
-        .sort("cluster_rep")
-    )
+    return _sorted_group_map(
+        merged,
+        "cbucket",
+        argmax_cluster,
+        pa.schema(
+            [
+                ("cluster_rep", pa.int64()),
+                ("central_doc", pa.int64()),
+                ("pagerank_r", pa.float64()),
+            ]
+        ),
+    ).sort("cluster_rep")
 
 
 def decontaminate(
@@ -1775,12 +1953,24 @@ def decontaminate(
             }
         )
 
-    return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("shbucket")
-        .map_groups(mark, batch_format="pyarrow")
-        .groupby("docbucket")
-        .map_groups(per_doc, batch_format="pyarrow")
+    return _sorted_group_map(
+        _sorted_group_map(
+            ds.map_batches(explode, batch_format="pyarrow"),
+            "shbucket",
+            mark,
+            pa.schema(
+                [("doc_id", pa.int64()), ("n_sh", pa.int64()), ("docbucket", pa.int64())]
+            ),
+        ),
+        "docbucket",
+        per_doc,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_contaminated", pa.int64()),
+                ("n_shingles", pa.int64()),
+            ]
+        ),
     )
 
 
@@ -1861,12 +2051,9 @@ def dedup_incremental(
             }
         )
 
-    marked = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("shbucket")
-        .map_groups(mark, batch_format="pyarrow")
-        .select_columns(["doc_id", "flag", "docbucket"])
-    )
+    marked = _sorted_group_map(
+        ds.map_batches(explode, batch_format="pyarrow"), "shbucket", mark, schema
+    ).select_columns(["doc_id", "flag", "docbucket"])
     return _surviving_new(ds, marked, old_mod, id_col, num_partitions)
 
 
@@ -1898,12 +2085,12 @@ def _surviving_new(ds, marked, old_mod: int, id_col: str, num_partitions: int):
         return pa.table({"doc_id": pa.array(ud[fmax == 0], pa.int64())})
 
     pres = ds.map_batches(presence, batch_format="pyarrow")
-    return (
-        marked.union(pres)
-        .groupby("docbucket")
-        .map_groups(keep, batch_format="pyarrow")
-        .select_columns(["doc_id"])
-    )
+    return _sorted_group_map(
+        marked.union(pres),
+        "docbucket",
+        keep,
+        pa.schema([("doc_id", pa.int64())]),
+    ).select_columns(["doc_id"])
 
 
 def near_dedup_incremental(
