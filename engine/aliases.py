@@ -84,10 +84,13 @@ def list_aliases(registry: str) -> dict[str, str]:
 
 def resolve(name: str, registry: str | None = None) -> str:
     """``name`` -> index directory. A bare name resolves through the
-    registry; anything path-like (or any committed index dir) passes
-    through unchanged. A registered alias whose target has since lost its
-    stats.json raises — a dangling alias must fail loudly, not fall back."""
-    looks_path = os.sep in name or "/" in name or os.path.isdir(name)
+    registry FIRST (a same-named directory in the CWD must not shadow a
+    registered alias — ADVICE r4); names containing a separator pass
+    through as paths. A bare name absent from the registry falls back to
+    path semantics only when it IS a directory. A registered alias whose
+    target has since lost its stats.json raises — a dangling alias must
+    fail loudly, not fall back."""
+    looks_path = os.sep in name or "/" in name
     if registry is not None and not looks_path:
         m = _load(registry)
         if name in m:
@@ -97,5 +100,6 @@ def resolve(name: str, registry: str | None = None) -> str:
                     f"alias {name!r} -> {target} is dangling (no stats.json)"
                 )
             return target
-        raise KeyError(f"{name!r} is neither an alias in {registry} nor a path")
+        if not os.path.isdir(name):
+            raise KeyError(f"{name!r} is neither an alias in {registry} nor a path")
     return name

@@ -1341,48 +1341,92 @@ def profile_columns(sf_dir: str, table: str = "events", columns: list[str] | Non
     count (nulls excluded, SQL COUNT(DISTINCT) semantics). Emits
     (column, n_rows, n_null, n_distinct), sorted by column name.
 
-    Shape: one pruned single-column read per column. Null/row counts are
-    per-batch integer partials folded by a tiny Sum; the distinct count is
-    a per-batch in-block dedup (Arrow group_by on the NATIVE value — no
-    hashing, no collision risk) followed by one value-keyed groupby whose
-    GROUP COUNT is the answer — the distinct values themselves never leave
-    the cluster, and each column's exchange carries at most its per-block
-    distinct sets. Driver state: one 3-int row per column."""
+    Shape: ONE pruned single-column read per column (ADVICE r4: row/null
+    partials and the distinct sets ride the SAME pass). The per-batch stage
+    dedups in-block (Arrow group_by on the NATIVE value — no collision
+    risk), stamps each distinct value with a value-hash bucket, and appends
+    one marker row (bucket -1) carrying the batch's row/null counts. One
+    bucket groupby then folds: the marker group sums counts; every other
+    group re-dedups its values (each value lives in exactly ONE bucket, so
+    per-bucket distincts sum to the global distinct). The driver collects
+    <= n_buckets+1 narrow int rows per column; distinct values never leave
+    the cluster."""
     import pyarrow.parquet as _pq
     import ray.data
 
     path = f"{sf_dir}/{table}.parquet"
     cols = columns or _pq.read_schema(path).names
+    n_buckets = 64
     out_rows = []
     for c in sorted(cols):
         one = ray.data.read_parquet(path, columns=[c])
 
-        def counts(batch: pa.Table) -> pa.Table:
-            col = batch[c]
+        def stage(batch: pa.Table, _c=c) -> pa.Table:
+            import polars as pl
+
+            dedup = (
+                batch.filter(pc.is_valid(batch[_c]))
+                .group_by([_c], use_threads=False)
+                .aggregate([])
+            )
+            vtype = batch.schema.field(_c).type
+            if dedup.num_rows:
+                h = pl.from_arrow(dedup.select([_c]))[_c].hash(seed=0).to_numpy()
+                vb = (h % np.uint64(n_buckets)).astype(np.int64)
+                vals = pa.table(
+                    {
+                        "vbucket": pa.array(vb),
+                        "v": dedup[_c],
+                        "n": pa.array(np.zeros(len(vb), dtype=np.int64)),
+                        "n_null": pa.array(np.zeros(len(vb), dtype=np.int64)),
+                    }
+                )
+            else:
+                vals = None
+            marker = pa.table(
+                {
+                    "vbucket": pa.array([-1], pa.int64()),
+                    "v": pa.nulls(1, vtype),
+                    "n": pa.array([batch.num_rows], pa.int64()),
+                    "n_null": pa.array([batch[_c].null_count], pa.int64()),
+                }
+            )
+            return pa.concat_tables([vals, marker]) if vals is not None else marker
+
+        def fold(group: pa.Table) -> pa.Table:
+            if int(group["vbucket"][0].as_py()) == -1:
+                return pa.table(
+                    {
+                        "n": pa.array([int(pc.sum(group["n"]).as_py() or 0)], pa.int64()),
+                        "n_null": pa.array(
+                            [int(pc.sum(group["n_null"]).as_py() or 0)], pa.int64()
+                        ),
+                        "nd": pa.array([0], pa.int64()),
+                    }
+                )
+            nd = group.group_by(["v"], use_threads=False).aggregate([]).num_rows
             return pa.table(
                 {
-                    "n": pa.array([batch.num_rows], pa.int64()),
-                    "n_null": pa.array([col.null_count], pa.int64()),
+                    "n": pa.array([0], pa.int64()),
+                    "n_null": pa.array([0], pa.int64()),
+                    "nd": pa.array([nd], pa.int64()),
                 }
             )
 
-        agg = one.map_batches(counts, batch_format="pyarrow").sum(["n", "n_null"])
-        n_rows, n_null = int(agg["sum(n)"]), int(agg["sum(n_null)"])
-
-        def in_block_distinct(batch: pa.Table) -> pa.Table:
-            return (
-                batch.filter(pc.is_valid(batch[c]))
-                .group_by([c], use_threads=False)
-                .aggregate([])
-            )
-
-        n_distinct = (
-            one.map_batches(in_block_distinct, batch_format="pyarrow")
-            .groupby(c)
-            .count()
-            .count()
+        small = (
+            one.map_batches(stage, batch_format="pyarrow")
+            .groupby("vbucket")
+            .map_groups(fold, batch_format="pyarrow")
+            .to_pandas()
         )
-        out_rows.append((c, n_rows, n_null, int(n_distinct)))
+        out_rows.append(
+            (
+                c,
+                int(small["n"].sum()),
+                int(small["n_null"].sum()),
+                int(small["nd"].sum()),
+            )
+        )
     return pa.table(
         {
             "column": pa.array([r[0] for r in out_rows], pa.string()),

@@ -36,6 +36,12 @@ def main() -> int:
     p.add_argument("--positions", action="store_true")
     p.add_argument("--postings-codec", default="varint")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--id-col",
+        default=None,
+        help="doc id column for plain-document corpora (e.g. doc_id); omit "
+        "for transcripts corpora, whose ids are minted from conv_id/turn_idx",
+    )
     p.add_argument("--smoke-query", default=None, help="optional post-build top-10 query")
     args = p.parse_args()
 
@@ -47,12 +53,18 @@ def main() -> int:
         # must import the engine package: ship the repo root on PYTHONPATH
         # (under job submit, --working-dir already does this; harmless then)
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        ray.init(
-            address=os.environ.get("RAY_ADDRESS", "auto"),
+        init_kwargs = dict(
             include_dashboard=False,
             logging_level="ERROR",
             runtime_env={"env_vars": {"PYTHONPATH": repo}},
         )
+        try:
+            ray.init(address=os.environ.get("RAY_ADDRESS", "auto"), **init_kwargs)
+        except ConnectionError:
+            # no running cluster and RAY_ADDRESS unset: address="auto" raises
+            # instead of starting one (ADVICE r4) — fall back to a local
+            # session so the documented standalone/dev mode works
+            ray.init(address="local", **init_kwargs)
     from engine.build import build_index
 
     buckets = args.buckets if args.buckets == "auto" else int(args.buckets)
@@ -60,6 +72,7 @@ def main() -> int:
     build_index(
         args.corpus,
         args.index,
+        id_col=args.id_col,
         n_buckets=buckets,
         n_salts=args.salts,
         positions=args.positions,

@@ -409,6 +409,19 @@ def test_alias_registry_and_query(ray_session, tiny_index, tmp_path, capsys):
         aliases.set_alias(reg, "a/b", tiny_index)
     with pytest.raises(FileNotFoundError):
         aliases.set_alias(reg, "x", str(tmp_path / "nope"))
+    # a same-named directory in the CWD must NOT shadow a registered alias
+    # (registry is consulted FIRST for bare names — ADVICE r4)
+    aliases.set_alias(reg, "shadowed", tiny_index)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        os.makedirs("shadowed", exist_ok=True)
+        assert aliases.resolve("shadowed", reg) == os.path.abspath(tiny_index)
+        # bare non-alias name that IS a local dir still passes through
+        os.makedirs("plaindir", exist_ok=True)
+        assert aliases.resolve("plaindir", reg) == "plaindir"
+    finally:
+        os.chdir(cwd)
 
 
 def test_cli_corpus_and_incremental_dedup(ray_session, tmp_path, capsys):
