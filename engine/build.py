@@ -408,6 +408,11 @@ class _SegmentWriter:
                 "rows_in": group.num_rows,
                 "payload_bytes": os.path.getsize(path),
                 "encode_sec": round(encode_sec, 4),
+                # executing node (provenance + multi-node placement evidence:
+                # on a >1-node cluster, distinct node_ids across manifests
+                # prove the encode stage spanned nodes — the sandbox has no
+                # dashboard/state API, so manifests ARE the task-level record)
+                "node_id": ray.get_runtime_context().get_node_id(),
             },
         )
         return pa.table(
