@@ -129,8 +129,15 @@ def run_bench() -> dict:
     # (Through round 4 this was a fixed 32; at the 3.3M-turn scaling corpus
     # that left 2.2M postings/part and 32 concurrent encoders DRAM-bound —
     # see BASELINE.md round-4 'encode knee' rows.)
-    build_index(corpus, idx_dir, n_buckets="auto", n_salts=2, resume=False)
+    _rep = build_index(corpus, idx_dir, n_buckets="auto", n_salts=2, resume=False)
     t_build = time.perf_counter() - t0
+    # guardrail (VERDICT r4 stretch #9): a stale index dir silently inflating
+    # turns/s via resume-skipped parts would be invisible in the JSON line —
+    # assert every part was written by THIS run
+    assert _rep.get("parts_written_this_run") == _rep.get("n_parts"), (
+        f"bench build skipped parts (resume leak): wrote "
+        f"{_rep.get('parts_written_this_run')} of {_rep.get('n_parts')}"
+    )
     results["index_build"] = round(t_build, 3)
     build_tps = n_turns / t_build
 

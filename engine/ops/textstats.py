@@ -1674,6 +1674,8 @@ def lm_quality_buckets(
     text_col: str = "text",
     lang_col: str = "lang",
     max_vocab: int | None = DEFAULT_MAX_VOCAB,
+    mode: str = "exact",
+    eps: float = 0.02,
 ):
     """CCNet-style perplexity bucketing (Wenzek et al. 2019, arXiv
     1911.00359 §3.3): per LANGUAGE, split docs into head / middle / tail
@@ -1691,14 +1693,28 @@ def lm_quality_buckets(
 
     Shape: the scored stream is consumed twice (once reduced to per-lang
     value-count histograms for thresholds, once for labeling) — at real
-    scale, checkpoint the scores to parquet between the passes, or swap the
-    exact histogram for grouped_quantile_sketch (engine/ops/sketch.py),
-    whose mergeable KLL summaries bound the threshold exchange; this
-    variant keeps the exact, SQL-restatable contract. The threshold
-    exchange carries distinct (lang, score_c) pairs; the per-lang groups
-    are value-count rows, not docs. Driver state: #langs threshold pairs,
-    broadcast once via ray.put."""
+    scale, checkpoint the scores to parquet between the passes. The
+    threshold exchange carries distinct (lang, score_c) pairs; the per-lang
+    groups are value-count rows, not docs. Driver state: #langs threshold
+    pairs, broadcast once via ray.put.
+
+    ``mode="sketch"`` (VERDICT r4 stretch #8) is the documented 100-TB
+    threshold path: the exact per-lang value-count histogram (whose distinct
+    (lang, score_c) row count is corpus-dependent) is replaced by a
+    mergeable FIXED-RESOLUTION histogram over avg-logprob — scores bin at
+    ``floor(score_c / W)`` with absolute width ``W = eps`` in logprob units
+    (geometric bins are wrong for this domain: logprobs cluster in a narrow
+    band around e.g. -8, where a 2% RELATIVE bin would swallow whole
+    terciles). Unigram avg-logprob is bounded (~[-50, 0]), so the threshold
+    exchange is bounded at #langs x range/eps bins REGARDLESS of corpus
+    size. Each tercile threshold lands within one bin (absolute logprob
+    error <= eps) of the exact one; bucket labels match exact mode except
+    for docs inside that boundary bin (pytest-gated). Exact mode stays the
+    default and the SQL-oracled contract."""
     import ray
+
+    if mode not in ("exact", "sketch"):
+        raise ValueError(f"lm_quality_buckets mode must be exact|sketch, got {mode!r}")
 
     scored = unigram_lm_scores(
         ds, id_col=id_col, text_col=text_col, max_vocab=max_vocab,
@@ -1733,6 +1749,33 @@ def lm_quality_buckets(
             }
         )
 
+    bin_w = np.int64(max(1, round(eps * 1e6)))  # absolute width in score_c units
+
+    def hist_sketch(batch: pa.Table) -> pa.Table:
+        """Fixed-resolution histogram partial: (lang, bin, n) with
+        ``bin = floor(score_c / W)`` — monotone in score, so the shared
+        ``thresholds`` ascending sort works unchanged. Bins per lang are
+        bounded by the logprob range / eps regardless of corpus size."""
+        nz = batch.filter(pc.greater(batch["dl"], 0))
+        sc = _score_c(nz)
+        dic = nz[lang_col].dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.floor_divide(sc, bin_w) + (np.int64(1) << 31)  # shift nonneg
+        packed = codes * (np.int64(1) << 32) + b
+        u, cnt = np.unique(packed, return_counts=True)
+        langs = dic.dictionary.take(pa.array((u >> np.int64(32)).astype(np.int64)))
+        return pa.table(
+            {
+                lang_col: langs,
+                "score_c": pa.array(
+                    (u & ((np.int64(1) << 32) - 1)) - (np.int64(1) << 31), pa.int64()
+                ),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
     def thresholds(group: pa.Table) -> pa.Table:
         sc = group["score_c"].to_numpy(zero_copy_only=False)
         cnt = group["n"].to_numpy(zero_copy_only=False)
@@ -1753,12 +1796,22 @@ def lm_quality_buckets(
         )
 
     thr_rows = (
-        scored.map_batches(hist, batch_format="pyarrow")
+        scored.map_batches(
+            hist if mode == "exact" else hist_sketch, batch_format="pyarrow"
+        )
         .groupby(lang_col)
         .map_groups(thresholds, batch_format="pyarrow")
         .take_all()  # bounded: one row per language
     )
-    thr = {r[lang_col]: (int(r["t_lo_c"]), int(r["t_hi_c"])) for r in thr_rows}
+    if mode == "exact":
+        thr = {r[lang_col]: (int(r["t_lo_c"]), int(r["t_hi_c"])) for r in thr_rows}
+    else:
+        # un-bin: the selected bin's LOWER score edge b*W; every doc outside
+        # the boundary bin labels identically to exact mode
+        thr = {
+            r[lang_col]: (int(r["t_lo_c"]) * int(bin_w), int(r["t_hi_c"]) * int(bin_w))
+            for r in thr_rows
+        }
     ref = ray.put(thr)
 
     def label(batch: pa.Table) -> pa.Table:

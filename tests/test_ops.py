@@ -1706,7 +1706,59 @@ def test_lm_quality_buckets_brute(ray_session):
     assert set(en.index) == {"head", "middle", "tail"}
 
 
-def test_cms_heavy_hitters_overcount_and_rank(ray_session):
+def test_lm_quality_buckets_sketch_mode_tolerance(ray_session):
+    """mode="sketch" (the bounded-exchange 100-TB threshold path) must agree
+    with exact mode everywhere except docs whose score falls inside the
+    tercile boundary bin: scores/langs identical, label agreement bounded
+    below, and disagreements confined to one sketch bin around each exact
+    threshold (relative magnitude width eps)."""
+    import ray.data
+
+    from engine.ops.textstats import lm_quality_buckets
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(5, 40))))
+        for _ in range(120)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "lang": pa.array(["en", "de"][i % 2] for i in range(len(texts))),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    # this synthetic corpus packs scores into ~0.3 logprob units, so use a
+    # resolution finer than the default 0.02 (still bounded: ~10k bins for
+    # the whole [-50, 0] logprob range)
+    eps = 0.005
+    exact = lm_quality_buckets(ds).to_pandas().sort_values("doc_id", ignore_index=True)
+    sk = (
+        lm_quality_buckets(ds, mode="sketch", eps=eps)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert exact["doc_id"].equals(sk["doc_id"])
+    assert exact["avg_logprob_r"].equals(sk["avg_logprob_r"])  # scoring unchanged
+    agree = (exact["bucket"] == sk["bucket"]).to_numpy()
+    assert agree.mean() >= 0.85, f"only {agree.mean():.2%} label agreement"
+    # every disagreement sits within one sketch bin (absolute logprob width
+    # eps) of an exact tercile threshold
+    sc = np.round(exact["avg_logprob_r"].to_numpy() * 1e6).astype(np.int64)
+    w = round(eps * 1e6)
+    for lg in ("en", "de"):
+        m = (exact["lang"] == lg).to_numpy()
+        sl = np.sort(sc[m])
+        n = len(sl)
+        near_any = np.zeros(len(sc), dtype=bool)
+        for pct in (33, 66):
+            t = sl[((n - 1) * pct) // 100]
+            near_any |= np.abs(sc - t) <= w
+        bad = m & ~agree & ~near_any
+        assert not bad.any(), exact[bad]
     """CMS invariants vs exact counts: estimates never under-count, exact
     heavy hitters surface in rank order, and the estimate is partitioning-
     independent (2-block run == 1-block run)."""
