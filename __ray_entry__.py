@@ -1107,6 +1107,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _collect(_di(_docs(sf_dir, ["doc_id", "text"]))).sort_by("doc_id")
 
+    def training_mix(sf_dir):
+        """End-to-end selection chain: Gopher gate -> exact dedup -> eval
+        exclusion + decontamination -> domain mixture gate, one composed
+        pipeline (engine/pipelines.py training_mix)."""
+        from engine.pipelines import training_mix as _tm
+
+        return _collect(_tm(_docs(sf_dir, ["doc_id", "text", "lang"])))
+
 
     def near_dedup_incremental(sf_dir):
         """Cross-snapshot NEAR-dup dedup: new (odd-id) docs that are
@@ -3182,6 +3190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_drift": embedding_drift,
         "tokenizer_fertility": tokenizer_fertility,
         "source_lang_mix": source_lang_mix,
+        "training_mix": training_mix,
         "corpus_stats": corpus_stats,
         # rows-only / no_oracle entries: below the sentinels so the driver's
         # 50-entry window spends its rows on hash-verifiable queries
@@ -6600,6 +6609,52 @@ WHERE text IS NOT NULL
               AND 10 * sum_token_len <= 100 * n_tokens
               AND n_stop >= 2
               AND 1000 * n_uniq >= 200 * n_tokens
+        """,
+        # the composed selection chain (engine/pipelines.py training_mix):
+        # Gopher gates -> min-id-per-text dedup over quality+train docs ->
+        # decontamination drop -> HUGEINT mixture rates + Knuth gate, each
+        # stage the verbatim twin of its standalone oracle above/below
+        "training_mix": f"""
+            WITH gtoks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+            gagg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tokens, count(DISTINCT term)::BIGINT AS n_uniq,
+                     sum(CASE WHEN term IN ('the','a','of','to','and','in','is','it','for','on') THEN 1 ELSE 0 END)::BIGINT AS n_stop,
+                     sum(length(term))::BIGINT AS sum_token_len
+              FROM gtoks GROUP BY doc_id
+            ),
+            q AS (
+              SELECT doc_id FROM gagg
+              WHERE n_tokens >= 20 AND n_tokens <= 100000
+                AND 10 * sum_token_len >= 30 * n_tokens
+                AND 10 * sum_token_len <= 100 * n_tokens
+                AND n_stop >= 2
+                AND 1000 * n_uniq >= 200 * n_tokens
+            ),
+            keepdup AS (
+              SELECT min(d.doc_id) AS doc_id
+              FROM documents d JOIN q USING (doc_id)
+              WHERE d.doc_id % 100 <> 0
+              GROUP BY d.text
+            ),
+            {_SHINGLE_CTE},
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0),
+            cont AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev USING (shingle)
+                     WHERE s.doc_id % 100 <> 0),
+            surv AS (
+              SELECT k.doc_id, d.lang
+              FROM keepdup k JOIN documents d ON d.doc_id = k.doc_id
+              WHERE k.doc_id NOT IN (SELECT doc_id FROM cont)
+            ),
+            c AS (SELECT lang, count(*)::HUGEINT AS n FROM surv GROUP BY lang),
+            p(lang, pm) AS (VALUES ('en', 400), ('de', 150), ('es', 150), ('fr', 150), ('zh', 150)),
+            j AS (SELECT c.lang, c.n, CAST(p.pm AS HUGEINT) AS pm
+                  FROM c JOIN p USING (lang) WHERE p.pm > 0),
+            s AS (SELECT min(n * 1000000 // pm) AS scale FROM j),
+            r AS (SELECT lang, least(CAST(1000 AS HUGEINT), pm * (SELECT scale FROM s) // (n * 1000)) AS rate FROM j),
+            d2 AS (SELECT surv.doc_id, surv.lang,
+                          CAST((CAST(surv.doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000 AS BIGINT) AS bucket
+                   FROM surv)
+            SELECT d2.doc_id, d2.lang, d2.bucket FROM d2 JOIN r USING (lang) WHERE d2.bucket < r.rate
         """,
         # HUGEINT twin of engine.ops.sampling.domain_mix_rates + the Knuth gate
         "domain_mix_sample": """

@@ -191,3 +191,187 @@ def clean_corpus_near(
         )
 
     return gated.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def training_mix(
+    ds,
+    *,
+    eval_mod: int = 100,
+    shingle_k: int = 3,
+    target_permille: dict[str, int] | None = None,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_len_x10: int = 30,
+    max_mean_len_x10: int = 100,
+    min_stop_hits: int = 2,
+    min_uniq_permille: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "lang",
+    num_buckets: int = 64,
+):
+    """The END-TO-END training-data selection chain, composed from the
+    operator library with bounded exchanges throughout:
+
+        Gopher quality gate  ->  exact dedup (min-id per text)
+          ->  eval-slice exclusion + decontamination (k-gram overlap
+              with the ``doc_id % eval_mod == 0`` held-out slice)
+          ->  deterministic domain mixture downsampling
+
+    Emits (doc_id, lang, bucket) for every SELECTED doc, sorted.
+
+    Composition shape: (1) one fused streamed map applies the integer-exact
+    Gopher gates AND the eval exclusion AND stamps the text-hash dedup
+    bucket; (2) one bucket groupby keeps the min-id doc per distinct text
+    (carrying its lang); (3) the decontamination flag stream
+    (:func:`engine.ops.dedup.decontaminate`, its own two bucketed
+    exchanges) unions with the survivor presence stream into one doc-bucket
+    groupby that drops flagged docs join-free (the `_surviving_new`
+    pattern); (4) the survivor set — narrow (doc_id, lang) rows, object-
+    store-materialized because it feeds BOTH the #domains-row count and the
+    final gate — is downsampled by the Knuth-hash mixture gate with rates
+    from :func:`engine.ops.sampling.domain_mix_rates`. Driver state: one
+    int per domain. Every rule is integer/hash-exact, so the whole chain is
+    restated verbatim by the ``training_mix`` oracle SQL."""
+    import polars as pl
+
+    from .ops.dedup import _sorted_group_map, decontaminate
+    from .ops.sampling import MIX_TARGET_PERMILLE, domain_mix_rates, hash_buckets
+    from .ops.textstats import quality_batch
+
+    targets = dict(MIX_TARGET_PERMILLE if target_permille is None else target_permille)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch, id_col=id_col, text_col=text_col)
+        nt = q["n_tokens"].to_numpy(zero_copy_only=False)
+        nu = q["n_uniq"].to_numpy(zero_copy_only=False)
+        ns = q["n_stop"].to_numpy(zero_copy_only=False)
+        sl = q["sum_token_len"].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (
+            (nt >= min_tokens)
+            & (nt <= max_tokens)
+            & (10 * sl >= min_mean_len_x10 * nt)
+            & (10 * sl <= max_mean_len_x10 * nt)
+            & (ns >= min_stop_hits)
+            & (1000 * nu >= min_uniq_permille * nt)
+            & (ids % eval_mod != 0)  # the held-out slice never trains
+        )
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                domain_col: batch[domain_col],
+                text_col: batch[text_col],
+            }
+        ).filter(pa.array(keep))
+        h = pl.from_arrow(t.select([text_col]))[text_col].hash(seed=42)
+        return t.append_column(
+            "bucket", pa.array((h.to_numpy() % num_buckets).astype(np.int64))
+        )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        """Min-id doc per distinct text, carrying the KEEPER's lang."""
+        t_np = group[text_col].to_numpy(zero_copy_only=False).astype(object)
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, t_np))
+        t_s, d_s = t_np[order], d[order]
+        first = np.empty(len(d_s), dtype=bool)
+        first[0] = True
+        np.not_equal(t_s[1:], t_s[:-1], out=first[1:])
+        sel = order[first]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[sel], pa.int64()),
+                domain_col: group[domain_col].take(pa.array(sel)),
+            }
+        )
+
+    survivors = _sorted_group_map(
+        ds.map_batches(gate, batch_format="pyarrow"),
+        "bucket",
+        keep_first,
+        pa.schema([("doc_id", pa.int64()), (domain_col, pa.string())]),
+    )
+
+    # decontamination flag stream unions with the survivor presence stream;
+    # one doc-bucket groupby drops flagged docs join-free
+    def presence(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                domain_col: batch[domain_col],
+                "flag": pa.array(np.zeros(len(d), dtype=np.int64)),
+                "docbucket": pa.array(d % num_buckets, pa.int64()),
+            }
+        )
+
+    def flagged(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                domain_col: pa.array([""] * len(d), pa.string()),
+                "flag": pa.array(np.ones(len(d), dtype=np.int64)),
+                "docbucket": pa.array(d % num_buckets, pa.int64()),
+            }
+        )
+
+    decon = decontaminate(
+        ds, k=shingle_k, eval_mod=eval_mod, id_col=id_col, text_col=text_col
+    ).map_batches(flagged, batch_format="pyarrow")
+
+    def keep_unflagged(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        f = group["flag"].to_numpy(zero_copy_only=False)
+        lg = group[domain_col].to_numpy(zero_copy_only=False).astype(object)
+        order = np.lexsort((lg, d))  # per doc: "" (flag row) sorts first
+        d_s, lg_s = d[order], lg[order]
+        first = np.empty(len(d_s), dtype=bool)
+        first[0] = True
+        np.not_equal(d_s[1:], d_s[:-1], out=first[1:])
+        starts = np.flatnonzero(first)
+        fmax = np.zeros(len(starts), dtype=np.int64)
+        np.maximum.at(fmax, np.cumsum(first) - 1, f[order])
+        # the presence row's lang is the lexicographically LAST per doc
+        ends = np.r_[starts[1:], len(d_s)] - 1
+        keep = fmax == 0
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s[starts][keep], pa.int64()),
+                domain_col: pa.array(lg_s[ends][keep].astype(str), pa.string()),
+            }
+        )
+
+    # narrow (doc_id, lang) survivor rows; materialized because BOTH the
+    # mixture-count pass and the final gate consume it (a lazy re-run would
+    # re-execute the decontamination exchanges)
+    survivors2 = _sorted_group_map(
+        survivors.map_batches(presence, batch_format="pyarrow").union(decon),
+        "docbucket",
+        keep_unflagged,
+        pa.schema([("doc_id", pa.int64()), (domain_col, pa.string())]),
+    ).materialize()
+
+    counts = {
+        r[domain_col]: int(r["count()"])
+        for r in survivors2.groupby(domain_col).count().take_all()  # #domains rows
+    }
+    rates = domain_mix_rates(counts, targets)
+
+    def mix_gate(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = hash_buckets(ids)
+        dom = batch[domain_col].to_numpy(zero_copy_only=False)
+        thr = np.zeros(len(dom), dtype=np.int64)
+        for dname, r in rates.items():
+            thr[dom == dname] = r
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                domain_col: batch[domain_col],
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        ).filter(pa.array(bucket < thr))
+
+    return survivors2.map_batches(mix_gate, batch_format="pyarrow").sort("doc_id")

@@ -1759,6 +1759,63 @@ def test_lm_quality_buckets_sketch_mode_tolerance(ray_session):
             near_any |= np.abs(sc - t) <= w
         bad = m & ~agree & ~near_any
         assert not bad.any(), exact[bad]
+
+
+def test_training_mix_brute(ray_session):
+    """The composed selection chain vs a pure-Python recompute: Gopher gate,
+    min-id exact dedup, eval exclusion, 3-gram decontamination, and the
+    integer mixture gate each exercised by a purpose-built doc."""
+    import ray.data
+
+    from engine.pipelines import training_mix
+
+    base = ["the", "and"] + [f"word{i:02d}" for i in range(22)]
+
+    def uniq_doc(tag: str) -> str:
+        return " ".join(["the", "and"] + [f"{tag}x{i:02d}" for i in range(20)])
+
+    docs = {
+        100: (" ".join(base), "en"),  # eval-slice doc: excluded, but its
+        #                               3-grams decontaminate trainers
+        101: (uniq_doc("a"), "en"),  # clean en survivor
+        102: (uniq_doc("b"), "en"),  # clean en, duplicated by 103
+        103: (uniq_doc("b"), "en"),  # exact dup -> dropped (102 kept)
+        104: ("short doc", "en"),  # fails Gopher min_tokens
+        105: (" ".join(base[:5] + [f"cx{i:02d}" for i in range(18)]), "en"),
+        #      shares "the and word00" etc. with the eval doc -> contaminated
+        106: (uniq_doc("d"), "de"),  # clean de survivor
+        107: (uniq_doc("e"), "de"),  # clean de survivor
+    }
+    ids = sorted(docs)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([docs[i][0] for i in ids]),
+                "lang": pa.array([docs[i][1] for i in ids]),
+            }
+        )
+    )
+    got = training_mix(ds).to_pandas()
+
+    # brute recompute: survivors then integer mixture rates + Knuth gate
+    survivors = {101: "en", 102: "en", 106: "de", 107: "de"}
+    counts = {"en": 2, "de": 2}
+    targets = {"en": 400, "de": 150}
+    scale = min(counts[d] * 1_000_000 // targets[d] for d in counts)
+    rates = {
+        d: min(1000, targets[d] * scale // (counts[d] * 1000)) for d in counts
+    }
+    want = []
+    for i, lg in sorted(survivors.items()):
+        b = (i * 2654435761) % (1 << 32) % 1000
+        if b < rates[lg]:
+            want.append((i, lg, b))
+    assert list(zip(got["doc_id"], got["lang"], got["bucket"])) == want
+    assert rates == {"en": 1000, "de": 375}  # the de gate is actually binding
+
+
+def test_cms_heavy_hitters_overcount_and_rank(ray_session):
     """CMS invariants vs exact counts: estimates never under-count, exact
     heavy hitters surface in rank order, and the estimate is partitioning-
     independent (2-block run == 1-block run)."""
