@@ -232,7 +232,15 @@ def training_mix(
     final gate — is downsampled by the Knuth-hash mixture gate with rates
     from :func:`engine.ops.sampling.domain_mix_rates`. Driver state: one
     int per domain. Every rule is integer/hash-exact, so the whole chain is
-    restated verbatim by the ``training_mix`` oracle SQL."""
+    restated verbatim by the ``training_mix`` oracle SQL.
+
+    Reference analog: the staged select-filter-commit chain of the
+    reference's update pipeline (strucmotif-search
+    UPD/StrucmotifUpdate.java:114-387 — per-record quality gate at write
+    (CORE/io/DefaultStructureWriter.java:80-86), known-set anti-join,
+    then commit), recomposed over text-corpus semantics (Rae et al. 2021
+    gates, Lee et al. 2021 dedup, eval decontamination, fixed-mixture
+    sampling)."""
     import polars as pl
 
     from .ops.dedup import _sorted_group_map, decontaminate
