@@ -32,10 +32,11 @@ class _DropEmptySchemaRefBundleWarning(_logging.Filter):
     receive no rows (reproducible with plain ``ds.repartition(16).sort(k)``
     when #keys < #partitions), and the streaming executor then logs
     ``... new schema: . This may lead to unexpected behavior`` once per
-    empty block. Our operators emit schema-typed empties everywhere
-    (``_sorted_group_map``); these residual bundles are produced INSIDE
-    Ray's sort and are unreachable from UDF code. Real schema mismatches
-    (two non-empty schemas) are NOT filtered."""
+    empty block. These bundles are unreachable from UDF code: Ray never
+    invokes a map UDF on an empty input block, so the empties pass through
+    every downstream map operator untouched (verified empirically on
+    2.49) — a logging filter is the only place they can be handled. Real
+    schema mismatches (two non-empty schemas) are NOT filtered."""
 
     def filter(self, record: _logging.LogRecord) -> bool:  # True = keep
         msg = record.getMessage()

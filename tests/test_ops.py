@@ -34,6 +34,87 @@ def crafted_docs(ray_session):
     return _docs_ds(texts)
 
 
+def test_sorted_group_map_helpers(ray_session):
+    """The map_groups replacements: typed empty blocks (no zero-column
+    RefBundles from OUR operators), whole-block vs per-group semantics, and
+    key co-location (a key's rows never split across fn calls)."""
+    import ray.data
+
+    from engine.ops.dedup import _quiet_map_groups, _sorted_group_map
+
+    t = pa.table(
+        {
+            "k": pa.array([3, 1, 2, 1, 3, 1], pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+        }
+    )
+    schema = pa.schema([("k", pa.int64()), ("n", pa.int64()), ("s", pa.int64())])
+
+    calls = []
+
+    def per_group(g: pa.Table) -> pa.Table:
+        ks = np.unique(g["k"].to_numpy(zero_copy_only=False))
+        calls.append(len(ks))
+        return pa.table(
+            {
+                "k": pa.array([int(ks[0])], pa.int64()),
+                "n": pa.array([g.num_rows], pa.int64()),
+                "s": pa.array([int(pa.compute.sum(g["v"]).as_py())], pa.int64()),
+            }
+        )
+
+    # _quiet_map_groups: EXACTLY one key per call
+    got = (
+        _quiet_map_groups(ray.data.from_arrow(t).repartition(4), "k", per_group, schema)
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert list(zip(got["k"], got["n"], got["s"])) == [(1, 3, 120), (2, 1, 30), (3, 2, 60)]
+
+    # _sorted_group_map: fn sees whole blocks but a key never splits; a
+    # run-segmenting fn computes identical per-key results
+    def whole_block(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k_s, v_s = k[order], v[order]
+        first = np.r_[0, np.flatnonzero(np.diff(k_s)) + 1]
+        n = np.diff(np.r_[first, len(k_s)])
+        return pa.table(
+            {
+                "k": pa.array(k_s[first], pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(np.add.reduceat(v_s, first), pa.int64()),
+            }
+        )
+
+    got2 = (
+        _sorted_group_map(ray.data.from_arrow(t).repartition(4), "k", whole_block, schema)
+        .to_pandas()
+        .groupby("k", as_index=False)
+        .sum()  # a key is never split, so this sum folds nothing — asserted below
+        .sort_values("k", ignore_index=True)
+    )
+    assert list(zip(got2["k"], got2["n"], got2["s"])) == [(1, 3, 120), (2, 1, 30), (3, 2, 60)]
+
+    # many sort partitions, ONE key: sort-born empty partitions bypass the
+    # map UDF entirely (zero-column passthrough — why the RefBundle warning
+    # is handled by the engine/__init__ logging filter, not the wrapper);
+    # every NON-empty block must be schema-typed and the result exact
+    one_key = pa.table(
+        {"k": pa.array([7] * 8, pa.int64()), "v": pa.array(range(8), pa.int64())}
+    )
+    out = _sorted_group_map(
+        ray.data.from_arrow(one_key).repartition(6), "k", whole_block, schema
+    )
+    import ray as _ray
+
+    blocks = [_ray.get(r) for r in out.to_arrow_refs()]
+    assert all(b.schema.names == ["k", "n", "s"] for b in blocks if b.num_rows)
+    tbl = out.to_pandas().groupby("k", as_index=False).sum()
+    assert list(zip(tbl["k"], tbl["n"], tbl["s"])) == [(7, 8, 28)]
+
+
 def test_exact_dedup(crafted_docs):
     from engine.ops.dedup import exact_dedup
 
