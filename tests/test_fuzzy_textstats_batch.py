@@ -205,6 +205,37 @@ def test_doc_top_terms_bucketed_path_matches_broadcast(ray_session):
     assert broadcast.equals(bucketed)
 
 
+def test_source_top_terms_bucketed_path_matches_broadcast(ray_session):
+    """Same contract for the per-GROUP variant: above max_vocab the exact
+    term-bucket join must produce identical rows/tie order."""
+    import ray.data
+
+    from engine.ops.textstats import source_top_terms
+
+    texts = ["aa bb cc", "aa cc dd", "ee ff", "dd dd gg", "gg aa bb", "hh hh cc"]
+    srcs = ["web", "web", "web", "chat", "chat", "chat"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "source": pa.array(srcs),
+            }
+        )
+    )
+    broadcast = (
+        source_top_terms(ds, m=3, max_vocab=None)
+        .to_pandas()
+        .sort_values(["source", "rank"], ignore_index=True)
+    )
+    bucketed = (
+        source_top_terms(ds, m=3, max_vocab=2, num_term_buckets=3)
+        .to_pandas()
+        .sort_values(["source", "rank"], ignore_index=True)
+    )
+    assert broadcast.equals(bucketed)
+
+
 def test_bigram_counts_no_cross_doc_pairs_and_tie_order(ray_session):
     from engine.ops.textstats import bigram_top_counts
 
