@@ -816,10 +816,14 @@ def kmeans_train(
     (k x d floats — tiny), ONE streaming ``map_batches`` pass emits per-batch
     PARTIAL sufficient statistics (per-cluster vector sums + counts +
     objective partial, i.e. k x (d+2) floats per batch — the A1 partial-agg
-    pattern), and the driver folds the tiny partials. Nothing corpus-sized
-    ever leaves the workers; T iterations = T passes, each with streaming
-    backpressure. Empty clusters keep their previous centroid (the standard
-    fixed-point convention, deterministic cross-partitioning).
+    pattern), a cid groupby REDUCES the partials in the cluster (at 100-TB
+    block counts, #blocks x k partial rows is itself too big a driver
+    collect — the exchange stays bounded at #blocks x k narrow rows and the
+    driver receives exactly k), and the driver folds k rows into the new
+    centroids. Nothing corpus- or block-count-sized ever reaches the
+    driver; T iterations = T passes, each with streaming backpressure.
+    Empty clusters keep their previous centroid (the standard fixed-point
+    convention, deterministic cross-partitioning).
 
     Returns (centroid_id, count, inertia_r, centroid) — one row per cluster;
     ``inertia_r`` is the FINAL-assignment total squared distance rounded to
@@ -865,18 +869,33 @@ def kmeans_train(
 
         return fn
 
+    def fold_cid(group: pa.Table) -> pa.Table:
+        """In-cluster reduction of one cid's partials to a single row."""
+        import pyarrow.compute as pc
+
+        vs = np.stack(group["vsum"].to_numpy(zero_copy_only=False)).sum(axis=0)
+        return pa.table(
+            {
+                "cid": group["cid"].slice(0, 1),
+                "vsum": pa.array([vs]),
+                "count": pa.array([int(pc.sum(group["count"]).as_py() or 0)], pa.int64()),
+                "obj": pa.array([float(pc.sum(group["obj"]).as_py() or 0.0)], pa.float64()),
+            }
+        )
+
     inertia = 0.0
     counts = np.zeros(k_eff, dtype=np.int64)
     for _ in range(n_iter):
         cent_ref = ray.put(cent)
         parts = (
             ds.map_batches(partials_fn(cent_ref), batch_format="pyarrow")
-            .to_pandas()
-        )
-        g = parts.groupby("cid", sort=True)
-        counts = g["count"].sum().to_numpy()
+            .groupby("cid")
+            .map_groups(fold_cid, batch_format="pyarrow")
+            .to_pandas()  # exactly k_eff rows
+        ).sort_values("cid", ignore_index=True)
+        counts = parts["count"].to_numpy()
         inertia = float(parts["obj"].sum())
-        vsums = np.stack(g["vsum"].apply(lambda s: np.sum(np.stack(s.to_numpy()), axis=0)).to_numpy())
+        vsums = np.stack(parts["vsum"].to_numpy())
         live = counts > 0
         cent[live] = vsums[live] / counts[live, None]
 
