@@ -980,37 +980,57 @@ def extract_props_k(sf_dir: str):
 
 
 def revenue_by_part_type(sf_dir: str):
-    """Revenue per part type: lineitem with the part dim BROADCAST (ray.put
-    once, searchsorted gather per batch — the part table is the classic
-    small side; shipping it per-batch or shuffling the fact for a join would
-    be the 100-TB mistake) and per-batch partial aggregation before one tiny
+    """Revenue per part type. The part dim is O(SF) (200k rows PER scale
+    factor) — not a broadcastable dimension at the 100-TB design point — so
+    the fact is pre-aggregated per l_partkey IN BATCH (the exchange carries
+    <= distinct partkeys per block, not lineitems), hash-joined against the
+    part Dataset, and re-aggregated per type in batch before one tiny
     groupby over the handful of type labels. Integer fixed-point revenue
     (1e-4 units) — exact, order-independent."""
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
-    p_sorted = part.sort_values("p_partkey")
-    dim_ref = ray.put(
-        (p_sorted["p_partkey"].to_numpy(), p_sorted["p_type"].to_numpy())
-    )
 
     def partial(batch: pa.Table) -> pa.Table:
-        pk, ptype = ray.get(dim_ref)
         price_c = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         disc_c = np.round(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        key = batch["l_partkey"].to_numpy(zero_copy_only=False)
         t = pa.table(
             {
-                "p_type": pa.array(ptype[np.searchsorted(pk, key)], pa.string()),
+                "l_partkey": batch["l_partkey"],
                 "revenue": pa.array(price_c * (100 - disc_c)),
-                "n": pa.array(np.ones(len(key), dtype=np.int64)),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by(["l_partkey"], use_threads=False).aggregate(
+            [("revenue", "sum"), ("n", "sum")]
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    per_part = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(
+            Sum("revenue_sum", alias_name="revenue_c4"),
+            Sum("n_sum", alias_name="n_items"),
+        )
+    )
+    joined = per_part.join(
+        _read(sf_dir, "part", ["p_partkey", "p_type"]),
+        join_type="inner", num_partitions=8,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def by_type(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p_type": batch["p_type"],
+                "revenue": batch["revenue_c4"],
+                "n": batch["n_items"],
             }
         )
         return t.group_by(["p_type"], use_threads=False).aggregate(
             [("revenue", "sum"), ("n", "sum")]
         )
 
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
     return (
-        li.map_batches(partial, batch_format="pyarrow")
+        joined.map_batches(by_type, batch_format="pyarrow")
         .groupby("p_type")
         .aggregate(
             Sum("revenue_sum", alias_name="revenue_c4"),
@@ -1021,24 +1041,15 @@ def revenue_by_part_type(sf_dir: str):
 
 
 def top_suppliers(sf_dir: str, k: int = 10):
-    """Top-k suppliers by lineitem revenue, with supplier + nation dims
-    broadcast onto the pre-aggregated fact: per-batch partial sum per
-    l_suppkey -> one groupby over the supplier-key space (small) -> dim
-    gather -> deterministic top-k (revenue desc, suppkey asc). The fact
-    table is never joined or shuffled wide."""
-    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]).to_pandas()
+    """Top-k suppliers by lineitem revenue. The supplier dim is O(SF) (10k
+    rows PER scale factor), so the pre-aggregated per-suppkey fact
+    hash-joins it as a Dataset; only nation (25 rows, a genuinely bounded
+    dimension) is ray.put-broadcast. Deterministic top-k (revenue desc,
+    suppkey asc) via distributed sort + limit; the fact table is never
+    shuffled wide."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    s_sorted = sup.sort_values("s_suppkey")
     n_sorted = nation.sort_values("n_nationkey")
-    dim_ref = ray.put(
-        (
-            s_sorted["s_suppkey"].to_numpy(),
-            s_sorted["s_name"].to_numpy(),
-            s_sorted["s_nationkey"].to_numpy(),
-            n_sorted["n_nationkey"].to_numpy(),
-            n_sorted["n_name"].to_numpy(),
-        )
-    )
+    dim_ref = ray.put((n_sorted["n_nationkey"].to_numpy(), n_sorted["n_name"].to_numpy()))
 
     def partial(batch: pa.Table) -> pa.Table:
         price_c = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
@@ -1056,17 +1067,21 @@ def top_suppliers(sf_dir: str, k: int = 10):
         li.map_batches(partial, batch_format="pyarrow")
         .groupby("l_suppkey")
         .aggregate(Sum("revenue_sum", alias_name="revenue_c4"))
+        .join(
+            _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"]),
+            join_type="inner", num_partitions=8,
+            on=("l_suppkey",), right_on=("s_suppkey",),
+        )
     )
 
     def hydrate(batch: pa.Table) -> pa.Table:
-        sk, sname, snat, nk, nname = ray.get(dim_ref)
-        key = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(sk, key)
+        nk, nname = ray.get(dim_ref)
+        snat = batch["s_nationkey"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "s_suppkey": pa.array(key, pa.int64()),
-                "s_name": pa.array(sname[pos], pa.string()),
-                "n_name": pa.array(nname[np.searchsorted(nk, snat[pos])], pa.string()),
+                "s_suppkey": batch["l_suppkey"].cast(pa.int64()),
+                "s_name": batch["s_name"],
+                "n_name": pa.array(nname[np.searchsorted(nk, snat)], pa.string()),
                 "revenue_c4": batch["revenue_c4"],
             }
         )
