@@ -1698,12 +1698,12 @@ def near_dedup_keep(
     a training pipeline feeds downstream.
 
     Composition: :func:`ngram_jaccard_pairs` -> :func:`connected_components`
-    (both fully distributed) -> the DROP-list (cluster members that are not
-    their cluster's rep) is collected and broadcast — it is bounded by the
-    duplicate mass, the small side by construction (near-dup clusters above
-    a high threshold), the standard broadcast-filter pattern; docs then
-    stream through one ``filter`` pass."""
-    import ray
+    (both fully distributed) -> the DROP stream (cluster members that are
+    not their cluster's rep) unions with a per-batch presence stream into
+    ONE doc-bucket groupby that keeps unflagged docs (the `_surviving_new`
+    pattern). At a raw-crawl 100-TB corpus the duplicate mass is routinely
+    a third of the corpus, so the drop set is NOT broadcastable — nothing
+    drop-set-sized touches the driver or ships as a broadcast here."""
     import ray.data  # noqa: F401
 
     clusters = dedup_clusters(
@@ -1718,32 +1718,41 @@ def near_dedup_keep(
 
     def drop_rows(batch: pa.Table) -> pa.Table:
         m = pc.not_equal(batch["doc_id"], batch["cluster_rep"])
-        return batch.filter(m).select(["doc_id"])
-
-    drop_ds = clusters.map_batches(drop_rows, batch_format="pyarrow")
-    drop_blocks = [t for t in ray.get(drop_ds.to_arrow_refs()) if t.num_rows]
-    drop = (
-        np.sort(
-            np.concatenate(
-                [t["doc_id"].to_numpy(zero_copy_only=False) for t in drop_blocks]
-            )
+        d = batch.filter(m)["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "flag": pa.array(np.ones(len(d), dtype=np.int64)),
+                "docbucket": pa.array(d % num_partitions, pa.int64()),
+            }
         )
-        if drop_blocks
-        else np.array([], dtype=np.int64)
-    )
-    drop_ref = ray.put(drop)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        ids = batch[id_col].cast(pa.int64())
-        if not len(d):
-            return pa.table({"doc_id": ids})
-        arr = ids.to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(d, arr)
-        dead = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == arr)
-        return pa.table({"doc_id": pc.filter(ids, pa.array(~dead))})
+    def presence(batch: pa.Table) -> pa.Table:
+        d = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "flag": pa.array(np.zeros(len(d), dtype=np.int64)),
+                "docbucket": pa.array(d % num_partitions, pa.int64()),
+            }
+        )
 
-    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+    def keep(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        f = group["flag"].to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        fmax = np.zeros(len(ud), dtype=np.int64)
+        np.maximum.at(fmax, inv, f)
+        return pa.table({"doc_id": pa.array(ud[fmax == 0], pa.int64())})
+
+    return _sorted_group_map(
+        clusters.map_batches(drop_rows, batch_format="pyarrow").union(
+            ds.map_batches(presence, batch_format="pyarrow")
+        ),
+        "docbucket",
+        keep,
+        pa.schema([("doc_id", pa.int64())]),
+    ).sort("doc_id")
 
 
 def central_cluster_reps(

@@ -249,32 +249,31 @@ def top_orders(sf_dir: str, k: int = 20):
 
 
 def customers_without_orders(sf_dir: str, cutoff: str = "2000-01-01"):
-    """Anti-join: customers with no order at-or-after ``cutoff`` — the key-set
-    of the (date-pruned) order scan is broadcast once via ``ray.put`` and each
-    customer batch filters with a vectorized ``is_in``; no shuffle join.
+    """Anti-join: customers with no order at-or-after ``cutoff``. The
+    recent-order key set is O(customers) — unbounded at scale — so it stays
+    a Dataset (in-batch dedup to bound the exchange) through a LEFT ANTI
+    hash join against the customer scan; nothing key-set-sized touches the
+    driver or the object store as a broadcast.
     (Unfiltered, the synthetic corpus gives every customer an order, which
     degenerates the anti-join to empty.)"""
     cut = np.datetime64(cutoff, "us")
 
     def recent_keys(batch: pa.Table) -> pa.Table:
         ts = batch["o_orderdate"].to_numpy(zero_copy_only=False)
-        return batch.select(["o_custkey"]).filter(pa.array(ts >= cut))
+        kept = batch.select(["o_custkey"]).filter(pa.array(ts >= cut))
+        # in-batch dedup: the anti-join exchange carries <= distinct keys
+        # per block, not order rows
+        return kept.group_by(["o_custkey"], use_threads=False).aggregate([])
 
-    custkeys = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-        .map_batches(recent_keys, batch_format="pyarrow")
-        .unique("o_custkey")
+    custkeys = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        recent_keys, batch_format="pyarrow"
     )
-    key_ref = ray.put(pa.array(sorted(custkeys), pa.int64()))
-
-    def anti(batch: pa.Table) -> pa.Table:
-        keys = ray.get(key_ref)
-        mask = pc.invert(pc.is_in(batch["c_custkey"].cast(pa.int64()), value_set=keys))
-        return batch.filter(mask)
-
     return (
         _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
-        .map_batches(anti, batch_format="pyarrow")
+        .join(
+            custkeys, join_type="left_anti", num_partitions=8,
+            on=("c_custkey",), right_on=("o_custkey",),
+        )
         .sort("c_custkey")
     )
 

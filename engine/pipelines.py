@@ -114,14 +114,15 @@ def clean_corpus_near(
     Composition: gate (streamed map, materialized once — consumed by both
     the pair pipeline and the final pass) -> :func:`ops.dedup.ngram_jaccard_pairs`
     over the GATED docs -> :func:`ops.dedup.connected_components` (both fully
-    distributed) -> the DROP-list (non-representative cluster members,
-    bounded by the duplicate mass) broadcast into one final streamed
-    filter + redact pass. Emits (doc_id, dl, n_matches, text_clean) sorted
-    by doc_id; every rule is integer/RE2-exact so the DuckDB oracle restates
-    the whole chain including the recursive closure."""
-    import ray
-
-    from .ops.dedup import connected_components, ngram_jaccard_pairs
+    distributed) -> the DROP stream (non-representative cluster members)
+    unions with the gated payload stream into ONE doc-bucket groupby that
+    keeps unflagged payload rows (the `_surviving_new` pattern — at
+    raw-crawl dup rates the drop set is a large fraction of the corpus and
+    must never be a driver collect or broadcast) -> one streamed redact
+    pass. Emits (doc_id, dl, n_matches, text_clean) sorted by doc_id; every
+    rule is integer/RE2-exact so the DuckDB oracle restates the whole chain
+    including the recursive closure."""
+    from .ops.dedup import _sorted_group_map, connected_components, ngram_jaccard_pairs
 
     def gate(batch: pa.Table) -> pa.Table:
         dl_t = doc_length_batch(batch, id_col=id_col, text_col=text_col)
@@ -150,33 +151,53 @@ def clean_corpus_near(
 
     def drop_rows(batch: pa.Table) -> pa.Table:
         m = pc.not_equal(batch["doc_id"], batch["cluster_rep"])
-        return batch.filter(m).select(["doc_id"])
+        d = batch.filter(m)["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "flag": pa.array(np.ones(len(d), dtype=np.int64)),
+                "dl": pa.array(np.zeros(len(d), dtype=np.int64)),
+                text_col: pa.array([""] * len(d), pa.string()),
+                "docbucket": pa.array(d % num_partitions, pa.int64()),
+            }
+        )
 
-    drop_blocks = [
-        t
-        for t in ray.get(
-            clusters.map_batches(drop_rows, batch_format="pyarrow").to_arrow_refs()
+    def payload(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "flag": pa.array(np.zeros(len(d), dtype=np.int64)),
+                "dl": batch["dl"],
+                text_col: batch[text_col],
+                "docbucket": pa.array(d % num_partitions, pa.int64()),
+            }
         )
-        if t.num_rows
-    ]
-    drop = (
-        np.sort(
-            np.concatenate(
-                [t["doc_id"].to_numpy(zero_copy_only=False) for t in drop_blocks]
-            )
+
+    def keep(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy(zero_copy_only=False)
+        f = group["flag"].to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        fmax = np.zeros(len(ud), dtype=np.int64)
+        np.maximum.at(fmax, inv, f)
+        sel = (f == 0) & (fmax[inv] == 0)
+        t = group.filter(pa.array(sel))
+        return pa.table(
+            {"doc_id": t["doc_id"], "dl": t["dl"], text_col: t[text_col]}
         )
-        if drop_blocks
-        else np.array([], dtype=np.int64)
+
+    kept = _sorted_group_map(
+        clusters.map_batches(drop_rows, batch_format="pyarrow").union(
+            gated.map_batches(payload, batch_format="pyarrow")
+        ),
+        "docbucket",
+        keep,
+        pa.schema(
+            [("doc_id", pa.int64()), ("dl", pa.int64()), (text_col, pa.string())]
+        ),
     )
-    drop_ref = ray.put(drop)
 
-    def finish(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        if len(d):
-            pos = np.searchsorted(d, ids)
-            dead = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == ids)
-            batch = batch.filter(pa.array(~dead))
+    def redact(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -190,7 +211,7 @@ def clean_corpus_near(
             }
         )
 
-    return gated.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+    return kept.map_batches(redact, batch_format="pyarrow").sort("doc_id")
 
 
 def training_mix(
