@@ -12,7 +12,7 @@
     python -m engine.cli stats  <index_dir>
     python -m engine.cli alias  <registry> set|remove|list|resolve [NAME] [TARGET]
     python -m engine.cli rollover <group_dir> init|add|query|status [ARG]
-    python -m engine.cli corpus <parquet> --mode gopher|trim|drift|buckets|hitters
+    python -m engine.cli corpus <parquet> --mode gopher|trim|drift|buckets|hitters|trainmix
     python -m engine.cli dedup  <parquet> --mode ...|incremental|near-incremental
 
 Owns its Ray session (guarded init) per the driver contract: library code
@@ -293,7 +293,7 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("parquet")
     cp.add_argument(
         "--mode",
-        choices=["gopher", "trim", "drift", "buckets", "hitters"],
+        choices=["gopher", "trim", "drift", "buckets", "hitters", "trainmix"],
         default="gopher",
     )
     cp.add_argument("--window", type=int, default=8, help="trim: token window")
@@ -695,6 +695,10 @@ def main(argv: list[str] | None = None) -> int:
             from .ops.textstats import lm_quality_buckets
 
             out = lm_quality_buckets(ds).sort("doc_id")
+        elif args.mode == "trainmix":
+            from .pipelines import training_mix
+
+            out = training_mix(ds)
         else:
             from .ops.sketch import cms_heavy_hitters
 

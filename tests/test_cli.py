@@ -459,6 +459,11 @@ def test_cli_corpus_and_incremental_dedup(ray_session, tmp_path, capsys):
     assert main(["corpus", docs, "--mode", "hitters"]) == 0
     rows = _jsonl(capsys.readouterr().out)
     assert rows and rows[0]["rank"] == 1
+    assert main(["corpus", docs, "--mode", "trainmix"]) == 0
+    rows = _jsonl(capsys.readouterr().out)
+    # no doc_id % 100 == 0 survives (eval slice) and rows carry the mixture gate
+    assert all({"doc_id", "lang", "bucket"} <= set(r) for r in rows)
+    assert all(r["doc_id"] % 100 != 0 for r in rows)
     assert main(["dedup", docs, "--mode", "incremental", "--window", "4"]) == 0
     rows = _jsonl(capsys.readouterr().out)
     assert all(r["doc_id"] % 2 == 1 for r in rows)
